@@ -1,0 +1,76 @@
+"""Text-analysis expressions: language ID, quality scoring, token
+counting, document fingerprinting (north-star training-data-pipeline
+ops; no reference analogue — SURVEY §7 Phase 4).
+
+All pure column expressions — at 100 TB these run inside the scan
+stage with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .text import clean_text
+
+#: Tiny per-language stop-word marker lists for the n-gram/stop-word
+#: language-ID heuristic. Deterministic and oracle-reproducible.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "que", "es", "los"),
+}
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-
+    normalized lowercase text. Exact-dup dedup groups on this — a
+    constant-width key, so the dedup shuffle carries 32 bytes per doc
+    instead of the document body."""
+    return F.md5(clean_text(text))
+
+
+def token_count(tokens: Column) -> Column:
+    """Token count of a tokenized column (BPE-ish proxy: alnum runs)."""
+    return F.size(tokens).cast("long")
+
+
+def marker_hits(tokens: Column, lang: str) -> Column:
+    """How many tokens are marker stop-words of ``lang``."""
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(markers, t))).cast("long")
+
+
+def language_id(tokens: Column) -> Column:
+    """Heuristic language ID: argmax of marker-stop-word hits with a
+    fixed priority order (en > de > fr > es) on ties; 'und' when no
+    marker hits at all. Deterministic ⇒ DuckDB-oracle expressible."""
+    hits = {lang: marker_hits(tokens, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # Build the CASE from lowest to highest priority so the highest
+    # priority language wins ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(tokens: Column) -> Column:
+    """Deterministic [0,1] quality heuristic from length and token
+    shape: penalize very short docs and degenerate mean token length.
+    score = min(n_tokens/100, 1) * (1 - |mean_len - 5| / 10), floored
+    at 0 — a toy but fully reproducible formula."""
+    n = F.size(tokens).cast("double")
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(
+            tokens, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / n,
+    ).otherwise(F.lit(0.0))
+    length_factor = F.least(n / F.lit(100.0), F.lit(1.0))
+    shape_factor = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.abs(mean_len - F.lit(5.0)) / F.lit(10.0)
+    )
+    return length_factor * shape_factor

@@ -1,0 +1,184 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard
+(north-star training-data-pipeline ops, SURVEY §7 Phase 4).
+
+Design for 100 TB:
+
+- **Exact dedup** groups on a 32-byte md5 fingerprint, never on the
+  document body — the shuffle carries fingerprints, not text.
+- **MinHash signatures** are computed entirely map-side as column
+  expressions (`array_min` over per-shingle hashes) — zero shuffles to
+  build signatures for any corpus size.
+- **LSH banding** turns the O(n²) near-dup search into an equi-join on
+  (band, band_key): only documents agreeing on a whole band meet in a
+  shuffle bucket. Shuffle volume is n_docs × n_bands tiny rows.
+- **Hash portability**: md5-derived hashes (not xxhash64) so the DuckDB
+  oracle can recompute signatures bit-for-bit.
+
+SimHash uses 60-bit integers from the first 15 hex chars of md5 —
+reproducible in the oracle via DuckDB's `('0x'||…)::BIGINT`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokenize
+from ..functions.textstats import fingerprint
+
+#: (n_bands, rows_per_band) — 8 hash functions total by default.
+DEFAULT_BANDS = 4
+DEFAULT_ROWS_PER_BAND = 2
+
+
+def minhash_sig(shingle_col: Column, seed: int) -> Column:
+    """One MinHash value: min over shingles of md5(seed:shingle).
+    Lexicographic min over hex strings ≡ min over 128-bit hash values,
+    and is portable to any SQL engine with md5. NULL for empty docs."""
+    return F.array_min(
+        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
+def with_minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_BANDS * DEFAULT_ROWS_PER_BAND,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Append `sig0..sig{n-1}` MinHash columns. Pure map-side — the
+    plan is scan → project, no exchange."""
+    sh = shingles(tokenize(F.col(text_col)), shingle_n)
+    cols = [df[c] for c in df.columns if c != text_col]
+    sigs = [minhash_sig(sh, i).alias(f"sig{i}") for i in range(n_hashes)]
+    return df.select(id_col, *sigs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash LSH banding.
+
+    signature → band keys (concat of rows_per_band sigs) → explode one
+    row per band → self-equi-join on (band, band_key) → distinct pairs
+    with a_id < b_id. The join is a plain hash equi-join, so AQE/skew
+    handling applies; no cross join ever materializes."""
+    sigs = with_minhash_signatures(
+        df, text_col, id_col, n_bands * rows_per_band, shingle_n
+    )
+    band_cols = [
+        F.concat_ws(
+            "|", *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(id_col, *band_cols).select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("band_key"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    # Empty docs have NULL sigs -> NULL never equi-joins, drop early.
+    banded = banded.filter(F.col("band_key").isNotNull() & (F.col("band_key") != "|"))
+    a = banded.select(F.col(id_col).alias("a_id"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("b_id"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs above ``threshold``.
+
+    Inverted-index formulation: explode (doc, shingle) → self-join on
+    shingle → count common shingles per pair → Jaccard from per-doc
+    shingle counts. The join key is the shingle, so only documents
+    sharing at least one shingle ever meet — at scale this is the
+    standard "candidate generation by postings list" plan, and hot
+    shingles (stop-gram skew) are split by AQE.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles(tokenize(F.col(text_col)), shingle_n).alias("sh")
+    )
+    exploded = sh.select("doc", F.explode("sh").alias("shingle"))
+    sizes = sh.select("doc", F.size("sh").alias("n_sh"))
+    a = exploded.select(F.col("doc").alias("a_id"), "shingle")
+    b = exploded.select(F.col("doc").alias("b_id"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("b_id"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(tokens: Column, bits: int = 60) -> Column:
+    """SimHash over a token multiset: per-token 60-bit md5-derived
+    hash; for each bit position sum ±1 across tokens; the sign vector
+    packs into a single long. Pure expression → map-side only.
+
+    60 bits (15 hex chars) keeps the value inside a signed int64 for
+    both Spark (`conv(hex,16,10)`) and the DuckDB oracle
+    (`('0x'||hex)::BIGINT`)."""
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    pow2 = lambda b: F.pow(F.lit(2.0), b.cast("double")).cast("long")  # noqa: E731
+
+    def tok_votes(t):
+        h = F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        return F.transform(
+            bit_idx,
+            lambda b: F.when(h.bitwiseAND(pow2(b)) != 0, 1).otherwise(-1),
+        )
+
+    votes = F.aggregate(
+        tokens,
+        F.transform(bit_idx, lambda b: F.lit(0)),
+        lambda acc, t: F.zip_with(acc, tok_votes(t), lambda x, y: x + y),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            bit_idx,
+            lambda v, b: F.when(v > 0, pow2(b)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct normalized text. Two-step: group on
+    the 32-byte fingerprint (cheap shuffle), keep min row id per group
+    — never shuffles document bodies twice."""
+    fp = df.withColumn("__fp", fingerprint(F.col(text_col)))
+    keep = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    return fp.join(keep, ["__fp", "doc_id"], "inner").drop("__fp")

@@ -1,0 +1,84 @@
+"""Join operators (SURVEY §2.3, J1–J6 + the general family).
+
+Thin, declarative wrappers: each returns a lazy DataFrame so Catalyst
+still sees one plan (broadcast selection, join reordering, AQE runtime
+switches all apply). The value over raw `.join` calls is the named
+semantics + the scale-minded defaults (broadcast hints for dims,
+dedup-before-join guidance from SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def equi_join(
+    left: DataFrame, right: DataFrame, on: str | Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """J1/J3: equi-join on one or a composite key (`acq_etl_code.scala:92,102`).
+    USING-style `on` so the key appears once in the output."""
+    return left.join(right, on, how)
+
+
+def dim_lookup(fact: DataFrame, dim: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """J4 dimension lookup (`predictions.scala:27-28` ticker join) with
+    an explicit broadcast hint — at 100 TB the dim table must never be
+    the shuffle side."""
+    return fact.join(F.broadcast(dim), on, "inner")
+
+
+def theta_join(
+    left: DataFrame, right: DataFrame, equi: Column, residual: Column, how: str = "inner"
+) -> DataFrame:
+    """J5 (`predictions.scala:37`): equi-key + non-equi residual.
+    Catalyst plans the equi part as a hash/sort-merge join and applies
+    the residual as a post-join filter — callers must supply a real
+    equi component or this degenerates to a nested-loop cross join."""
+    return left.join(right, equi & residual, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """EXISTS — keeps left rows with a match, no fan-out (the dedup the
+    reference patches with `.distinct` ×3, `acq_etl_code.scala:96-100`,
+    is unnecessary under semi-join semantics)."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """NOT EXISTS — the declared form of the reference's hand-rolled
+    broadcast stop-word filter (J6, `acq_etl_code.scala:33-41`)."""
+    return left.join(right, on, "left_anti")
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_ts: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Interval/range join without an equi key, bucketized: explode the
+    interval side into coarse buckets, equi-join on the bucket, then
+    apply the exact range residual. Turns O(n·m) nested-loop into a
+    hash join — the only interval-join plan that survives 100 TB.
+    Assumes intervals are short relative to the bucket count.
+    (The reference's 0≤diff<365 labeling, `acq_etl_code.scala:92-96`,
+    is the equi-key special case of this.)"""
+    if bucket != "1 day":
+        raise NotImplementedError("only day-granularity buckets implemented")
+    l_days = left.withColumn(
+        "__day",
+        F.explode(
+            F.sequence(F.to_date(F.col(left_start)), F.to_date(F.col(left_end)))
+        ),
+    )
+    r_days = right.withColumn("__day", F.to_date(F.col(right_ts)))
+    return (
+        l_days.join(r_days, "__day")
+        .filter((F.col(right_ts) >= F.col(left_start)) & (F.col(right_ts) < F.col(left_end)))
+        .drop("__day")
+    )

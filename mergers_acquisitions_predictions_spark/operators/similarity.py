@@ -1,0 +1,133 @@
+"""Similarity search over `array<float>` embedding columns.
+
+Baseline: brute-force cosine top-k — correct at any scale but O(q·n).
+Scale path: LSH bucketing via deterministic random-hyperplane signs —
+candidates meet in an equi-join on the bucket key, so the cross
+product never materializes (same banding idea as MinHash dedup).
+
+No Python in the hot path: dot products are `zip_with`+`aggregate`
+(JVM codegen); a vectorized Pandas-UDF variant only makes sense once
+the JVM expression is the bottleneck, which at 64 dims it is not.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.vectors import cosine
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus,
+    rank per query. Similarity is rounded to 6 dp BEFORE ranking so
+    ordering is reproducible (ties broken by candidate id).
+
+    Scale: queries are the small side → broadcast, corpus streams
+    through map-side; the only shuffle is the per-query top-k window,
+    keyed by query id. For large k·q use TakeOrdered-per-group via
+    repartition on query_id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure-Python LCG,
+    no numpy dependency in the plan) — fixed by seed so bucketing is
+    reproducible across runs and engines."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        vals = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # Box-Muller-free: uniform in [-1, 1) is fine for sign-LSH.
+            vals.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+        norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+        planes.append([v / norm for v in vals])
+    return planes
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-LSH bucket key: one bit per hyperplane (sign of the dot
+    product), concatenated to a string key. Pure expression."""
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(v) for v in p])
+        d = F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's sign-LSH
+    bucket are scored. Recall < 1 by construction; the scale win is
+    that the join is an equi-join on the bucket key (2^n_planes
+    buckets), so corpus×query never cross-joins. Multi-probe (flip one
+    bit) would raise recall — TODO round 2."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cos_sim", "rank")
+    )

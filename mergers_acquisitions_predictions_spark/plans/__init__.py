@@ -1,0 +1,15 @@
+"""Named-query registry. Importing this package registers every query
+module; the driver contract (`__spark_entry__.py`) reads QUERIES and
+ORACLES from here."""
+
+from .registry import ORACLES, QUERIES, query
+
+# Import for side effect: each module registers its queries.
+from . import relational  # noqa: E402,F401
+from . import window_queries  # noqa: E402,F401
+from . import text_queries  # noqa: E402,F401
+from . import dedup_queries  # noqa: E402,F401
+from . import similarity_queries  # noqa: E402,F401
+from . import ml_queries  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,135 @@
+"""Deduplication queries over `documents` (north-star ops; operators
+in `operators/dedup.py`). All hashes are md5-derived so the DuckDB
+oracle recomputes signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokenize
+from ..operators.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash,
+    with_minhash_signatures,
+)
+from ..sources.readers import load_table
+from .registry import query
+
+#: DuckDB spelling of `shingles(tokenize(text), 3)` — distinct word
+#: trigrams; keep in sync with functions/text.py.
+SQL_SHINGLES = """
+    list_distinct(list_transform(range(1, len(tok) - 1),
+                  i -> array_to_string(list_slice(tok, i, i + 2), ' ')))
+"""
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+_SIG_SQL = ",\n".join(
+    f"           list_min(list_transform(s, x -> md5('{i}:' || x))) AS sig{i}"
+    for i in range(8)
+)
+
+_SIGS_CTE = f"""
+    WITH sh AS (
+        SELECT doc_id, {SQL_SHINGLES} AS s
+        FROM (SELECT doc_id, {_TOK} AS tok FROM documents)
+    ),
+    sigs AS (
+        SELECT doc_id,
+{_SIG_SQL}
+        FROM sh
+    )
+"""
+
+
+@query(
+    "d01_minhash_signatures",
+    oracle=_SIGS_CTE + "SELECT * FROM sigs",
+)
+def d01_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-hash MinHash signatures per document — computed entirely
+    map-side (`array_min` over per-shingle md5s): the signature stage
+    of near-dup dedup costs ZERO shuffles at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return with_minhash_signatures(d, "text", "doc_id", n_hashes=8, shingle_n=3)
+
+
+@query(
+    "d02_minhash_lsh_pairs",
+    oracle=_SIGS_CTE
+    + """
+    , bands AS (
+        SELECT doc_id, 0 AS band, sig0 || '|' || sig1 AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1, sig2 || '|' || sig3 FROM sigs
+        UNION ALL SELECT doc_id, 2, sig4 || '|' || sig5 FROM sigs
+        UNION ALL SELECT doc_id, 3, sig6 || '|' || sig7 FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    WHERE a.band_key IS NOT NULL AND a.band_key <> '|'
+    """,
+)
+def d02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: 4 bands × 2 rows. Documents
+    meet only when a whole band matches → the O(n²) pair space becomes
+    an equi-join on (band, band_key). This is THE scalable near-dup
+    plan for 100 TB corpora."""
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(d, "text", "doc_id", n_bands=4, rows_per_band=2)
+
+
+@query(
+    "d03_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {SQL_SHINGLES} AS s
+        FROM (SELECT doc_id, {_TOK} AS tok FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sz sa ON sa.doc_id = a_id
+    JOIN sz sb ON sb.doc_id = b_id
+    WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.1
+    """,
+)
+def d03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard pairs ≥ 0.1 via the inverted-index join —
+    only documents sharing a shingle ever meet in the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.1)
+
+
+@query(
+    "d04_simhash",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN list_sum(list_transform(tok, t ->
+                         CASE WHEN (('0x' || substr(md5(t), 1, 15))::BIGINT
+                                    & (1::BIGINT << b)) != 0
+                              THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash64
+    FROM (SELECT doc_id, {_TOK} AS tok FROM documents)
+    """,
+)
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (near-dup sketch; Hamming-close
+    hashes ⇒ similar token multisets). Map-side expression; the
+    dedup join on the sketch is a cheap equi/band join downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.coalesce(simhash(tokenize("text")), F.lit(0).cast("long")).alias("simhash64"),
+    )

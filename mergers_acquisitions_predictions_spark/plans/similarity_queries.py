@@ -1,0 +1,84 @@
+"""Embedding similarity-search queries over `embeddings`
+(north-star ops; operators in `operators/similarity.py`).
+
+Precision parity: both engines compute dot products in double,
+left-to-right over the same 64 floats, and rank on the ROUNDED
+similarity with an id tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import l2_norm
+from ..operators.similarity import brute_force_topk, lsh_topk
+from ..sources.readers import load_table
+from .registry import query
+
+_SQL_SQNORM = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+
+@query(
+    "s01_embedding_norms",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(sqrt({_SQL_SQNORM.format(v='embedding')}), 6) AS l2
+    FROM embeddings
+    """,
+)
+def s01_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms via JVM higher-order functions (`zip_with`+`aggregate`)
+    — the engine's `array<float>` vector math needs no Python and no
+    ml.Vector round-trip."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(l2_norm(F.col("embedding")), 6).alias("l2"),
+    )
+
+
+@query(
+    "s02_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS candidate_id, embedding AS ce FROM embeddings),
+    scored AS (
+        SELECT query_id, candidate_id,
+               round(
+                 list_sum(list_transform(range(1, len(qe) + 1),
+                          i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+                 / (sqrt({_SQL_SQNORM.format(v='qe')})
+                    * sqrt({_SQL_SQNORM.format(v='ce')})), 6) AS cos_sim
+        FROM q CROSS JOIN c
+        WHERE query_id <> candidate_id
+    )
+    SELECT query_id, candidate_id, cos_sim, rank
+    FROM (
+        SELECT query_id, candidate_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, candidate_id
+               ) AS BIGINT) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def s02_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors vec_id<5 — the
+    ANN baseline. The query set is broadcast; the corpus streams
+    map-side; the only shuffle is the per-query top-k window."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(e.filter(F.col("vec_id") < 5), e, k=5)
+
+
+@query("s03_lsh_ann_topk")  # no oracle: hyperplane constants live in the engine
+def s03_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-LSH bucketing (the scale path: the
+    candidate join is an equi-join on the bucket key, so corpus×query
+    never cross-joins). Rows-only check: recall vs. the exact baseline
+    is asserted in tests/test_similarity.py instead."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(e.filter(F.col("vec_id") < 5), e, k=5)

@@ -1,0 +1,115 @@
+"""Sources (SURVEY §2.1, S1–S5).
+
+The reference reads whole files through ``sc.wholeTextFiles`` with the
+record key (file path) carrying the metadata, then parses it with RDD
+lambdas (``acq_etl_code.scala:12-16,37-47``) — opaque to Catalyst. Here
+every source is a DataFrame source, so path metadata is extracted with
+column expressions (``input_file_name`` + ``regexp_extract``) inside one
+optimizable plan, and CSVs always get explicit schemas instead of the
+reference's positional ``_c0…`` access (``acq_etl_code.scala:86-92``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Tables in the driver test-data star schema (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan (S5). Self-describing schema; Catalyst prunes
+    columns and pushes predicates into the vectorized parquet reader.
+
+    `events.ts` is physically TIMESTAMP(NANOS), which Spark's reader
+    rejects; read it as long nanos and truncate to a microsecond
+    timestamp — the same ns→µs truncation DuckDB applies, keeping
+    oracle parity. Integer `div` (not `/`) because ns-since-epoch
+    exceeds double's 2^53 exact range."""
+    if name == "events":
+        # Runtime SQL conf so this works under ANY caller's session
+        # (the driver harness builds its own SparkSession).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and not isinstance(df.schema["ts"].dataType, T.TimestampType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Expose every table as a temp view so SQL and DataFrame surfaces
+    see the same catalog (reference idiom: ``createOrReplaceTempView``,
+    ``acq_etl_code.scala:90-91``)."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_corpus_dir(
+    spark: SparkSession,
+    path: str,
+    date_segment: int = 9,
+    cik_segment: int = 11,
+) -> DataFrame:
+    """Whole-file text scan with path-borne metadata (S1).
+
+    DataFrame replacement for ``sc.wholeTextFiles(dir).map(parse_path)``
+    (``acq_etl_code.scala:37-47``): one row per file, with `report_date`
+    and `cik` pulled out of the path at the same ``/``/``_``-delimited
+    segments the reference uses (``acq_etl_code.scala:12-16``). Staying
+    in the DataFrame API keeps the scan inside Catalyst so the text
+    cleanup that follows can be pruned/pushed, unlike the reference's
+    RDD closures.
+
+    At 100 TB scale: file listing is driver-side metadata only; split
+    sizing comes from ``spark.sql.files.maxPartitionBytes`` rather than
+    the reference's hard-coded ``minPartitions=1000``.
+    """
+    seg = F.split(F.input_file_name(), r"/|_")
+    return (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(path)
+        .select(
+            F.element_at(seg, cik_segment).alias("cik"),
+            F.to_date(F.element_at(seg, date_segment)).alias("report_date"),
+            F.col("value").alias("text"),
+        )
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    date_format: str | None = None,
+) -> DataFrame:
+    """CSV scan (S3/S4) with an explicit schema by default.
+
+    The reference infers headers as all-string (`join_acquirers.scala:15-16`)
+    or falls back to `_cN` positional names (`acq_etl_code.scala:86`);
+    we require callers to declare columns. ``date_format`` covers the
+    reference's 2-digit-year `MM/dd/yy` announce dates
+    (`join_acquirers.scala:20-21`).
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "false")
+    if date_format:
+        reader = reader.option("dateFormat", date_format)
+    return reader.csv(path)

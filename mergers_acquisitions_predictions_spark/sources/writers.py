@@ -1,0 +1,34 @@
+"""Sinks (SURVEY §2.1, S6–S8).
+
+The reference's single-file export drops out of Catalyst into the RDD
+API (``predictions.scala:39-41``: ``rdd.coalesce(1).map(...).
+saveAsTextFile``); ours stays in the DataFrame writer so compression,
+schema and stats come for free. ``coalesce(1)`` is only offered for
+small final results — at scale, write partitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    """Parquet sink (S6, `acq_etl_code.scala:104`). `partition_by` for
+    partition-pruned downstream scans at scale."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink (S7, `join_acquirers.scala:37`)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """Single-file CSV sink (S8, `predictions.scala:39-41`) — the
+    DataFrame-native version of the reference's RDD detour. Only for
+    driver-sized results (top-k exports); everything else should use
+    :func:`write_csv`."""
+    df.coalesce(1).write.mode(mode).option("header", str(header).lower()).csv(path)
