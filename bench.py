@@ -1,0 +1,84 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion via a `noop`-format write: every
+output column is fully evaluated (a bare count() would let Catalyst
+prune expensive projections — map-only queries would measure nothing)
+while results stay distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from mergers_acquisitions_predictions_spark.plans import QUERIES
+    from mergers_acquisitions_predictions_spark.session import get_spark
+
+    spark = get_spark(app_name="mergers-acquisitions-spark-bench")
+
+    #: Headline set: one per operator family, weighted toward the
+    #: shapes that stress shuffles at scale. ML fits (m01-m03) are
+    #: excluded — they benchmark MLlib, not the engine.
+    headline = [
+        "q01_pricing_summary",
+        "q03_top_revenue_orders",
+        "q04_revenue_by_region",
+        "q05_theta_pairs_per_nation",
+        "q06_label_within_year",
+        "q08_topk_orders_per_customer",
+        "q13_orders_near_events",
+        "q16_running_customer_spend",
+        "q17_tumbling_windows",
+        "q18_session_windows",
+        "t01_token_stats",
+        "t08_vocabulary",
+        "t09_tfidf_top_terms",
+        "d01_minhash_signatures",
+        "d02_minhash_lsh_pairs",
+        "d03_jaccard_pairs",
+        "d04_simhash",
+        "s02_cosine_topk",
+        "m04_pair_ranking",
+    ]
+
+    def run(name: str) -> None:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # Warm the JVM + parquet footers with the cheapest query.
+    run("q02_filter_project")
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        run(name)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

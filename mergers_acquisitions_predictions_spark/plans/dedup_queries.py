@@ -26,8 +26,11 @@ SQL_SHINGLES = """
 """
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+# sig_i = min over shingles of the i-th 8-hex-char slice of
+# md5((i//4):shingle) — keep in sync with operators/dedup.py.
 _SIG_SQL = ",\n".join(
-    f"           list_min(list_transform(s, x -> md5('{i}:' || x))) AS sig{i}"
+    f"           list_min(list_transform(s, x ->"
+    f" substr(md5('{i // 4}:' || x), {1 + 8 * (i % 4)}, 8))) AS sig{i}"
     for i in range(8)
 )
 
@@ -128,7 +131,9 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (near-dup sketch; Hamming-close
     hashes ⇒ similar token multisets). Map-side expression; the
     dedup join on the sketch is a cheap equi/band join downstream."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..operators.util import repartition_for_compute
+
+    d = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.coalesce(simhash(tokenize("text")), F.lit(0).cast("long")).alias("simhash64"),

@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from ..functions.text import clean_text, remove_stopwords, tokenize, word_ngrams
 from ..functions.textstats import LANG_MARKERS, fingerprint, language_id, quality_score
 from ..operators.aggregates import document_frequency
+from ..operators.util import repartition_for_compute
 from ..sources.readers import load_table
 from .registry import query
 
@@ -27,7 +28,9 @@ SQL_CLEAN = (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # Text queries are CPU-bound per row; round partition count up to
+    # cluster parallelism (no-op at real scale, 32× locally).
+    return repartition_for_compute(load_table(spark, sf_dir, "documents"))
 
 
 @query(
