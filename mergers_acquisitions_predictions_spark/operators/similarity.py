@@ -97,33 +97,60 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: only candidates in the query's sign-LSH
-    bucket are scored. Recall < 1 by construction; the scale win is
-    that the join is an equi-join on the bucket key (2^n_planes
-    buckets), so corpus×query never cross-joins. Multi-probe (flip one
-    bit) would raise recall — TODO round 2."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("candidate_id"),
-        F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("candidate_id"))
-        .select(
-            "query_id",
-            "candidate_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    """Approximate top-k via MULTI-TABLE sign-LSH: `n_tables`
+    independent hash tables of `n_planes` sign bits each; a corpus
+    vector is a candidate when it collides with the query in ANY
+    table. For bit-agreement probability p = 1 − θ/π per plane,
+    candidate recall is 1 − (1 − p^k)^L — with k=4, L=8 that is ≳0.8
+    for cosine ≥ 0.5 neighbors, vs ~2% for a single 8-plane table
+    (empirically 1/46 on the 64-dim test embeddings).
+
+    Scale shape: explode each vector into L (table, bucket) keys —
+    an L× map-side blowup of 10-byte keys, NOT of vectors (the vector
+    rides along once per table; at extreme scale store bucket tables
+    separately) — then equi-join on (table, bucket), dedup candidate
+    pairs, score once, per-query top-k. The corpus×query cross join
+    never materializes."""
+    all_planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    tables = [all_planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
+
+    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket(F.col(vec_col), tables[t]).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
         )
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.explode(buckets).alias("tb"),
+        ).select(
+            id_alias,
+            vec_alias,
+            F.col("tb.table").alias("table"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+
+    q = with_buckets(queries, "query_id", "q_vec")
+    c = with_buckets(corpus, "candidate_id", "c_vec")
+    candidates = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .select("query_id", "candidate_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "candidate_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "candidate_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("candidate_id"))
     return (

@@ -1,0 +1,31 @@
+"""Driver-contract invariants for __spark_entry__.py."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as E
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert df.schema == E.entry(spark).schema
+
+
+def test_registry_shape():
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert len(qs) >= 40
+    assert set(oracles) <= set(qs)
+    # every oracle is a non-trivial SQL string
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
+
+
+def test_all_queries_produce_stable_schemas(spark):
+    sf = "/root/testdata/sf0.001"
+    for name, fn in E.queries().items():
+        df = fn(spark, sf)
+        assert df.columns, name
+        assert len(set(df.columns)) == len(df.columns), f"{name}: duplicate col names"

@@ -1,0 +1,115 @@
+"""Unit tests for the column-expression libraries (SURVEY §2.6/§2.7)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mergers_acquisitions_predictions_spark.functions.text import (
+    clean_text,
+    merge_token_arrays,
+    remove_stopwords,
+    tokenize,
+    word_ngrams,
+)
+from mergers_acquisitions_predictions_spark.functions.textstats import (
+    fingerprint,
+    language_id,
+    quality_score,
+)
+from mergers_acquisitions_predictions_spark.functions.vectors import cosine, dot, l2_norm
+from mergers_acquisitions_predictions_spark.operators.dedup import simhash
+
+
+def one(spark, col, **data):
+    """Evaluate a column expression over a single-row frame."""
+    df = spark.createDataFrame([data])
+    return df.select(col.alias("out")).first().out
+
+
+def test_tokenize_drops_empties_and_case(spark):
+    assert one(spark, tokenize(F.col("t")), t="Hello,  WORLD-42!") == [
+        "hello",
+        "world",
+        "42",
+    ]
+    assert one(spark, tokenize(F.col("t")), t="!!! ...") == []
+
+
+def test_clean_text_normalizes(spark):
+    assert one(spark, clean_text(F.col("t")), t="  AbC!! 12 d  ") == "abc  d".replace(
+        "  ", " "
+    )
+
+
+def test_word_ngrams_edges(spark):
+    df = spark.createDataFrame([(["a", "b", "c"],), (["a"],), ([],)], ["t"])
+    got = [r.g for r in df.select(word_ngrams(F.col("t"), 2).alias("g")).collect()]
+    assert got == [["a b", "b c"], [], []]
+
+
+def test_merge_token_arrays_is_distinct_union(spark):
+    # U1 semantics: (a ++ b).toSet — order-insensitive distinct union
+    got = one(
+        spark,
+        F.array_sort(merge_token_arrays(F.col("a"), F.col("b"))),
+        a=["x", "y", "x"],
+        b=["y", "z"],
+    )
+    assert got == ["x", "y", "z"]
+
+
+def test_remove_stopwords_keeps_duplicates(spark):
+    got = one(
+        spark,
+        remove_stopwords(F.col("t")),
+        t=["the", "cat", "and", "the", "cat"],
+    )
+    assert got == ["cat", "cat"]  # multiplicity preserved (unlike array_except)
+
+
+def test_fingerprint_invariant_to_whitespace_and_case(spark):
+    a = one(spark, fingerprint(F.col("t")), t="Hello   World")
+    b = one(spark, fingerprint(F.col("t")), t="hello world")
+    c = one(spark, fingerprint(F.col("t")), t="hello mars")
+    assert a == b != c
+
+
+def test_language_id_priority_and_und(spark):
+    assert one(spark, language_id(F.col("t")), t=["the", "and", "cat"]) == "en"
+    assert one(spark, language_id(F.col("t")), t=["der", "und", "nicht"]) == "de"
+    assert one(spark, language_id(F.col("t")), t=["zzz", "qqq"]) == "und"
+    # tie between en and de resolves to en (fixed priority)
+    assert one(spark, language_id(F.col("t")), t=["the", "der"]) == "en"
+
+
+def test_quality_score_bounds(spark):
+    long_doc = ["tokens"] * 200
+    assert 0.0 <= one(spark, quality_score(F.col("t")), t=long_doc) <= 1.0
+    empty = spark.createDataFrame([([],)], "t: array<string>")
+    assert empty.select(quality_score(F.col("t")).alias("q")).first().q == 0.0
+
+
+def test_vector_math(spark):
+    a, b = [3.0, 4.0], [4.0, 3.0]
+    assert one(spark, dot(F.col("a"), F.col("b")), a=a, b=b) == 24.0
+    assert one(spark, l2_norm(F.col("a")), a=a) == 5.0
+    assert one(spark, cosine(F.col("a"), F.col("b")), a=a, b=b) == pytest.approx(
+        24.0 / 25.0
+    )
+    assert one(spark, cosine(F.col("a"), F.col("b")), a=[0.0, 0.0], b=b) is None
+
+
+def test_simhash_properties(spark):
+    h1 = one(spark, simhash(F.col("t")), t=["alpha", "beta", "gamma"] * 10)
+    h2 = one(spark, simhash(F.col("t")), t=["alpha", "beta", "gamma"] * 10)
+    h3 = one(spark, simhash(F.col("t")), t=["alpha", "beta", "delta"] * 10)
+    assert h1 == h2  # deterministic
+    assert 0 <= h1 < 2**60
+    # similar multisets -> small hamming distance; disjoint -> larger
+    h4 = one(spark, simhash(F.col("t")), t=["x%d" % i for i in range(30)])
+    ham_close = bin(h1 ^ h3).count("1")
+    ham_far = bin(h1 ^ h4).count("1")
+    assert ham_close < ham_far

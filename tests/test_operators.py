@@ -1,0 +1,115 @@
+"""Unit tests for the relational operator library (SURVEY §2.3–§2.5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mergers_acquisitions_predictions_spark.operators.aggregates import (
+    confusion_matrix,
+    document_frequency,
+    grouped_stats,
+)
+from mergers_acquisitions_predictions_spark.operators.dedup import exact_dedup
+from mergers_acquisitions_predictions_spark.operators.joins import (
+    anti_join,
+    dim_lookup,
+    range_join_bucketed,
+    semi_join,
+    theta_join,
+)
+from mergers_acquisitions_predictions_spark.operators.topk import global_topk, grouped_topk
+
+
+def test_semi_anti_partition_the_left(spark):
+    left = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    right = spark.createDataFrame([(i,) for i in range(0, 10, 2)], ["k"])
+    n_semi = semi_join(left, right, "k").count()
+    n_anti = anti_join(left, right, "k").count()
+    assert (n_semi, n_anti) == (5, 5)
+    assert n_semi + n_anti == left.count()
+
+
+def test_theta_join_excludes_self_pairs(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["id", "g"])
+    other = df.select(F.col("id").alias("id2"), F.col("g").alias("g2"))
+    pairs = theta_join(
+        df, other, F.col("g") == F.col("g2"), F.col("id") != F.col("id2")
+    ).collect()
+    assert {(r.id, r.id2) for r in pairs} == {(1, 2), (2, 1)}
+
+
+def test_dim_lookup_broadcasts(spark):
+    fact = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    dim = spark.createDataFrame([(1, "x")], ["k", "label"])
+    out = dim_lookup(fact, dim, "k")
+    assert out.collect() == [out.sparkSession.createDataFrame([(1, 10.0, "x")], ["k", "v", "label"]).first()]
+    assert "Broadcast" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    intervals = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(hours=5 * i), t0 + dt.timedelta(hours=5 * i + 30))
+         for i in range(10)],
+        ["iid", "start", "end"],
+    )
+    points = spark.createDataFrame(
+        [(j, t0 + dt.timedelta(hours=j)) for j in range(80)], ["pid", "ts"]
+    )
+    got = {
+        (r.iid, r.pid)
+        for r in range_join_bucketed(intervals, points, "start", "end", "ts").collect()
+    }
+    naive = {
+        (r.iid, r.pid)
+        for r in intervals.crossJoin(points)
+        .where((F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end")))
+        .collect()
+    }
+    assert got == naive and got
+
+
+def test_grouped_stats_shapes(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], ["g", "v"]
+    )
+    rows = {r.g: r for r in grouped_stats(df, ["g"], "v").collect()}
+    assert rows["a"].n_rows == 2 and rows["a"].sum_value == 4.0
+    assert rows["a"].min_value == 1.0 and rows["a"].max_value == 3.0
+    assert rows["b"].n_distinct == 1
+
+
+def test_confusion_matrix_single_shuffle_equivalence(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (0, 0), (0, 0), (1, 1)], ["y", "prediction"]
+    )
+    cm = {(r.label, r.prediction): r.n for r in confusion_matrix(df, "y", "prediction").collect()}
+    assert cm == {(1, 1): 2, (1, 0): 1, (0, 0): 2}
+
+
+def test_document_frequency_band(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "a"]), (2, ["a", "c"]), (3, ["a"])], ["doc_id", "tokens"]
+    )
+    out = {r.term: r.df for r in document_frequency(df, min_df=2).collect()}
+    assert out == {"a": 3}  # 'a' counted once per doc (distinct), b/c below band
+
+
+def test_topk(spark):
+    df = spark.createDataFrame(
+        [("g1", i, float(i)) for i in range(5)] + [("g2", 9, 1.0)], ["g", "id", "v"]
+    )
+    top = global_topk(df, [F.desc("v"), F.asc("id")], 2).collect()
+    assert [(r.g, r.id) for r in top] == [("g1", 4), ("g1", 3)]
+    per_group = grouped_topk(df, ["g"], [F.desc("v"), F.asc("id")], 1).collect()
+    assert {(r.g, r.id) for r in per_group} == {("g1", 4), ("g2", 9)}
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], ["doc_id", "text"]
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 3]  # 2 is a normalized dup of 1; min doc_id survives

@@ -1,0 +1,96 @@
+"""Source/sink tests (SURVEY §2.1): whole-file corpus scan with
+path-borne metadata, schema'd CSV, writer round-trips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mergers_acquisitions_predictions_spark.sources.readers import (
+    load_table,
+    read_corpus_dir,
+    read_csv,
+    register_views,
+)
+from mergers_acquisitions_predictions_spark.sources.writers import (
+    write_csv,
+    write_parquet,
+    write_single_csv,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_read_corpus_dir_parses_path_metadata(spark, tmp_path):
+    # layout mirrors the reference's EDGAR tree: metadata in the path,
+    # date at segment 9 and CIK at 11 when split on / and _
+    base = tmp_path / "a" / "b" / "c" / "d"
+    base.mkdir(parents=True)
+    (base / "2016-03-01_firm_12345.txt").write_text("Annual report text.")
+    (base / "2017-06-30_firm_67890.txt").write_text("Quarterly filing text.")
+    # segment positions depend on the tmp dir (pytest tmp names contain
+    # underscores) — compute them from the URI the scan will produce,
+    # mirroring how the reference hard-codes 9/11 for ITS tree
+    # (acq_etl_code.scala:12-16)
+    import re
+
+    uris = [
+        r.f
+        for r in spark.read.format("text")
+        .load(str(base))
+        .select(F.input_file_name().alias("f"))
+        .collect()
+    ]
+    segs = re.split(r"/|_", next(u for u in uris if "2016-03-01" in u))
+    date_seg = segs.index("2016-03-01") + 1  # element_at is 1-based
+    cik_seg = segs.index("12345.txt") + 1
+    df = read_corpus_dir(spark, str(base), date_segment=date_seg, cik_segment=cik_seg)
+    rows = {r.cik.replace(".txt", ""): r for r in df.collect()}
+    assert set(rows) == {"12345", "67890"}
+    assert str(rows["12345"].report_date) == "2016-03-01"
+    assert "Annual report" in rows["12345"].text
+
+
+def test_read_csv_with_schema_and_2digit_years(spark, tmp_path):
+    from mergers_acquisitions_predictions_spark.functions.dates import to_date_pivot
+
+    p = tmp_path / "deals.csv"
+    p.write_text("name,announced\nAcme Corp,03/15/16\nBeta LLC,11/01/99\n")
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("announced", T.StringType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema=schema).select(
+        "name", to_date_pivot(F.col("announced"), "MM/dd/yy").alias("announced")
+    )
+    got = {r.name: str(r.announced) for r in df.collect()}
+    # reference pivot semantics (join_acquirers.scala:20-21, Spark 2.4
+    # SimpleDateFormat): '99' -> 1999, not Spark 3's 2099
+    assert got == {"Acme Corp": "2016-03-15", "Beta LLC": "1999-11-01"}
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = load_table(spark, SF, "nation")
+    write_parquet(df, str(tmp_path / "nation"))
+    back = spark.read.parquet(str(tmp_path / "nation"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_single_csv_writes_one_file(spark, tmp_path):
+    df = load_table(spark, SF, "region")
+    write_single_csv(df, str(tmp_path / "region"))
+    parts = [p for p in (tmp_path / "region").iterdir() if p.name.startswith("part-")]
+    assert len(parts) == 1
+    back = spark.read.option("header", "true").csv(str(tmp_path / "region"))
+    assert back.count() == df.count()
+
+
+def test_register_views_sql_surface(spark):
+    register_views(spark, SF, tables=("region", "nation"))
+    n = spark.sql(
+        "SELECT count(*) AS n FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"
+    ).first().n
+    assert n == 25
