@@ -1,0 +1,59 @@
+"""Physical-layout operators for repeated big joins: bucketing and
+skew salting (SURVEY §2.10 / the 100 TB playbook).
+
+The reference hand-tunes layout with `minPartitions` and a manual
+broadcast (`acq_etl_code.scala:34,37`). At scale the two tools that
+actually remove shuffles are:
+
+- **Bucketing**: persist both join sides bucketed by the join key →
+  later equi-joins/aggregations on that key read co-located buckets
+  and skip the exchange entirely. Worth it when a fact table is
+  joined on the same key by many downstream queries.
+- **Salting**: when one key value dominates (power-law keys), split it
+  across N salt shards so no single task owns the hot key. AQE's
+  skew-join handles *join* skew automatically; salting is for
+  *aggregation* skew and for engines/paths AQE doesn't cover.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+    Joins and aggregations on `bucket_cols` between tables bucketed
+    with the SAME bucket count read bucket-to-bucket — no Exchange in
+    the plan (asserted in tests/test_layout.py)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def salted_group_count(
+    df: DataFrame, key: str, n_salts: int = 16, agg_col: str | None = None
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: count/sum per
+    (key, salt) — spreading a hot key over `n_salts` reducers — then
+    combine per key. The second shuffle carries ≤ n_salts rows per
+    key, so the hot key's cost is amortized across the cluster.
+
+    Equivalent to plain groupBy for any input (tests assert this);
+    use when one key holds an outsized share of rows."""
+    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    partial = salted.groupBy(key, "__salt").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *( [F.sum(agg_col).alias("__s")] if agg_col else [] ),
+    )
+    aggs = [F.sum("__n").alias("n_rows")]
+    if agg_col:
+        aggs.append(F.sum("__s").alias(f"sum_{agg_col}"))
+    return partial.groupBy(key).agg(*aggs)

@@ -1,0 +1,56 @@
+"""ML-surface parity extras: model persistence (S9), LDA topics,
+approximate aggregates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mergers_acquisitions_predictions_spark.ml.tfidf import build_tfidf_pipeline
+from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pipeline_model_save_load_roundtrip(spark, tmp_path):
+    """S9 (`acq_etl_code.scala:125-126`): fitted models persist and
+    reload with identical transform output."""
+    from pyspark.ml import PipelineModel
+
+    docs = load_table(spark, SF, "documents").limit(100)
+    model = build_tfidf_pipeline(min_df=2.0).fit(docs)
+    path = str(tmp_path / "tfidf_model")
+    model.save(path)
+    reloaded = PipelineModel.load(path)
+    a = model.transform(docs).select("doc_id", "tfidf").collect()
+    b = reloaded.transform(docs).select("doc_id", "tfidf").collect()
+    assert {r.doc_id: r.tfidf for r in a} == {r.doc_id: r.tfidf for r in b}
+
+
+def test_lda_topics_deterministic_with_seed(spark):
+    from mergers_acquisitions_predictions_spark.plans.ml_queries import m03_lda_topics
+
+    t1 = sorted(map(tuple, m03_lda_topics(spark, SF).collect()))
+    t2 = sorted(map(tuple, m03_lda_topics(spark, SF).collect()))
+    assert t1 == t2
+    assert len(t1) == 25  # 5 topics x top-5 terms
+    assert all(w >= 0 for (_, _, w) in t1)
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """HLL sketch (the scale path for COUNT DISTINCT — constant memory
+    per group) stays within its advertised error of the exact count."""
+    li = load_table(spark, SF, "lineitem")
+    row = li.agg(
+        F.count_distinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_lr_training_deterministic(spark):
+    from mergers_acquisitions_predictions_spark.plans.ml_queries import m02_lr_confusion
+
+    a = sorted(map(tuple, m02_lr_confusion(spark, SF).collect()))
+    b = sorted(map(tuple, m02_lr_confusion(spark, SF).collect()))
+    assert a == b and sum(n for *_, n in a) > 0
