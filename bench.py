@@ -45,12 +45,19 @@ def main() -> None:
         "t01_token_stats",
         "t08_vocabulary",
         "t09_tfidf_top_terms",
+        "t12_bpe_token_count",
         "d01_minhash_signatures",
         "d02_minhash_lsh_pairs",
         "d03_jaccard_pairs",
         "d04_simhash",
+        "d05_embedding_neardups",
         "s02_cosine_topk",
         "m04_pair_ranking",
+        "q25_monthly_orders",
+        "q31_json_extract",
+        "q33_quantiles",
+        "u01_pandas_udf_charge",
+        "u02_grouped_minmax_scale",
     ]
 
     def run(name: str) -> None:

@@ -340,3 +340,37 @@ def t11_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(score, 6))
         .alias("quality"),
     )
+
+
+#: BPE-style pre-tokenizer: leading-space word / number / punctuation
+#: runs — the segmentation LLM tokenizers apply before merges.
+#: RE2 (DuckDB) and Java regex agree on this subset.
+_BPE_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@query(
+    "t12_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS BIGINT)
+               AS n_bpe_pieces,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_ws_tokens
+    FROM documents
+    WHERE length(trim(text)) > 0
+    """,
+)
+def t12_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for LLM-pipeline budgeting: a BPE-ish
+    pre-tokenizer regex (word/number/punct pieces with leading-space
+    affinity) alongside plain whitespace tokens. Both are map-side
+    regex expressions — a full BPE vocab merge would be a pandas_udf
+    over a tokenizer lib, slotting in behind the same column."""
+    d = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_pieces"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
+    )
