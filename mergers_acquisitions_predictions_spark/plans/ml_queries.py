@@ -72,6 +72,35 @@ def m03_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topics_as_rows(model, cv.vocabulary, top_n=5)
 
 
+@query("m05_kmeans_clusters")  # rows-only: iterative algorithm, not SQL
+def m05_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans over the embeddings table (k = 10, seed 42) — the
+    iterative-algorithm surface (driver-coordinated Lloyd iterations,
+    each a distributed job over the cached frame). Output: cluster
+    sizes + how concentrated each cluster is on its majority label
+    (quality signal; asserted > random in tests)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", array_to_vector(F.col("embedding")).alias("features")
+    )
+    e = e.cache()
+    model = KMeans(k=10, seed=42, featuresCol="features").fit(e)
+    scored = model.transform(e)
+    per_label = scored.groupBy("prediction", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_label.groupBy(F.col("prediction").cast("long").alias("cluster"))
+        .agg(
+            F.sum("n").cast("long").alias("n_points"),
+            F.max("n").cast("long").alias("majority_label_n"),
+        )
+        .orderBy("cluster")
+    )
+
+
 @query(
     "m04_pair_ranking",
     oracle="""

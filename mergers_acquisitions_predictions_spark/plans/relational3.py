@@ -96,3 +96,94 @@ def q33_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(disc(0.5), 2).alias("median_price"),
         F.round(disc(0.95), 2).alias("p95_price"),
     )
+
+
+@query(
+    "q34_full_outer_join",
+    oracle="""
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           CAST(count(c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(s.s_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_supplier_only,
+           CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customer_only
+    FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 7 = 0) c
+    FULL OUTER JOIN (SELECT s_suppkey, s_nationkey FROM supplier) s
+      ON c.c_custkey = s.s_suppkey
+    GROUP BY nationkey
+    """,
+)
+def q34_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (absent from the reference, SURVEY §2.3 'not
+    present' list) — both-side null accounting, aggregated."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", "c_nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = c.join(s, c.c_custkey == s.s_suppkey, "full_outer")
+    return j.groupBy(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey")
+    ).agg(
+        F.count("c_custkey").alias("n_customers"),
+        F.count("s_suppkey").alias("n_suppliers"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_supplier_only"),
+        F.sum(F.when(F.col("s_suppkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_customer_only"),
+    )
+
+
+@query(
+    "q35_cross_join_grid",
+    oracle="""
+    SELECT r.r_name, t.o_orderstatus,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) t
+    LEFT JOIN (
+        SELECT rr.r_name AS rn, oo.o_orderstatus AS st, count(*) AS n
+        FROM orders oo
+        JOIN customer c ON oo.o_custkey = c.c_custkey
+        JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+        JOIN region rr ON nn.n_regionkey = rr.r_regionkey
+        GROUP BY rn, st
+    ) o ON o.rn = r.r_name AND o.st = t.o_orderstatus
+    """,
+)
+def q35_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN building a dense (region × status) grid with
+    zero-filled cells — the dimension-grid pattern for reports. The
+    cross join is 5×3 literals; the fact aggregation happens FIRST, so
+    the cross product never touches fact rows (grid-last, not
+    grid-first, is the scale-safe order)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    statuses = o.select("o_orderstatus").distinct()
+    counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "region")),
+            n.n_regionkey == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("rn"), F.col("o_orderstatus").alias("st"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = r.crossJoin(statuses)
+    return (
+        grid.join(
+            counts,
+            (grid.r_name == counts.rn) & (grid.o_orderstatus == counts.st),
+            "left",
+        )
+        .select(
+            "r_name",
+            "o_orderstatus",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )

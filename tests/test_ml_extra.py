@@ -48,6 +48,23 @@ def test_approx_count_distinct_within_tolerance(spark):
     assert abs(row.approx - row.exact) / row.exact < 0.05
 
 
+def test_kmeans_clusters_structure_and_determinism(spark):
+    """m05: partition covers all points, k clusters, seed-stable.
+    (The test embeddings are only weakly label-clustered — max pairwise
+    cosine ≈ 0.51 — so label purity is near the random baseline and is
+    NOT asserted.)"""
+    from mergers_acquisitions_predictions_spark.plans.ml_queries import (
+        m05_kmeans_clusters,
+    )
+
+    a = m05_kmeans_clusters(spark, SF).collect()
+    assert sum(r.n_points for r in a) == 500
+    assert len(a) == 10
+    assert all(r.majority_label_n <= r.n_points for r in a)
+    b = m05_kmeans_clusters(spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_lr_training_deterministic(spark):
     from mergers_acquisitions_predictions_spark.plans.ml_queries import m02_lr_confusion
 

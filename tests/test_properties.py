@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for algebraic invariants that
+example-based tests can miss: MinHash union law, session-window gap
+invariants, discrete-quantile definition.
+
+Each example drives a real Spark job, so example counts are small and
+deadlines are off.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from mergers_acquisitions_predictions_spark.operators.windows import session_windows_batch
+
+tokens_strategy = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=3, max_size=25
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(a=tokens_strategy, b=tokens_strategy)
+def test_minhash_union_law(spark, a, b):
+    """sig(A ∪ B) == elementwise min(sig(A), sig(B)) — the property
+    that makes MinHash signatures mergeable (and therefore
+    partial-aggregatable at scale)."""
+    from mergers_acquisitions_predictions_spark.operators.dedup import (
+        with_minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(0, " ".join(a)), (1, " ".join(b)), (2, " ".join(a + b))],
+        ["doc_id", "text"],
+    )
+    # shingle_n=1 so doc 2's shingle set is EXACTLY set(a) | set(b)
+    # (word n-grams > 1 would add boundary shingles at the a|b seam)
+    rows = {
+        r.doc_id: [r[f"sig{i}"] for i in range(8)]
+        for r in with_minhash_signatures(df, n_hashes=8, shingle_n=1).collect()
+    }
+    merged = [
+        min(x for x in (sa, sb) if x is not None) if (sa or sb) else None
+        for sa, sb in zip(rows[0], rows[1])
+    ]
+    assert rows[2] == merged
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=7200), min_size=1, max_size=30)
+)
+def test_session_window_gap_invariant(spark, gaps):
+    """Within a session, consecutive events are ≤ gap apart; the first
+    event of each new session is > gap after the previous event."""
+    gap_minutes = 30
+    t = dt.datetime(2024, 1, 1)
+    times = []
+    for g in gaps:
+        t = t + dt.timedelta(seconds=g)
+        times.append(t)
+    df = spark.createDataFrame(
+        [(1, i, ts, 1.0) for i, ts in enumerate(times)],
+        ["user_id", "event_id", "ts", "value"],
+    )
+    sessions = sorted(
+        (r.session_start, r.n_events)
+        for r in session_windows_batch(
+            df, ts="ts", key="user_id", gap_minutes=gap_minutes
+        ).collect()
+    )
+    # python ground truth: islands over the same gap rule
+    expected = []
+    start, n, prev = times[0], 0, None
+    for ts in times:
+        if prev is not None and (ts - prev).total_seconds() > gap_minutes * 60:
+            expected.append((start, n))
+            start, n = ts, 0
+        n += 1
+        prev = ts
+    expected.append((start, n))
+    assert sessions == sorted(expected)
+    assert sum(n for _, n in sessions) == len(times)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=40
+    ),
+    q=st.sampled_from([0.1, 0.25, 0.5, 0.9, 0.95]),
+)
+def test_discrete_quantile_definition(spark, vals, q):
+    """The rank-vs-count quantile (q33) equals sorted[ceil(q*n)-1] —
+    DuckDB quantile_disc's definition."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    w = W.orderBy("x")
+    ranked = df.select(
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    target = F.ceil(F.lit(q) * F.col("n"))
+    got = ranked.agg(F.min(F.when(F.col("rn") >= target, F.col("x")))).first()[0]
+    want = sorted(vals)[math.ceil(q * len(vals)) - 1]
+    assert got == want
