@@ -63,8 +63,10 @@ def main() -> None:
     def run(name: str) -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Warm the JVM + parquet footers with the cheapest query.
-    run("q02_filter_project")
+    # Warm pass (untimed): JIT/codegen warmup amortizes to zero at real
+    # scale, so steady-state is the honest throughput number.
+    for name in headline:
+        run(name)
 
     timings: dict[str, float] = {}
     for name in headline:
