@@ -1,0 +1,73 @@
+"""Top-level engine facade — the surface a user of the reference repo
+switches to.
+
+The reference is driven interactively: paste spark-shell transcripts,
+temp views, hand-rolled broadcast sets. This facade wraps the same
+capabilities behind one object:
+
+    from mergers_acquisitions_predictions_spark.engine import Engine
+
+    eng = Engine.local()                     # tuned SparkSession
+    eng.attach("/root/testdata/sf0.01")      # register star schema
+    eng.sql("SELECT count(*) FROM orders")   # SQL surface
+    eng.table("lineitem")                    # DataFrame surface
+    eng.run("q01_pricing_summary")           # named query registry
+    eng.query_names()                        # what's available
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import get_spark
+from .sources.readers import TABLES, load_table, register_views
+
+
+class Engine:
+    """A SparkSession + data directory + the named-query registry."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        if sf_dir:
+            self.attach(sf_dir)
+
+    @classmethod
+    def local(cls, sf_dir: str | None = None, **session_kwargs) -> "Engine":
+        return cls(get_spark(**session_kwargs), sf_dir)
+
+    def attach(self, sf_dir: str, tables=TABLES) -> "Engine":
+        """Point the engine at a data directory and register every
+        table as a temp view (both API surfaces see one catalog —
+        the reference's `createOrReplaceTempView` idiom, managed)."""
+        self.sf_dir = sf_dir
+        register_views(self.spark, sf_dir, tables)
+        return self
+
+    def table(self, name: str) -> DataFrame:
+        if not self.sf_dir:
+            raise ValueError("no data directory attached — call attach(sf_dir)")
+        return load_table(self.spark, self.sf_dir, name)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def run(self, query_name: str) -> DataFrame:
+        """Execute a registry query against the attached directory."""
+        from .plans import QUERIES
+
+        if not self.sf_dir:
+            raise ValueError("no data directory attached — call attach(sf_dir)")
+        try:
+            fn = QUERIES[query_name]
+        except KeyError:
+            raise KeyError(
+                f"unknown query {query_name!r}; see query_names()"
+            ) from None
+        return fn(self.spark, self.sf_dir)
+
+    @staticmethod
+    def query_names() -> list[str]:
+        from .plans import QUERIES
+
+        return sorted(QUERIES)

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, tokenize
+from ..functions.text import tokenize
 from ..operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
