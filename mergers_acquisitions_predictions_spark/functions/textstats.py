@@ -11,8 +11,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .text import clean_text
-
 #: Tiny per-language stop-word marker lists for the n-gram/stop-word
 #: language-ID heuristic. Deterministic and oracle-reproducible.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -24,11 +22,19 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def fingerprint(text: Column | str) -> Column:
-    """Deterministic document fingerprint: md5 of the whitespace-
-    normalized lowercase text. Exact-dup dedup groups on this — a
-    constant-width key, so the dedup shuffle carries 32 bytes per doc
-    instead of the document body."""
-    return F.md5(clean_text(text))
+    """Deterministic document fingerprint: md5 of the case/whitespace/
+    punctuation-normalized text, DIGITS PRESERVED. Exact-dup dedup
+    groups on this — a constant-width key, so the dedup shuffle
+    carries 32 bytes per doc instead of the document body.
+
+    Deliberately NOT the reference's `[^a-z]` cleaner (text.clean_text,
+    F3): stripping digits would collapse 'Q1 revenue 100' with
+    'Q2 revenue 900' — fine for its TF-IDF features, wrong for
+    dedup identity."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    return F.md5(F.trim(c))
 
 
 def token_count(tokens: Column) -> Column:

@@ -21,9 +21,14 @@ from .registry import query
 
 #: DuckDB spelling of `tokenize` (functions/text.py) — keep in sync.
 SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-#: DuckDB spelling of `clean_text`.
+#: DuckDB spelling of `clean_text` (reference F3: digits stripped).
 SQL_CLEAN = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g'))"
+)
+#: DuckDB spelling of `textstats.fingerprint`'s normalization
+#: (digits preserved — dedup identity, not the F3 feature cleaner).
+SQL_FP_CLEAN = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 )
 
 
@@ -171,7 +176,7 @@ def t05_lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t06_doc_fingerprints",
-    oracle=f"SELECT doc_id, md5({SQL_CLEAN}) AS fp FROM documents",
+    oracle=f"SELECT doc_id, md5({SQL_FP_CLEAN}) AS fp FROM documents",
 )
 def t06_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over normalized text — the
@@ -183,8 +188,8 @@ def t06_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t07_exact_dedup_summary",
     oracle=f"""
     SELECT count(*) AS n_docs,
-           count(DISTINCT md5({SQL_CLEAN})) AS n_unique_texts,
-           count(*) - count(DISTINCT md5({SQL_CLEAN})) AS n_dup_docs
+           count(DISTINCT md5({SQL_FP_CLEAN})) AS n_unique_texts,
+           count(*) - count(DISTINCT md5({SQL_FP_CLEAN})) AS n_dup_docs
     FROM documents
     """,
 )
