@@ -99,6 +99,72 @@ def q33_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q36_stats_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)                 AS sd_qty,
+           round(var_samp(l_quantity), 4)                    AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q36_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev/variance, correlation,
+    covariance) — single-pass distributed moments, one shuffle.
+    Rounded to absorb partial-aggregation order differences between
+    engines (both use numerically-stable one-pass updates, but
+    combination order differs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@query(
+    "q37_any_all_semantics",
+    oracle="""
+    SELECT
+        CAST((SELECT count(*) FROM customer
+              WHERE c_acctbal > ALL (SELECT s_acctbal FROM supplier WHERE s_nationkey = 0)
+             ) AS BIGINT) AS n_above_all,
+        CAST((SELECT count(*) FROM customer
+              WHERE c_acctbal > ANY (SELECT s_acctbal FROM supplier WHERE s_nationkey = 0)
+             ) AS BIGINT) AS n_above_any
+    """,
+)
+def q37_any_all_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY/ALL quantified comparisons, decorrelated the way Catalyst
+    does: ALL → compare to max, ANY → compare to min, with the
+    empty-subset edge handled exactly (`> ALL (empty)` is vacuously
+    TRUE, `> ANY (empty)` is FALSE — at sf0.001 the supplier subset IS
+    empty, which a bare max/min comparison gets wrong via NULL). One
+    broadcast scalar row — never a per-row subquery."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 0)
+    bounds = F.broadcast(
+        s.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("s_acctbal").alias("mx"),
+            F.min("s_acctbal").alias("mn"),
+        )
+    )
+    j = c.crossJoin(bounds)
+    above_all = (F.col("cnt") == 0) | (F.col("c_acctbal") > F.col("mx"))
+    above_any = (F.col("cnt") > 0) & (F.col("c_acctbal") > F.col("mn"))
+    return j.agg(
+        F.sum(F.when(above_all, 1).otherwise(0)).cast("long").alias("n_above_all"),
+        F.sum(F.when(above_any, 1).otherwise(0)).cast("long").alias("n_above_any"),
+    )
+
+
+@query(
     "q34_full_outer_join",
     oracle="""
     SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
