@@ -51,6 +51,7 @@ def main() -> None:
         "d03_jaccard_pairs",
         "d04_simhash",
         "d05_embedding_neardups",
+        "d06_lsh_verified_neardups",
         "s02_cosine_topk",
         "m04_pair_ranking",
         "q25_monthly_orders",

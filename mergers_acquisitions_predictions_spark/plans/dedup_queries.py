@@ -140,6 +140,83 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d06_lsh_verified_neardups",
+    oracle=_SIGS_CTE
+    + """
+    , bands AS (
+        SELECT doc_id, 0 AS band, sig0 || '|' || sig1 AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1, sig2 || '|' || sig3 FROM sigs
+        UNION ALL SELECT doc_id, 2, sig4 || '|' || sig5 FROM sigs
+        UNION ALL SELECT doc_id, 3, sig6 || '|' || sig7 FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+        WHERE a.band_key IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    common AS (
+        SELECT c.a_id, c.b_id, count(*) AS n_common
+        FROM cand c
+        JOIN (SELECT doc_id, unnest(s) AS shingle FROM sh) ea ON ea.doc_id = c.a_id
+        JOIN (SELECT doc_id, unnest(s) AS shingle FROM sh) eb
+          ON eb.doc_id = c.b_id AND eb.shingle = ea.shingle
+        GROUP BY c.a_id, c.b_id
+    )
+    SELECT a_id, b_id,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sz sa ON sa.doc_id = a_id
+    JOIN sz sb ON sb.doc_id = b_id
+    WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.1
+    """,
+)
+def d06_lsh_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE scale path for near-dup dedup: MinHash-LSH candidate
+    generation (d02) followed by exact-Jaccard verification of ONLY
+    the candidates. Sub-quadratic end to end — the exact d03 plan
+    touches every shingle-sharing pair; this touches only band
+    collisions (recall is the LSH S-curve, ~1−(1−j²)⁴ here).
+
+    Oracle-checkable BECAUSE the hash family is md5-portable: DuckDB
+    regenerates the identical candidate set, so this is a full
+    value-parity query, not a rows-only check."""
+    from ..functions.text import shingles
+    from ..operators.dedup import lsh_candidate_pairs
+    from ..operators.util import repartition_for_compute
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(d, "text", "doc_id", n_bands=4, rows_per_band=2)
+    sh = (
+        repartition_for_compute(d)
+        .select("doc_id", tokenize(F.col("text")).alias("__tok"))
+        .select("doc_id", shingles(F.col("__tok"), 3).alias("sh"))
+        .persist()
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    ea = ex.select(F.col("doc_id").alias("a_id"), "shingle")
+    eb = ex.select(F.col("doc_id").alias("b_id"), "shingle")
+    common = (
+        cand.join(ea, "a_id")
+        .join(eb, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
 _SQL_SQNORM = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
 
