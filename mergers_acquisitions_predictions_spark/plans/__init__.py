@@ -14,5 +14,6 @@ from . import text_queries  # noqa: E402,F401
 from . import dedup_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401
+from . import pipeline_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,164 @@
+"""Training-data-pipeline composite queries (north-star): the ops an
+LLM-data pipeline runs end-of-funnel — reproducible sampling, split
+assignment, and the full quality-filter funnel. All md5-keyed so the
+oracle reproduces them exactly (and so results are stable across
+cluster sizes, partitionings, and reruns — `rand()` is none of those).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from ..functions.textstats import fingerprint, quality_score
+from ..operators.util import repartition_for_compute
+from ..sources.readers import load_table
+from .registry import query
+
+
+def _hash_bucket(col, buckets: int):
+    """Deterministic bucket in [0, buckets): top-60-bit md5 of the key.
+    Portable (DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT % buckets)
+    and uniform. THE way to sample/split reproducibly at scale —
+    `rand()` changes with partitioning, retries, and cluster size."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+_SQL_BUCKET = "(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15))::BIGINT % {n})"
+
+
+@query(
+    "q38_deterministic_sample",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE {_SQL_BUCKET.format(k='o_orderkey', n=10)} = 0
+    """,
+)
+def q38_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% reproducible sample by key hash. Map-side filter — pushes
+    into the scan stage, no shuffle, identical membership at any SF,
+    partitioning, or engine."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(_hash_bucket(F.col("o_orderkey"), 10) == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query(
+    "m06_split_assignment",
+    oracle=f"""
+    SELECT split, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM (
+        SELECT doc_id,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'validation'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, {_SQL_BUCKET.format(k='doc_id', n=100)} AS b
+              FROM documents)
+    )
+    GROUP BY split
+    """,
+)
+def m06_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/validation/test assignment by document-id hash —
+    the reproducible counterpart of the reference's `randomSplit(seed
+    42)` (`lr.scala:32`): membership is a pure function of the id, so
+    it survives reruns, repartitions, and incremental data arrival
+    (new docs never move old docs between splits)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 80, "train").when(b < 90, "validation").otherwise("test")
+    )
+    return (
+        d.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )
+
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_FP = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g')))"
+)
+
+
+@query(
+    "t13_training_prep_funnel",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               len(tok) AS n_tokens,
+               CASE WHEN len(tok) = 0 THEN 0.0
+                    ELSE round(least(len(tok) / 100.0, 1.0)
+                         * greatest(0.0, 1.0 - abs(
+                             list_sum(list_transform(tok, t -> CAST(length(t) AS DOUBLE)))
+                             / len(tok) - 5.0) / 10.0), 6)
+               END AS quality,
+               {_FP} AS fp
+        FROM (SELECT doc_id, lang, n_chars, text, {_TOK} AS tok FROM documents)
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM scored
+            WHERE lang = 'en' AND quality >= 0.3 AND n_tokens >= 30
+        ) WHERE rn = 1
+    )
+    SELECT count(*) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(quality), 6) AS avg_quality,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM kept
+    """,
+)
+def t13_training_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data prep funnel in ONE plan: language
+    filter → quality threshold → length floor → exact dedup (keep
+    min-id per fingerprint) → corpus accounting. Everything before the
+    dedup window is map-side; the only shuffle keys on the 32-byte
+    fingerprint. This is the query shape a 100 TB corpus-curation run
+    executes nightly."""
+    d = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        tokenize(F.col("text")).alias("tok"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).select(
+        "doc_id",
+        "lang",
+        "fp",
+        F.size("tok").cast("long").alias("n_tokens"),
+        F.when(F.size("tok") == 0, F.lit(0.0))
+        .otherwise(F.round(quality_score(F.col("tok")), 6))
+        .alias("quality"),
+    )
+    from pyspark.sql import Window as W
+
+    kept = (
+        scored.filter(
+            (F.col("lang") == "en") & (F.col("quality") >= 0.3) & (F.col("n_tokens") >= 30)
+        )
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
