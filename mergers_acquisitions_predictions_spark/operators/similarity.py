@@ -100,6 +100,7 @@ def lsh_topk(
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 42,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE sign-LSH: `n_tables`
     independent hash tables of `n_planes` sign bits each; a corpus
@@ -108,6 +109,11 @@ def lsh_topk(
     candidate recall is 1 − (1 − p^k)^L — with k=4, L=8 that is ≳0.8
     for cosine ≥ 0.5 neighbors, vs ~2% for a single 8-plane table
     (empirically 1/46 on the 64-dim test embeddings).
+
+    ``multiprobe=True`` additionally probes, on the QUERY side only,
+    every bucket at Hamming distance 1 (flip each of the k bits):
+    (k+1)× more query bucket rows — still tiny — for a large recall
+    boost without touching the corpus-side index.
 
     Scale shape: explode each vector into L (table, bucket) keys —
     an L× map-side blowup of 10-byte keys, NOT of vectors (the vector
@@ -118,20 +124,32 @@ def lsh_topk(
     all_planes = _hyperplanes(dim, n_planes * n_tables, seed)
     tables = [all_planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
 
-    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    lsh_bucket(F.col(vec_col), tables[t]).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
+    def with_buckets(
+        df: DataFrame, id_alias: str, vec_alias: str, probe: bool = False
+    ) -> DataFrame:
+        entries = []
+        for t in range(n_tables):
+            base = lsh_bucket(F.col(vec_col), tables[t])
+            entries.append(
+                F.struct(F.lit(t).alias("table"), base.alias("bucket"))
+            )
+            if probe:
+                # Hamming-1 probes: flip bit i of the k-bit key.
+                for i in range(n_planes):
+                    flipped = F.concat(
+                        F.substring(base, 1, i),
+                        F.when(
+                            F.substring(base, i + 1, 1) == "1", F.lit("0")
+                        ).otherwise(F.lit("1")),
+                        F.substring(base, i + 2, n_planes - i - 1),
+                    )
+                    entries.append(
+                        F.struct(F.lit(t).alias("table"), flipped.alias("bucket"))
+                    )
         return df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(vec_alias),
-            F.explode(buckets).alias("tb"),
+            F.explode(F.array(*entries)).alias("tb"),
         ).select(
             id_alias,
             vec_alias,
@@ -139,7 +157,7 @@ def lsh_topk(
             F.col("tb.bucket").alias("bucket"),
         )
 
-    q = with_buckets(queries, "query_id", "q_vec")
+    q = with_buckets(queries, "query_id", "q_vec", probe=multiprobe)
     c = with_buckets(corpus, "candidate_id", "c_vec")
     candidates = (
         c.join(F.broadcast(q), ["table", "bucket"])

@@ -100,6 +100,71 @@ def q19_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q39_asof_attribution",
+    oracle="""
+    SELECT purchase_id, user_id, click_id,
+           CAST(date_diff('second', click_ts, purchase_ts) AS BIGINT) AS secs_between
+    FROM (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               c.event_id AS click_id, c.ts AS click_ts, p.ts AS purchase_ts,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts DESC, c.event_id DESC
+               ) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND c.ts > p.ts - INTERVAL '30 minutes'
+    )
+    WHERE rn = 1
+    """,
+)
+def q39_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (SURVEY §2.3 'not present' list): attribute each
+    purchase to the user's most recent click within the preceding 30
+    minutes — equi-join on user + time-range residual, then keep the
+    latest match per purchase (row_number, deterministic tiebreak).
+
+    Scale: the equi key (user) bounds the join; the range residual
+    filters in-stage; one extra shuffle for the per-purchase window.
+    The streaming variant is a watermarked stream-stream join
+    (tests/test_stream_stream_join.py) with identical match semantics."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    w = W.partitionBy("purchase_id").orderBy(
+        F.desc("click_ts"), F.desc("click_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts"))
+            .cast("long")
+            .alias("secs_between"),
+        )
+    )
+
+
+@query(
     "q20_user_activity_gaps",
     oracle="""
     SELECT user_id, event_id,
