@@ -1,0 +1,65 @@
+"""foreachBatch sinks: the escape hatch for sinks Structured Streaming
+lacks natively (upserts, multi-table writes, JDBC merges).
+
+`upsert_parquet_sink` maintains a keyed parquet table: each
+micro-batch replaces rows whose key re-appears (latest by a version
+column wins). Plain parquet has no MERGE, so the upsert is
+read → anti-join → union → write-to-staging → atomic swap. On a real
+lakehouse the body of `do_upsert` becomes a Delta/Iceberg MERGE INTO
+and the staging dance disappears — the streaming wiring is identical.
+
+Scale notes: rewrite cost is O(table), so this pattern fits compact
+keyed state (feature tables, per-entity aggregates), not event logs —
+append sinks or MERGE-capable formats cover those.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def upsert_parquet_sink(
+    stream_df: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    version_col: str,
+    query_name: str = "upsert_sink",
+):
+    """Start a streaming query that upserts each micro-batch into
+    ``table_dir`` keyed by ``key_cols`` (highest ``version_col``
+    wins, within and across batches)."""
+    spark = stream_df.sparkSession
+    table = Path(table_dir)
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        w = W.partitionBy(*key_cols).orderBy(F.desc(version_col))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def do_upsert(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = latest_per_key(batch_df)
+        if table.exists():
+            current = spark.read.parquet(str(table))
+            merged = latest_per_key(current.unionByName(fresh))
+        else:
+            merged = fresh
+        staging = table.with_name(table.name + f".staging{batch_id}")
+        merged.write.mode("overwrite").parquet(str(staging))
+        if table.exists():
+            shutil.rmtree(table)
+        staging.rename(table)
+
+    return (
+        stream_df.writeStream.foreachBatch(do_upsert)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
