@@ -99,6 +99,70 @@ def q33_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q40_range_frame_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+           ), 2) AS spend_90d
+    FROM orders
+    """,
+)
+def q40_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: each order's customer spend over the
+    trailing 90 days (7,776,000 s) — VALUE-based frame bounds, unlike
+    the ROWS frames of q16/q29. Ordered on epoch seconds so both
+    engines frame identically (ties: all same-instant rows share the
+    frame, which is exactly RANGE semantics)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_90d"),
+    )
+
+
+@query(
+    "q41_rank_functions",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           CAST(rank() OVER w AS BIGINT)        AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT)  AS drnk,
+           round(percent_rank() OVER w, 6)      AS prnk,
+           round(cume_dist() OVER w, 6)         AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q41_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one window spec (single
+    shuffle): rank with gaps, dense rank, percent_rank
+    ((rank−1)/(n−1)), cume_dist — identical definitions both engines,
+    deterministic via the custkey tiebreak."""
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
     "q36_stats_aggregates",
     oracle="""
     SELECT l_returnflag,
