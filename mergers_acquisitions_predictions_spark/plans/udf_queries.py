@@ -92,6 +92,99 @@ def u02_grouped_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic suffix-stripping lemma rules (shared by the Python
+#: UDF and the SQL oracle; a spaCy model would replace both, see
+#: ml/tfidf.py's import-try gate).
+def _lemma(tok: str) -> str:
+    if len(tok) > 4 and tok.endswith("ies"):
+        return tok[:-3] + "y"
+    if len(tok) > 5 and tok.endswith("sses"):
+        return tok[:-2]
+    if len(tok) > 5 and tok.endswith("ing"):
+        return tok[:-3]
+    if len(tok) > 4 and tok.endswith("ed"):
+        return tok[:-2]
+    if (
+        len(tok) > 3
+        and tok.endswith("s")
+        and not tok.endswith(("ss", "us", "is"))
+    ):
+        return tok[:-1]
+    return tok
+
+
+_LEMMA_SQL = """
+    CASE WHEN length(t) > 4 AND t LIKE '%ies'  THEN substr(t, 1, length(t) - 3) || 'y'
+         WHEN length(t) > 5 AND t LIKE '%sses' THEN substr(t, 1, length(t) - 2)
+         WHEN length(t) > 5 AND t LIKE '%ing'  THEN substr(t, 1, length(t) - 3)
+         WHEN length(t) > 4 AND t LIKE '%ed'   THEN substr(t, 1, length(t) - 2)
+         WHEN length(t) > 3 AND t LIKE '%s'
+              AND t NOT LIKE '%ss' AND t NOT LIKE '%us' AND t NOT LIKE '%is'
+         THEN substr(t, 1, length(t) - 1)
+         ELSE t END
+"""
+
+
+@query(
+    "u04_lemmatize_pandas_udf",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(lemmas) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(lemmas)) AS BIGINT) AS n_distinct_lemmas,
+           array_to_string(list_slice(lemmas, 1, 5), ' ') AS head_lemmas
+    FROM (
+        SELECT doc_id,
+               list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                              t -> {_LEMMA_SQL}) AS lemmas
+        FROM documents
+    )
+    """,
+)
+def u04_lemmatize_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 — the one genuinely UDF-shaped reference op (`lemma`,
+    `acq_etl_code.scala:54`) — as an Arrow-vectorized pandas_udf
+    applying deterministic suffix rules (spaCy drops into the same
+    slot when available). Deterministic ⇒ even this Python-UDF path
+    is oracle-checked, with the rules mirrored in SQL."""
+    import pandas as pd
+
+    # local copy of the rules: a reference to module-level _lemma would
+    # pickle by module path and break workers that can't import this
+    # package (see streaming/stateful.py for the same trap)
+    def lemma(tok: str) -> str:
+        if len(tok) > 4 and tok.endswith("ies"):
+            return tok[:-3] + "y"
+        if len(tok) > 5 and tok.endswith("sses"):
+            return tok[:-2]
+        if len(tok) > 5 and tok.endswith("ing"):
+            return tok[:-3]
+        if len(tok) > 4 and tok.endswith("ed"):
+            return tok[:-2]
+        if (
+            len(tok) > 3
+            and tok.endswith("s")
+            and not tok.endswith(("ss", "us", "is"))
+        ):
+            return tok[:-1]
+        return tok
+
+    @F.pandas_udf("array<string>")
+    def lemmatize(tokens: pd.Series) -> pd.Series:
+        return tokens.map(lambda toks: [lemma(t) for t in toks])
+
+    from ..functions.text import tokenize
+    from ..operators.util import repartition_for_compute
+
+    d = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    lem = d.select("doc_id", lemmatize(tokenize(F.col("text"))).alias("lemmas"))
+    return lem.select(
+        "doc_id",
+        F.size("lemmas").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("lemmas")).cast("long").alias("n_distinct_lemmas"),
+        F.array_join(F.slice("lemmas", 1, 5), " ").alias("head_lemmas"),
+    )
+
+
 @query("u03_multimodal_features")  # rows-only: fake payload bytes aren't SQL
 def u03_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas over binary payloads (multimodal/binary.py): the
