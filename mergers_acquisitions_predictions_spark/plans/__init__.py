@@ -8,6 +8,7 @@ from .registry import ORACLES, QUERIES, query
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
+from . import relational4  # noqa: E402,F401
 from . import udf_queries  # noqa: E402,F401
 from . import window_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401

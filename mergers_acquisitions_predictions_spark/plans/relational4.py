@@ -1,0 +1,116 @@
+"""Relational coverage, batch 4: explicit GROUPING SETS (through the
+SQL surface), datetime function breadth, NULL ordering. All
+oracle-checked; the datetime query pins down the cross-engine
+semantics traps (day-of-week numbering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+
+
+@query(
+    "q42_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT)  AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT)  AS g_status,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q42_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicators — the member
+    of the rollup/cube family that picks exact set combinations.
+    Issued through the SQL surface (temp view) deliberately: the
+    registry exercises both entry points (SURVEY §1.1 dual-surface),
+    and Catalyst expands it to the same Expand node either way."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q42_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS LONG) AS g_flag,
+               CAST(grouping(l_linestatus) AS LONG) AS g_status,
+               count(*) AS n_rows
+        FROM q42_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q43_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(isodow(o_orderdate) AS BIGINT)              AS iso_dow,
+           CAST(quarter(o_orderdate) AS BIGINT)             AS qtr,
+           CAST(dayofyear(o_orderdate) AS BIGINT)           AS doy,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTHS AS TIMESTAMP) AS plus3m,
+           CAST(epoch(o_orderdate) AS BIGINT)               AS epoch_s
+    FROM orders
+    WHERE o_orderkey % 53 = 0
+    """,
+)
+def q43_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime surface with the cross-engine numbering traps made
+    explicit: Spark's `dayofweek` is 1=Sunday while DuckDB's is
+    0=Sunday — the engine standardizes on ISO day-of-week (1=Monday)
+    via `weekday()+1`, which both engines agree on. quarter/dayofyear/
+    last_day/add_months/epoch align directly."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 53 == 0)
+    return o.select(
+        "o_orderkey",
+        (F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        # cast to timestamp: DATE-typed results reach pandas/the hash
+        # as date objects on one engine and datetime64 on the other
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).cast("timestamp").alias(
+            "plus3m"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "q44_null_ordering",
+    oracle="""
+    SELECT c_custkey, bal,
+           CAST(row_number() OVER (
+               ORDER BY bal DESC NULLS LAST, c_custkey
+           ) AS BIGINT) AS rn_nulls_last,
+           CAST(row_number() OVER (
+               ORDER BY bal ASC NULLS FIRST, c_custkey
+           ) AS BIGINT) AS rn_nulls_first
+    FROM (
+        SELECT c_custkey, nullif(round(c_acctbal, 0) % 100, 0.0) AS bal
+        FROM customer WHERE c_custkey % 11 = 0
+    )
+    """,
+)
+def q44_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST/LAST in window ordering — engine defaults
+    differ across systems, so the engine spells them out (derived
+    nullable column via nullif so the data actually exercises it)."""
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 11 == 0)
+    # `%` (sign of dividend), NOT pmod (always non-negative): SQL `%`
+    # keeps negative remainders for negative balances
+    bal = F.nullif(F.round("c_acctbal", 0) % 100, F.lit(0.0))
+    base = c.select("c_custkey", bal.alias("bal"))
+    w_last = W.orderBy(F.col("bal").desc_nulls_last(), F.asc("c_custkey"))
+    w_first = W.orderBy(F.col("bal").asc_nulls_first(), F.asc("c_custkey"))
+    return base.select(
+        "c_custkey",
+        "bal",
+        F.row_number().over(w_last).cast("long").alias("rn_nulls_last"),
+        F.row_number().over(w_first).cast("long").alias("rn_nulls_first"),
+    )
