@@ -44,6 +44,36 @@ def q42_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q45_except_all_multiplicity",
+    oracle="""
+    SELECT k, count(*) AS n
+    FROM (
+        SELECT l_suppkey AS k FROM lineitem
+        EXCEPT ALL
+        SELECT s_suppkey AS k FROM supplier
+    )
+    GROUP BY k
+    ORDER BY k
+    LIMIT 50
+    """,
+)
+def q45_except_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics (each right-side occurrence cancels
+    ONE left-side occurrence), vs the set semantics of q10. lineitem
+    references each suppkey many times, supplier once → counts drop by
+    exactly one."""
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    return (
+        li.exceptAll(s)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k")
+        .limit(50)
+    )
+
+
+@query(
     "q43_datetime_functions",
     oracle="""
     SELECT o_orderkey,
