@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot, l2_norm
 from .util import repartition_for_compute
 
 
@@ -38,19 +38,24 @@ def brute_force_topk(
     through map-side; the only shuffle is the per-query top-k window,
     keyed by query id. For large k·q use TakeOrdered-per-group via
     repartition on query_id."""
+    # Norms precomputed per ROW (map-side) so each pair pays ONE dot
+    # fold; the dot/(qn·cn) expression shape matches the SQL oracle
+    # exactly (same FP operation order).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
     )
+    cos = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("candidate_id"))
-        .select(
-            "query_id",
-            "candidate_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-        )
+        repartition_for_compute(c)
+        .join(F.broadcast(q), F.col("query_id") != F.col("candidate_id"))
+        .select("query_id", "candidate_id", F.round(cos, 6).alias("cos_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("candidate_id"))
     return (
