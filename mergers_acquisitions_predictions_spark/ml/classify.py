@@ -16,9 +16,14 @@ def with_class_weights(df: DataFrame, label_col: str) -> DataFrame:
     """M9/U2 (`lr.scala:11-31`): balance classes by weighting label=0
     rows with r = positives/total and label=1 rows with 1−r. The
     reference wraps this in a UDF (`calculateWeights`); it is a pure
-    column expression — one count + a when/otherwise, no Python."""
-    total = df.count()
-    positives = df.filter(F.col(label_col) == 1).count()
+    column expression — no Python. The reference issues two jobs for
+    the ratio (`lr.scala:14-16` count + filtered count); one
+    `agg(count, sum)` pass computes both in a single scan."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("__total"),
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("__pos"),
+    ).first()
+    total, positives = row["__total"], row["__pos"] or 0
     r = positives / total if total else 0.0
     return df.withColumn(
         "class_weight",

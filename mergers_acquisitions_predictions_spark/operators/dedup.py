@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokenize
 from ..functions.textstats import fingerprint
-from .util import repartition_for_compute
+from .util import own_caches, repartition_for_compute
 
 #: (n_bands, rows_per_band) — 8 hash functions total by default.
 DEFAULT_BANDS = 4
@@ -133,12 +133,14 @@ def lsh_candidate_pairs(
     )
     a = banded.select(F.col(id_col).alias("a_id"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("b_id"), "band", "band_key")
-    return (
+    pairs = (
         a.join(b, ["band", "band_key"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
     )
+    # The banded cache lives exactly as long as the returned plan.
+    return own_caches(pairs, banded)
 
 
 def _intersperse(cols, sep):
@@ -187,12 +189,13 @@ def jaccard_pairs(
     sa = sizes.select(F.col("doc").alias("a_id"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("b_id"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
+    out = (
         common.join(sa, "a_id")
         .join(sb, "b_id")
         .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    return own_caches(out, exploded)
 
 
 def simhash(tokens: Column, bits: int = 60) -> Column:
@@ -229,10 +232,12 @@ def simhash(tokens: Column, bits: int = 60) -> Column:
     )
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Keep one row per distinct normalized text. Two-step: group on
-    the 32-byte fingerprint (cheap shuffle), keep min row id per group
-    — never shuffles document bodies twice."""
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per distinct normalized text (min ``id_col`` wins).
+    Two-step: group on the 32-byte fingerprint (cheap shuffle), keep
+    min row id per group — never shuffles document bodies twice."""
     fp = df.withColumn("__fp", fingerprint(F.col(text_col)))
-    keep = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
-    return fp.join(keep, ["__fp", "doc_id"], "inner").drop("__fp")
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["__fp", id_col], "inner").drop("__fp")

@@ -47,8 +47,16 @@ def salted_group_count(
     key, so the hot key's cost is amortized across the cluster.
 
     Equivalent to plain groupBy for any input (tests assert this);
-    use when one key holds an outsized share of rows."""
-    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    use when one key holds an outsized share of rows.
+
+    The salt is `pmod(hash(monotonically_increasing_id()), n_salts)` —
+    hashing the id decorrelates the salt from partition layout (raw
+    ids are partition-dense, crowding low salts when n_salts exceeds a
+    partition's row count) while still spreading rows that are
+    identical in every column (hashing data columns would not)."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
     partial = salted.groupBy(key, "__salt").agg(
         F.count(F.lit(1)).alias("__n"),
         *( [F.sum(agg_col).alias("__s")] if agg_col else [] ),

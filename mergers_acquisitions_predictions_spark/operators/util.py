@@ -2,7 +2,47 @@
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
+
+
+def own_caches(result: DataFrame, *frames: DataFrame) -> DataFrame:
+    """Tie persisted ``frames`` to ``result``'s lifetime: when the
+    Python object for ``result`` is garbage-collected, each frame is
+    unpersisted — so operators can persist reused intermediates (the
+    LSH banded frame, the Jaccard postings frame) without leaking
+    cached partitions across a long-lived session that runs many
+    queries back-to-back (the driver harness runs 50+).
+
+    Ownership TRANSFERS through composition: if a frame in ``frames``
+    itself owns caches (it came from an operator that called
+    own_caches), those move to ``result`` and the intermediate's own
+    finalizer becomes a no-op — a wrapper plan dying early inside a
+    composing operator (e.g. the candidate frame inside
+    lsh-then-verify) can then never release a cache the final plan
+    still needs. Unpersisting is a perf knob, never a correctness one:
+    a released plan silently recomputes."""
+    owned: list[DataFrame] = []
+    for f in frames:
+        inherited = getattr(f, "_owned_caches", None)
+        if inherited:
+            owned.extend(inherited)
+            inherited.clear()
+        lvl = f.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            owned.append(f)
+    result._owned_caches = owned
+
+    def _release(frames: list[DataFrame] = owned) -> None:
+        for c in frames:
+            try:
+                c.unpersist(blocking=False)
+            except Exception:  # session already stopped — nothing to free
+                pass
+
+    weakref.finalize(result, _release)
+    return result
 
 
 def repartition_for_compute(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -186,7 +186,7 @@ def d06_lsh_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-parity query, not a rows-only check."""
     from ..functions.text import shingles
     from ..operators.dedup import lsh_candidate_pairs
-    from ..operators.util import repartition_for_compute
+    from ..operators.util import own_caches, repartition_for_compute
 
     d = load_table(spark, sf_dir, "documents")
     cand = lsh_candidate_pairs(d, "text", "doc_id", n_bands=4, rows_per_band=2)
@@ -209,12 +209,15 @@ def d06_lsh_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
+    out = (
         common.join(sa, "a_id")
         .join(sb, "b_id")
         .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.1)
     )
+    # `cand` carries the banded cache from lsh_candidate_pairs;
+    # ownership (and sh's cache) transfers to the final plan.
+    return own_caches(out, cand, sh)
 
 
 _SQL_SQNORM = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"

@@ -37,25 +37,40 @@ def upsert_parquet_sink(
     table = Path(table_dir)
 
     def latest_per_key(df: DataFrame) -> DataFrame:
-        w = W.partitionBy(*key_cols).orderBy(F.desc(version_col))
+        # Deterministic winner even on version ties: the incoming
+        # batch beats the existing table (__src desc), and any
+        # remaining duplicates order by a full-row hash — never by
+        # physical row order.
+        w = W.partitionBy(*key_cols).orderBy(
+            F.desc(version_col),
+            F.desc("__src"),
+            F.asc(F.hash(*[c for c in df.columns if c != "__src"])),
+        )
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop("__rn", "__src")
         )
 
     def do_upsert(batch_df: DataFrame, batch_id: int) -> None:
-        fresh = latest_per_key(batch_df)
+        fresh = batch_df.withColumn("__src", F.lit(1))
         if table.exists():
-            current = spark.read.parquet(str(table))
+            current = spark.read.parquet(str(table)).withColumn("__src", F.lit(0))
             merged = latest_per_key(current.unionByName(fresh))
         else:
-            merged = fresh
+            merged = latest_per_key(fresh)
         staging = table.with_name(table.name + f".staging{batch_id}")
         merged.write.mode("overwrite").parquet(str(staging))
+        # Crash-safe promotion (rename-rename-delete): the live table
+        # is renamed ASIDE before staging takes its place, so a crash
+        # at any point leaves a complete table under `table` or
+        # `old` — never a window with neither.
+        old = table.with_name(table.name + f".old{batch_id}")
         if table.exists():
-            shutil.rmtree(table)
+            table.rename(old)
         staging.rename(table)
+        if old.exists():
+            shutil.rmtree(old)
 
     return (
         stream_df.writeStream.foreachBatch(do_upsert)
