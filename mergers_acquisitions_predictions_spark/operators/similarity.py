@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 from ..functions.vectors import cosine, dot, l2_norm
-from .util import repartition_for_compute
+from .util import own_caches, repartition_for_compute
 
 
 def brute_force_topk(
@@ -161,6 +161,86 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
         )
         bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold) via
+    sign-LSH prefilter + EXACT verification of collisions only — the
+    scale replacement for the all-pairs plan (d05): the quadratic pair
+    space shrinks to bucket collisions before any vector math runs.
+
+    Plan shape for 100 TB:
+
+    1. Bucket index: map-side explode to (id, table, bucket) — a
+       NARROW frame (ids + ≤10-byte keys, vectors do NOT ride along),
+       persisted because the self-join reads it twice and its lineage
+       (n_tables × n_planes dot products per row) is the expensive part.
+    2. Candidates: self-equi-join on (table, bucket), a_id < b_id,
+       distinct — a plain hash join, AQE/skew handling applies.
+    3. Verify: join embeddings back by id (twice) and compute the
+       exact cosine once per candidate pair; norms precomputed per
+       row so each pair pays one dot fold.
+
+    Recall is the multi-table S-curve 1−(1−p^k)^L, p = 1−θ/π; misses
+    are pairs NEAR the threshold — and the DuckDB oracle reproduces
+    the same candidate set exactly (hyperplanes are deterministic),
+    so this is value-checkable despite being approximate."""
+    all_planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    tables = [all_planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
+    src = repartition_for_compute(df)
+    idx = (
+        src.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            lsh_bucket(F.col(vec_col), tables[t]).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        )
+        .select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+        .persist()
+    )
+    a = idx.select(F.col("id").alias("a_id"), "table", "bucket")
+    b = idx.select(F.col("id").alias("b_id"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = src.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        l2_norm(F.col(vec_col)).alias("a_norm"),
+    )
+    vb = src.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        l2_norm(F.col(vec_col)).alias("b_norm"),
+    )
+    cos = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))
+    out = (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return own_caches(out, idx)
 
 
 def lsh_topk(

@@ -15,7 +15,9 @@ from ..operators.dedup import (
     simhash,
     with_minhash_signatures,
 )
+from ..operators.similarity import lsh_neardup_pairs
 from ..sources.readers import load_table
+from .lsh_oracle import SQL_DOT, SQL_SQNORM, buckets_cte_sql
 from .registry import query
 
 #: DuckDB spelling of `shingles(tokenize(text), 3)` — distinct word
@@ -220,7 +222,7 @@ def d06_lsh_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return own_caches(out, cand, sh)
 
 
-_SQL_SQNORM = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+_SQL_SQNORM = SQL_SQNORM
 
 
 @query(
@@ -246,9 +248,12 @@ def d05_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     other; the dot product is a codegen'd JVM fold, no Python.
 
     Scale: exact all-pairs is O(n²) by definition — usable to ~10⁵
-    vectors per partition-group; beyond that, prefilter candidates
-    with the multi-table sign-LSH (operators/similarity.lsh_topk) and
-    exact-verify only collisions, trading recall for the quadratic.
+    vectors per partition-group; beyond that d07 (sign-LSH prefilter +
+    exact verify of collisions only) is the registered scale path.
+    No broadcast hint: the join side is the FULL table, so the size
+    decision belongs to AQE (a forced broadcast OOMs executors at
+    10⁷+ vectors); at this query's documented small-n envelope AQE
+    broadcasts it anyway.
 
     Per-pair work is ONE dot-product fold: the norms are precomputed
     per ROW (n folds, map-side) instead of per PAIR (the naive
@@ -271,7 +276,46 @@ def d05_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_norm") * F.col("b_norm"))
     return (
-        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        a.join(b, F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.4)
     )
+
+
+@query(
+    "d07_lsh_embedding_neardups",
+    oracle=f"""
+    WITH {buckets_cte_sql(dim=64, n_planes=4, n_tables=8)},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM buckets a
+        JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id
+    ),
+    v AS (SELECT vec_id, embedding,
+                 sqrt({SQL_SQNORM.format(v='embedding')}) AS nrm
+          FROM embeddings)
+    SELECT a_id, b_id, cos_sim FROM (
+        SELECT c.a_id, c.b_id,
+               round({SQL_DOT.format(a='va.embedding', b='vb.embedding')}
+                     / (va.nrm * vb.nrm), 6) AS cos_sim
+        FROM cand c
+        JOIN v va ON va.vec_id = c.a_id
+        JOIN v vb ON vb.vec_id = c.b_id
+    )
+    WHERE cos_sim >= 0.4
+    """,
+)
+def d07_lsh_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE scale path for embedding near-dup (the LSH counterpart of
+    d06 for vectors): multi-table sign-LSH candidate generation —
+    a narrow (id, table, bucket) self-equi-join, never all-pairs —
+    then exact cosine verification of only the collisions. Replaces
+    d05's O(n²) plan beyond ~10⁵ vectors.
+
+    Fully value-checkable DESPITE being approximate: the hyperplane
+    constants are deterministic and emitted into the oracle SQL
+    (plans/lsh_oracle.py), so DuckDB reproduces the identical
+    candidate set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(e, threshold=0.4, dim=64, n_planes=4, n_tables=8)

@@ -1,0 +1,78 @@
+"""DuckDB SQL generation for sign-LSH bucketing — the trick that makes
+the APPROXIMATE similarity queries fully value-checkable.
+
+The hyperplanes behind `operators/similarity.lsh_bucket` are
+deterministic (pure-Python LCG, fixed seed), so their float constants
+can be emitted INTO the oracle SQL: DuckDB then reproduces the exact
+same buckets, the exact same candidate sets, and therefore the exact
+same approximate result — turning s03/d07 from rows-only checks into
+full value-parity rows. Python float `repr` is shortest-roundtrip, so
+the doubles parse back bit-identically; both engines accumulate the
+bucket dot products left-to-right in double (the same parity contract
+the brute-force oracles already rely on).
+"""
+
+from __future__ import annotations
+
+from ..operators.similarity import _hyperplanes
+
+#: DuckDB spelling of sum(x_i * x_i) over a list column.
+SQL_SQNORM = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+#: DuckDB spelling of the pairwise double dot product.
+SQL_DOT = """list_sum(list_transform(range(1, len({a}) + 1),
+             i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"""
+
+
+def planes_values_sql(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> str:
+    """`(table, plane_index, plane)` VALUES rows carrying the engine's
+    hyperplane constants verbatim."""
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    rows = []
+    for idx, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(v) for v in p) + "]"
+        rows.append(f"({idx // n_planes}, {idx % n_planes}, {lit}::DOUBLE[])")
+    return ",\n        ".join(rows)
+
+
+def buckets_cte_sql(
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int = 42,
+    source: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """CTE prelude `planes` + `buckets(vec_id, t, bucket)` mirroring
+    `lsh_bucket`: one sign bit per plane (dot >= 0 → '1'), bits
+    concatenated in plane order into the bucket key."""
+    return f"""
+    planes(t, i, p) AS (VALUES
+        {planes_values_sql(dim, n_planes, n_tables, seed)}
+    ),
+    buckets AS (
+        SELECT e.{id_col} AS vec_id, pl.t,
+               string_agg(
+                   CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                            j -> CAST(e.{vec_col}[j] AS DOUBLE) * pl.p[j])) >= 0
+                        THEN '1' ELSE '0' END,
+                   '' ORDER BY pl.i) AS bucket
+        FROM {source} e CROSS JOIN planes pl
+        GROUP BY e.{id_col}, pl.t
+    )"""
+
+
+def hamming1_probe_sql(n_planes: int, base: str = "qb") -> str:
+    """Query-side Hamming-1 multiprobe: the base bucket plus each
+    1-bit-flipped variant (mirrors `lsh_topk(multiprobe=True)`)."""
+    return f"""
+        SELECT vec_id, t, bucket FROM {base}
+        UNION ALL
+        SELECT vec_id, t,
+               substr(bucket, 1, CAST(r.i AS INTEGER))
+               || (CASE WHEN substr(bucket, CAST(r.i AS INTEGER) + 1, 1) = '1'
+                        THEN '0' ELSE '1' END)
+               || substr(bucket, CAST(r.i AS INTEGER) + 2,
+                         {n_planes} - CAST(r.i AS INTEGER) - 1) AS bucket
+        FROM {base} CROSS JOIN range(0, {n_planes}) r(i)"""

@@ -14,9 +14,10 @@ from pyspark.sql import functions as F
 from ..functions.vectors import l2_norm
 from ..operators.similarity import brute_force_topk, lsh_topk
 from ..sources.readers import load_table
+from .lsh_oracle import SQL_DOT, SQL_SQNORM, buckets_cte_sql, hamming1_probe_sql
 from .registry import query
 
-_SQL_SQNORM = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+_SQL_SQNORM = SQL_SQNORM
 
 
 @query(
@@ -74,13 +75,48 @@ def s02_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e.filter(F.col("vec_id") < 5), e, k=5)
 
 
-@query("s03_lsh_ann_topk")  # no oracle: hyperplane constants live in the engine
+@query(
+    "s03_lsh_ann_topk",
+    oracle=f"""
+    WITH {buckets_cte_sql(dim=64, n_planes=4, n_tables=8)},
+    qb AS (SELECT vec_id, t, bucket FROM buckets WHERE vec_id < 5),
+    qprobe AS ({hamming1_probe_sql(n_planes=4, base="qb")}
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS candidate_id
+        FROM qprobe q
+        JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+        WHERE q.vec_id <> c.vec_id
+    ),
+    scored AS (
+        SELECT query_id, candidate_id,
+               round({SQL_DOT.format(a='qv.embedding', b='cv.embedding')}
+                     / (sqrt({SQL_SQNORM.format(v='qv.embedding')})
+                        * sqrt({SQL_SQNORM.format(v='cv.embedding')})), 6) AS cos_sim
+        FROM cand
+        JOIN embeddings qv ON qv.vec_id = query_id
+        JOIN embeddings cv ON cv.vec_id = candidate_id
+    )
+    SELECT query_id, candidate_id, cos_sim, rank
+    FROM (
+        SELECT query_id, candidate_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, candidate_id
+               ) AS BIGINT) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
 def s03_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH with Hamming-1
     multiprobe (the scale path: the candidate join is an equi-join on
     the bucket key, so corpus×query never cross-joins; multiprobe
     recovers 100% of exact top-5 on the test embeddings vs 69%
-    single-probe). Rows-only check: recall vs. the exact baseline is
-    asserted in tests/test_similarity.py instead."""
+    single-probe). FULL value-parity check despite being approximate:
+    the deterministic hyperplane constants are emitted into the oracle
+    SQL (plans/lsh_oracle.py) so DuckDB reproduces the identical
+    buckets, probes, and candidate set; recall vs. the exact baseline
+    is additionally asserted in tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(e.filter(F.col("vec_id") < 5), e, k=5, multiprobe=True)

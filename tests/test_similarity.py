@@ -64,3 +64,23 @@ def test_lsh_candidates_are_true_neighbors_subset(spark, emb):
         ranks.setdefault(r.query_id, []).append(r.rank)
     for rs in ranks.values():
         assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+def test_lsh_neardup_pairs_recall_vs_exact(spark, sf_dir):
+    """d07's LSH-prefiltered pairs must be a SUBSET of the exact d05
+    pairs (verification is exact, so no false positives) with useful
+    recall on the test embeddings."""
+    from mergers_acquisitions_predictions_spark.plans import QUERIES
+
+    exact = {
+        (r.a_id, r.b_id)
+        for r in QUERIES["d05_embedding_neardups"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id)
+        for r in QUERIES["d07_lsh_embedding_neardups"](spark, sf_dir).collect()
+    }
+    assert approx <= exact  # exact verify ⇒ zero false positives
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.5, f"LSH near-dup recall too low: {recall:.2f}"
