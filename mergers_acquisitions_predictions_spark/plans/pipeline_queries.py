@@ -162,3 +162,75 @@ def t13_training_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("quality"), 6).alias("avg_quality"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+def _pivot_year() -> int:
+    """SimpleDateFormat's sliding window upper edge (now+20), the
+    default inside functions/dates.to_date_pivot — computed once at
+    import so the oracle SQL and the Spark plan share the same clock."""
+    import datetime as dt
+
+    return dt.date.today().year + 20
+
+
+@query(
+    "j02_deal_name_linkage",
+    oracle=f"""
+    WITH deals AS (
+        SELECT c.c_name AS company_name,
+               strftime(o.o_orderdate, '%m/%d/%y') AS announce
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderpriority = '1-URGENT'
+    ),
+    parsed AS (
+        SELECT company_name,
+               make_date(
+                 CASE WHEN 2000 + yy >= {_pivot_year()} THEN 1900 + yy
+                      ELSE 2000 + yy END, mm, dd) AS announce_date
+        FROM (SELECT company_name,
+                     CAST(substr(announce, 1, 2) AS INTEGER) AS mm,
+                     CAST(substr(announce, 4, 2) AS INTEGER) AS dd,
+                     CAST(substr(announce, 7, 2) AS INTEGER) AS yy
+              FROM deals)
+    )
+    SELECT DISTINCT c.c_custkey AS cik, c.c_name AS company_name,
+           c.c_mktsegment AS ticker, c.c_nationkey AS sic,
+           CAST(p.announce_date AS VARCHAR) AS announce_date
+    FROM customer c JOIN parsed p ON c.c_name = p.company_name
+    """,
+)
+def j02_deal_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — the reference's deal↔company-master name linkage
+    (`join_acquirers.scala:15-37`) made driver-checkable: a deals
+    frame is synthesized from `orders` (company name + `MM/dd/yy`
+    announce string, urgent orders = the small side), then
+    `pipeline.link_deals_to_companies` runs the real Stage-1 operator:
+    exact name-equality join (deals broadcast), SimpleDateFormat-
+    compatible 2-digit-year pivot parse (Spark 3 alone would put '92'
+    in 2092), one announce per (cik, date).
+
+    The oracle replicates the pivot arithmetically (make_date +
+    century fold at now+20) rather than via strptime, whose C-style
+    69/70 pivot only agrees inside 1970–2045."""
+    from ..pipeline import link_deals_to_companies
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    deals = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_name").alias("deal_name"),
+            F.date_format("o_orderdate", "MM/dd/yy").alias("announce"),
+        )
+    )
+    companies = cust.select(
+        F.col("c_name").alias("name"),
+        F.col("c_custkey").alias("cik"),
+        F.col("c_mktsegment").alias("ticker"),
+        F.col("c_nationkey").alias("sic"),
+    )
+    linked = link_deals_to_companies(deals, companies, "deal_name", "announce")
+    # ISO-string date output (repo convention: DATE columns don't
+    # round-trip identically through both engines' pandas bridges).
+    return linked.withColumn("announce_date", F.col("announce_date").cast("string"))
