@@ -10,8 +10,10 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
 from ..operators.dedup import (
+    dup_clusters,
     jaccard_pairs,
     lsh_candidate_pairs,
+    prefix_jaccard_pairs,
     simhash,
     with_minhash_signatures,
 )
@@ -220,6 +222,84 @@ def d06_lsh_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `cand` carries the banded cache from lsh_candidate_pairs;
     # ownership (and sh's cache) transfers to the final plan.
     return own_caches(out, cand, sh)
+
+
+@query(
+    "d08_prefix_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {SQL_SHINGLES} AS s
+        FROM (SELECT doc_id, {_TOK} AS tok FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sz sa ON sa.doc_id = a_id
+    JOIN sz sb ON sb.doc_id = b_id
+    WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.7
+    """,
+)
+def d08_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 0.7 with sub-quadratic candidate generation via
+    prefix filtering (AllPairs/PPJoin): only each document's rarest
+    |A|−⌈0.7|A|⌉+1 shingles are indexed, structurally excluding the
+    hot-shingle quadratic blowup that makes d03 `weak` at 100×, while
+    provably losing no qualifying pair. The ORACLE is the plain
+    all-pairs Jaccard — exactness of the pruned plan is the checked
+    property, not an approximation bound."""
+    d = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.7)
+
+
+@query(
+    "d09_dup_clusters",
+    oracle=_SIGS_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , bands AS (
+        SELECT doc_id, 0 AS band, sig0 || '|' || sig1 AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1, sig2 || '|' || sig3 FROM sigs
+        UNION ALL SELECT doc_id, 2, sig4 || '|' || sig5 FROM sigs
+        UNION ALL SELECT doc_id, 3, sig6 || '|' || sig7 FROM sigs
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+        WHERE a.band_key IS NOT NULL AND a.band_key <> '|'
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs
+    ),
+    reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+    FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def d09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    pair graph (d02), each component labeled by its min doc_id —
+    iterative min-label propagation, O(diameter) rounds of equi-joins
+    (operators/dedup.py:dup_clusters). The oracle replays the same
+    components via a recursive transitive-closure CTE. Downstream
+    "keep one per cluster" is `WHERE doc_id = cluster_id`."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, "text", "doc_id", n_bands=4, rows_per_band=2)
+    return dup_clusters(d, pairs, "doc_id")
 
 
 _SQL_SQNORM = SQL_SQNORM

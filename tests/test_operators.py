@@ -113,3 +113,44 @@ def test_exact_dedup_keeps_min_id(spark):
     )
     kept = sorted(r.doc_id for r in exact_dedup(df).collect())
     assert kept == [1, 3]  # 2 is a normalized dup of 1; min doc_id survives
+
+
+def test_prefix_jaccard_equals_plain_jaccard(spark):
+    from mergers_acquisitions_predictions_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    # Near-dup pair (0,1), distant docs 2/3, plus an exact dup (4 of 0).
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta iota"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "totally different words in this document here now"),
+            (4, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        ["doc_id", "text"],
+    )
+    for t in (0.5, 0.7):
+        plain = {
+            (r.a_id, r.b_id, r.jaccard)
+            for r in jaccard_pairs(docs, threshold=t, shingle_n=2).collect()
+        }
+        pruned = {
+            (r.a_id, r.b_id, r.jaccard)
+            for r in prefix_jaccard_pairs(docs, threshold=t, shingle_n=2).collect()
+        }
+        assert pruned == plain and plain  # exact, and non-vacuous
+
+
+def test_dup_clusters_min_label_components(spark):
+    from mergers_acquisitions_predictions_spark.operators.dedup import dup_clusters
+
+    docs = spark.createDataFrame([(i, "x") for i in range(7)], ["doc_id", "text"])
+    # Components: {0,1,2,3} via a chain, {5,6}; 4 is a singleton.
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], ["a_id", "b_id"]
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5}
