@@ -62,6 +62,38 @@ def language_id(tokens: Column) -> Column:
     return expr
 
 
+#: PII categories for redaction scrubbing. Patterns restricted to the
+#: regex subset where Java regex (Spark) and RE2 (DuckDB) agree —
+#: no backreferences, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+    ("phone", r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("idnum", r"\b[0-9]{9}\b"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace each PII category with its `<CATEGORY>` placeholder —
+    the corpus-scrubbing pass of a training-data pipeline. Pure
+    regexp_replace chain: map-side, codegen'd, no shuffle at any
+    scale. Patterns apply in declaration order (emails before bare
+    id-number runs, so an address is consumed as ONE entity)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for name, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, f"<{name.upper()}>")
+    return c
+
+
+def pii_hits(text: Column | str) -> Column:
+    """Total count of PII matches across all categories (counted on
+    the ORIGINAL text, per category independently)."""
+    c = F.col(text) if isinstance(text, str) else text
+    total = F.lit(0)
+    for _, pat in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+    return total.cast("long")
+
+
 def quality_score(tokens: Column) -> Column:
     """Deterministic [0,1] quality heuristic from length and token
     shape: penalize very short docs and degenerate mean token length.

@@ -86,6 +86,48 @@ def m06_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-language keep-rates (percent) for stratified corpus sampling.
+_STRATA_RATES = {"en": 50, "de": 30, "fr": 30, "es": 30, "zh": 10}
+
+
+@query(
+    "m07_stratified_sample",
+    oracle=f"""
+    SELECT lang, count(*) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM (
+        SELECT doc_id, lang, {_SQL_BUCKET.format(k='doc_id', n=100)} AS b
+        FROM documents
+    )
+    WHERE b < CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())}
+               ELSE 0 END
+    GROUP BY lang
+    """,
+)
+def m07_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified reproducible sampling: per-language keep-rates
+    applied via the same doc-id hash bucket as q38 — membership is a
+    pure function of (doc_id, lang), so the sample is identical across
+    reruns, partitionings, and engines, and DOWN-weights dominant
+    languages without a shuffle (the rate lookup is a CASE expression
+    folded into the scan; no join, no rand())."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"), 100)
+    rate = F.lit(0)
+    for lang, pct in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    return (
+        d.filter(b < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )
+
+
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 _FP = (
     "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"

@@ -379,3 +379,188 @@ def t12_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bpe_pieces"),
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
     )
+
+
+#: Chunking geometry: 20-token chunks, 5-token overlap → stride 15.
+_CHUNK, _OVERLAP = 20, 5
+_STRIDE = _CHUNK - _OVERLAP
+
+
+@query(
+    "t14_token_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           (s - 1) // {_STRIDE} AS chunk_id,
+           array_to_string(list_slice(tok, s, s + {_CHUNK - 1}), ' ') AS chunk_text,
+           CAST(len(list_slice(tok, s, s + {_CHUNK - 1})) AS BIGINT) AS n_tokens
+    FROM (
+        SELECT doc_id, tok,
+               unnest(range(1, greatest(len(tok) - {_OVERLAP}, 1) + 1, {_STRIDE})) AS s
+        FROM (SELECT doc_id, {{tok}} AS tok FROM documents)
+    )
+    """.format(tok=SQL_TOKENS),
+)
+def t14_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token-window chunking — the doc→training-
+    sample splitter of an LLM data pipeline (20-token chunks, 5-token
+    overlap). tokenize + sequence-of-starts + posexplode + slice: all
+    map-side array expressions, so chunking a 100 TB corpus is a
+    single scan stage with zero shuffles; chunk ids are a pure
+    function of (doc_id, start), stable under any partitioning.
+    The final short tail chunk is kept (start positions stop once the
+    remaining suffix is covered by overlap)."""
+    toks = _docs(spark, sf_dir).select("doc_id", tokenize("text").alias("tok"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("tok") - _OVERLAP, F.lit(1)),
+        F.lit(_STRIDE),
+    )
+    ch = toks.select(
+        "doc_id", "tok", F.posexplode(starts).alias("chunk_id", "start")
+    )
+    piece = F.slice("tok", F.col("start"), _CHUNK)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def _pii_oracle_sql() -> str:
+    """Build the DuckDB mirror of redact_pii/pii_hits over the same
+    synthesized contact string (string concat, not f-string: the
+    patterns contain regex braces)."""
+    from ..functions.textstats import PII_PATTERNS
+
+    raw = (
+        "'contact ' || lower(c_mktsegment) || '@corp.example.com'"
+        " || CASE WHEN c_custkey % 2 = 0 THEN ' call +1-555-'"
+        "      || lpad(CAST((c_custkey * 7) % 900 + 100 AS VARCHAR), 3, '0')"
+        "      || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+        "    ELSE '' END"
+        " || CASE WHEN c_custkey % 3 = 0 THEN ' id '"
+        "      || lpad(CAST(c_custkey % 1000000000 AS VARCHAR), 9, '0')"
+        "    ELSE '' END"
+        " || ' note ' || c_name"
+    )
+    redacted = "raw"
+    hits = []
+    for name, pat in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        redacted = (
+            "regexp_replace(" + redacted + ", '" + lit + "', '<" + name.upper() + ">', 'g')"
+        )
+        hits.append("len(regexp_extract_all(raw, '" + lit + "'))")
+    return (
+        "SELECT c_custkey, " + redacted + " AS redacted, "
+        "CAST(" + " + ".join(hits) + " AS BIGINT) AS n_pii "
+        "FROM (SELECT c_custkey, c_name, " + raw + " AS raw FROM customer)"
+    )
+
+
+@query("t15_pii_redaction", oracle=_pii_oracle_sql())
+def t15_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — emails, phone numbers, 9-digit id numbers
+    replaced by typed placeholders, with a per-row redaction count.
+    The corpus has no organic PII, so a deterministic contact string
+    is synthesized per customer row and scrubbed; the patterns and
+    the chained-regexp_replace plan are the real operator (map-side,
+    no shuffle — at 100 TB the scrub rides inside the scan stage)."""
+    from ..functions.textstats import pii_hits, redact_pii
+
+    c = load_table(spark, sf_dir, "customer")
+    phone = F.when(
+        F.col("c_custkey") % 2 == 0,
+        F.concat(
+            F.lit(" call +1-555-"),
+            F.lpad(((F.col("c_custkey") * 7) % 900 + 100).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    idnum = F.when(
+        F.col("c_custkey") % 3 == 0,
+        F.concat(
+            F.lit(" id "),
+            F.lpad((F.col("c_custkey") % 1000000000).cast("string"), 9, "0"),
+        ),
+    ).otherwise("")
+    raw = F.concat(
+        F.lit("contact "),
+        F.lower("c_mktsegment"),
+        F.lit("@corp.example.com"),
+        phone,
+        idnum,
+        F.lit(" note "),
+        F.col("c_name"),
+    )
+    return c.select("c_custkey", raw.alias("raw")).select(
+        "c_custkey",
+        redact_pii("raw").alias("redacted"),
+        pii_hits("raw").alias("n_pii"),
+    )
+
+
+@query(
+    "t16_repetition_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           CASE WHEN len(tok) = 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(tok)) / len(tok), 6)
+           END AS dup_token_frac,
+           CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE round(
+                    list_max(list_transform(list_distinct(grams),
+                        g -> len(list_filter(grams, x -> x = g)))) / len(grams), 6)
+           END AS top_bigram_frac
+    FROM (
+        SELECT doc_id, tok,
+               list_transform(range(1, len(tok)),
+                   i -> array_to_string(list_slice(tok, i, i + 1), ' ')) AS grams
+        FROM (SELECT doc_id, {SQL_TOKENS} AS tok FROM documents)
+    )
+    """,
+)
+def t16_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals for quality filtering:
+    duplicate-token fraction and the share of all word bigrams taken
+    by the single most frequent bigram. Both are PER-ROW array
+    expressions (no explode, no shuffle): the mode count is an
+    O(distinct × total) in-row scan — bounded by document length, so
+    it stays inside the scan stage at any corpus size."""
+    d = _docs(spark, sf_dir).select("doc_id", tokenize("text").alias("tok"))
+    grams_expr = word_ngrams(F.col("tok"), 2)
+
+    def top_count(gs):
+        return F.array_max(
+            F.transform(
+                F.array_distinct(gs),
+                lambda g: F.size(F.filter(gs, lambda x: x == g)),
+            )
+        )
+
+    # Bind grams once as a HOF lambda var (NOTES.md: CollapseProject
+    # would otherwise re-evaluate the ngram pipeline per reference).
+    g = d.select("doc_id", F.col("tok"), grams_expr.alias("grams"))
+    return g.select(
+        "doc_id",
+        F.size("tok").cast("long").alias("n_tokens"),
+        F.when(F.size("tok") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.lit(1.0) - F.size(F.array_distinct("tok")) / F.size("tok"), 6)
+        )
+        .alias("dup_token_frac"),
+        F.when(F.size("grams") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.element_at(
+                    F.transform(F.array(F.col("grams")), top_count), 1
+                )
+                / F.size("grams"),
+                6,
+            )
+        )
+        .alias("top_bigram_frac"),
+    )

@@ -113,3 +113,30 @@ def test_simhash_properties(spark):
     ham_close = bin(h1 ^ h3).count("1")
     ham_far = bin(h1 ^ h4).count("1")
     assert ham_close < ham_far
+
+
+def test_redact_pii_categories_and_counts(spark):
+    from mergers_acquisitions_predictions_spark.functions.textstats import (
+        pii_hits,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("mail me at jo.doe+x@corp.example.com today", 1),
+            ("call +1-555-123-4567 or +44-201-555-0199", 2),
+            ("ssn 123456789 embedded", 3),
+            ("no pii here", 4),
+        ],
+        ["text", "i"],
+    )
+    out = {
+        r.i: (r.red, r.n)
+        for r in df.select(
+            "i", redact_pii("text").alias("red"), pii_hits("text").alias("n")
+        ).collect()
+    }
+    assert out[1] == ("mail me at <EMAIL> today", 1)
+    assert out[2] == ("call <PHONE> or <PHONE>", 2)
+    assert out[3] == ("ssn <IDNUM> embedded", 1)
+    assert out[4] == ("no pii here", 0)
