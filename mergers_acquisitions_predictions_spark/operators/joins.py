@@ -53,6 +53,20 @@ def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> Dat
     return left.join(right, on, "left_anti")
 
 
+#: Bucket width units for range_join_bucketed (singular form).
+_BUCKET_UNITS = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _bucket_seconds(bucket: str) -> int:
+    n, unit = bucket.split()
+    try:
+        return int(n) * _BUCKET_UNITS[unit.rstrip("s")]
+    except KeyError:
+        raise ValueError(
+            f"unsupported bucket {bucket!r}; units: {sorted(_BUCKET_UNITS)}"
+        ) from None
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,
@@ -65,20 +79,24 @@ def range_join_bucketed(
     interval side into coarse buckets, equi-join on the bucket, then
     apply the exact range residual. Turns O(n·m) nested-loop into a
     hash join — the only interval-join plan that survives 100 TB.
-    Assumes intervals are short relative to the bucket count.
     (The reference's 0≤diff<365 labeling, `acq_etl_code.scala:92-96`,
-    is the equi-key special case of this.)"""
-    if bucket != "1 day":
-        raise NotImplementedError("only day-granularity buckets implemented")
-    l_days = left.withColumn(
-        "__day",
-        F.explode(
-            F.sequence(F.to_date(F.col(left_start)), F.to_date(F.col(left_end)))
-        ),
+    is the equi-key special case of this.)
+
+    ``bucket`` is any "N minutes|hours|days|weeks" width; buckets are
+    epoch-aligned floor-divisions, so the bucket column never appears
+    in the output and results are identical at every granularity — the
+    knob trades explode fan-out (wide intervals × fine buckets) against
+    join selectivity (coarse buckets × hot keys). Pick the bucket near
+    the MEDIAN interval width so each interval explodes into O(1) rows."""
+    secs = _bucket_seconds(bucket)
+    lb = F.floor(F.unix_timestamp(F.col(left_start)) / secs)
+    le = F.floor(F.unix_timestamp(F.col(left_end)) / secs)
+    l_b = left.withColumn("__bucket", F.explode(F.sequence(lb, le)))
+    r_b = right.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(right_ts)) / secs)
     )
-    r_days = right.withColumn("__day", F.to_date(F.col(right_ts)))
     return (
-        l_days.join(r_days, "__day")
+        l_b.join(r_b, "__bucket")
         .filter((F.col(right_ts) >= F.col(left_start)) & (F.col(right_ts) < F.col(left_end)))
-        .drop("__day")
+        .drop("__bucket")
     )

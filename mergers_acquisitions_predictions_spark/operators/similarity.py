@@ -71,6 +71,7 @@ def all_pairs_cosine_blas(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_right_rows: int = 1_000_000,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via blocked NumPy matmul — the
     Arrow/BLAS path for when the JVM expression fold (d05's plan)
@@ -98,7 +99,15 @@ def all_pairs_cosine_blas(
         ]
     )
 
-    r_rows = right.select(id_col, vec_col).collect()
+    # Guard the driver-side collect: this operator is an OPT-IN for
+    # pre-bounded right sides; past the cap the caller must use the
+    # distributed LSH path (lsh_neardup_pairs), not raise the cap.
+    r_rows = right.select(id_col, vec_col).limit(max_right_rows + 1).collect()
+    if len(r_rows) > max_right_rows:
+        raise ValueError(
+            f"all_pairs_cosine_blas: right side exceeds {max_right_rows} rows; "
+            "use lsh_neardup_pairs for unbounded inputs"
+        )
     if not r_rows:
         return spark.createDataFrame([], out_schema)
     r_ids = np.array([r[0] for r in r_rows], dtype=np.int64)

@@ -35,3 +35,13 @@ def test_blas_path_matches_jvm_exact(spark):
     for k in exact.keys() & blas.keys():
         assert exact[k] == pytest.approx(blas[k], abs=1e-6)
     assert len(exact.keys() & blas.keys()) > 0
+
+
+def test_blas_right_side_cap_guards_collect(spark):
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="exceeds 5 rows"):
+        all_pairs_cosine_blas(emb, emb, threshold=0.0, max_right_rows=5)

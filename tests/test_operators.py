@@ -69,6 +69,16 @@ def test_range_join_bucketed_matches_naive(spark):
         .collect()
     }
     assert got == naive and got
+    # Bucket width is a perf knob, never a semantics one: every
+    # granularity yields the identical result set.
+    for bucket in ("1 hour", "6 hours", "2 days"):
+        rebucketed = {
+            (r.iid, r.pid)
+            for r in range_join_bucketed(
+                intervals, points, "start", "end", "ts", bucket=bucket
+            ).collect()
+        }
+        assert rebucketed == naive, bucket
 
 
 def test_grouped_stats_shapes(spark):
