@@ -52,6 +52,11 @@ def main() -> None:
         "d04_simhash",
         "d05_embedding_neardups",
         "d06_lsh_verified_neardups",
+        "d07_lsh_embedding_neardups",
+        "d08_prefix_jaccard_pairs",
+        "d09_dup_clusters",
+        "t14_token_chunks",
+        "t16_repetition_stats",
         "s02_cosine_topk",
         "m04_pair_ranking",
         "q25_monthly_orders",
