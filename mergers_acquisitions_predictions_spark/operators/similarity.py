@@ -252,6 +252,96 @@ def lsh_neardup_pairs(
     return own_caches(out, idx)
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the
+    cell-partitioned counterpart of the sign-LSH path: every corpus
+    vector is assigned to its nearest of ``n_cells`` centroid cells;
+    a query scores only the vectors in its ``n_probe`` nearest cells.
+
+    Plan shape for 100 TB: cell assignment is a broadcast of the tiny
+    centroid table against the streaming corpus (one row per vector ×
+    n_cells map-side, one argmax window keyed by vector id — in a real
+    deployment the assignment is precomputed once and stored as a
+    bucketed/partitioned column, making search a partition-pruned
+    scan). The probe join is an equi-join on cell_id: corpus × query
+    never cross-joins, and raising n_probe trades recall for scanned
+    cells exactly like an IVF nprobe knob.
+
+    Centroids are the ``n_cells`` lowest-id corpus vectors —
+    deterministic and oracle-replayable (DuckDB regenerates the same
+    cells, so the approximate result is value-checkable). A production
+    index would instead fit k-means (pyspark.ml, m05 machinery) and
+    persist the centroid table; every join shape below is unchanged."""
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).alias("cent_vec"),
+            l2_norm(F.col(vec_col)).alias("cent_norm"),
+        )
+    )
+
+    def assign(df: DataFrame, id_alias: str, probes: int) -> DataFrame:
+        side = df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias("__vec"),
+            l2_norm(F.col(vec_col)).alias("__norm"),
+        )
+        cos = dot(F.col("__vec"), F.col("cent_vec")) / (
+            F.col("__norm") * F.col("cent_norm")
+        )
+        w = W.partitionBy(id_alias).orderBy(
+            F.desc("__cell_sim"), F.asc("cell_id")
+        )
+        return (
+            side.join(F.broadcast(cent), F.lit(True))
+            .select(
+                id_alias,
+                "__vec",
+                "__norm",
+                "cell_id",
+                F.round(cos, 6).alias("__cell_sim"),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= probes)
+            .select(id_alias, "__vec", "__norm", "cell_id")
+        )
+
+    c = assign(repartition_for_compute(corpus), "candidate_id", 1).select(
+        "candidate_id",
+        F.col("__vec").alias("c_vec"),
+        F.col("__norm").alias("c_norm"),
+        "cell_id",
+    )
+    q = assign(queries, "query_id", n_probe).select(
+        "query_id",
+        F.col("__vec").alias("q_vec"),
+        F.col("__norm").alias("q_norm"),
+        "cell_id",
+    )
+    cos = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        c.join(F.broadcast(q), "cell_id")
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .select("query_id", "candidate_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cos_sim", "rank")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -120,3 +120,67 @@ def s03_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is additionally asserted in tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(e.filter(F.col("vec_id") < 5), e, k=5, multiprobe=True)
+
+
+def _ivf_assign_sql(filter_sql: str, id_alias: str, probes: int) -> str:
+    """DuckDB mirror of operators/similarity.ivf_topk's cell
+    assignment: argmax-cosine over the deterministic centroid table
+    (rounded to 6 dp with cell-id tiebreak, same as the Spark window)."""
+    return f"""
+        SELECT {id_alias}, vec, nrm, cell_id FROM (
+            SELECT e.vec_id AS {id_alias}, e.embedding AS vec,
+                   sqrt({SQL_SQNORM.format(v='e.embedding')}) AS nrm,
+                   ct.cell_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({SQL_DOT.format(a='e.embedding', b='ct.cvec')}
+                                / (sqrt({SQL_SQNORM.format(v='e.embedding')}) * ct.cnorm),
+                                6) DESC, ct.cell_id
+                   ) AS rn
+            FROM (SELECT * FROM embeddings {filter_sql}) e CROSS JOIN cent ct
+        ) WHERE rn <= {probes}"""
+
+
+@query(
+    "s04_ivf_ann_topk",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cell_id, embedding AS cvec,
+               sqrt({SQL_SQNORM.format(v='embedding')}) AS cnorm
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    c_assign AS ({_ivf_assign_sql("", "candidate_id", 1)}
+    ),
+    q_assign AS ({_ivf_assign_sql("WHERE vec_id < 5", "query_id", 2)}
+    ),
+    scored AS (
+        SELECT query_id, candidate_id,
+               round({SQL_DOT.format(a='q.vec', b='c.vec')}
+                     / (q.nrm * c.nrm), 6) AS cos_sim
+        FROM q_assign q JOIN c_assign c USING (cell_id)
+        WHERE query_id <> candidate_id
+    )
+    SELECT query_id, candidate_id, cos_sim, rank
+    FROM (
+        SELECT query_id, candidate_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, candidate_id
+               ) AS BIGINT) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def s04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF index (16 cells, nprobe 2) — the
+    cell-partitioned ANN scale path alongside sign-LSH (s03): corpus
+    vectors live in exactly one nearest-centroid cell; a query scans
+    only its two nearest cells through an equi-join on cell_id. FULL
+    value parity despite approximation: centroids are deterministic
+    (lowest-id vectors — a production index would fit k-means and
+    persist the table; the join shapes are identical), so DuckDB
+    reproduces the same cells, probes, and ranking."""
+    from ..operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5, n_cells=16, n_probe=2)

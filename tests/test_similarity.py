@@ -84,3 +84,23 @@ def test_lsh_neardup_pairs_recall_vs_exact(spark, sf_dir):
     if exact:
         recall = len(approx) / len(exact)
         assert recall >= 0.5, f"LSH near-dup recall too low: {recall:.2f}"
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.candidate_id) for r in brute_force_topk(q, e, k=5).collect()}
+    ivf = {
+        (r.query_id, r.candidate_id)
+        for r in ivf_topk(q, e, k=5, n_cells=16, n_probe=2).collect()
+    }
+    assert len(exact & ivf) / len(exact) >= 0.8
+    # every IVF hit is scored exactly — no false similarities
+    assert len(ivf) == len(exact)
