@@ -71,3 +71,60 @@ class Engine:
         from .plans import QUERIES
 
         return sorted(QUERIES)
+
+    # -- direct operator surface (the north-star pipeline ops) --------
+
+    def dedup(self, df: DataFrame, method: str = "exact", **kw) -> DataFrame:
+        """Deduplicate ``df``: 'exact' keeps one row per normalized
+        text; 'cluster' resolves NEAR-dup groups (LSH pairs →
+        connected components) and keeps each cluster's min-id row."""
+        from .operators import dedup as D
+
+        if method == "exact":
+            return D.exact_dedup(df, **kw)
+        if method == "cluster":
+            id_col = kw.pop("id_col", "doc_id")
+            pairs = D.lsh_candidate_pairs(df, id_col=id_col, **kw)
+            clusters = D.dup_clusters(df, pairs, id_col=id_col)
+            keep = clusters.filter(
+                clusters[id_col] == clusters["cluster_id"]
+            ).select(id_col)
+            return df.join(keep, id_col, "left_semi")
+        raise ValueError(f"unknown dedup method {method!r} (exact|cluster)")
+
+    def neardup_pairs(self, df: DataFrame, method: str = "lsh", **kw) -> DataFrame:
+        """Near-duplicate pair finding: 'lsh' (MinHash banding
+        candidates), 'jaccard' (exact inverted-index), 'prefix'
+        (exact with AllPairs pruning — the scale path)."""
+        from .operators import dedup as D
+
+        fns = {
+            "lsh": D.lsh_candidate_pairs,
+            "jaccard": D.jaccard_pairs,
+            "prefix": D.prefix_jaccard_pairs,
+        }
+        try:
+            return fns[method](df, **kw)
+        except KeyError:
+            raise ValueError(
+                f"unknown neardup method {method!r} ({'|'.join(fns)})"
+            ) from None
+
+    def ann_topk(
+        self, queries: DataFrame, corpus: DataFrame, method: str = "brute", **kw
+    ) -> DataFrame:
+        """Similarity search: 'brute' (exact), 'lsh' (sign-LSH
+        multi-table), 'ivf' (cell-partitioned index)."""
+        from .operators import similarity as S
+
+        fns = {
+            "brute": S.brute_force_topk,
+            "lsh": S.lsh_topk,
+            "ivf": S.ivf_topk,
+        }
+        try:
+            return fns[method](queries, corpus, **kw)
+        except KeyError:
+            raise ValueError(
+                f"unknown ann method {method!r} ({'|'.join(fns)})"
+            ) from None

@@ -23,3 +23,30 @@ def test_engine_errors(spark):
     eng.attach(SF)
     with pytest.raises(KeyError, match="unknown query"):
         eng.run("nope")
+
+
+def test_engine_operator_dispatchers(spark):
+    eng = Engine(spark, SF)
+    docs = eng.table("documents")
+    emb = eng.table("embeddings")
+
+    n = docs.count()
+    exact = eng.dedup(docs, "exact")
+    assert 0 < exact.count() <= n
+
+    clustered = eng.dedup(docs, "cluster")
+    assert 0 < clustered.count() <= n
+    assert clustered.columns == docs.columns
+
+    pairs = eng.neardup_pairs(docs, "prefix", threshold=0.7)
+    assert set(pairs.columns) == {"a_id", "b_id", "jaccard"}
+
+    from pyspark.sql import functions as F
+
+    top = eng.ann_topk(emb.filter(F.col("vec_id") < 3), emb, "ivf", k=3)
+    assert top.groupBy("query_id").count().filter("count > 3").count() == 0
+
+    with pytest.raises(ValueError, match="unknown dedup"):
+        eng.dedup(docs, "nope")
+    with pytest.raises(ValueError, match="unknown ann"):
+        eng.ann_topk(emb, emb, "nope")
