@@ -185,6 +185,36 @@ def u04_lemmatize_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "u05_frame_sample_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(range(0, (octet_length(encode(text)) + 255) // 256, 2))
+                AS BIGINT) AS n_frames,
+           CAST(list_sum(list_transform(
+                    range(0, (octet_length(encode(text)) + 255) // 256, 2),
+                    i -> least(256, octet_length(encode(text)) - i * 256)))
+                AS BIGINT) AS sampled_bytes
+    FROM documents
+    """,
+)
+def u05_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (multimodal/binary.sample_frames): every 2nd
+    256-byte window of each payload becomes its own row inside the
+    Arrow batch (the UDTF-shaped fan-out), then per-doc frame counts
+    and byte totals. VALUE-checkable despite binary payloads: the
+    fake payload is the UTF-8 text, so the oracle reproduces the
+    frame geometry arithmetically from octet_length."""
+    from ..multimodal.binary import attach_fake_payload, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_fake_payload(docs), frame_size=256, every_n=2)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.octet_length("frame")).cast("long").alias("sampled_bytes"),
+    )
+
+
 @query("u03_multimodal_features")  # rows-only: fake payload bytes aren't SQL
 def u03_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas over binary payloads (multimodal/binary.py): the

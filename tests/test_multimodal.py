@@ -39,3 +39,36 @@ def test_extract_features_mapinpandas(spark):
 def test_decode_is_a_declared_stub():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_sample_frames_fanout_and_geometry(spark):
+    from mergers_acquisitions_predictions_spark.multimodal.binary import (
+        attach_fake_payload,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 700), (2, "b" * 100), (3, "c" * 256)], ["doc_id", "text"]
+    )
+    frames = sample_frames(attach_fake_payload(docs), frame_size=256, every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_idx, len(r.frame)))
+    # 700 bytes -> frames 0,1,2 -> sampled 0 (256B) and 2 (188B)
+    assert sorted(by_doc[1]) == [(0, 256), (2, 188)]
+    assert by_doc[2] == [(0, 100)]
+    assert by_doc[3] == [(0, 256)]
+
+
+def test_resize_media_contract(spark):
+    from mergers_acquisitions_predictions_spark.multimodal.binary import (
+        attach_fake_payload,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame([(1, "xy"), (2, "z" * 999)], ["doc_id", "text"])
+    out = resize_media(attach_fake_payload(docs), width=16, height=8).collect()
+    assert len(out) == 2
+    for r in out:
+        assert len(r.media) == 16 * 8
+        assert (r.meta.width, r.meta.height, r.meta.n_bytes) == (16, 8, 128)
