@@ -39,6 +39,7 @@ def with_minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = DEFAULT_BANDS * DEFAULT_ROWS_PER_BAND,
     shingle_n: int = 3,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Append `sig0..sig{n-1}` MinHash columns. Pure map-side — the
     plan is scan → project(s), no exchange.
@@ -56,15 +57,16 @@ def with_minhash_signatures(
     every sig column (Catalyst's CollapseProject keeps the split
     because the producers are non-cheap)."""
     n_md5 = (n_hashes + 3) // 4
+    carried = [id_col, *(keep or [])]
     toks = repartition_for_compute(df).select(
-        id_col, tokenize(F.col(text_col)).alias("__tok")
+        *carried, tokenize(F.col(text_col)).alias("__tok")
     )
-    sh = toks.select(id_col, shingles(F.col("__tok"), shingle_n).alias("__sh"))
+    sh = toks.select(*carried, shingles(F.col("__tok"), shingle_n).alias("__sh"))
     hcat = F.transform(
         "__sh",
         lambda s: F.concat(*[F.md5(F.concat(F.lit(f"{j}:"), s)) for j in range(n_md5)]),
     )
-    hs = sh.select(id_col, hcat.alias("__hs"))
+    hs = sh.select(*carried, hcat.alias("__hs"))
     # Closure factory, NOT `lambda h, i=i`: a 2-arg lambda makes
     # pyspark's transform() pass the array index as the second arg.
     def slice_at(i: int):
@@ -74,7 +76,7 @@ def with_minhash_signatures(
         F.array_min(F.transform("__hs", slice_at(i))).alias(f"sig{i}")
         for i in range(n_hashes)
     ]
-    return hs.select(id_col, *sigs)
+    return hs.select(*carried, *sigs)
 
 
 def lsh_candidate_pairs(

@@ -55,6 +55,8 @@ def repartition_for_compute(df: DataFrame, min_partitions: int | None = None) ->
     is the difference between 1× and 32× CPU. The round-robin shuffle
     it inserts moves only the small input once, before the expensive
     projection."""
+    if df.isStreaming:  # partitioning is the source's concern per micro-batch
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

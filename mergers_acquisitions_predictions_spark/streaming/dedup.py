@@ -29,6 +29,52 @@ def dedup_stream_exact(
     )
 
 
+def dedup_stream_near(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    watermark: str = "24 hours",
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """NEAR-duplicate dedup over a document ingest stream: the dedup
+    key is the full MinHash signature (map-side column expressions,
+    identical hash family to the batch d01/d02 path), so two documents
+    collide exactly when ALL ``n_hashes`` signature slots agree —
+    which for 8 hashes means Jaccard ≈ 1 with high probability (the
+    near-exact tier: boilerplate re-crawls, trivial edits).
+
+    State is one short signature string per unique document within the
+    watermark horizon — bounded, and orders of magnitude smaller than
+    the text. Recall-vs-precision is the n_hashes knob: fewer hashes
+    collide more aggressively. A banded OR-over-bands variant (drop if
+    ANY band collides, the streaming d02) needs per-band keyed state +
+    a per-doc verdict — `applyInPandasWithState` keyed by band_key
+    feeding a second stateful aggregation; the signature-key form here
+    covers the ingest-dedup case with builtin operators only."""
+    from ..operators.dedup import with_minhash_signatures
+
+    carried = [c for c in docs.columns if c != "doc_id"]
+    sigs = with_minhash_signatures(
+        docs, text_col, "doc_id", n_hashes=n_hashes, shingle_n=shingle_n, keep=carried
+    )
+    # F.concat (not concat_ws): a NULL slot (shingle-less doc) must
+    # poison the key; such docs then fall back to a per-doc unique key
+    # so they can never collide with each other.
+    sig_key = F.concat(
+        *[F.col(f"sig{i}") for i in range(n_hashes)]
+    )
+    keyed = sigs.withColumn(
+        "__sig",
+        F.coalesce(sig_key, F.concat(F.lit("nosig:"), F.col("doc_id").cast("string"))),
+    )
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__sig"])
+        .drop("__sig", *[f"sig{i}" for i in range(n_hashes)])
+    )
+
+
 def dedup_stream_documents(
     docs: DataFrame,
     text_col: str = "text",

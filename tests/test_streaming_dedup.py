@@ -116,3 +116,40 @@ def test_watermark_finalized_window_not_resurrected_by_late_row(spark, tmp_path)
     q.awaitTermination()
     emissions = [r.s for r in spark.table("t_late").collect() if r.ws == t0]
     assert emissions == [3.0]  # exactly one emission, late 100.0 dropped
+
+
+def test_stream_near_dedup_drops_signature_collisions(spark, tmp_path):
+    from mergers_acquisitions_predictions_spark.streaming.dedup import (
+        dedup_stream_near,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batch1 = spark.createDataFrame(
+        [(1, base, t0), (2, "totally different words entirely here now", t0)],
+        ["doc_id", "text", "ingest_ts"],
+    )
+    # doc 3 = byte-identical near-dup of doc 1 (same signature);
+    # doc 4 = genuinely new; docs 5/6 are shingle-less (too short) and
+    # must NOT collide with each other despite both lacking signatures
+    batch2 = spark.createDataFrame(
+        [
+            (3, base, t0 + dt.timedelta(minutes=1)),
+            (4, "yet another unrelated document body with words", t0 + dt.timedelta(minutes=1)),
+            (5, "tiny", t0 + dt.timedelta(minutes=2)),
+            (6, "small", t0 + dt.timedelta(minutes=2)),
+        ],
+        ["doc_id", "text", "ingest_ts"],
+    )
+    stream = _stream_from_files(spark, tmp_path, [batch1, batch2], batch1.schema)
+    q = (
+        dedup_stream_near(stream, "text", "ingest_ts", "1 hour")
+        .writeStream.format("memory")
+        .queryName("t_near_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = sorted(r.doc_id for r in spark.table("t_near_dedup").collect())
+    assert kept == [1, 2, 4, 5, 6]  # 3 collapsed into 1; 5/6 both kept
