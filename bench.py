@@ -13,6 +13,7 @@ while results stay distributed.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -83,6 +84,10 @@ def main() -> None:
         t0 = time.perf_counter()
         run(name)
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Operator-owned caches (own_caches) release on Python GC;
+        # collect between queries so a dead plan's cached partitions
+        # never linger into the next measurement.
+        gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -29,3 +29,18 @@ def test_all_queries_produce_stable_schemas(spark):
         df = fn(spark, sf)
         assert df.columns, name
         assert len(set(df.columns)) == len(df.columns), f"{name}: duplicate col names"
+
+
+def test_north_star_queries_inside_driver_correctness_window():
+    """The driver's CORRECTNESS gate verifies only the FIRST 50
+    registry entries (round-1 verdict: the entire LLM-pipeline surface
+    once registered past the window and went driver-unchecked). Guard
+    the import order: every dedup/similarity/ml/text/udf/pipeline
+    query must register inside the window; only long-green relational
+    q* may rotate out."""
+    from mergers_acquisitions_predictions_spark.plans import QUERIES
+
+    names = list(QUERIES)
+    window = set(names[:50])
+    outside = [n for n in names[50:] if n[0] in "dsmtuj"]
+    assert not outside, f"north-star queries past the driver window: {outside}"
