@@ -62,6 +62,40 @@ def language_id(tokens: Column) -> Column:
     return expr
 
 
+def winnow_fingerprints(text: Column | str, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    MOSS): hash every ``k``-char gram of the normalized text, slide a
+    ``w``-hash window, keep each window's minimum, dedup. Guarantees:
+    any shared substring of length ≥ k+w−1 between two documents
+    yields at least one SHARED fingerprint — the local-overlap
+    detector that whole-doc fingerprints (``fingerprint``) cannot be.
+
+    Pure array expressions (chars → k-grams → 60-bit md5 hashes →
+    window minima → distinct): computed inside the scan stage, no
+    shuffle; the fingerprint SET (≈ n_chars/w longs) is what joins
+    downstream for overlap/containment detection."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    norm = F.trim(c)
+    from .text import word_ngrams
+
+    chars = F.split(norm, "")
+    grams = word_ngrams(chars, k, "")
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+
+    def mins(hs: Column) -> Column:
+        count = F.size(hs) - (w - 1)
+        sel = F.transform(
+            F.sequence(F.lit(1), count), lambda j: F.array_min(F.slice(hs, j, w))
+        )
+        return F.when(count >= 1, sel).otherwise(F.array().cast("array<long>"))
+
+    return F.array_distinct(F.element_at(F.transform(F.array(hashes), mins), 1))
+
+
 #: PII categories for redaction scrubbing. Patterns restricted to the
 #: regex subset where Java regex (Spark) and RE2 (DuckDB) agree —
 #: no backreferences, no lookaround.

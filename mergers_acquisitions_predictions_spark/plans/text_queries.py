@@ -564,3 +564,43 @@ def t16_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("top_bigram_frac"),
     )
+
+
+@query(
+    "t17_winnow_fingerprints",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(range(1, length(norm) - 8 + 2),
+                   i -> ('0x' || substr(md5(substr(norm, CAST(i AS INTEGER), 8)),
+                         1, 15))::BIGINT) AS hs
+        FROM n
+    ),
+    fps AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                   j -> list_min(list_slice(hs, j, j + 3)))) AS f
+        FROM h
+    )
+    SELECT doc_id, unnest(f) AS fp FROM fps
+    """,
+)
+def t17_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints, exploded to
+    (doc_id, fp) — any ≥11-char shared substring between documents
+    guarantees a shared fp, so a self-join on fp finds LOCAL overlap
+    (quotes, boilerplate, partial plagiarism) that whole-document
+    fingerprints miss. The fingerprint stage is zero-shuffle; the
+    downstream overlap join keys on a long, never on text."""
+    from ..functions.textstats import winnow_fingerprints
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.explode(winnow_fingerprints(F.col("text"), k=8, w=4)).alias("fp")
+    )

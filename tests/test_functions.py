@@ -140,3 +140,31 @@ def test_redact_pii_categories_and_counts(spark):
     assert out[2] == ("call <PHONE> or <PHONE>", 2)
     assert out[3] == ("ssn <IDNUM> embedded", 1)
     assert out[4] == ("no pii here", 0)
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.functions.textstats import (
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, f"prefix words here {shared} and a suffix"),
+            (2, f"completely other opening {shared} different closing"),
+            (3, "no overlap with anything else in this row at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = df.select(
+        "doc_id", F.explode(winnow_fingerprints(F.col("text"), k=8, w=4)).alias("fp")
+    )
+    a = fps.filter("doc_id = 1").select("fp")
+    b = fps.filter("doc_id = 2").select("fp")
+    c = fps.filter("doc_id = 3").select("fp")
+    # winnowing guarantee: a shared substring >= k+w-1 chars forces a
+    # shared fingerprint; unrelated docs share none here
+    assert a.intersect(b).count() > 0
+    assert a.intersect(c).count() == 0
