@@ -325,7 +325,11 @@ _SQL_SQNORM = SQL_SQNORM
 def d05_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.4), exact. The
     theta self-join (`vec_id <` residual) streams one side against the
-    other; the dot product is a codegen'd JVM fold, no Python.
+    other; the per-pair dot product runs in the Arrow-vectorized
+    verify stage (operators/similarity.arrow_pair_cosines), whose
+    accumulation is order-preserving and therefore bit-identical to
+    the JVM fold AND to the SQL oracle's list_sum — rounding and the
+    threshold filter stay JVM-side for HALF_UP/NaN parity.
 
     Scale: exact all-pairs is O(n²) by definition — usable to ~10⁵
     vectors per partition-group; beyond that d07 (sign-LSH prefilter +
@@ -335,31 +339,13 @@ def d05_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     10⁷+ vectors); at this query's documented small-n envelope AQE
     broadcasts it anyway.
 
-    Per-pair work is ONE dot-product fold: the norms are precomputed
-    per ROW (n folds, map-side) instead of per PAIR (the naive
-    cosine() would fold 3× per pair — measured 150 s → 8.5 s at sf0.1).
-    The expression stays dot/(na·nb), the oracle's exact shape, so FP
-    parity holds."""
-    from ..functions.vectors import dot, l2_norm
-    from ..operators.util import repartition_for_compute
+    Per-pair work is ONE dot product: the norms are precomputed per
+    ROW (map-side) instead of per PAIR (the naive cosine() would fold
+    3× per pair — measured 150 s → 8.5 s at sf0.1)."""
+    from ..operators.similarity import exact_cosine_pairs
 
-    e = repartition_for_compute(load_table(spark, sf_dir, "embeddings"))
-    a = e.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-        l2_norm(F.col("embedding")).alias("a_norm"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        l2_norm(F.col("embedding")).alias("b_norm"),
-    )
-    cos = dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_norm") * F.col("b_norm"))
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.4)
-    )
+    e = load_table(spark, sf_dir, "embeddings")
+    return exact_cosine_pairs(e, threshold=0.4)
 
 
 @query(
