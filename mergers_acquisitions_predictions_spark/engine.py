@@ -83,13 +83,18 @@ class Engine:
         if method == "exact":
             return D.exact_dedup(df, **kw)
         if method == "cluster":
+            from .operators.util import own_caches
+
             id_col = kw.pop("id_col", "doc_id")
             pairs = D.lsh_candidate_pairs(df, id_col=id_col, **kw)
             clusters = D.dup_clusters(df, pairs, id_col=id_col)
             keep = clusters.filter(
                 clusters[id_col] == clusters["cluster_id"]
             ).select(id_col)
-            return df.join(keep, id_col, "left_semi")
+            # clusters' label frame is a localCheckpoint the returned
+            # plan reads — transfer ownership or its finalizer would
+            # free the (non-recomputable) blocks when `clusters` dies.
+            return own_caches(df.join(keep, id_col, "left_semi"), clusters)
         raise ValueError(f"unknown dedup method {method!r} (exact|cluster)")
 
     def neardup_pairs(self, df: DataFrame, method: str = "lsh", **kw) -> DataFrame:

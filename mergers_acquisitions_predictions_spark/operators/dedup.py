@@ -265,24 +265,49 @@ def prefix_jaccard_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    ea = ex.select(F.col("doc").alias("a_id"), "shingle")
-    eb = ex.select(F.col("doc").alias("b_id"), "shingle")
-    common = (
-        cand.join(ea, "a_id")
-        .join(eb, ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    out = jaccard_verify_pairs(cand, sh, threshold)
+    return own_caches(out, sh)
+
+
+def jaccard_verify_pairs(
+    cand: DataFrame,
+    sh: DataFrame,
+    threshold: float,
+    doc_col: str = "doc",
+    sh_col: str = "sh",
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against per-doc
+    DISTINCT shingle arrays: join the (doc, shingles) frame to the
+    candidates by id twice, then `size(array_intersect)` MAP-SIDE —
+    the per-pair common count needs no explode, no shingle-keyed
+    shuffle, and no groupBy-per-pair aggregation (the formulation that
+    costs 3 extra exchanges in the postings-based verify). Shingle
+    arrays are set-valued (array_distinct upstream), so the intersect
+    size IS the common-shingle count.
+
+    Shuffle accounting at scale: candidate count × avg shingle-array
+    bytes rides the two id joins (the sh side is broadcast when small).
+    When documents are huge (arrays ≫ KBs) and candidates few, the
+    postings formulation bounds payloads better — that shape lives in
+    `jaccard_pairs`, where verify fuses with candidate generation."""
+    pa = sh.select(
+        F.col(doc_col).alias("a_id"),
+        F.col(sh_col).alias("__sh_a"),
+        F.size(sh_col).alias("n_a"),
     )
-    sa = sizes.select(F.col("doc").alias("a_id"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("b_id"), F.col("n").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    out = (
-        common.join(sa, "a_id")
-        .join(sb, "b_id")
+    pb = sh.select(
+        F.col(doc_col).alias("b_id"),
+        F.col(sh_col).alias("__sh_b"),
+        F.size(sh_col).alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
+    return (
+        cand.join(pa, "a_id")
+        .join(pb, "b_id")
         .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return own_caches(out, sh)
 
 
 def simhash(tokens: Column, bits: int = 60) -> Column:
@@ -347,6 +372,8 @@ def dup_clusters(
 
     Raises after ``max_iter`` non-converged rounds rather than
     returning a partially-merged clustering."""
+    from .util import own_local_checkpoint, release_local_checkpoint
+
     edges = (
         pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
         .union(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
@@ -362,20 +389,33 @@ def dup_clusters(
     cur = ssum(labels)
     for _ in range(max_iter):
         prop = edges.join(labels.withColumnRenamed("u", "v"), "v").select("u", "label")
+        prev_jdf = labels._jdf
         labels = (
             labels.union(prop)
             .groupBy("u")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        # The new checkpoint materialized eagerly — the previous
+        # round's blocks are dead; free them now instead of waiting
+        # for the ContextCleaner (they'd otherwise pile up one RDD
+        # per round for the JVM GC to notice).
+        release_local_checkpoint(prev_jdf)
         new = ssum(labels)
         if new == cur:
             edges.unpersist(blocking=False)
-            return labels.select(
+            # The FINAL round's checkpoint is released when the RESULT
+            # dies, not here: the returned plan reads its blocks, and a
+            # truncated-lineage checkpoint cannot recompute. The
+            # finalizer makes the release deterministic (the
+            # ContextCleaner would otherwise wait for a JVM full GC).
+            out = labels.select(
                 F.col("u").alias(id_col), F.col("label").alias("cluster_id")
             )
+            return own_local_checkpoint(out, labels)
         cur = new
     edges.unpersist(blocking=False)
+    release_local_checkpoint(labels._jdf)
     raise RuntimeError(f"dup_clusters did not converge in {max_iter} rounds")
 
 

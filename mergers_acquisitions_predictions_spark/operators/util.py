@@ -7,6 +7,31 @@ import weakref
 from pyspark.sql import DataFrame
 
 
+def _owner_lists(result: DataFrame) -> tuple[list[DataFrame], list]:
+    """The (caches, checkpoint-jdfs) lists released when ``result``'s
+    Python object dies. Created (with ONE finalizer) on first use;
+    subsequent own_* calls on the same result extend the same lists —
+    the finalizer captures the list objects, so growth is seen."""
+    caches = getattr(result, "_owned_caches", None)
+    ckpts = getattr(result, "_owned_ckpts", None)
+    if caches is None:
+        caches, ckpts = [], []
+        result._owned_caches = caches
+        result._owned_ckpts = ckpts
+
+        def _release(caches: list[DataFrame] = caches, ckpts: list = ckpts) -> None:
+            for c in caches:
+                try:
+                    c.unpersist(blocking=False)
+                except Exception:  # session already stopped — nothing to free
+                    pass
+            for j in ckpts:
+                release_local_checkpoint(j)
+
+        weakref.finalize(result, _release)
+    return caches, ckpts
+
+
 def own_caches(result: DataFrame, *frames: DataFrame) -> DataFrame:
     """Tie persisted ``frames`` to ``result``'s lifetime: when the
     Python object for ``result`` is garbage-collected, each frame is
@@ -16,32 +41,67 @@ def own_caches(result: DataFrame, *frames: DataFrame) -> DataFrame:
     queries back-to-back (the driver harness runs 50+).
 
     Ownership TRANSFERS through composition: if a frame in ``frames``
-    itself owns caches (it came from an operator that called
-    own_caches), those move to ``result`` and the intermediate's own
-    finalizer becomes a no-op — a wrapper plan dying early inside a
-    composing operator (e.g. the candidate frame inside
-    lsh-then-verify) can then never release a cache the final plan
-    still needs. Unpersisting is a perf knob, never a correctness one:
-    a released plan silently recomputes."""
-    owned: list[DataFrame] = []
+    itself owns caches or localCheckpoints (it came from an operator
+    that called own_caches / own_local_checkpoint), those move to
+    ``result`` and the intermediate's own finalizer becomes a no-op —
+    a wrapper plan dying early inside a composing operator (e.g. the
+    candidate frame inside lsh-then-verify) can then never release a
+    cache the final plan still needs. For plain persists this is a
+    perf knob, never correctness (a released plan silently
+    recomputes); for inherited CHECKPOINTS the transfer is load-
+    bearing — see own_local_checkpoint."""
+    owned, ckpts = _owner_lists(result)
     for f in frames:
         inherited = getattr(f, "_owned_caches", None)
         if inherited:
             owned.extend(inherited)
             inherited.clear()
+        ick = getattr(f, "_owned_ckpts", None)
+        if ick:
+            ckpts.extend(ick)
+            ick.clear()
         lvl = f.storageLevel
         if lvl.useMemory or lvl.useDisk:
             owned.append(f)
-    result._owned_caches = owned
+    return result
 
-    def _release(frames: list[DataFrame] = owned) -> None:
-        for c in frames:
-            try:
-                c.unpersist(blocking=False)
-            except Exception:  # session already stopped — nothing to free
-                pass
 
-    weakref.finalize(result, _release)
+def release_local_checkpoint(jdf) -> None:
+    """Deterministically free a ``localCheckpoint(eager=True)``
+    DataFrame's cached blocks. Spark only releases checkpoint RDDs via
+    the ContextCleaner when the JVM object is garbage-collected — in a
+    tight iterative loop (label propagation) that lets every round's
+    blocks pile up in the block manager for an unbounded while. The
+    checkpointed RDD is reachable through the plan's LogicalRDD node;
+    unpersisting it drops the blocks NOW.
+
+    Takes the py4j ``_jdf`` (not the Python DataFrame) so a
+    weakref.finalize on the consuming result can hold it without
+    keeping the whole Python object graph alive. After release the
+    frame is NOT recomputable (checkpointing truncated its lineage) —
+    only call on frames no plan will read again."""
+    try:
+        jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # plan shape changed or session gone — best-effort
+        pass
+
+
+def own_local_checkpoint(result: DataFrame, checkpointed: DataFrame) -> DataFrame:
+    """Tie a ``localCheckpoint(eager=True)`` frame's blocks to
+    ``result``'s lifetime, mirroring ``own_caches`` for checkpoints:
+    when the Python object for ``result`` is collected, the checkpoint
+    RDD is unpersisted immediately instead of waiting for the JVM
+    ContextCleaner to notice the dead reference (which can take until
+    the next full GC in a long-lived driver session).
+
+    Sharper contract than plain persists: a released CHECKPOINT cannot
+    recompute (lineage truncated), so a composing operator that
+    derives a new plan from ``result`` and drops it MUST transfer
+    ownership (``own_caches(final, result)`` inherits it) or the
+    finalizer poisons the survivor. Holds only the py4j ``_jdf`` so
+    the finalizer does not keep the Python plan graph alive."""
+    _, ckpts = _owner_lists(result)
+    ckpts.append(checkpointed._jdf)
     return result
 
 

@@ -187,9 +187,12 @@ def d06_lsh_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-checkable BECAUSE the hash family is md5-portable: DuckDB
     regenerates the identical candidate set, so this is a full
-    value-parity query, not a rows-only check."""
+    value-parity query, not a rows-only check. The verify stage is the
+    map-side `size(array_intersect)` formulation (jaccard_verify_pairs)
+    — no per-pair aggregation shuffle; the oracle's explode/groupBy SQL
+    computes the same set-intersection count."""
     from ..functions.text import shingles
-    from ..operators.dedup import lsh_candidate_pairs
+    from ..operators.dedup import jaccard_verify_pairs, lsh_candidate_pairs
     from ..operators.util import own_caches, repartition_for_compute
 
     d = load_table(spark, sf_dir, "documents")
@@ -197,28 +200,10 @@ def d06_lsh_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         repartition_for_compute(d)
         .select("doc_id", tokenize(F.col("text")).alias("__tok"))
-        .select("doc_id", shingles(F.col("__tok"), 3).alias("sh"))
-        .persist()
+        .select(F.col("doc_id").alias("doc"), shingles(F.col("__tok"), 3).alias("sh"))
+        .persist()  # both verify sides read it — shingle once, not twice
     )
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    ea = ex.select(F.col("doc_id").alias("a_id"), "shingle")
-    eb = ex.select(F.col("doc_id").alias("b_id"), "shingle")
-    common = (
-        cand.join(ea, "a_id")
-        .join(eb, ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    out = (
-        common.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.1)
-    )
+    out = jaccard_verify_pairs(cand, sh, threshold=0.1)
     # `cand` carries the banded cache from lsh_candidate_pairs;
     # ownership (and sh's cache) transfers to the final plan.
     return own_caches(out, cand, sh)

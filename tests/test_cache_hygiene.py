@@ -18,31 +18,57 @@ def _n_cached_rdds(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _quiescent_cached_rdds(spark, timeout_s: float = 5.0) -> int:
+    """Cached-RDD count once async releases settle. Finalizers call
+    `unpersist(blocking=False)`, and a gc.collect() here may also be
+    the first collection of a PREVIOUS module's dropped frames — so a
+    count read immediately after gc can still be draining. Collect,
+    then poll until the count holds steady for two consecutive reads."""
+    import time
+
+    gc.collect()
+    deadline = time.monotonic() + timeout_s
+    prev = _n_cached_rdds(spark)
+    while time.monotonic() < deadline:
+        # Nudge the ContextCleaner: localCheckpoint RDDs (dup_clusters'
+        # final round) unregister only after JVM GC notices them.
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.25)
+        cur = _n_cached_rdds(spark)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 def test_dedup_sweep_releases_caches(spark):
     """Run every persist-using dedup query, drop the results, and
     assert the persistent-RDD map returns to its starting size."""
-    gc.collect()
-    before = _n_cached_rdds(spark)
-    for name in ("d02_minhash_lsh_pairs", "d03_jaccard_pairs", "d06_lsh_verified_neardups"):
+    before = _quiescent_cached_rdds(spark)
+    # d09 exercises the localCheckpoint-per-round release in
+    # dup_clusters (one leaked RDD per propagation round otherwise).
+    for name in (
+        "d02_minhash_lsh_pairs",
+        "d03_jaccard_pairs",
+        "d06_lsh_verified_neardups",
+        "d09_dup_clusters",
+    ):
         df = QUERIES[name](spark, SF_SMOKE)
         assert df.count() >= 0
         del df
-    gc.collect()
-    assert _n_cached_rdds(spark) == before
+    assert _quiescent_cached_rdds(spark) == before
 
 
 def test_cache_alive_while_result_referenced(spark):
     """The cache must NOT be released while the returned plan is still
     referenced (the whole point of persisting the banded frame)."""
-    gc.collect()
-    before = _n_cached_rdds(spark)
+    before = _quiescent_cached_rdds(spark)
     df = QUERIES["d02_minhash_lsh_pairs"](spark, SF_SMOKE)
     assert df.count() >= 0
     gc.collect()
     assert _n_cached_rdds(spark) > before  # banded frame still cached
     del df
-    gc.collect()
-    assert _n_cached_rdds(spark) == before
+    assert _quiescent_cached_rdds(spark) == before
 
 
 def test_ownership_transfers_through_composition(spark):
