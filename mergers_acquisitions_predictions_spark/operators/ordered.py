@@ -1,0 +1,66 @@
+"""Globally-ordered computations that avoid the single-partition
+window trap.
+
+A plain ``Window.orderBy(key)`` with no ``partitionBy`` collapses the
+whole table into ONE task — the canonical Spark scale cliff. The
+operators here keep global-order semantics while staying distributed:
+range-partition by the order key (so partition i holds keys strictly
+below partition i+1), compute per-partition prefix aggregates in
+parallel, then shift each partition by the total of the partitions
+before it — a two-phase scan, the textbook parallel prefix-sum shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Running sum of ``value_col`` in global ``order_col`` order,
+    INCLUSIVE of the current row, without ever funnelling the table
+    through one task.
+
+    Plan: ``repartitionByRange(order_col)`` (range partitioning makes
+    partition boundaries respect the global order) → per-partition
+    cumulative sum via a window keyed on ``spark_partition_id()`` →
+    per-partition totals (one tiny row per partition) turned into
+    exclusive prefix offsets on the driver-sized side and broadcast
+    back. Two distributed shuffles of the data (range exchange + the
+    pid-keyed window exchange), one broadcast of #partitions rows —
+    versus the one-task global window that dies at scale.
+
+    ``order_col`` must be unique (or ties must be order-insensitive:
+    equal keys land in the same partition and their relative order
+    within the running sum is then the window's tiebreak on the key
+    itself, i.e. stable only per-key-group totals are meaningful).
+    """
+    ranged = df.repartitionByRange(F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        W.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn("__local_cum", F.sum(value_col).over(w))
+    # One row per partition — driver-sized at ANY data scale (bounded
+    # by spark.sql.shuffle.partitions), so the single-partition window
+    # over it is free, and the join back is a broadcast by size.
+    totals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__ptotal"))
+    off_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__ptotal").over(off_w), F.lit(0)).alias("__offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__local_cum") + F.col("__offset"))
+        .drop("__pid", "__local_cum", "__offset")
+    )

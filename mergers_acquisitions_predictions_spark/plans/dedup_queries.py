@@ -370,3 +370,66 @@ def d07_lsh_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_neardup_pairs(e, threshold=0.4, dim=64, n_planes=4, n_tables=8)
+
+
+@query(
+    "d10_contamination",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source, {SQL_SHINGLES} AS s
+        FROM (SELECT doc_id, source, {_TOK} AS tok FROM documents)
+    ),
+    ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE source = 'src0'),
+    tr AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE source <> 'src0'),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE source <> 'src0'),
+    hits AS (
+        SELECT doc_id, count(*) AS n_shared
+        FROM tr JOIN ev USING (shingle)
+        GROUP BY doc_id
+    )
+    SELECT h.doc_id,
+           CAST(h.n_shared AS BIGINT) AS n_shared,
+           round(h.n_shared / sz.n, 6) AS contamination
+    FROM hits h JOIN sz ON sz.doc_id = h.doc_id
+    """,
+)
+def d10_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag training documents that share
+    any word-trigram shingle with a held-out evaluation set (here the
+    ``source = 'src0'`` slice stands in for the benchmark corpus).
+    The op every training-data pipeline runs before a model sees the
+    corpus — eval n-grams leaking into training data corrupt the
+    benchmark.
+
+    Scale shape: the eval side is SMALL by construction (benchmarks
+    are thousands of documents, the corpus is billions), so its
+    distinct-shingle set is broadcast and the train side is pruned in
+    ONE map-side semi-join pass over the scan — no shuffle touches the
+    full corpus' postings. The per-doc overlap count then aggregates
+    only the surviving (contaminated) rows."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.text import shingles
+    from ..operators.util import repartition_for_compute
+
+    sh = repartition_for_compute(d).select(
+        "doc_id",
+        "source",
+        shingles(tokenize(F.col("text")), 3).alias("sh"),
+    )
+    ev = (
+        sh.filter(F.col("source") == "src0")
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    tr = sh.filter(F.col("source") != "src0")
+    hits = (
+        tr.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id", "n")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits.select(
+        "doc_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.round(F.col("n_shared") / F.col("n"), 6).alias("contamination"),
+    )

@@ -604,3 +604,64 @@ def t17_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.explode(winnow_fingerprints(F.col("text"), k=8, w=4)).alias("fp")
     )
+
+
+@query(
+    "t18_sequence_packing",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+        FROM tok
+    )
+    SELECT doc_id, n_tokens,
+           cum_tokens - n_tokens AS start_offset,
+           CAST(floor((cum_tokens - n_tokens) / 256.0) AS BIGINT) AS first_pack,
+           CAST(floor((cum_tokens - 1) / 256.0) AS BIGINT) AS last_pack,
+           CAST(floor((cum_tokens - 1) / 256.0)
+                - floor((cum_tokens - n_tokens) / 256.0) + 1 AS BIGINT) AS n_packs
+    FROM cum
+    WHERE n_tokens > 0
+    """,
+)
+def t18_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk SEQUENCE PACKING — the standard LLM
+    pretraining data-prep step: documents are concatenated in a
+    deterministic global order (doc_id) and the token stream is cut
+    into fixed 256-token training sequences; each document reports the
+    packs it lands in (``first_pack``..``last_pack``, boundaries may
+    split a document).
+
+    The global running token offset is the scale-critical piece: a
+    bare ``Window.orderBy`` would funnel the corpus through ONE task,
+    so this uses ``operators/ordered.global_running_sum`` — range
+    partition + per-partition scan + broadcast prefix offsets; every
+    stage stays distributed at any corpus size."""
+    from ..operators.ordered import global_running_sum
+
+    seq_len = 256
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokenize("text")).cast("long").alias("n_tokens")
+    )
+    cum = global_running_sum(d, "doc_id", "n_tokens", out_col="cum_tokens")
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    first_pack = F.floor(start / F.lit(float(seq_len)))
+    last_pack = F.floor((F.col("cum_tokens") - 1) / F.lit(float(seq_len)))
+    return (
+        cum.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_offset"),
+            first_pack.alias("first_pack"),
+            last_pack.alias("last_pack"),
+            (last_pack - first_pack + 1).alias("n_packs"),
+        )
+    )

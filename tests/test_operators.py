@@ -164,3 +164,44 @@ def test_dup_clusters_min_label_components(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dup_clusters(docs, pairs).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5}
+
+
+def test_global_running_sum_matches_global_window(spark):
+    from pyspark.sql import Window as W
+
+    from mergers_acquisitions_predictions_spark.operators.ordered import (
+        global_running_sum,
+    )
+
+    rows = [(i, (i * 7919) % 13) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(16)
+    got = {
+        r.k: r.running_sum
+        for r in global_running_sum(df, "k", "v").collect()
+    }
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r.k: r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_running_sum_stays_distributed(spark):
+    """The point of the operator: the plan must NOT collapse to a
+    single partition (no empty-frame Window sort over ONE task)."""
+    from mergers_acquisitions_predictions_spark.operators.ordered import (
+        global_running_sum,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = global_running_sum(df, "k", "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # The DATA path is range-partitioned and its window is keyed on
+    # the partition id — i.e. the per-row scan is parallel. (The
+    # offsets subtree's single-partition window over #partitions rows
+    # is intentional and driver-sized.)
+    assert "rangepartitioning(k" in plan
+    assert "windowspecdefinition(__pid" in plan
