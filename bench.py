@@ -57,6 +57,7 @@ def main() -> None:
         "d08_prefix_jaccard_pairs",
         "d09_dup_clusters",
         "d10_contamination",
+        "d11_semantic_dedup",
         "t18_sequence_packing",
         "t14_token_chunks",
         "t16_repetition_stats",

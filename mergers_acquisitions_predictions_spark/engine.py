@@ -95,7 +95,17 @@ class Engine:
             # plan reads — transfer ownership or its finalizer would
             # free the (non-recomputable) blocks when `clusters` dies.
             return own_caches(df.join(keep, id_col, "left_semi"), clusters)
-        raise ValueError(f"unknown dedup method {method!r} (exact|cluster)")
+        if method == "semantic":
+            from .operators.similarity import semantic_dedup
+            from .operators.util import own_caches
+
+            id_col = kw.setdefault("id_col", "vec_id")
+            labeled = semantic_dedup(df, **kw)
+            keep = labeled.filter("keep").select(id_col)
+            return own_caches(df.join(keep, id_col, "left_semi"), labeled)
+        raise ValueError(
+            f"unknown dedup method {method!r} (exact|cluster|semantic)"
+        )
 
     def neardup_pairs(self, df: DataFrame, method: str = "lsh", **kw) -> DataFrame:
         """Near-duplicate pair finding: 'lsh' (MinHash banding

@@ -408,6 +408,127 @@ def lsh_neardup_pairs(
     return own_caches(out, idx)
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ``n_cells`` lowest-id corpus vectors as a centroid table
+    (cell_id, cent_vec, cent_norm) — deterministic, hence
+    oracle-replayable (`plans/lsh_oracle.ivf_cent_cte_sql`). A
+    production index fits k-means instead; the consumers below only
+    need SOME small centroid table, so the swap is drop-in."""
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).alias("cent_vec"),
+            l2_norm(F.col(vec_col)).alias("cent_norm"),
+        )
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    cent: DataFrame,
+    id_alias: str,
+    probes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``probes`` nearest centroid cells:
+    broadcast of the tiny centroid table, one map-side cosine per
+    (vector, centroid), one argmax window keyed by vector id. Returns
+    (id_alias, __vec, __norm, cell_id) — one row per probed cell."""
+    side = df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias("__vec"),
+        l2_norm(F.col(vec_col)).alias("__norm"),
+    )
+    cos = dot(F.col("__vec"), F.col("cent_vec")) / (
+        F.col("__norm") * F.col("cent_norm")
+    )
+    w = W.partitionBy(id_alias).orderBy(F.desc("__cell_sim"), F.asc("cell_id"))
+    return (
+        side.join(F.broadcast(cent), F.lit(True))
+        .select(
+            id_alias,
+            "__vec",
+            "__norm",
+            "cell_id",
+            F.round(cos, 6).alias("__cell_sim"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= probes)
+        .select(id_alias, "__vec", "__norm", "cell_id")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication in the SemDeDup shape (Abbas et al.,
+    2023, arXiv:2303.09540): cluster embeddings into ``n_cells`` cells,
+    find cosine-similar pairs WITHIN each cell only, resolve the dup
+    graph to connected components, keep one representative (the min-id
+    member) per component. Returns one row per vector:
+    (id, cell_id, cluster_id, keep).
+
+    Scale shape: the clustering bounds the quadratic pair space to
+    Σ|cell|² — the whole point of the method at 10⁹ vectors, where
+    all-pairs (d05) is impossible. Every stage is distributed: cell
+    assignment is a broadcast + argmax window, the pair search a
+    cell-keyed self equi-join, components the iterative min-label
+    propagation of `dedup.dup_clusters`. Recall is bounded by cell
+    purity (cross-cell near-dups are missed) — raise n_cells for
+    smaller cells and lower recall, or run d07's sign-LSH variant when
+    recall matters more than the cluster structure."""
+    from .dedup import dup_clusters
+    from .util import own_caches
+
+    cent = ivf_centroids(df, n_cells, id_col, vec_col)
+    asg = ivf_assign(repartition_for_compute(df), cent, id_col, 1, id_col, vec_col)
+    a = asg.select(
+        F.col(id_col).alias("a_id"),
+        F.col("__vec").alias("a_vec"),
+        F.col("__norm").alias("a_norm"),
+        "cell_id",
+    )
+    b = asg.select(
+        F.col(id_col).alias("b_id"),
+        F.col("__vec").alias("b_vec"),
+        F.col("__norm").alias("b_norm"),
+        "cell_id",
+    )
+    cos = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    clusters = dup_clusters(df, pairs, id_col=id_col)
+    out = (
+        asg.select(id_col, "cell_id")
+        .join(clusters, id_col)
+        .select(
+            id_col,
+            "cell_id",
+            "cluster_id",
+            (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+        )
+    )
+    # clusters' label frame is a localCheckpoint — transfer its
+    # ownership to the composed plan (see own_local_checkpoint).
+    return own_caches(out, clusters)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -436,41 +557,10 @@ def ivf_topk(
     cells, so the approximate result is value-checkable). A production
     index would instead fit k-means (pyspark.ml, m05 machinery) and
     persist the centroid table; every join shape below is unchanged."""
-    cent = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cell_id"),
-            F.col(vec_col).alias("cent_vec"),
-            l2_norm(F.col(vec_col)).alias("cent_norm"),
-        )
-    )
+    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
 
     def assign(df: DataFrame, id_alias: str, probes: int) -> DataFrame:
-        side = df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias("__vec"),
-            l2_norm(F.col(vec_col)).alias("__norm"),
-        )
-        cos = dot(F.col("__vec"), F.col("cent_vec")) / (
-            F.col("__norm") * F.col("cent_norm")
-        )
-        w = W.partitionBy(id_alias).orderBy(
-            F.desc("__cell_sim"), F.asc("cell_id")
-        )
-        return (
-            side.join(F.broadcast(cent), F.lit(True))
-            .select(
-                id_alias,
-                "__vec",
-                "__norm",
-                "cell_id",
-                F.round(cos, 6).alias("__cell_sim"),
-            )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= probes)
-            .select(id_alias, "__vec", "__norm", "cell_id")
-        )
+        return ivf_assign(df, cent, id_alias, probes, id_col, vec_col)
 
     c = assign(repartition_for_compute(corpus), "candidate_id", 1).select(
         "candidate_id",

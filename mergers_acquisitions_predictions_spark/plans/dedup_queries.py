@@ -433,3 +433,55 @@ def d10_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shared").cast("long").alias("n_shared"),
         F.round(F.col("n_shared") / F.col("n"), 6).alias("contamination"),
     )
+
+
+from .lsh_oracle import ivf_assign_sql, ivf_cent_cte_sql  # noqa: E402
+
+
+@query(
+    "d11_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE cent AS ({ivf_cent_cte_sql(8)}
+    ),
+    assign AS ({ivf_assign_sql("", "vec_id", 1)}
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM assign a JOIN assign b
+          ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        WHERE round({SQL_DOT.format(a='a.vec', b='b.vec')}
+                    / (a.nrm * b.nrm), 6) >= 0.4
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs
+    ),
+    reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+        SELECT e.vec_id,
+               least(e.vec_id, coalesce(min(r.v), e.vec_id)) AS cluster_id
+        FROM embeddings e LEFT JOIN reach r ON r.u = e.vec_id
+        GROUP BY e.vec_id
+    )
+    SELECT c.vec_id, a.cell_id, c.cluster_id,
+           c.vec_id = c.cluster_id AS keep
+    FROM clusters c JOIN assign a ON a.vec_id = c.vec_id
+    """,
+)
+def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup in the SemDeDup shape (operators/similarity.
+    semantic_dedup): embeddings → 8 IVF cells → WITHIN-cell cosine
+    pairs ≥ 0.4 → connected components → keep the min-id member of
+    each component. The clustering bounds the quadratic pair space to
+    Σ|cell|² — the structure that makes embedding dedup feasible at
+    10⁹ vectors where all-pairs (d05) is impossible. Deterministic
+    centroids make the approximate result fully value-checkable: the
+    oracle replays cells, pairs, and the transitive closure."""
+    from ..operators.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.4, n_cells=8)

@@ -76,3 +76,31 @@ def hamming1_probe_sql(n_planes: int, base: str = "qb") -> str:
                || substr(bucket, CAST(r.i AS INTEGER) + 2,
                          {n_planes} - CAST(r.i AS INTEGER) - 1) AS bucket
         FROM {base} CROSS JOIN range(0, {n_planes}) r(i)"""
+
+
+def ivf_cent_cte_sql(n_cells: int) -> str:
+    """DuckDB mirror of `operators/similarity.ivf_centroids`: the
+    ``n_cells`` lowest-id corpus vectors as (cell_id, cvec, cnorm)."""
+    return f"""
+        SELECT vec_id AS cell_id, embedding AS cvec,
+               sqrt({SQL_SQNORM.format(v='embedding')}) AS cnorm
+        FROM embeddings ORDER BY vec_id LIMIT {n_cells}"""
+
+
+def ivf_assign_sql(filter_sql: str, id_alias: str, probes: int) -> str:
+    """DuckDB mirror of `operators/similarity.ivf_assign`:
+    argmax-cosine cell assignment over a `cent` CTE (rounded to 6 dp
+    with cell-id tiebreak, same as the Spark window)."""
+    return f"""
+        SELECT {id_alias}, vec, nrm, cell_id FROM (
+            SELECT e.vec_id AS {id_alias}, e.embedding AS vec,
+                   sqrt({SQL_SQNORM.format(v='e.embedding')}) AS nrm,
+                   ct.cell_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({SQL_DOT.format(a='e.embedding', b='ct.cvec')}
+                                / (sqrt({SQL_SQNORM.format(v='e.embedding')}) * ct.cnorm),
+                                6) DESC, ct.cell_id
+                   ) AS rn
+            FROM (SELECT * FROM embeddings {filter_sql}) e CROSS JOIN cent ct
+        ) WHERE rn <= {probes}"""

@@ -122,32 +122,14 @@ def s03_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e.filter(F.col("vec_id") < 5), e, k=5, multiprobe=True)
 
 
-def _ivf_assign_sql(filter_sql: str, id_alias: str, probes: int) -> str:
-    """DuckDB mirror of operators/similarity.ivf_topk's cell
-    assignment: argmax-cosine over the deterministic centroid table
-    (rounded to 6 dp with cell-id tiebreak, same as the Spark window)."""
-    return f"""
-        SELECT {id_alias}, vec, nrm, cell_id FROM (
-            SELECT e.vec_id AS {id_alias}, e.embedding AS vec,
-                   sqrt({SQL_SQNORM.format(v='e.embedding')}) AS nrm,
-                   ct.cell_id,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY round({SQL_DOT.format(a='e.embedding', b='ct.cvec')}
-                                / (sqrt({SQL_SQNORM.format(v='e.embedding')}) * ct.cnorm),
-                                6) DESC, ct.cell_id
-                   ) AS rn
-            FROM (SELECT * FROM embeddings {filter_sql}) e CROSS JOIN cent ct
-        ) WHERE rn <= {probes}"""
+from .lsh_oracle import ivf_assign_sql as _ivf_assign_sql  # noqa: E402
+from .lsh_oracle import ivf_cent_cte_sql as _ivf_cent_cte_sql  # noqa: E402
 
 
 @query(
     "s04_ivf_ann_topk",
     oracle=f"""
-    WITH cent AS (
-        SELECT vec_id AS cell_id, embedding AS cvec,
-               sqrt({SQL_SQNORM.format(v='embedding')}) AS cnorm
-        FROM embeddings ORDER BY vec_id LIMIT 16
+    WITH cent AS ({_ivf_cent_cte_sql(16)}
     ),
     c_assign AS ({_ivf_assign_sql("", "candidate_id", 1)}
     ),

@@ -50,3 +50,29 @@ def test_engine_operator_dispatchers(spark):
         eng.dedup(docs, "nope")
     with pytest.raises(ValueError, match="unknown ann"):
         eng.ann_topk(emb, emb, "nope")
+
+
+def test_engine_semantic_dedup(spark):
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    eng = Engine(spark, SF)
+    emb = eng.table("embeddings")
+    n = emb.count()
+
+    labeled = semantic_dedup(emb, threshold=0.4, n_cells=8)
+    rows = labeled.collect()
+    assert len(rows) == n  # one verdict per vector
+    # exactly one kept representative per cluster, and it IS the
+    # cluster label (min-id member)
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    for cid, members in clusters.items():
+        kept = [r for r in members if r.keep]
+        assert len(kept) == 1 and kept[0].vec_id == cid == min(r.vec_id for r in members)
+
+    deduped = eng.dedup(emb, "semantic", threshold=0.4, n_cells=8)
+    assert deduped.columns == emb.columns
+    assert deduped.count() == len(clusters)
