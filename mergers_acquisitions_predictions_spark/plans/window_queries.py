@@ -77,29 +77,6 @@ def q18_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q19_sliding_windows",
-    oracle="""
-    SELECT ws.window_start, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
-    FROM events e
-    CROSS JOIN LATERAL (
-        SELECT unnest([
-            time_bucket(INTERVAL '5 minutes', e.ts),
-            time_bucket(INTERVAL '5 minutes', e.ts) - INTERVAL '5 minutes'
-        ]) AS window_start
-    ) ws
-    GROUP BY ws.window_start
-    """,
-)
-def q19_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows: 10-minute length, 5-minute slide — every event
-    lands in exactly 2 windows. Spark's `F.window(ts, '10 minutes',
-    '5 minutes')` does the window replication natively; the oracle
-    reproduces it by unnesting the two epoch-aligned window starts."""
-    e = load_table(spark, sf_dir, "events")
-    return sliding_window_agg(e, "ts", "10 minutes", "5 minutes")
-
-
-@query(
     "q39_asof_attribution",
     oracle="""
     SELECT purchase_id, user_id, click_id,
@@ -162,6 +139,29 @@ def q39_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("secs_between"),
         )
     )
+
+
+@query(
+    "q19_sliding_windows",
+    oracle="""
+    SELECT ws.window_start, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+    FROM events e
+    CROSS JOIN LATERAL (
+        SELECT unnest([
+            time_bucket(INTERVAL '5 minutes', e.ts),
+            time_bucket(INTERVAL '5 minutes', e.ts) - INTERVAL '5 minutes'
+        ]) AS window_start
+    ) ws
+    GROUP BY ws.window_start
+    """,
+)
+def q19_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 10-minute length, 5-minute slide — every event
+    lands in exactly 2 windows. Spark's `F.window(ts, '10 minutes',
+    '5 minutes')` does the window replication natively; the oracle
+    reproduces it by unnesting the two epoch-aligned window starts."""
+    e = load_table(spark, sf_dir, "events")
+    return sliding_window_agg(e, "ts", "10 minutes", "5 minutes")
 
 
 @query(
