@@ -113,3 +113,32 @@ def read_csv(
     if date_format:
         reader = reader.option("dateFormat", date_format)
     return reader.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = "_corrupt_record",
+) -> DataFrame:
+    """JSON-Lines scan — the interchange format most large text
+    corpora arrive in (one JSON document per line; splittable, so a
+    100 TB directory parallelizes by line ranges like any text scan).
+
+    Schema is REQUIRED: inference reads the whole input twice and
+    silently widens types on dirty data; a 100 TB pipeline declares
+    its schema and routes undecodable lines to ``corrupt_col``
+    (PERMISSIVE) or drops them (DROPMALFORMED) instead of failing the
+    job five hours in."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if corrupt_col and mode.upper() == "PERMISSIVE":
+        if corrupt_col not in schema.fieldNames():
+            schema = schema.add(corrupt_col, T.StringType())
+        reader = spark.read.schema(schema).option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    else:
+        reader = spark.read.schema(schema)
+    return reader.option("mode", mode).json(path)

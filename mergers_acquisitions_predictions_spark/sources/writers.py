@@ -32,3 +32,12 @@ def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite", header: 
     driver-sized results (top-k exports); everything else should use
     :func:`write_csv`."""
     df.coalesce(1).write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-Lines sink (one JSON object per line, splittable on read).
+    Distributed multi-part output like the parquet sink — a single
+    consolidated file is an anti-pattern at corpus scale; use
+    `write_single_csv`'s coalesce approach only for driver-sized
+    finals."""
+    df.write.mode(mode).json(path)
