@@ -12,14 +12,28 @@ before it — a two-phase scan, the textbook parallel prefix-sum shape.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+def _order_cols(order_col: str | Sequence[str]) -> list[str]:
+    return [order_col] if isinstance(order_col, str) else list(order_col)
+
+
+def _ranged_with_pid(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Range-partition by the order key(s) — partition i holds keys
+    strictly below partition i+1 — and stamp the partition id."""
+    return df.repartitionByRange(*[F.col(c) for c in cols]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+
+
 def global_running_sum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | Sequence[str],
     value_col: str,
     out_col: str = "running_sum",
 ) -> DataFrame:
@@ -36,17 +50,17 @@ def global_running_sum(
     pid-keyed window exchange), one broadcast of #partitions rows —
     versus the one-task global window that dies at scale.
 
-    ``order_col`` must be unique (or ties must be order-insensitive:
-    equal keys land in the same partition and their relative order
-    within the running sum is then the window's tiebreak on the key
-    itself, i.e. stable only per-key-group totals are meaningful).
+    ``order_col`` (a column name or a sequence of them) must be unique
+    (or ties must be order-insensitive: equal keys land in the same
+    partition and their relative order within the running sum is then
+    the window's tiebreak on the key itself, i.e. with ties only
+    per-key-group totals are meaningful).
     """
-    ranged = df.repartitionByRange(F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    cols = _order_cols(order_col)
+    ranged = _ranged_with_pid(df, cols)
     w = (
         W.partitionBy("__pid")
-        .orderBy(order_col)
+        .orderBy(*cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     local = ranged.withColumn("__local_cum", F.sum(value_col).over(w))
@@ -63,4 +77,36 @@ def global_running_sum(
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.col("__local_cum") + F.col("__offset"))
         .drop("__pid", "__local_cum", "__offset")
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_col: str | Sequence[str],
+    out_col: str = "row_num",
+) -> DataFrame:
+    """1-based global row number in ``order_col`` order — the
+    distributed replacement for ``row_number() OVER (ORDER BY ...)``,
+    whose empty PARTITION BY funnels the whole table through one task.
+
+    Same two-phase shape as :func:`global_running_sum`: range
+    partition, per-partition ``row_number`` keyed on the partition id,
+    then shift by the preceding partitions' row counts (a broadcast of
+    #partitions rows). The order key(s) must form a total order
+    (append a unique id as tiebreak) or ranks within ties are
+    partition-placement-dependent."""
+    cols = _order_cols(order_col)
+    ranged = _ranged_with_pid(df, cols)
+    w = W.partitionBy("__pid").orderBy(*cols)
+    local = ranged.withColumn("__local_rn", F.row_number().over(w))
+    totals = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__ptotal"))
+    off_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__ptotal").over(off_w), F.lit(0)).alias("__offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__local_rn") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local_rn", "__offset")
     )

@@ -665,3 +665,57 @@ def t18_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (last_pack - first_pack + 1).alias("n_packs"),
         )
     )
+
+
+@query(
+    "t19_quality_rank_filter",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               CASE WHEN len(tok) = 0 THEN 0.0
+                    ELSE round(
+                        least(len(tok) / 100.0, 1.0)
+                        * greatest(0.0, 1.0 - abs(
+                            list_sum(list_transform(tok, t -> CAST(length(t) AS DOUBLE)))
+                            / len(tok) - 5.0) / 10.0), 6)
+               END AS quality
+        FROM (SELECT doc_id, {SQL_TOKENS} AS tok FROM documents)
+    ),
+    r AS (
+        SELECT doc_id, quality,
+               row_number() OVER (ORDER BY quality, doc_id) AS q_rank,
+               count(*) OVER () AS n
+        FROM q
+    )
+    SELECT doc_id, quality, CAST(q_rank AS BIGINT) AS q_rank,
+           round((q_rank - 1.0) / (n - 1.0), 6) AS pct_rank
+    FROM r
+    WHERE round((q_rank - 1.0) / (n - 1.0), 6) >= 0.1
+    """,
+)
+def t19_quality_rank_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based quality curation: rank every document by its
+    quality score (t11's heuristic) across the WHOLE corpus and drop
+    the bottom decile — the dynamic-threshold filter real pipelines
+    use when an absolute cutoff would over/under-prune as the corpus
+    mix drifts.
+
+    The global rank is the scale-critical piece: ``row_number() OVER
+    (ORDER BY ...)`` with no partitioning is a one-task bottleneck, so
+    this uses `operators/ordered.global_row_number` (range partition +
+    per-partition rank + broadcast offsets). The corpus size scalar
+    arrives via a broadcast single-row aggregate, never a collect."""
+    from ..operators.ordered import global_row_number
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(quality_score(tokenize("text")), 6).alias("quality"),
+    )
+    ranked = global_row_number(scored, ["quality", "doc_id"], out_col="q_rank")
+    n = scored.agg(F.count(F.lit(1)).alias("__n"))
+    pct = F.round((F.col("q_rank") - 1.0) / (F.col("__n") - 1.0), 6)
+    return (
+        ranked.join(F.broadcast(n))
+        .select("doc_id", "quality", "q_rank", pct.alias("pct_rank"))
+        .filter(F.col("pct_rank") >= 0.1)
+    )

@@ -205,3 +205,21 @@ def test_global_running_sum_stays_distributed(spark):
     # is intentional and driver-sized.)
     assert "rangepartitioning(k" in plan
     assert "windowspecdefinition(__pid" in plan
+
+
+def test_global_row_number_matches_global_window(spark):
+    from pyspark.sql import Window as W
+
+    from mergers_acquisitions_predictions_spark.operators.ordered import (
+        global_row_number,
+    )
+
+    rows = [((i * 37) % 101, i) for i in range(500)]
+    df = spark.createDataFrame(rows, ["v", "id"]).repartition(8)
+    got = {r.id: r.row_num for r in global_row_number(df, ["v", "id"]).collect()}
+    w = W.orderBy("v", "id")
+    want = {
+        r.id: r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
