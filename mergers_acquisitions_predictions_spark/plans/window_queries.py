@@ -39,44 +39,6 @@ def q17_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q18_session_windows",
-    oracle="""
-    WITH flagged AS (
-        SELECT user_id, ts, value,
-               CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
-                     OR lag(ts) OVER w IS NULL
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), numbered AS (
-        SELECT user_id, ts, value,
-               sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_id
-        FROM flagged
-    )
-    SELECT user_id,
-           min(ts)              AS session_start,
-           count(*)             AS n_events,
-           round(sum(value), 2) AS sum_value
-    FROM numbered
-    GROUP BY user_id, session_id
-    """,
-)
-def q18_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows, 30-minute inactivity gap, per user — the
-    gaps-and-islands formulation (lag → new-session flag → running sum
-    → group), which matches `F.session_window` session boundaries and
-    is expressible in ANSI SQL for the oracle.
-
-    Scale: one shuffle on user_id feeds both window functions and the
-    final agg (same partitioning reused)."""
-    e = load_table(spark, sf_dir, "events")
-    return session_windows_batch(e, ts="ts", key="user_id", gap_minutes=30, value="value")
-
-
-@query(
     "q39_asof_attribution",
     oracle="""
     SELECT purchase_id, user_id, click_id,
@@ -139,6 +101,44 @@ def q39_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("secs_between"),
         )
     )
+
+
+@query(
+    "q18_session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                     OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts)              AS session_start,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q18_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30-minute inactivity gap, per user — the
+    gaps-and-islands formulation (lag → new-session flag → running sum
+    → group), which matches `F.session_window` session boundaries and
+    is expressible in ANSI SQL for the oracle.
+
+    Scale: one shuffle on user_id feeds both window functions and the
+    final agg (same partitioning reused)."""
+    e = load_table(spark, sf_dir, "events")
+    return session_windows_batch(e, ts="ts", key="user_id", gap_minutes=30, value="value")
 
 
 @query(
