@@ -430,6 +430,49 @@ def ivf_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """FITTED centroid table for the IVF index — the production
+    replacement for `ivf_centroids`' deterministic anchor vectors:
+    k-means (fixed seed) learns cells that follow the data
+    distribution, so cell populations are balanced. Returns the same
+    (cell_id, cent_vec, cent_norm) schema, so `ivf_assign`/
+    `ivf_topk`/`semantic_dedup` consume it unchanged.
+
+    SPHERICAL fit: vectors are L2-normalized before training, because
+    the index assigns by COSINE — Euclidean k-means on raw vectors
+    learns cells that cosine assignment then disagrees with. On the
+    unit sphere the two metrics rank identically.
+
+    The model's centers are driver-sized (n_cells × dim floats) by
+    construction — materializing them into a small DataFrame is the
+    index-build step a real deployment persists once and broadcasts
+    forever after; training is pyspark.ml's distributed Lloyd
+    iterations over the corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
+    )
+    feat = corpus.select(array_to_vector(unit).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feat)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent = spark.createDataFrame(rows, "cell_id BIGINT, cent_vec ARRAY<DOUBLE>")
+    return cent.select(
+        "cell_id", "cent_vec", l2_norm(F.col("cent_vec")).alias("cent_norm")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     cent: DataFrame,
@@ -537,6 +580,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the
     cell-partitioned counterpart of the sign-LSH path: every corpus
@@ -556,8 +600,13 @@ def ivf_topk(
     deterministic and oracle-replayable (DuckDB regenerates the same
     cells, so the approximate result is value-checkable). A production
     index would instead fit k-means (pyspark.ml, m05 machinery) and
-    persist the centroid table; every join shape below is unchanged."""
-    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    persist the centroid table; every join shape below is unchanged —
+    pass such a table (e.g. `kmeans_centroids`) via ``centroids``."""
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_cells, id_col, vec_col)
+    )
 
     def assign(df: DataFrame, id_alias: str, probes: int) -> DataFrame:
         return ivf_assign(df, cent, id_alias, probes, id_col, vec_col)

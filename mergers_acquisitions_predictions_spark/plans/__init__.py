@@ -24,5 +24,6 @@ from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
 from . import relational4  # noqa: E402,F401
+from . import extra_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,38 @@
+"""Late-registered queries — variants whose value is the LOCAL test
+surface (determinism, recall bounds), registered AFTER the driver's
+50-entry CORRECTNESS window on purpose: a rows-only row in the window
+would displace a full value-parity row, and these have no SQL oracle
+by nature (iterative ML fitting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .registry import query
+
+
+@query("s05_ivf_kmeans_topk")  # rows-only: k-means fit is not SQL-expressible
+def s05_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION configuration of the IVF index (s04 with learned
+    cells): k-means-fitted centroids (fixed seed → reproducible)
+    instead of s04's deterministic anchor vectors. Same join shapes —
+    broadcast centroid assignment, cell-keyed probe equi-join; the fit
+    is the one-time index build a deployment persists. Locally tested
+    for determinism and a recall floor (tests/test_similarity.py).
+
+    Config note: this synthetic corpus has weak cosine structure (max
+    pairwise cos ≈ 0.51), so learned query-agnostic cells scatter the
+    true neighbor sets — 8 cells × 4 probes holds recall at ~0.8 here.
+    (s04's anchor centroids look better locally only because its test
+    queries ARE anchors, i.e. every query sits at its own cell
+    center.) On corpora with real cluster structure the learned index
+    dominates; k and n_probe are the standard IVF recall knobs."""
+    from ..operators.similarity import ivf_topk, kmeans_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(e, n_cells=8)
+    return ivf_topk(
+        e.filter(F.col("vec_id") < 5), e, k=5, n_probe=4, centroids=cent
+    )

@@ -40,7 +40,15 @@ def test_north_star_queries_inside_driver_correctness_window():
     q* may rotate out."""
     from mergers_acquisitions_predictions_spark.plans import QUERIES
 
+    # Deliberate exceptions: rows-only variants registered late ON
+    # PURPOSE (plans/extra_queries.py) — a rows-only row inside the
+    # window would displace a full value-parity row.
+    deliberate_late = {"s05_ivf_kmeans_topk"}
+
     names = list(QUERIES)
     window = set(names[:50])
-    outside = [n for n in names[50:] if n[0] in "dsmtuj"]
+    outside = [
+        n for n in names[50:] if n[0] in "dsmtuj" and n not in deliberate_late
+    ]
     assert not outside, f"north-star queries past the driver window: {outside}"
+    assert deliberate_late.isdisjoint(window), "late-listed query moved into window"

@@ -104,3 +104,28 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert len(exact & ivf) / len(exact) >= 0.8
     # every IVF hit is scored exactly — no false similarities
     assert len(ivf) == len(exact)
+
+
+def test_kmeans_ivf_deterministic_and_recall(spark):
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter("vec_id < 5")
+    cent = kmeans_centroids(e, n_cells=8)
+    got1 = {(r.query_id, r.candidate_id) for r in ivf_topk(q, e, k=5, n_probe=4, centroids=cent).collect()}
+    # Same seed, fresh fit: the learned index is reproducible.
+    cent2 = kmeans_centroids(e, n_cells=8)
+    got2 = {(r.query_id, r.candidate_id) for r in ivf_topk(q, e, k=5, n_probe=4, centroids=cent2).collect()}
+    assert got1 == got2
+
+    exact = {(r.query_id, r.candidate_id) for r in brute_force_topk(q, e, k=5).collect()}
+    recall = len(got1 & exact) / len(exact)
+    # This corpus has weak cosine structure (max pairwise cos ~0.51),
+    # which bounds query-agnostic IVF recall — 8 cells x 4 probes
+    # measured at 0.8; floor with slack for kmeans tie-breaks.
+    assert recall >= 0.7, recall
