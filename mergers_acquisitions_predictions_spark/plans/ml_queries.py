@@ -72,7 +72,8 @@ def m03_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topics_as_rows(model, cv.vocabulary, top_n=5)
 
 
-@query("m05_kmeans_clusters")  # rows-only: iterative algorithm, not SQL
+# Registered LATE (plans/extra_queries.py): rows-only — a no-oracle row
+# inside the driver's 50-entry window would displace a value-parity one.
 def m05_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans over the embeddings table (k = 10, seed 42) — the
     iterative-algorithm surface (driver-coordinated Lloyd iterations,
