@@ -143,3 +143,20 @@ class Engine:
             raise ValueError(
                 f"unknown ann method {method!r} ({'|'.join(fns)})"
             ) from None
+
+    def contamination(
+        self, train_docs: DataFrame, eval_docs: DataFrame, **kw
+    ) -> DataFrame:
+        """Benchmark decontamination: per-train-doc shingle overlap
+        with the (small, broadcast) eval corpus. Anti-join the corpus
+        against the returned ids to decontaminate."""
+        from .operators.curation import contamination
+
+        return contamination(train_docs, eval_docs, **kw)
+
+    def pack_sequences(self, docs: DataFrame, seq_len: int = 256, **kw) -> DataFrame:
+        """Concat-and-chunk sequence packing: each document's position
+        in the fixed-length training-sequence stream."""
+        from .operators.curation import pack_sequences
+
+        return pack_sequences(docs, seq_len=seq_len, **kw)

@@ -1,0 +1,83 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination and sequence packing as library calls (the registered
+queries d10/t18 delegate here, so engine users get the same plans
+without going through the registry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokenize
+from .ordered import global_running_sum
+from .util import repartition_for_compute
+
+
+def contamination(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Flag training documents sharing any word-``shingle_n``-gram with
+    an evaluation corpus: (id, n_shared, contamination∈[0,1]).
+
+    Scale shape: the eval side is SMALL by construction (benchmarks
+    are thousands of documents, the corpus is billions), so its
+    distinct-shingle set is broadcast and the train side is pruned in
+    ONE map-side semi-join pass over the scan — no shuffle ever
+    carries the full corpus' postings. Decontaminate with an anti-join
+    of the corpus against the returned ids."""
+    ev = (
+        repartition_for_compute(eval_docs)
+        .select(F.explode(shingles(tokenize(F.col(text_col)), shingle_n)).alias("shingle"))
+        .distinct()
+    )
+    tr = repartition_for_compute(train_docs).select(
+        id_col, shingles(tokenize(F.col(text_col)), shingle_n).alias("__sh")
+    )
+    hits = (
+        tr.select(id_col, F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle"))
+        .join(F.broadcast(ev), "shingle")
+        .groupBy(id_col, "__n")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits.select(
+        id_col,
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.round(F.col("n_shared") / F.col("__n"), 6).alias("contamination"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — assign every document its
+    position in the fixed-``seq_len``-token training-sequence stream
+    (documents concatenated in global ``id_col`` order, boundaries may
+    split a document): (id, n_tokens, start_offset, first_pack,
+    last_pack, n_packs).
+
+    The global running token offset uses `ordered.global_running_sum`
+    (range partition + per-partition scan + broadcast prefix offsets)
+    — never a one-task global window. Zero-token documents are
+    dropped (they occupy no stream positions)."""
+    d = repartition_for_compute(docs).select(
+        id_col, F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    cum = global_running_sum(d, id_col, "n_tokens", out_col="cum_tokens")
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    first_pack = F.floor(start / F.lit(float(seq_len)))
+    last_pack = F.floor((F.col("cum_tokens") - 1) / F.lit(float(seq_len)))
+    return cum.filter(F.col("n_tokens") > 0).select(
+        id_col,
+        "n_tokens",
+        start.alias("start_offset"),
+        first_pack.alias("first_pack"),
+        last_pack.alias("last_pack"),
+        (last_pack - first_pack + 1).alias("n_packs"),
+    )

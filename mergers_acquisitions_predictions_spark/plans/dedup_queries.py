@@ -401,38 +401,17 @@ def d10_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — eval n-grams leaking into training data corrupt the
     benchmark.
 
-    Scale shape: the eval side is SMALL by construction (benchmarks
-    are thousands of documents, the corpus is billions), so its
-    distinct-shingle set is broadcast and the train side is pruned in
-    ONE map-side semi-join pass over the scan — no shuffle touches the
-    full corpus' postings. The per-doc overlap count then aggregates
-    only the surviving (contaminated) rows."""
-    d = load_table(spark, sf_dir, "documents")
-    from ..functions.text import shingles
-    from ..operators.util import repartition_for_compute
+    Scale shape (operators/curation.contamination): the eval side is
+    SMALL by construction (benchmarks are thousands of documents, the
+    corpus is billions), so its distinct-shingle set is broadcast and
+    the train side is pruned in ONE map-side semi-join pass over the
+    scan — no shuffle touches the full corpus' postings. The per-doc
+    overlap count then aggregates only the surviving rows."""
+    from ..operators.curation import contamination
 
-    sh = repartition_for_compute(d).select(
-        "doc_id",
-        "source",
-        shingles(tokenize(F.col("text")), 3).alias("sh"),
-    )
-    ev = (
-        sh.filter(F.col("source") == "src0")
-        .select(F.explode("sh").alias("shingle"))
-        .distinct()
-    )
-    tr = sh.filter(F.col("source") != "src0")
-    hits = (
-        tr.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
-        .join(F.broadcast(ev), "shingle")
-        .groupBy("doc_id", "n")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    return hits.select(
-        "doc_id",
-        F.col("n_shared").cast("long").alias("n_shared"),
-        F.round(F.col("n_shared") / F.col("n"), 6).alias("contamination"),
-    )
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("source") == "src0"
+    return contamination(d.filter(~is_eval), d.filter(is_eval))
 
 
 from .lsh_oracle import ivf_assign_sql, ivf_cent_cte_sql  # noqa: E402

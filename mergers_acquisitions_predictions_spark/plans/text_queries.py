@@ -641,30 +641,13 @@ def t18_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The global running token offset is the scale-critical piece: a
     bare ``Window.orderBy`` would funnel the corpus through ONE task,
-    so this uses ``operators/ordered.global_running_sum`` — range
-    partition + per-partition scan + broadcast prefix offsets; every
-    stage stays distributed at any corpus size."""
-    from ..operators.ordered import global_running_sum
+    so `operators/curation.pack_sequences` uses
+    ``operators/ordered.global_running_sum`` — range partition +
+    per-partition scan + broadcast prefix offsets; every stage stays
+    distributed at any corpus size."""
+    from ..operators.curation import pack_sequences
 
-    seq_len = 256
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.size(tokenize("text")).cast("long").alias("n_tokens")
-    )
-    cum = global_running_sum(d, "doc_id", "n_tokens", out_col="cum_tokens")
-    start = F.col("cum_tokens") - F.col("n_tokens")
-    first_pack = F.floor(start / F.lit(float(seq_len)))
-    last_pack = F.floor((F.col("cum_tokens") - 1) / F.lit(float(seq_len)))
-    return (
-        cum.filter(F.col("n_tokens") > 0)
-        .select(
-            "doc_id",
-            "n_tokens",
-            start.alias("start_offset"),
-            first_pack.alias("first_pack"),
-            last_pack.alias("last_pack"),
-            (last_pack - first_pack + 1).alias("n_packs"),
-        )
-    )
+    return pack_sequences(load_table(spark, sf_dir, "documents"), seq_len=256)
 
 
 @query(

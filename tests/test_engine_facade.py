@@ -76,3 +76,24 @@ def test_engine_semantic_dedup(spark):
     deduped = eng.dedup(emb, "semantic", threshold=0.4, n_cells=8)
     assert deduped.columns == emb.columns
     assert deduped.count() == len(clusters)
+
+
+def test_engine_curation_ops(spark):
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, SF)
+    docs = eng.table("documents")
+    is_eval = F.col("source") == "src0"
+
+    hits = eng.contamination(docs.filter(~is_eval), docs.filter(is_eval))
+    assert hits.columns == ["doc_id", "n_shared", "contamination"]
+    assert hits.count() > 0  # synthetic sources share vocabulary
+
+    packed = eng.pack_sequences(docs, seq_len=128)
+    rows = packed.collect()
+    assert len(rows) == docs.filter(F.length("text") > 0).count()
+    total = sum(r.n_tokens for r in rows)
+    # stream positions tile [0, total): last doc ends at the total.
+    last = max(rows, key=lambda r: r.start_offset)
+    assert last.start_offset + last.n_tokens == total
+    assert all(r.last_pack == (r.start_offset + r.n_tokens - 1) // 128 for r in rows)
