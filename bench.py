@@ -58,7 +58,9 @@ def main() -> None:
         "d09_dup_clusters",
         "d10_contamination",
         "d11_semantic_dedup",
+        "d12_incremental_neardup",
         "t18_sequence_packing",
+        "t19_quality_rank_filter",
         "t14_token_chunks",
         "t16_repetition_stats",
         "s02_cosine_topk",
