@@ -109,3 +109,49 @@ def test_discrete_quantile_definition(spark, vals, q):
     got = ranked.agg(F.min(F.when(F.col("rn") >= target, F.col("x")))).first()[0]
     want = sorted(vals)[math.ceil(q * len(vals)) - 1]
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=60),
+    n_parts=st.integers(min_value=1, max_value=7),
+)
+def test_global_running_sum_equals_sequential_scan(spark, vals, n_parts):
+    """The two-phase distributed prefix sum must equal the sequential
+    scan for ANY input layout — including empty range partitions,
+    single rows, and heavy duplicates in the values."""
+    from mergers_acquisitions_predictions_spark.operators.ordered import (
+        global_running_sum,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(n_parts)
+    got = {
+        r.k: r.running_sum for r in global_running_sum(df, "k", "v").collect()
+    }
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        acc += v
+        want[i] = acc
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=-20, max_value=20), min_size=1, max_size=60),
+    n_parts=st.integers(min_value=1, max_value=7),
+)
+def test_global_row_number_is_a_permutation_rank(spark, keys, n_parts):
+    """Ranks are exactly 1..n and agree with Python's stable sort on
+    (key, id) — for any duplicate-heavy key distribution and any
+    input partitioning."""
+    from mergers_acquisitions_predictions_spark.operators.ordered import (
+        global_row_number,
+    )
+
+    rows = [(k, i) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, ["k", "id"]).repartition(n_parts)
+    got = {r.id: r.row_num for r in global_row_number(df, ["k", "id"]).collect()}
+    order = sorted(range(len(keys)), key=lambda i: (keys[i], i))
+    want = {i: rank + 1 for rank, i in enumerate(order)}
+    assert got == want
