@@ -12,11 +12,14 @@ from pyspark.sql import functions as F
 from ..sources.readers import load_table
 from .registry import query
 
-# m05 defined in ml_queries (rows-only: iterative Lloyd fitting), but
-# REGISTERED here so its no-oracle row sits past the checked window.
+# Rows-only queries defined in their home modules but REGISTERED here
+# so their no-oracle rows sit past the checked window: m05 (iterative
+# Lloyd fitting), u03 (fake multimodal payload bytes aren't SQL).
 from .ml_queries import m05_kmeans_clusters  # noqa: E402
+from .udf_queries import u03_multimodal_features  # noqa: E402
 
 query("m05_kmeans_clusters")(m05_kmeans_clusters)
+query("u03_multimodal_features")(u03_multimodal_features)
 
 
 @query("s05_ivf_kmeans_topk")  # rows-only: k-means fit is not SQL-expressible

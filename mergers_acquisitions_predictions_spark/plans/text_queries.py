@@ -702,3 +702,75 @@ def t19_quality_rank_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality", "q_rank", pct.alias("pct_rank"))
         .filter(F.col("pct_rank") >= 0.1)
     )
+
+
+@query(
+    "t20_pack_manifest",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+        FROM tok
+    ),
+    spans AS (
+        SELECT doc_id, n_tokens, cum_tokens,
+               unnest(range(CAST(floor((cum_tokens - n_tokens) / 256.0) AS BIGINT),
+                            CAST(floor((cum_tokens - 1) / 256.0) AS BIGINT) + 1)
+               ) AS pack_id
+        FROM cum WHERE n_tokens > 0
+    )
+    SELECT pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(least(cum_tokens, (pack_id + 1) * 256)
+                    - greatest(cum_tokens - n_tokens, pack_id * 256))
+                AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM spans
+    GROUP BY pack_id
+    """,
+)
+def t20_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PER-PACK view of sequence packing (t18 is per-document):
+    one row per 256-token training sequence with its document count,
+    token occupancy, and covering doc-id span — the manifest a batch
+    loader consumes to fetch exactly the documents of pack N. Every
+    interior pack's n_tokens is exactly 256 (test-asserted); only the
+    final pack is partial.
+
+    Plan: t18's distributed pack assignment, exploded over each
+    document's covered pack range (`sequence(first,last)` — bounded:
+    a doc spans ⌈tokens/256⌉+1 packs), then ONE aggregation keyed by
+    pack_id. Scale note: pack_id is dense and uniform by construction
+    — no skew, and the shuffle carries one short row per (doc, pack)
+    span."""
+    from ..operators.curation import pack_sequences
+
+    seq_len = 256
+    packed = pack_sequences(load_table(spark, sf_dir, "documents"), seq_len=seq_len)
+    end = F.col("start_offset") + F.col("n_tokens")
+    tokens_in = F.least(end, (F.col("pack_id") + 1) * seq_len) - F.greatest(
+        F.col("start_offset"), F.col("pack_id") * seq_len
+    )
+    return (
+        packed.select(
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            F.explode(F.sequence("first_pack", "last_pack")).alias("pack_id"),
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(tokens_in).cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -215,7 +215,8 @@ def u05_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("u03_multimodal_features")  # rows-only: fake payload bytes aren't SQL
+# Registered LATE (plans/extra_queries.py): rows-only — a no-oracle row
+# inside the driver's 50-entry window would displace a value-parity one.
 def u03_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas over binary payloads (multimodal/binary.py): the
     Arrow-batched per-partition iterator surface, driven through the

@@ -97,3 +97,16 @@ def test_engine_curation_ops(spark):
     last = max(rows, key=lambda r: r.start_offset)
     assert last.start_offset + last.n_tokens == total
     assert all(r.last_pack == (r.start_offset + r.n_tokens - 1) // 128 for r in rows)
+
+
+def test_pack_manifest_tiles_the_stream(spark):
+    from mergers_acquisitions_predictions_spark.plans import QUERIES
+
+    rows = QUERIES["t20_pack_manifest"](spark, SF).collect()
+    by_id = sorted(rows, key=lambda r: r.pack_id)
+    # pack ids are dense 0..P-1; every interior pack holds exactly 256
+    # tokens (the stream tiles); only the final pack may be partial.
+    assert [r.pack_id for r in by_id] == list(range(len(by_id)))
+    assert all(r.n_tokens == 256 for r in by_id[:-1])
+    assert 0 < by_id[-1].n_tokens <= 256
+    assert all(r.first_doc <= r.last_doc for r in by_id)

@@ -43,7 +43,11 @@ def test_north_star_queries_inside_driver_correctness_window():
     # Deliberate exceptions: rows-only variants registered late ON
     # PURPOSE (plans/extra_queries.py) — a rows-only row inside the
     # window would displace a full value-parity row.
-    deliberate_late = {"s05_ivf_kmeans_topk", "m05_kmeans_clusters"}
+    deliberate_late = {
+        "s05_ivf_kmeans_topk",
+        "m05_kmeans_clusters",
+        "u03_multimodal_features",
+    }
 
     names = list(QUERIES)
     window = set(names[:50])
