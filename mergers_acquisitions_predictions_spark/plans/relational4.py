@@ -144,3 +144,42 @@ def q44_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_last).cast("long").alias("rn_nulls_last"),
         F.row_number().over(w_first).cast("long").alias("rn_nulls_first"),
     )
+
+
+@query(
+    "q46_unpivot_measures",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(sum(l_discount), 2) AS sum_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+    """,
+)
+def q46_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (`DataFrame.unpivot` / SQL `stack`): one
+    aggregated row per returnflag melts into (flag, measure, value)
+    rows — the reshape feeding metric-per-row sinks and plotting
+    layers. Map-side over the (tiny) aggregate: the melt itself adds
+    zero exchanges; keep unpivot AFTER aggregation so the explode
+    multiplies grouped rows, never the 600k-row fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
