@@ -87,12 +87,15 @@ def banded_frame(
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, band, band_key) LSH banding rows, PERSISTED — the shared
-    index structure behind self-join dedup (`lsh_candidate_pairs`) and
-    shard-vs-index dedup (`incremental_neardup_candidates`). The frame
-    is tiny (n_docs × n_bands short rows) while its lineage — tokenize
-    → shingle → md5 array-mins over the corpus — is the expensive
-    part; callers transfer the cache to their result via own_caches."""
+    """(id, band, band_key) LSH banding rows, PERSISTED for batch
+    inputs — the shared index structure behind self-join dedup
+    (`lsh_candidate_pairs`) and shard-vs-index dedup
+    (`incremental_neardup_candidates`). The frame is tiny (n_docs ×
+    n_bands short rows) while its lineage — tokenize → shingle → md5
+    array-mins over the corpus — is the expensive part; callers
+    transfer the cache to their result via own_caches. STREAMING
+    inputs band identically but skip the persist (caching a streaming
+    frame is illegal; each micro-batch is read once anyway)."""
     sigs = with_minhash_signatures(
         df, text_col, id_col, n_bands * rows_per_band, shingle_n
     )
@@ -107,7 +110,7 @@ def banded_frame(
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
-    return (
+    banded = (
         sigs.select(id_col, *band_cols)
         .select(
             id_col,
@@ -126,8 +129,8 @@ def banded_frame(
             id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
         )
         .filter(F.col("band_key").isNotNull())
-        .persist()
     )
+    return banded if banded.isStreaming else banded.persist()
 
 
 def incremental_neardup_candidates(
