@@ -30,22 +30,37 @@ TABLES = (
 )
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events `ts` column to a session-TZ TIMESTAMP
+    regardless of its physical encoding. The driver test-data has
+    shipped `ts` as TIMESTAMP(NANOS) (read as long under
+    `nanosAsLong`) and as TIMESTAMP(MICROS) without timezone (read as
+    TIMESTAMP_NTZ); DuckDB reads both as a naive microsecond
+    timestamp, so parity means: truncate nanos with integer `div`
+    (ns-since-epoch exceeds double's 2^53 exact range), and cast NTZ
+    to TIMESTAMP — wall-clock preserving because the engine session
+    runs UTC (session.py)."""
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (S5). Self-describing schema; Catalyst prunes
     columns and pushes predicates into the vectorized parquet reader.
 
-    `events.ts` is physically TIMESTAMP(NANOS), which Spark's reader
-    rejects; read it as long nanos and truncate to a microsecond
-    timestamp — the same ns→µs truncation DuckDB applies, keeping
-    oracle parity. Integer `div` (not `/`) because ns-since-epoch
-    exceeds double's 2^53 exact range."""
+    `events.ts` needs per-encoding normalization (see
+    `normalize_events_ts`). The `nanosAsLong` conf is set at runtime
+    so this works under ANY caller's session (the driver harness
+    builds its own SparkSession); it is a no-op for micros data."""
     if name == "events":
-        # Runtime SQL conf so this works under ANY caller's session
-        # (the driver harness builds its own SparkSession).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and not isinstance(df.schema["ts"].dataType, T.TimestampType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

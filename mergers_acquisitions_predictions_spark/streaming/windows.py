@@ -18,33 +18,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-#: Schema of the events stream (TESTDATA.md) with ts as long nanos —
-#: the physical type of the driver parquet (see sources/readers.py).
-EVENTS_NANOS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..sources.readers import normalize_events_ts
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """`readStream` over a parquet directory of events. Streaming
-    sources require an explicit schema; ts arrives as nanos and is
-    truncated to a microsecond timestamp exactly like the batch reader
-    (oracle parity)."""
+    sources require an explicit schema; we peek it with a batch read
+    of the same directory (footer metadata only, driver-side) so the
+    stream tracks whatever physical ts encoding the files carry, then
+    normalize ts exactly like the batch reader (oracle parity)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
-        .parquet(path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    schema = spark.read.parquet(path).schema
+    return normalize_events_ts(spark.readStream.schema(schema).parquet(path))
 
 
 def streaming_tumbling_counts(
