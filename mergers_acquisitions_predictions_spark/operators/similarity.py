@@ -515,6 +515,7 @@ def semantic_dedup(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Semantic deduplication in the SemDeDup shape (Abbas et al.,
     2023, arXiv:2303.09540): cluster embeddings into ``n_cells`` cells,
@@ -531,7 +532,15 @@ def semantic_dedup(
     propagation of `dedup.dup_clusters`. Recall is bounded by cell
     purity (cross-cell near-dups are missed) — raise n_cells for
     smaller cells and lower recall, or run d07's sign-LSH variant when
-    recall matters more than the cluster structure."""
+    recall matters more than the cluster structure.
+
+    ``use_arrow`` routes the within-cell pair scoring through
+    `arrow_pair_cosines` (order-preserving, bit-identical to the fold
+    — see its parity contract). The JVM fold is fine at 64 dims; at
+    768+ the interpreted per-element HOF cost dominates and the Arrow
+    path wins (same crossover as d05/d07's verify stage). Default
+    False so the registered d11 query stays the literal shape of its
+    SQL oracle."""
     from .dedup import dup_clusters
     from .util import own_caches
 
@@ -549,11 +558,16 @@ def semantic_dedup(
         F.col("__norm").alias("b_norm"),
         "cell_id",
     )
-    cos = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))
+    joined = a.join(b, "cell_id").filter(F.col("a_id") < F.col("b_id"))
+    if use_arrow:
+        scored = arrow_pair_cosines(joined, threshold)
+    else:
+        cos = dot(F.col("a_vec"), F.col("b_vec")) / (
+            F.col("a_norm") * F.col("b_norm")
+        )
+        scored = joined.select("a_id", "b_id", cos.alias("cos_sim"))
     pairs = (
-        a.join(b, "cell_id")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
+        scored.select("a_id", "b_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
     clusters = dup_clusters(df, pairs, id_col=id_col)
@@ -581,6 +595,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the
     cell-partitioned counterpart of the sign-LSH path: every corpus
@@ -601,7 +616,12 @@ def ivf_topk(
     cells, so the approximate result is value-checkable). A production
     index would instead fit k-means (pyspark.ml, m05 machinery) and
     persist the centroid table; every join shape below is unchanged —
-    pass such a table (e.g. `kmeans_centroids`) via ``centroids``."""
+    pass such a table (e.g. `kmeans_centroids`) via ``centroids``.
+
+    ``use_arrow`` scores the probe pairs with `arrow_pair_cosines`
+    (threshold −2 ⇒ no prefilter: top-k needs every cosine) instead
+    of the JVM fold — bit-identical ranks (round + row_number stay
+    JVM-side); worth it at 768+ dims, see semantic_dedup."""
     cent = (
         centroids
         if centroids is not None
@@ -623,11 +643,26 @@ def ivf_topk(
         F.col("__norm").alias("q_norm"),
         "cell_id",
     )
-    cos = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
-    scored = (
-        c.join(F.broadcast(q), "cell_id")
-        .filter(F.col("query_id") != F.col("candidate_id"))
-        .select("query_id", "candidate_id", F.round(cos, 6).alias("cos_sim"))
+    joined = c.join(F.broadcast(q), "cell_id").filter(
+        F.col("query_id") != F.col("candidate_id")
+    )
+    if use_arrow:
+        raw = arrow_pair_cosines(
+            joined,
+            threshold=-2.0,  # cos ∈ [−1,1]: keep every probe pair
+            keep_cols=("query_id", "candidate_id"),
+            a_vec="q_vec",
+            b_vec="c_vec",
+            a_norm="q_norm",
+            b_norm="c_norm",
+        )
+    else:
+        cos = dot(F.col("q_vec"), F.col("c_vec")) / (
+            F.col("q_norm") * F.col("c_norm")
+        )
+        raw = joined.select("query_id", "candidate_id", cos.alias("cos_sim"))
+    scored = raw.select(
+        "query_id", "candidate_id", F.round(F.col("cos_sim"), 6).alias("cos_sim")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("candidate_id"))
     return (

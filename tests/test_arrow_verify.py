@@ -124,3 +124,34 @@ def test_arrow_scorer_mixed_batch_fallback_matches_fold(spark):
     fold_map = {(r.a_id, r.b_id): r.cos_sim for r in fold if r.cos_sim is not None}
     arrow_map = {(r.a_id, r.b_id): r.cos_sim for r in arrow}
     assert arrow_map == fold_map  # exact float equality, null row gone
+
+
+def test_semantic_dedup_arrow_bitwise_equals_fold(spark, emb):
+    """d11's within-cell pair scoring through the Arrow path must
+    produce the identical dedup decision table (cell, cluster, keep
+    for every vector) — the flag is a pure physical-plan switch."""
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    fold = semantic_dedup(emb, threshold=0.4, use_arrow=False)
+    arrow = semantic_dedup(emb, threshold=0.4, use_arrow=True)
+    assert fold.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(fold).count() == 0
+    assert arrow.count() > 0
+
+
+def test_ivf_topk_arrow_bitwise_equals_fold(spark, emb):
+    """ivf_topk under use_arrow: every (query, candidate, cos, rank)
+    row bit-identical — the −2 no-prefilter threshold must not drop
+    any probe pair the fold plan would rank."""
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 8)
+    fold = ivf_topk(q, emb, k=5, use_arrow=False)
+    arrow = ivf_topk(q, emb, k=5, use_arrow=True)
+    assert fold.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(fold).count() == 0
+    assert arrow.count() > 0
