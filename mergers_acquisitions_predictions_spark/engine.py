@@ -160,3 +160,13 @@ class Engine:
         from .operators.curation import pack_sequences
 
         return pack_sequences(docs, seq_len=seq_len, **kw)
+
+    def mixture_sample(
+        self, docs: DataFrame, weights: dict[str, float], token_budget: int, **kw
+    ) -> DataFrame:
+        """Token-budget-weighted source-mixture sampling: per-source
+        keep-rates derived from actual token counts, membership by
+        deterministic doc-id hash."""
+        from .operators.curation import mixture_sample
+
+        return mixture_sample(docs, weights, token_budget, **kw)

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.sampling import hash_bucket
 from ..functions.text import shingles, tokenize
 from .ordered import global_running_sum
 from .util import repartition_for_compute
@@ -80,4 +81,62 @@ def pack_sequences(
         first_pack.alias("first_pack"),
         last_pack.alias("last_pack"),
         (last_pack - first_pack + 1).alias("n_packs"),
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 100_000,
+) -> DataFrame:
+    """Token-budget-weighted source-mixture sampling — the corpus-
+    mixing step of a training run (the Pile/DoReMi shape): each source
+    ``s`` should contribute ``weights[s] × token_budget`` tokens, so
+    its keep-rate is ``min(1, target_tokens / source_tokens)`` and
+    membership is decided by the deterministic doc-id hash bucket
+    (reproducible across reruns, partitionings, and engines — never
+    `rand()`). Sources absent from ``weights`` get rate 0 (dropped).
+
+    Plan shape for 100 TB: pass 1 is a per-source token aggregate —
+    n_sources rows, map-side partials, one tiny shuffle. The rate
+    table is then BROADCAST back onto the corpus scan, so the sample
+    itself is a map-side filter: the full corpus is read twice but
+    shuffled never. (With a persisted token-count column, pass 1
+    collapses into a metadata-sized agg.) Rates adapt to the data —
+    an upweighted small source clips at 1.0 (can't mint tokens), a
+    dominant source is down-sampled to its share.
+
+    Returns the sampled docs: (id, source, n_tokens, keep_rate)."""
+    d = repartition_for_compute(docs).select(
+        id_col,
+        source_col,
+        F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = F.lit(0.0)
+    for s, wt in weights.items():
+        w = F.when(F.col(source_col) == s, F.lit(float(wt))).otherwise(w)
+    rates = (
+        d.groupBy(source_col)
+        .agg(F.sum("n_tokens").alias("__src_tokens"))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0),
+                w
+                * F.lit(float(token_budget))
+                / F.col("__src_tokens").cast("double"),
+            ).alias("keep_rate"),
+        )
+    )
+    return (
+        d.join(F.broadcast(rates), source_col)
+        .filter(
+            hash_bucket(F.col(id_col), buckets).cast("double")
+            < F.col("keep_rate") * F.lit(float(buckets))
+        )
+        .select(id_col, source_col, "n_tokens", "keep_rate")
     )

@@ -16,10 +16,15 @@ from .registry import query
 # so their no-oracle rows sit past the checked window: m05 (iterative
 # Lloyd fitting), u03 (fake multimodal payload bytes aren't SQL).
 from .ml_queries import m05_kmeans_clusters  # noqa: E402
+from .udf_queries import U01_ORACLE, u01_pandas_udf_charge  # noqa: E402
 from .udf_queries import u03_multimodal_features  # noqa: E402
 
 query("m05_kmeans_clusters")(m05_kmeans_clusters)
 query("u03_multimodal_features")(u03_multimodal_features)
+# u01 rotated out of the window in favor of t21_source_mixture: the
+# scalar-pandas_udf mechanism keeps in-window driver evidence via
+# u04's lemmatizer; u01 stays value-checked by the local parity sweep.
+query("u01_pandas_udf_charge", oracle=U01_ORACLE)(u01_pandas_udf_charge)
 
 
 @query("s05_ivf_kmeans_topk")  # rows-only: k-means fit is not SQL-expressible

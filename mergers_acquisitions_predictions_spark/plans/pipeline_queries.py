@@ -17,16 +17,11 @@ from ..sources.readers import load_table
 from .registry import query
 
 
-def _hash_bucket(col, buckets: int):
-    """Deterministic bucket in [0, buckets): top-60-bit md5 of the key.
-    Portable (DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT % buckets)
-    and uniform. THE way to sample/split reproducibly at scale —
-    `rand()` changes with partitioning, retries, and cluster size."""
-    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
-    return F.pmod(h, F.lit(buckets))
-
-
-_SQL_BUCKET = "(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15))::BIGINT % {n})"
+# Deterministic md5 hash-bucket membership + its DuckDB spelling —
+# shared with operators/curation (see functions/sampling for why
+# never rand()).
+from ..functions.sampling import SQL_BUCKET as _SQL_BUCKET  # noqa: E402
+from ..functions.sampling import hash_bucket as _hash_bucket  # noqa: E402
 
 
 @query(
@@ -125,6 +120,57 @@ def m07_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("min_doc"),
             F.max("doc_id").cast("long").alias("max_doc"),
         )
+    )
+
+
+#: Source-mixture weights (t21): fractions of the token budget each
+#: source should contribute. src0 is over-weighted past its size so
+#: its rate clips at 1.0 (a sampler can't mint tokens).
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.2, "src2": 0.15, "src3": 0.1, "src4": 0.05}
+_MIX_BUDGET = 3000
+_MIX_BUCKETS = 100_000
+
+
+@query(
+    "t21_source_mixture",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    rates AS (
+        SELECT source,
+               least(1.0,
+                     (CASE source {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())}
+                           ELSE 0.0 END * {float(_MIX_BUDGET)})
+                     / CAST(sum(n_tokens) AS DOUBLE)) AS keep_rate
+        FROM tok GROUP BY source
+    )
+    SELECT t.source, count(*) AS n_docs,
+           CAST(sum(t.n_tokens) AS BIGINT) AS sampled_tokens,
+           round(max(r.keep_rate), 6) AS keep_rate
+    FROM tok t JOIN rates r USING (source)
+    WHERE CAST({_SQL_BUCKET.format(k='t.doc_id', n=_MIX_BUCKETS)} AS DOUBLE)
+          < r.keep_rate * {float(_MIX_BUCKETS)}
+    GROUP BY t.source
+    """,
+)
+def t21_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-weighted source mixture (`curation.mixture_sample`)
+    — the corpus-mixing step of a training run: per-source keep-rates
+    derived from ACTUAL token counts (one tiny agg, broadcast back),
+    membership by deterministic doc-id hash. Reported per source:
+    docs kept, tokens kept, and the derived rate (src0's clips at 1.0
+    — over-weighted past its size). Unweighted sources drop out."""
+    from ..operators.curation import mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    sampled = mixture_sample(d, _MIX_WEIGHTS, _MIX_BUDGET, buckets=_MIX_BUCKETS)
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sampled_tokens"),
+        F.round(F.max("keep_rate"), 6).alias("keep_rate"),
     )
 
 

@@ -15,15 +15,17 @@ from ..sources.readers import load_table
 from .registry import query
 
 
-@query(
-    "u01_pandas_udf_charge",
-    oracle="""
+#: u01's oracle — the query registers LATE (plans/extra_queries.py):
+#: the scalar-pandas_udf mechanism already has in-window driver
+#: evidence via u04's lemmatizer, so u01's slot went to t21.
+U01_ORACLE = """
     SELECT l_orderkey, l_linenumber,
            l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
     FROM lineitem
     WHERE l_quantity > 45
-    """,
-)
+    """
+
+
 def u01_pandas_udf_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar Arrow-vectorized pandas_udf (U4's mechanism — the slot
     the reference fills with its lemmatizer UDF). Double arithmetic

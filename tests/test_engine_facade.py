@@ -99,6 +99,35 @@ def test_engine_curation_ops(spark):
     assert all(r.last_pack == (r.start_offset + r.n_tokens - 1) // 128 for r in rows)
 
 
+def test_engine_mixture_sample(spark):
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, SF)
+    docs = eng.table("documents")
+    sampled = eng.mixture_sample(docs, {"src0": 5.0, "src1": 0.5}, 1000)
+    rows = sampled.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    # unweighted sources contribute nothing
+    assert set(by_src) <= {"src0", "src1"}
+    # src0's target (5000 tokens) exceeds its size → rate clips at 1.0
+    # and EVERY src0 doc is kept
+    assert all(r.keep_rate == 1.0 for r in by_src["src0"])
+    assert len(by_src["src0"]) == docs.filter(F.col("source") == "src0").count()
+    # src1 is down-sampled: strictly fewer docs than the source holds,
+    # at a rate < 1
+    n_src1 = docs.filter(F.col("source") == "src1").count()
+    assert 0 < len(by_src.get("src1", [])) < n_src1
+    assert all(0 < r.keep_rate < 1 for r in by_src["src1"])
+    # determinism: a rerun keeps the identical membership
+    again = {
+        (r.doc_id, r.source)
+        for r in eng.mixture_sample(docs, {"src0": 5.0, "src1": 0.5}, 1000).collect()
+    }
+    assert again == {(r.doc_id, r.source) for r in rows}
+
+
 def test_pack_manifest_tiles_the_stream(spark):
     from mergers_acquisitions_predictions_spark.plans import QUERIES
 
