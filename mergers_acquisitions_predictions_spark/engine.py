@@ -110,13 +110,15 @@ class Engine:
     def neardup_pairs(self, df: DataFrame, method: str = "lsh", **kw) -> DataFrame:
         """Near-duplicate pair finding: 'lsh' (MinHash banding
         candidates), 'jaccard' (exact inverted-index), 'prefix'
-        (exact with AllPairs pruning — the scale path)."""
+        (exact with AllPairs pruning — the scale path), 'simhash'
+        (Hamming-banded sketch pairs)."""
         from .operators import dedup as D
 
         fns = {
             "lsh": D.lsh_candidate_pairs,
             "jaccard": D.jaccard_pairs,
             "prefix": D.prefix_jaccard_pairs,
+            "simhash": D.simhash_neardup_pairs,
         }
         try:
             return fns[method](df, **kw)

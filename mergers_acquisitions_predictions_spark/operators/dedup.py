@@ -393,6 +393,76 @@ def simhash(tokens: Column, bits: int = 60) -> Column:
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming`` —
+    the classic web-scale shape (Manku et al., WWW'07): pigeonhole the
+    ``bits``-bit sketch into ``max_hamming + 1`` chunks; two hashes
+    within distance k must agree EXACTLY on at least one chunk, so
+    candidates meet in a chunk-value equi-join and only collisions pay
+    the popcount verify. Returns (a_id, b_id, hamming).
+
+    Scale shape: the sketch is one map-side expression; the banded
+    frame carries (id, chunk_idx, 15-bit chunk) — narrower even than
+    MinHash bands — and the verify is `bit_count(xor)` on two longs,
+    no text or arrays ever ride the shuffle. The hashed frame is
+    persisted (ownership transfers to the result): its lineage — 60
+    bit-votes × tokens over the corpus — is the expensive part, and
+    the band join + verify both read it."""
+    n_chunks = max_hamming + 1
+    if bits % n_chunks:
+        raise ValueError(f"bits={bits} must divide into {n_chunks} chunks")
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    src = repartition_for_compute(df)
+    hashed = src.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(simhash(tokenize(F.col(text_col)), bits), F.lit(0).cast("long")).alias(
+            "__sh"
+        ),
+    )
+    hashed = hashed if hashed.isStreaming else hashed.persist()
+    chunks = hashed.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("__sh", c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    a = chunks.select(F.col("id").alias("a_id"), "chunk", "val")
+    b = chunks.select(F.col("id").alias("b_id"), "chunk", "val")
+    cand = (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ha = hashed.select(F.col("id").alias("a_id"), F.col("__sh").alias("a_sh"))
+    hb = hashed.select(F.col("id").alias("b_id"), F.col("__sh").alias("b_sh"))
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    out = (
+        cand.join(ha, "a_id")
+        .join(hb, "b_id")
+        .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return own_caches(out, hashed)
+
+
 def dup_clusters(
     df: DataFrame,
     pairs: DataFrame,

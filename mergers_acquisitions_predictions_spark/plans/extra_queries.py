@@ -50,3 +50,52 @@ def s05_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         e.filter(F.col("vec_id") < 5), e, k=5, n_probe=4, centroids=cent
     )
+
+
+@query(
+    "d13_simhash_neardups",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 60), b ->
+                   CASE WHEN list_sum(list_transform(tok, t ->
+                             CASE WHEN (('0x' || substr(md5(t), 1, 15))::BIGINT
+                                        & (1::BIGINT << b)) != 0
+                                  THEN 1 ELSE -1 END)) > 0
+                        THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash64
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+              FROM documents)
+    ),
+    chunks AS (
+        SELECT doc_id, c.chunk,
+               (simhash64 >> (c.chunk * 15)) & 32767 AS val
+        FROM sh, (SELECT unnest(range(0, 4)) AS chunk) c
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM chunks a
+        JOIN chunks b ON a.chunk = b.chunk AND a.val = b.val
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           CAST(bit_count(xor(x.simhash64, y.simhash64)) AS INTEGER) AS hamming
+    FROM cand c
+    JOIN sh x ON c.a_id = x.doc_id
+    JOIN sh y ON c.b_id = y.doc_id
+    WHERE bit_count(xor(x.simhash64, y.simhash64)) <= 3
+    """,
+)
+def d13_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 3 via the pigeonhole band
+    join (`dedup.simhash_neardup_pairs`) — the sketch-side counterpart
+    of d02's MinHash banding: candidates meet on an exact 15-bit chunk
+    match (distance ≤ 3 over 4 chunks guarantees one), verify is a
+    two-long popcount. Registered late: the d-family window slots
+    showcase one representative per mechanism and d02/d04/d06 already
+    hold the banding/sketch slots; the local parity sweep still
+    value-checks this oracle."""
+    from ..operators.dedup import simhash_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(d, max_hamming=3)

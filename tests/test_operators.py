@@ -154,6 +154,48 @@ def test_prefix_jaccard_equals_plain_jaccard(spark):
         assert pruned == plain and plain  # exact, and non-vacuous
 
 
+def test_simhash_neardups_pigeonhole_complete(spark):
+    """The banded plan must find EVERY pair within max_hamming (the
+    pigeonhole guarantee) — checked against a brute-force popcount of
+    all C(n,2) sketches — and report exact dups at distance 0."""
+    from itertools import combinations
+
+    from mergers_acquisitions_predictions_spark.operators.dedup import (
+        simhash,
+        simhash_neardup_pairs,
+    )
+    from mergers_acquisitions_predictions_spark.functions.text import tokenize
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta iota"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "totally different words in this document here now"),
+            (4, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    sketches = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", simhash(tokenize("text")).alias("sh")
+        ).collect()
+    }
+    want = {}
+    for a, b in combinations(sorted(sketches), 2):
+        d = bin(sketches[a] ^ sketches[b]).count("1")
+        if d <= 3:
+            want[(a, b)] = d
+    assert got == want
+    assert got[(0, 4)] == 0  # exact dup
+    assert all(d <= 3 for d in got.values())
+
+
 def test_dup_clusters_min_label_components(spark):
     from mergers_acquisitions_predictions_spark.operators.dedup import dup_clusters
 
