@@ -59,6 +59,8 @@ def main() -> None:
         "d10_contamination",
         "d11_semantic_dedup",
         "d12_incremental_neardup",
+        "d13_simhash_neardups",
+        "t21_source_mixture",
         "t18_sequence_packing",
         "t19_quality_rank_filter",
         "t14_token_chunks",

@@ -140,3 +140,37 @@ def mixture_sample(
         )
         .select(id_col, source_col, "n_tokens", "keep_rate")
     )
+
+
+def shard_by_token_budget(
+    docs: DataFrame,
+    tokens_per_shard: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document a training-shard id such that shards hold
+    ~``tokens_per_shard`` tokens of WHOLE documents in global
+    ``id_col`` order (unlike `pack_sequences`, a document is never
+    split: it belongs to the shard where its start offset lands, so a
+    shard overshoots by at most one document). Returns
+    (id, n_tokens, shard) — narrow on purpose: the assignment runs on
+    (id, token-count) pairs through the distributed prefix-sum
+    (`ordered.global_running_sum`), so the TEXT never rides the two
+    ordering shuffles; join the result back by id to materialize
+    (see `sources.writers.write_token_balanced_shards`).
+
+    This is the shard-file sizing step before a training run: byte- or
+    doc-count sharding yields wildly uneven token counts per file;
+    budgeting on tokens makes every shard a near-equal unit of work
+    for the data loader. Zero-token documents land in the shard at
+    their offset (they cost nothing)."""
+    d = repartition_for_compute(docs).select(
+        id_col, F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    cum = global_running_sum(d, id_col, "n_tokens", out_col="__cum")
+    start = F.col("__cum") - F.col("n_tokens")
+    return cum.select(
+        id_col,
+        "n_tokens",
+        F.floor(start / F.lit(float(tokens_per_shard))).cast("long").alias("shard"),
+    )

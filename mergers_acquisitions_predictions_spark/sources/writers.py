@@ -41,3 +41,30 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     `write_single_csv`'s coalesce approach only for driver-sized
     finals."""
     df.write.mode(mode).json(path)
+
+
+def write_token_balanced_shards(
+    docs: DataFrame,
+    path: str,
+    tokens_per_shard: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a corpus as token-balanced training shards:
+    `curation.shard_by_token_budget` assigns shard ids on the NARROW
+    (id, token-count) frame (text never rides the ordering shuffles),
+    the docs join back by id (one hash join — AQE broadcasts the
+    narrow side when it fits), and the write repartitions on `shard`
+    so each shard becomes one parquet directory with one writer task:
+    `path/shard=N/`. Downstream loaders partition-prune by shard."""
+    from ..operators.curation import shard_by_token_budget
+
+    assign = shard_by_token_budget(docs, tokens_per_shard, text_col, id_col)
+    (
+        docs.join(assign.select(id_col, "shard"), id_col)
+        .repartition("shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -130,3 +130,47 @@ def test_jsonl_corrupt_routing(spark, tmp_path):
         spark, str(p), "id BIGINT, text STRING", mode="DROPMALFORMED", corrupt_col=None
     )
     assert dropped.count() == 2
+
+
+def test_token_balanced_shards(spark, tmp_path):
+    """Shard writer: docs stay whole, shards fill to the token budget
+    in global doc-id order (overshoot bounded by one document), the
+    layout is partition-pruned `shard=N/` directories, and the
+    roundtrip loses nothing."""
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators.curation import (
+        shard_by_token_budget,
+    )
+    from mergers_acquisitions_predictions_spark.sources.writers import (
+        write_token_balanced_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = 500
+    path = str(tmp_path / "shards")
+    write_token_balanced_shards(docs, path, budget)
+
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+
+    assign = sorted(shard_by_token_budget(docs, budget).collect(), key=lambda r: r.doc_id)
+    # exact replay of the spec: shard = floor(start_offset / budget)
+    # over the doc-id-ordered token stream — every row must match.
+    cum = 0
+    for r in assign:
+        assert r.shard == cum // budget, (r, cum)
+        cum += r.n_tokens
+    # whole-doc sharding ⇒ shard ids non-decreasing in doc id, and a
+    # new shard starts only when the stream crosses its boundary
+    shards = [r.shard for r in assign]
+    assert shards == sorted(shards)
+    assert len(set(shards)) > 1  # non-vacuous: multiple shards exist
+    # physical layout is one directory per assigned shard
+    import os
+
+    dirs = {d for d in os.listdir(path) if d.startswith("shard=")}
+    assert dirs == {f"shard={s}" for s in set(shards)}
