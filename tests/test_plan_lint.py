@@ -1,0 +1,49 @@
+"""Plan lint over EVERY registered query: no silent scale cliffs.
+
+The optimized physical plan of each registry entry must not contain a
+CartesianProduct or BroadcastNestedLoopJoin — the two shapes that are
+O(n·m) at scale — except where the quadratic product IS the declared
+semantics (allowlisted below with the reason). A refactor that breaks
+an equi-key join condition (e.g. drops a band/bucket/cell key) turns
+a hash join into a BNLJ without failing any value test at sf0.001;
+this sweep catches it at plan-build time, no execution needed."""
+
+from __future__ import annotations
+
+import pytest
+
+from mergers_acquisitions_predictions_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+#: name -> reason. Two legitimate families: (a) the quadratic
+#: product IS the declared semantics; (b) a BroadcastNestedLoopJoin
+#: against a side that is provably TINY and input-size-independent
+#: (a 1-row scalar aggregate or a k-row centroid table) — linear in
+#: the corpus, the textbook scalar-subquery/fan-out plan.
+ALLOW = {
+    # (a) quadratic by declared semantics
+    "d05_embedding_neardups": "exact all-pairs cosine: the small-n oracle anchor for d07/d11",
+    "q35_cross_join_grid": "deliberate small-dims cross join building a dense grid",
+    "s02_cosine_topk": "brute-force baseline: broadcast query set x corpus is O(q*n) by definition",
+    # (b) BNLJ against a bounded broadcast side
+    "q23_scalar_subquery": "1-row scalar aggregate broadcast",
+    "q37_any_all_semantics": "1-row min/max aggregate broadcast (ANY/ALL rewrite)",
+    "t09_tfidf_top_terms": "1-row doc-count broadcast for the IDF term",
+    "t19_quality_rank_filter": "1-row total-count broadcast for the decile cut",
+    "s04_ivf_ann_topk": "n_cells-row centroid broadcast fan-out in ivf_assign",
+    "s05_ivf_kmeans_topk": "n_cells-row centroid broadcast fan-out in ivf_assign",
+    "d11_semantic_dedup": "n_cells-row centroid broadcast fan-out in ivf_assign",
+}
+
+BAD = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_quadratic_join_shapes(spark, name):
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    found = [b for b in BAD if b in plan]
+    if name in ALLOW:
+        return  # quadratic by declared semantics
+    assert not found, f"{name}: {found} in physical plan"
