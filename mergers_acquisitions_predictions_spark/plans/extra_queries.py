@@ -99,3 +99,105 @@ def d13_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return simhash_neardup_pairs(d, max_hamming=3)
+
+
+@query(
+    "t22_funnel_accounting",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(tok) AS n_tokens,
+               CASE WHEN len(tok) = 0 THEN 0.0
+                    ELSE round(least(len(tok) / 100.0, 1.0)
+                         * greatest(0.0, 1.0 - abs(
+                             list_sum(list_transform(tok, t -> CAST(length(t) AS DOUBLE)))
+                             / len(tok) - 5.0) / 10.0), 6)
+               END AS quality,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS fp
+        FROM (SELECT doc_id, lang, text,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+              FROM documents)
+    ),
+    flagged AS (
+        SELECT *,
+               (lang = 'en') AS pass_lang,
+               (lang = 'en' AND quality >= 0.3) AS pass_quality,
+               (lang = 'en' AND quality >= 0.3 AND n_tokens >= 30) AS pass_length
+        FROM scored
+    ),
+    ranked AS (
+        SELECT *,
+               sum(CASE WHEN pass_length THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY fp ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS surv_rank
+        FROM flagged
+    )
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN pass_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           CAST(sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN pass_length THEN 1 ELSE 0 END) AS BIGINT) AS n_length,
+           CAST(sum(CASE WHEN pass_length AND surv_rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN pass_length AND surv_rank = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM ranked
+    """,
+)
+def t22_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage curation-funnel observability in ONE pass — what t13
+    reports only for the survivors, broken down by stage: how many
+    documents (and finally tokens) survive language -> quality ->
+    length -> exact dedup. Stage flags are map-side booleans; the only
+    shuffle is the fingerprint window, where the dedup rank counts
+    SURVIVORS only (a conditional running sum — non-survivors never
+    create a second pass or a join). The final row is one conditional
+    aggregation: the shape of a nightly pipeline health dashboard at
+    100 TB, one fingerprint-keyed shuffle plus a scalar agg."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import tokenize
+    from ..functions.textstats import fingerprint, quality_score
+    from ..operators.util import repartition_for_compute
+    from ..sources.readers import load_table as _load
+
+    d = repartition_for_compute(_load(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        tokenize(F.col("text")).alias("tok"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).select(
+        "doc_id",
+        "lang",
+        "fp",
+        F.size("tok").cast("long").alias("n_tokens"),
+        F.when(F.size("tok") == 0, F.lit(0.0))
+        .otherwise(F.round(quality_score(F.col("tok")), 6))
+        .alias("quality"),
+    )
+    flagged = scored.select(
+        "*",
+        (F.col("lang") == "en").alias("pass_lang"),
+        ((F.col("lang") == "en") & (F.col("quality") >= 0.3)).alias("pass_quality"),
+        (
+            (F.col("lang") == "en")
+            & (F.col("quality") >= 0.3)
+            & (F.col("n_tokens") >= 30)
+        ).alias("pass_length"),
+    )
+    w = (
+        W.partitionBy("fp")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = flagged.withColumn(
+        "surv_rank", F.sum(F.when(F.col("pass_length"), 1).otherwise(0)).over(w)
+    )
+    kept = F.col("pass_length") & (F.col("surv_rank") == 1)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("pass_lang").cast("int")).cast("long").alias("n_lang"),
+        F.sum(F.col("pass_quality").cast("int")).cast("long").alias("n_quality"),
+        F.sum(F.col("pass_length").cast("int")).cast("long").alias("n_length"),
+        F.sum(kept.cast("int")).cast("long").alias("n_unique"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).cast("long").alias("tokens_kept"),
+    )

@@ -40,13 +40,19 @@ def test_north_star_queries_inside_driver_correctness_window():
     q* may rotate out."""
     from mergers_acquisitions_predictions_spark.plans import QUERIES
 
-    # Deliberate exceptions: rows-only variants registered late ON
-    # PURPOSE (plans/extra_queries.py) — a rows-only row inside the
-    # window would displace a full value-parity row.
+    # Deliberate exceptions, registered late ON PURPOSE in
+    # plans/extra_queries.py: rows-only variants (a rows-only row
+    # inside the window would displace a full value-parity row), and
+    # oracle-backed queries whose MECHANISM already has an in-window
+    # representative (the window holds 50; every late entry stays
+    # value-checked by the local parity sweep, which has no cutoff).
     deliberate_late = {
-        "s05_ivf_kmeans_topk",
-        "m05_kmeans_clusters",
-        "u03_multimodal_features",
+        "s05_ivf_kmeans_topk",  # rows-only (k-means fit)
+        "m05_kmeans_clusters",  # rows-only (k-means fit)
+        "u03_multimodal_features",  # rows-only (binary payloads)
+        "u01_pandas_udf_charge",  # scalar pandas_udf: u04 holds the slot
+        "d13_simhash_neardups",  # sketch banding: d02/d04/d06 hold slots
+        "t22_funnel_accounting",  # funnel: t13 holds the slot
     }
 
     names = list(QUERIES)
