@@ -155,3 +155,55 @@ def test_global_row_number_is_a_permutation_rank(spark, keys, n_parts):
     order = sorted(range(len(keys)), key=lambda i: (keys[i], i))
     want = {i: rank + 1 for rank, i in enumerate(order)}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=40),
+    budget=st.integers(min_value=1, max_value=600),
+)
+def test_shard_assignment_replays_prefix_sum(spark, toks, budget):
+    """shard == floor(start_offset / budget) over the id-ordered token
+    stream, for ANY token distribution and budget — the whole-document
+    sharding contract (docs never split, shards fill in order)."""
+    from mergers_acquisitions_predictions_spark.operators.curation import (
+        shard_by_token_budget,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(toks)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.shard)
+        for r in shard_by_token_budget(docs, budget).collect()
+    }
+    cum = 0
+    for i, n in enumerate(toks):
+        assert got[i] == (n, cum // budget)
+        cum += n
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=200), min_size=2, max_size=30),
+    weight=st.floats(min_value=0.01, max_value=10.0),
+    budget=st.integers(min_value=1, max_value=5000),
+)
+def test_mixture_sample_rate_law(spark, toks, weight, budget):
+    """keep_rate == min(1, weight*budget / source_tokens) exactly; the
+    sample is a subset of the source; unweighted sources never leak."""
+    from mergers_acquisitions_predictions_spark.operators.curation import (
+        mixture_sample,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b", " ".join(["w"] * n)) for i, n in enumerate(toks)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = mixture_sample(docs, {"a": weight}, budget).collect()
+    a_tokens = sum(n for i, n in enumerate(toks) if i % 2 == 0)
+    expect_rate = min(1.0, weight * float(budget) / float(a_tokens))
+    assert all(r.source == "a" for r in out)  # 'b' is unweighted
+    assert all(r.keep_rate == expect_rate for r in out)
+    a_ids = {i for i in range(len(toks)) if i % 2 == 0}
+    assert {r.doc_id for r in out} <= a_ids
+    if expect_rate == 1.0:
+        assert {r.doc_id for r in out} == a_ids  # clipped rate keeps all
