@@ -141,25 +141,37 @@ def incremental_neardup_candidates(
     n_bands: int = DEFAULT_BANDS,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     shingle_n: int = 3,
+    index_is_banded: bool = False,
 ) -> DataFrame:
     """Near-dup candidates of an INCOMING SHARD against an EXISTING
     corpus index — the nightly-ingest shape: band only the (small) new
     shard and the index, then equi-join new-vs-index on (band,
     band_key). No self-join of the full corpus ever happens; the
     incremental cost is |shard| banding plus a join whose left side is
-    shard-sized. In production the index's banded frame is a persisted
-    table maintained incrementally — here both sides band from scratch,
-    same join shape. Returns (new_id, index_id) distinct pairs; an
-    anti-join of the shard against `new_id` yields the admit list."""
+    shard-sized. Returns (new_id, index_id) distinct pairs; an
+    anti-join of the shard against `new_id` yields the admit list.
+
+    ``index_is_banded``: pass True when ``index_df`` IS the persisted
+    banded index — the (id, band, band_key) frame `banded_frame`
+    produces, written once and appended per admitted shard (see
+    tests/test_operators.py for the roundtrip). That is the production
+    configuration: the corpus is never re-tokenized or re-hashed on
+    ingest, and a parquet index partitioned by ``band`` makes the
+    probe a partition-pruned scan. False (default) bands the raw
+    index corpus from scratch — same join shape, for one-shot use."""
     nb = banded_frame(new_df, text_col, id_col, n_bands, rows_per_band, shingle_n)
-    ib = banded_frame(index_df, text_col, id_col, n_bands, rows_per_band, shingle_n)
+    if index_is_banded:
+        ib = index_df
+    else:
+        ib = banded_frame(index_df, text_col, id_col, n_bands, rows_per_band, shingle_n)
     pairs = (
         nb.selectExpr(f"{id_col} AS new_id", "band", "band_key")
         .join(ib.selectExpr(f"{id_col} AS index_id", "band", "band_key"), ["band", "band_key"])
         .select("new_id", "index_id")
         .distinct()
     )
-    return own_caches(pairs, nb, ib)
+    caches = (nb, ib) if not index_is_banded else (nb,)
+    return own_caches(pairs, *caches)
 
 
 def lsh_candidate_pairs(

@@ -265,3 +265,38 @@ def test_global_row_number_matches_global_window(spark):
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def test_incremental_neardup_persisted_index_roundtrip(spark, tmp_path):
+    """The production d12 configuration: the corpus' banded index is
+    built once, persisted as parquet partitioned by band, and probed
+    by each incoming shard WITHOUT re-hashing the corpus — candidates
+    must equal the from-scratch computation exactly."""
+    from mergers_acquisitions_predictions_spark.operators.dedup import (
+        banded_frame,
+        incremental_neardup_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id % 5 != 0")
+    shard = docs.filter("doc_id % 5 = 0")
+
+    path = str(tmp_path / "neardup_index")
+    banded_frame(corpus, "text", "doc_id", 4, 2, 3).write.partitionBy(
+        "band"
+    ).parquet(path)
+    index = spark.read.parquet(path)
+
+    from_index = {
+        (r.new_id, r.index_id)
+        for r in incremental_neardup_candidates(
+            shard, index, n_bands=4, rows_per_band=2, index_is_banded=True
+        ).collect()
+    }
+    from_scratch = {
+        (r.new_id, r.index_id)
+        for r in incremental_neardup_candidates(
+            shard, corpus, n_bands=4, rows_per_band=2
+        ).collect()
+    }
+    assert from_index == from_scratch and from_index  # identical, non-vacuous
