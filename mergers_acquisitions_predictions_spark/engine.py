@@ -172,3 +172,13 @@ class Engine:
         from .operators.curation import mixture_sample
 
         return mixture_sample(docs, weights, token_budget, **kw)
+
+    def shard_by_token_budget(
+        self, docs: DataFrame, tokens_per_shard: int, **kw
+    ) -> DataFrame:
+        """Whole-document training-shard assignment: shards fill to a
+        token budget in global id order (narrow prefix-sum plan; see
+        writers.write_token_balanced_shards to materialize)."""
+        from .operators.curation import shard_by_token_budget
+
+        return shard_by_token_budget(docs, tokens_per_shard, **kw)

@@ -52,6 +52,7 @@ def test_dedup_sweep_releases_caches(spark):
         "d03_jaccard_pairs",
         "d06_lsh_verified_neardups",
         "d09_dup_clusters",
+        "d13_simhash_neardups",  # persists the sketch frame
     ):
         df = QUERIES[name](spark, SF_SMOKE)
         assert df.count() >= 0
