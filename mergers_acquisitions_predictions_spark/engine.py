@@ -182,3 +182,13 @@ class Engine:
         from .operators.curation import shard_by_token_budget
 
         return shard_by_token_budget(docs, tokens_per_shard, **kw)
+
+    def interleaved_order(
+        self, docs: DataFrame, weights: dict[str, float], **kw
+    ) -> DataFrame:
+        """Deterministic weighted-interleave serving order (weighted
+        fair queuing over sources): every stream prefix holds sources
+        in their weight ratio."""
+        from .operators.curation import interleaved_order
+
+        return interleaved_order(docs, weights, **kw)

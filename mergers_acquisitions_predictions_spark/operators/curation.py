@@ -174,3 +174,49 @@ def shard_by_token_budget(
         "n_tokens",
         F.floor(start / F.lit(float(tokens_per_shard))).cast("long").alias("shard"),
     )
+
+
+def interleaved_order(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted-interleave serving order — the loader
+    schedule AFTER mixing: source ``s``'s ``r``-th document is served
+    at virtual time ``r / weights[s]`` (weighted fair queuing), so a
+    weight-0.5 source appears 5× as often as a weight-0.1 source at
+    every prefix of the stream, not just in aggregate. Returns
+    (id, source, src_rank, position) with ``position`` the 1-based
+    global serving index. Sources absent from ``weights`` are
+    excluded.
+
+    Scale shape: the per-source rank is a window partitioned by
+    source (parallel across sources; AQE splits a skewed one); the
+    global order is `ordered.global_row_number` over (vt, source, id)
+    — range partition + per-partition rank + broadcast offsets, never
+    the one-task empty-PARTITION-BY window. Everything is a pure
+    function of (id, source), so the schedule is stable across reruns
+    and cluster sizes — the property a resumable training run needs."""
+    from pyspark.sql import Window as W
+
+    w = F.lit(None).cast("double")
+    for s, wt in weights.items():
+        w = F.when(F.col(source_col) == s, F.lit(float(wt))).otherwise(w)
+    ranked = (
+        repartition_for_compute(docs)
+        .select(id_col, source_col)
+        .filter(F.col(source_col).isin(*weights))
+        .withColumn(
+            "src_rank",
+            F.row_number()
+            .over(W.partitionBy(source_col).orderBy(id_col))
+            .cast("long"),
+        )
+        .withColumn("__vt", F.col("src_rank").cast("double") / w)
+    )
+    from .ordered import global_row_number
+
+    return global_row_number(
+        ranked, ["__vt", source_col, id_col], out_col="position"
+    ).select(id_col, source_col, "src_rank", F.col("position").cast("long").alias("position"))

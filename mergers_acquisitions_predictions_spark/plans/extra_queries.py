@@ -201,3 +201,43 @@ def t22_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept.cast("int")).cast("long").alias("n_unique"),
         F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).cast("long").alias("tokens_kept"),
     )
+
+
+#: t23 interleave weights — deliberately uneven so the schedule's
+#: prefix property is visible (src0 serves 5 docs per src2 doc).
+_ILV_WEIGHTS = {"src0": 0.5, "src1": 0.2, "src2": 0.1}
+
+
+@query(
+    "t23_interleaved_order",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
+        FROM documents
+        WHERE source IN ({', '.join(f"'{s}'" for s in _ILV_WEIGHTS)})
+    ),
+    vt AS (
+        SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+               CAST(src_rank AS DOUBLE) /
+               CASE source {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _ILV_WEIGHTS.items())} END AS __vt
+        FROM ranked
+    )
+    SELECT doc_id, source, src_rank,
+           CAST(row_number() OVER (ORDER BY __vt, source, doc_id) AS BIGINT) AS position
+    FROM vt
+    """,
+)
+def t23_interleaved_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-interleave serving order (`curation.interleaved_order`)
+    — weighted fair queuing over sources: every prefix of the serving
+    stream holds sources in their weight ratio, and the schedule is a
+    pure function of (doc_id, source) — rerun/cluster-size stable, the
+    property a resumable training run needs. The global position uses
+    the distributed rank (range partition + broadcast offsets), never
+    a one-task global window; the oracle replays it with a plain
+    ORDER BY row_number."""
+    from ..operators.curation import interleaved_order
+
+    d = load_table(spark, sf_dir, "documents")
+    return interleaved_order(d, _ILV_WEIGHTS)

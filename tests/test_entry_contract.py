@@ -53,6 +53,7 @@ def test_north_star_queries_inside_driver_correctness_window():
         "u01_pandas_udf_charge",  # scalar pandas_udf: u04 holds the slot
         "d13_simhash_neardups",  # sketch banding: d02/d04/d06 hold slots
         "t22_funnel_accounting",  # funnel: t13 holds the slot
+        "t23_interleaved_order",  # ordering: t18/t19 hold the ordered.py slots
     }
 
     names = list(QUERIES)

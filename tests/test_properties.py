@@ -207,3 +207,35 @@ def test_mixture_sample_rate_law(spark, toks, weight, budget):
     assert {r.doc_id for r in out} <= a_ids
     if expect_rate == 1.0:
         assert {r.doc_id for r in out} == a_ids  # clipped rate keeps all
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_a=st.integers(min_value=1, max_value=20),
+    n_b=st.integers(min_value=1, max_value=20),
+    w_a=st.floats(min_value=0.05, max_value=5.0),
+    w_b=st.floats(min_value=0.05, max_value=5.0),
+)
+def test_interleaved_order_replays_wfq_schedule(spark, n_a, n_b, w_a, w_b):
+    """The serving order equals the weighted-fair-queuing replay:
+    sort (src_rank / weight, source, id) — for ANY weights and source
+    sizes, positions are dense 1..N and match the Python replay."""
+    from mergers_acquisitions_predictions_spark.operators.curation import (
+        interleaved_order,
+    )
+
+    rows = [(i, "a") for i in range(n_a)] + [(100 + i, "b") for i in range(n_b)]
+    docs = spark.createDataFrame(
+        [(i, s, "w") for i, s in rows], ["doc_id", "source", "text"]
+    )
+    got = {
+        r.position: (r.doc_id, r.source)
+        for r in interleaved_order(docs, {"a": w_a, "b": w_b}).collect()
+    }
+    replay = sorted(
+        ((r + 1) / {"a": w_a, "b": w_b}[s], s, i)
+        for i, s in rows
+        for r in [[x for x, t in rows if t == s].index(i)]
+    )
+    want = {p + 1: (i, s) for p, (vt, s, i) in enumerate(replay)}
+    assert got == want
