@@ -63,3 +63,14 @@ def test_north_star_queries_inside_driver_correctness_window():
     ]
     assert not outside, f"north-star queries past the driver window: {outside}"
     assert deliberate_late.isdisjoint(window), "late-listed query moved into window"
+
+
+def test_missing_sf_dir_fails_cleanly(spark):
+    """A wrong sf_dir must surface as Spark's AnalysisException (path
+    not found) at plan/collect time — never a hang, never a silent
+    empty result."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        E.queries()["q01_pricing_summary"](spark, "/nonexistent/sf9").count()
