@@ -411,6 +411,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     bits: int = 60,
     max_hamming: int = 3,
+    min_tokens: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming`` —
     the classic web-scale shape (Manku et al., WWW'07): pigeonhole the
@@ -418,6 +419,15 @@ def simhash_neardup_pairs(
     within distance k must agree EXACTLY on at least one chunk, so
     candidates meet in a chunk-value equi-join and only collisions pay
     the popcount verify. Returns (a_id, b_id, hamming).
+
+    ``min_tokens`` drops docs with fewer tokens BEFORE sketching
+    (default 1 = drop empty docs): every empty doc sketches to the
+    SAME value (0), so at scale empties form one degenerate bucket
+    with C(n_empty, 2) distance-0 pairs — measured 2.2× pair
+    superlinearity at 4× corpus in the SCALE.md scaling experiment.
+    Empty/near-empty dups belong to exact dedup (t06), not the
+    sketch; raise the floor further to also exclude low-entropy
+    sketches from one-or-two-token docs.
 
     Scale shape: the sketch is one map-side expression; the banded
     frame carries (id, chunk_idx, 15-bit chunk) — narrower even than
@@ -432,12 +442,12 @@ def simhash_neardup_pairs(
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
     src = repartition_for_compute(df)
+    toks = tokenize(F.col(text_col))
     hashed = src.select(
         F.col(id_col).alias("id"),
-        F.coalesce(simhash(tokenize(F.col(text_col)), bits), F.lit(0).cast("long")).alias(
-            "__sh"
-        ),
-    )
+        F.size(toks).alias("__nt"),
+        F.coalesce(simhash(toks, bits), F.lit(0).cast("long")).alias("__sh"),
+    ).filter(F.col("__nt") >= min_tokens).drop("__nt")
     hashed = hashed if hashed.isStreaming else hashed.persist()
     chunks = hashed.select(
         "id",

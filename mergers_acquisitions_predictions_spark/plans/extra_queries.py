@@ -66,6 +66,7 @@ def s05_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT doc_id,
                      regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
               FROM documents)
+        WHERE len(tok) >= 1
     ),
     chunks AS (
         SELECT doc_id, c.chunk,
