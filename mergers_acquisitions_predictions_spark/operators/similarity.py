@@ -306,6 +306,21 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def auto_planes(n_vectors: int, target_bucket: int = 125, floor: int = 4) -> int:
+    """Plane count for `lsh_neardup_pairs`/`lsh_topk` at a given
+    corpus size: k ≈ log2(n / target_bucket) keeps expected bucket
+    occupancy near ``target_bucket``, so candidate pairs stay
+    ~n·target_bucket instead of n²/2^k — the load-bearing knob the
+    SCALE.md §7b experiment measures (fixed k=4 thrashes at 16k
+    vectors; k=log2(n/125) holds wall time flat). Recall follows the
+    multi-table S-curve: more planes ⇒ fewer chance collisions AND
+    more near-threshold misses — recover recall by raising n_tables
+    (multiplies index size, not candidate pairs)."""
+    if n_vectors <= 0:
+        return floor
+    return max(floor, int(math.log2(max(1.0, n_vectors / target_bucket))))
+
+
 def lsh_bucket(vec_col, planes: list[list[float]]):
     """Sign-LSH bucket key: one bit per hyperplane (sign of the dot
     product), concatenated to a string key. Pure expression."""
@@ -352,7 +367,13 @@ def lsh_neardup_pairs(
     Recall is the multi-table S-curve 1−(1−p^k)^L, p = 1−θ/π; misses
     are pairs NEAR the threshold — and the DuckDB oracle reproduces
     the same candidate set exactly (hyperplanes are deterministic),
-    so this is value-checkable despite being approximate."""
+    so this is value-checkable despite being approximate.
+
+    ``n_planes`` MUST grow with corpus size (`auto_planes`): at a
+    fixed k, buckets hold n/2^k vectors and candidates grow
+    quadratically — measured in SCALE.md §7b (k=4 thrashes at 16k
+    vectors; k=log2(n/125) holds wall time flat). The default 4 fits
+    the ≤4k-vector test corpora and the oracle replay."""
     all_planes = _hyperplanes(dim, n_planes * n_tables, seed)
     tables = [all_planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
     src = repartition_for_compute(df)

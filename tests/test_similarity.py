@@ -129,3 +129,21 @@ def test_kmeans_ivf_deterministic_and_recall(spark):
     # which bounds query-agnostic IVF recall — 8 cells x 4 probes
     # measured at 0.8; floor with slack for kmeans tie-breaks.
     assert recall >= 0.7, recall
+
+
+def test_auto_planes_policy():
+    """k = max(floor, log2(n/target)): bucket occupancy stays near the
+    target across corpus sizes — the SCALE.md §7b density knob."""
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        auto_planes,
+    )
+
+    assert auto_planes(0) == 4
+    assert auto_planes(2_000) == 4  # floor holds for test corpora
+    assert auto_planes(16_000) == 7
+    assert auto_planes(1_000_000) == 12
+    assert auto_planes(10**8) == 19
+    # expected occupancy n / 2^k stays within [target, 2*target)
+    for n in (10_000, 10**6, 10**9):
+        k = auto_planes(n)
+        assert 125 <= n / 2**k < 250
