@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from ..functions.sampling import hash_bucket
 from ..functions.text import shingles, tokenize
 from .ordered import global_running_sum
-from .util import repartition_for_compute
+from .util import own_caches, repartition_for_compute
 
 
 def contamination(
@@ -74,7 +74,7 @@ def pack_sequences(
     start = F.col("cum_tokens") - F.col("n_tokens")
     first_pack = F.floor(start / F.lit(float(seq_len)))
     last_pack = F.floor((F.col("cum_tokens") - 1) / F.lit(float(seq_len)))
-    return cum.filter(F.col("n_tokens") > 0).select(
+    out = cum.filter(F.col("n_tokens") > 0).select(
         id_col,
         "n_tokens",
         start.alias("start_offset"),
@@ -82,6 +82,9 @@ def pack_sequences(
         last_pack.alias("last_pack"),
         (last_pack - first_pack + 1).alias("n_packs"),
     )
+    # cum owns the prefix-sum checkpoint (ordered.py); the derived
+    # plan must inherit it or the blocks release while it is alive.
+    return own_caches(out, cum)
 
 
 def mixture_sample(
@@ -169,11 +172,12 @@ def shard_by_token_budget(
     )
     cum = global_running_sum(d, id_col, "n_tokens", out_col="__cum")
     start = F.col("__cum") - F.col("n_tokens")
-    return cum.select(
+    out = cum.select(
         id_col,
         "n_tokens",
         F.floor(start / F.lit(float(tokens_per_shard))).cast("long").alias("shard"),
     )
+    return own_caches(out, cum)
 
 
 def interleaved_order(
@@ -217,6 +221,10 @@ def interleaved_order(
     )
     from .ordered import global_row_number
 
-    return global_row_number(
+    positioned = global_row_number(
         ranked, ["__vt", source_col, id_col], out_col="position"
-    ).select(id_col, source_col, "src_rank", F.col("position").cast("long").alias("position"))
+    )
+    out = positioned.select(
+        id_col, source_col, "src_rank", F.col("position").cast("long").alias("position")
+    )
+    return own_caches(out, positioned)

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from .util import own_local_checkpoint
+
 
 def _order_cols(order_col: str | Sequence[str]) -> list[str]:
     return [order_col] if isinstance(order_col, str) else list(order_col)
@@ -25,10 +27,24 @@ def _order_cols(order_col: str | Sequence[str]) -> list[str]:
 
 def _ranged_with_pid(df: DataFrame, cols: list[str]) -> DataFrame:
     """Range-partition by the order key(s) — partition i holds keys
-    strictly below partition i+1 — and stamp the partition id."""
-    return df.repartitionByRange(*[F.col(c) for c in cols]).withColumn(
+    strictly below partition i+1 — stamp the partition id, and
+    MATERIALIZE via ``localCheckpoint(eager=True)``.
+
+    The checkpoint is load-bearing for correctness, not a cache:
+    the two consumers (per-partition scan and per-partition totals)
+    would otherwise each execute their own copy of the range
+    exchange, and `repartitionByRange` boundaries come from a
+    per-execution reservoir sample (plus AQE coalescing) — the two
+    executions are USUALLY identical but not guaranteed, and a
+    boundary mismatch silently corrupts every rank/offset (observed
+    once at 1M rows with a cached input: Σrow_number was 0.67% high).
+    One materialization ⇒ one partitioning ⇒ both consumers read the
+    same blocks. Callers transfer block ownership to their result via
+    `own_local_checkpoint` / `own_caches` (see that contract)."""
+    ranged = df.repartitionByRange(*[F.col(c) for c in cols]).withColumn(
         "__pid", F.spark_partition_id()
     )
+    return ranged.localCheckpoint(eager=True)
 
 
 def global_running_sum(
@@ -73,11 +89,12 @@ def global_running_sum(
         "__pid",
         F.coalesce(F.sum("__ptotal").over(off_w), F.lit(0)).alias("__offset"),
     )
-    return (
+    out = (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.col("__local_cum") + F.col("__offset"))
         .drop("__pid", "__local_cum", "__offset")
     )
+    return own_local_checkpoint(out, ranged)
 
 
 def global_row_number(
@@ -105,8 +122,9 @@ def global_row_number(
         "__pid",
         F.coalesce(F.sum("__ptotal").over(off_w), F.lit(0)).alias("__offset"),
     )
-    return (
+    out = (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, (F.col("__local_rn") + F.col("__offset")).cast("long"))
         .drop("__pid", "__local_rn", "__offset")
     )
+    return own_local_checkpoint(out, ranged)

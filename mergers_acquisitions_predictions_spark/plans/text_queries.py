@@ -697,11 +697,15 @@ def t19_quality_rank_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_row_number(scored, ["quality", "doc_id"], out_col="q_rank")
     n = scored.agg(F.count(F.lit(1)).alias("__n"))
     pct = F.round((F.col("q_rank") - 1.0) / (F.col("__n") - 1.0), 6)
-    return (
+    from ..operators.util import own_caches
+
+    out = (
         ranked.join(F.broadcast(n))
         .select("doc_id", "quality", "q_rank", pct.alias("pct_rank"))
         .filter(F.col("pct_rank") >= 0.1)
     )
+    # ranked owns the prefix-sum checkpoint — transfer to the result.
+    return own_caches(out, ranked)
 
 
 @query(
@@ -759,7 +763,9 @@ def t20_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens_in = F.least(end, (F.col("pack_id") + 1) * seq_len) - F.greatest(
         F.col("start_offset"), F.col("pack_id") * seq_len
     )
-    return (
+    from ..operators.util import own_caches
+
+    return own_caches(
         packed.select(
             "doc_id",
             "n_tokens",
@@ -772,5 +778,6 @@ def t20_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(tokens_in).cast("long").alias("n_tokens"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
-        )
+        ),
+        packed,  # inherits the prefix-sum checkpoint ownership
     )

@@ -53,6 +53,9 @@ def test_dedup_sweep_releases_caches(spark):
         "d06_lsh_verified_neardups",
         "d09_dup_clusters",
         "d13_simhash_neardups",  # persists the sketch frame
+        "t18_sequence_packing",  # owns the prefix-sum localCheckpoint
+        "t19_quality_rank_filter",  # owns the global-rank localCheckpoint
+        "t23_interleaved_order",  # owns the global-rank localCheckpoint
     ):
         df = QUERIES[name](spark, SF_SMOKE)
         assert df.count() >= 0

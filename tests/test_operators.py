@@ -241,12 +241,24 @@ def test_global_running_sum_stays_distributed(spark):
     )
     out = global_running_sum(df, "k", "v")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # The DATA path is range-partitioned and its window is keyed on
-    # the partition id — i.e. the per-row scan is parallel. (The
+    # The range exchange now lives in the checkpoint BUILD (it must
+    # execute exactly once — see _ranged_with_pid); the final plan
+    # scans the materialized RDD and its per-row window is keyed on
+    # the stamped partition id — i.e. the data path is parallel. (The
     # offsets subtree's single-partition window over #partitions rows
     # is intentional and driver-sized.)
-    assert "rangepartitioning(k" in plan
+    assert "Scan ExistingRDD" in plan  # the one-shot materialization
     assert "windowspecdefinition(__pid" in plan
+    # the materialized frame really is range-partitioned: pid is
+    # non-decreasing in the order key across partition boundaries
+    pid_of = {
+        r.k: r.p
+        for r in df.repartitionByRange("k")
+        .withColumn("p", F.spark_partition_id())
+        .collect()
+    }
+    ks = sorted(pid_of)
+    assert all(pid_of[a] <= pid_of[b] for a, b in zip(ks, ks[1:]))
 
 
 def test_global_row_number_matches_global_window(spark):
@@ -317,3 +329,37 @@ def test_band_config_scurve_midpoints():
     assert rows == sorted(rows)
     # the repo default budget reproduces the registered 4x2 at t=0.5
     assert band_config(0.5, 8) == (4, 2)
+
+
+def test_global_rank_consistent_at_scale_with_cached_input(spark):
+    """Regression: the two consumers of the range exchange (local scan
+    + totals) MUST see one partitioning. Before the ordered.py
+    localCheckpoint, each branch executed its own sampled exchange and
+    a boundary mismatch silently corrupted ranks (observed at 1M rows
+    with a cached input: Σrow_number 0.67% high). Exact-sum identity
+    over a million rows with duplicate order keys and a persisted
+    input is the reproducing condition."""
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators.ordered import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    n = 1_000_000
+    df = (
+        spark.range(n)
+        .select(F.col("id"), (F.hash("id") % 1000).alias("v"))
+        .persist()
+    )
+    try:
+        df.count()
+        rn = global_row_number(df, ["v", "id"], out_col="rn")
+        assert rn.agg(F.sum("rn")).first()[0] == n * (n + 1) // 2
+        assert rn.filter(F.col("rn") > n).count() == 0
+        cum = global_running_sum(
+            df.withColumn("one", F.lit(1)), ["v", "id"], "one", out_col="cs"
+        )
+        assert cum.agg(F.sum("cs")).first()[0] == n * (n + 1) // 2
+    finally:
+        df.unpersist()
