@@ -242,3 +242,55 @@ def t23_interleaved_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return interleaved_order(d, _ILV_WEIGHTS)
+
+
+@query(
+    "t24_shingle_diversity",
+    oracle="""
+    WITH grams AS (
+        SELECT source, g.gram
+        FROM (
+            SELECT source,
+                   list_transform(range(1, len(tok) - 1),
+                                  i -> array_to_string(list_slice(tok, i, i + 2), ' ')) AS tri
+            FROM (SELECT source,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+                  FROM documents)
+        ), unnest(tri) AS g(gram)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+           round(count(DISTINCT gram) / CAST(count(*) AS DOUBLE), 6) AS diversity
+    FROM grams
+    GROUP BY source
+    """,
+)
+def t24_shingle_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram diversity per source — the type/token ratio
+    over word trigrams, the Gopher-style diversity signal for source
+    triage (templated/boilerplate-heavy sources score low; t16 covers
+    the within-document version). A low-diversity source is a dedup
+    and quality red flag BEFORE any pairwise work runs.
+
+    Scale shape: one explode + one two-phase distinct aggregation
+    keyed (source, gram) — map-side partials absorb repeated grams,
+    and the shuffle carries gram strings once per (source, distinct
+    gram). For a monitoring dashboard at 100 TB swap the exact
+    count(DISTINCT) for approx_count_distinct (HLL) — constant
+    memory, mergeable across shards; the exact form is registered
+    because DuckDB can replay it value-exactly."""
+    from ..functions.text import tokenize, word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "source",
+        F.explode(word_ngrams(tokenize(F.col("text")), 3)).alias("gram"),
+    )
+    return grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.countDistinct("gram").cast("long").alias("n_distinct"),
+        F.round(F.countDistinct("gram") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "diversity"
+        ),
+    )

@@ -54,6 +54,7 @@ def test_north_star_queries_inside_driver_correctness_window():
         "d13_simhash_neardups",  # sketch banding: d02/d04/d06 hold slots
         "t22_funnel_accounting",  # funnel: t13 holds the slot
         "t23_interleaved_order",  # ordering: t18/t19 hold the ordered.py slots
+        "t24_shingle_diversity",  # corpus stats: t05/t16 hold the slots
     }
 
     names = list(QUERIES)
