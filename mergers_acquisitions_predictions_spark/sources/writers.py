@@ -12,13 +12,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by=None,
+    dynamic_overwrite: bool = False,
+) -> None:
     """Parquet sink (S6, `acq_etl_code.scala:104`). `partition_by` for
-    partition-pruned downstream scans at scale."""
-    w = df.write.mode(mode)
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    partition-pruned downstream scans at scale.
+
+    ``dynamic_overwrite``: with a partitioned table, replace ONLY the
+    partitions present in ``df`` and leave the rest untouched — the
+    nightly-ingest idiom at 100 TB (re-run one day's shard without
+    rewriting, or accidentally truncating, the whole table; Spark's
+    default STATIC overwrite deletes every existing partition first).
+    Implemented with the session conf
+    `spark.sql.sources.partitionOverwriteMode=dynamic`, scoped to this
+    write and restored after."""
+    conf = df.sparkSession.conf
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = conf.get(key, None)
+    if dynamic_overwrite:
+        conf.set(key, "dynamic")
+    try:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+    finally:
+        if dynamic_overwrite:
+            if prev is None:
+                conf.unset(key)
+            else:
+                conf.set(key, prev)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
