@@ -137,8 +137,8 @@ def q40_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey, c_custkey,
            CAST(rank() OVER w AS BIGINT)        AS rnk,
            CAST(dense_rank() OVER w AS BIGINT)  AS drnk,
-           round(percent_rank() OVER w, 6)      AS prnk,
-           round(cume_dist() OVER w, 6)         AS cdist
+           CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS prnk_ppm,
+           CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT)    AS cdist_ppm
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
     """,
@@ -147,18 +147,29 @@ def q41_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ranking-function family over one window spec (single
     shuffle): rank with gaps, dense rank, percent_rank
     ((rank−1)/(n−1)), cume_dist — identical definitions both engines,
-    deterministic via the custkey tiebreak."""
+    deterministic via the custkey tiebreak.
+
+    The fractional ranks are emitted as PARTS-PER-MILLION integers via
+    `floor(x*1e6 + 0.5)` — pure IEEE ops on the (bit-identical)
+    double, so both engines round the BINARY value. `round(x, 6)`
+    diverged at sf0.1: cume_dist yields rationals like 41/640 whose
+    shortest decimal rendering '0.0640625' is an exact 6-dp tie —
+    Spark's round goes through that decimal string (BigDecimal
+    HALF_UP ⇒ …63) while DuckDB rounds the binary double sitting just
+    BELOW the tie (⇒ …62). Caught by the one-off full sf0.1 sweep;
+    invisible at sf≤0.01 where partition sizes divide powers of two."""
     from pyspark.sql import Window as W
 
     c = load_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    ppm = lambda col: F.floor(col * 1000000 + 0.5).cast("long")  # noqa: E731
     return c.select(
         "c_nationkey",
         "c_custkey",
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        ppm(F.percent_rank().over(w)).alias("prnk_ppm"),
+        ppm(F.cume_dist().over(w)).alias("cdist_ppm"),
     )
 
 
