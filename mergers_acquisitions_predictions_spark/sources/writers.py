@@ -95,3 +95,32 @@ def write_token_balanced_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def write_parquet_observed(
+    df: DataFrame,
+    path: str,
+    metrics: dict,
+    mode: str = "overwrite",
+    partition_by=None,
+) -> dict:
+    """Parquet sink with SINGLE-PASS metrics via Spark's Observation
+    API: the named aggregate expressions in ``metrics`` (e.g.
+    ``{"n_docs": F.count(F.lit(1)), "tokens": F.sum("n_tokens")}``)
+    are accumulated DURING the write and returned as a dict — no
+    second scan of the data to answer "how many rows/tokens did the
+    nightly job emit?". At 100 TB a post-hoc count re-reads the
+    table; an observation is free (metrics ride the write tasks).
+
+    Only Observation-legal aggregates apply (no distinct, no order-
+    dependent aggs); returns ``{name: value}``."""
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    named = [expr.alias(name) for name, expr in metrics.items()]
+    observed = df.observe(obs, *named)
+    w = observed.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return dict(obs.get)
