@@ -337,6 +337,10 @@ def prefix_jaccard_pairs(
         .join(sizes, "doc")
         .filter(F.col("__rn") <= prefix_len)
         .select("doc", "shingle", "n")
+        # persisted because the self-join below consumes it TWICE —
+        # without this, the explode + global-DF agg + rarity window
+        # recompute once per side (measured 6-7 s vs ~3 s at sf0.1).
+        .persist()
     )
     a = pref.select(F.col("doc").alias("a_id"), "shingle", F.col("n").alias("n_a"))
     b = pref.select(F.col("doc").alias("b_id"), "shingle", F.col("n").alias("n_b"))
@@ -350,7 +354,7 @@ def prefix_jaccard_pairs(
         .distinct()
     )
     out = jaccard_verify_pairs(cand, sh, threshold)
-    return own_caches(out, sh)
+    return own_caches(out, sh, pref)
 
 
 def jaccard_verify_pairs(
