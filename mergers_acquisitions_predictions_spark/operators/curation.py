@@ -228,3 +228,54 @@ def interleaved_order(
         id_col, source_col, "src_rank", F.col("position").cast("long").alias("position")
     )
     return own_caches(out, positioned)
+
+
+def select_canonicals(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Canonical-representative selection — the keep-policy half of
+    near-dup dedup: one row per cluster keeping the highest-scoring
+    member (min ``id_col`` on score ties), plus the member count.
+    "Keep one per cluster" by min id is a special case (constant
+    score); this is the quality-aware policy a curation pipeline
+    actually wants: dedup should discard the WORST copies, not
+    whichever happened to sort last.
+
+    Inputs: ``clusters`` is (id, cluster) as produced by
+    ``dedup.dup_clusters``; ``scored`` is (id, score). Callers who
+    rank on a float score should pre-round it so the keep decision is
+    engine-portable (round-before-rank, NOTES.md).
+
+    Scale shape: one id-keyed equi-join, then ONE cluster-keyed
+    exchange serving both window frames (row_number and the member
+    count share the partitioning; Spark plans a single Exchange).
+    Near-dup clusters are shallow and small, so the window partition
+    never skews beyond AQE's comfort. Cache/checkpoint ownership of
+    ``clusters`` (dup_clusters returns a localCheckpoint-backed plan)
+    transfers to the result via own_caches."""
+    from pyspark.sql import Window as W
+
+    j = clusters.join(scored, id_col)
+    by_cluster = W.partitionBy(cluster_col)
+    pick = by_cluster.orderBy(F.col(score_col).desc(), F.col(id_col))
+    out = (
+        j.select(
+            cluster_col,
+            id_col,
+            score_col,
+            F.row_number().over(pick).alias("__rn"),
+            F.count(F.lit(1)).over(by_cluster).cast("long").alias("n_members"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            cluster_col,
+            F.col(id_col).alias("canonical_id"),
+            score_col,
+            "n_members",
+        )
+    )
+    return own_caches(out, clusters, scored)

@@ -243,9 +243,12 @@ def d08_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.7)
 
 
-@query(
-    "d09_dup_clusters",
-    oracle=_SIGS_CTE.replace("WITH", "WITH RECURSIVE", 1)
+#: CTE chain ending in ``clusters(doc_id, cluster_id)``: the d02 LSH
+#: pair graph closed transitively (recursive CTE), min-doc_id labels,
+#: singletons labeled by themselves. Shared by the d09/d14 oracles —
+#: the DuckDB replay of ``operators/dedup.dup_clusters``.
+_CLUSTER_CTES = (
+    _SIGS_CTE.replace("WITH", "WITH RECURSIVE", 1)
     + """
     , bands AS (
         SELECT doc_id, 0 AS band, sig0 || '|' || sig1 AS band_key FROM sigs
@@ -268,12 +271,20 @@ def d08_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u, v FROM edges
         UNION
         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+        GROUP BY d.doc_id
     )
-    SELECT d.doc_id,
-           least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
-    FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
-    GROUP BY d.doc_id
-    """,
+"""
+)
+
+
+@query(
+    "d09_dup_clusters",
+    oracle=_CLUSTER_CTES + "SELECT doc_id, cluster_id FROM clusters",
 )
 def d09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH
@@ -507,3 +518,57 @@ def d12_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     is_new = F.col("source").isin("src18", "src19")
     return incremental_neardup_candidates(d.filter(is_new), d.filter(~is_new))
+
+
+@query(
+    "d14_cluster_canonicals",
+    oracle=_CLUSTER_CTES
+    + f"""
+    , scored AS (
+        SELECT doc_id,
+               CASE WHEN len(tok) = 0 THEN 0.0
+                    ELSE round(
+                        least(len(tok) / 100.0, 1.0)
+                        * greatest(0.0, 1.0 - abs(
+                            list_sum(list_transform(tok,
+                                     t -> CAST(length(t) AS DOUBLE)))
+                            / len(tok) - 5.0) / 10.0), 6)
+               END AS quality
+        FROM (SELECT doc_id, {_TOK} AS tok FROM documents)
+    ),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, s.quality,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY s.quality DESC, c.doc_id) AS rn,
+               count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        FROM clusters c JOIN scored s USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS canonical_id, quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def d14_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep-policy over the d09 near-dup clusters: one
+    row per cluster keeping the HIGHEST-quality member (t11's scoring
+    formula; min doc_id on ties) with the member count — dedup that
+    discards the worst copies instead of whichever sorted last, the
+    finisher a curation pipeline actually deploys. Composition of
+    dup_clusters (component labels) + quality_score (map-side) +
+    curation.select_canonicals (one id join, one cluster-keyed
+    window exchange). Quality is ROUNDED before ranking so the keep
+    decision is engine-portable (round-before-rank, NOTES.md)."""
+    from ..functions.textstats import quality_score
+    from ..operators.curation import select_canonicals
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, "text", "doc_id", n_bands=4, rows_per_band=2)
+    clusters = dup_clusters(d, pairs, "doc_id")
+    tok = d.select("doc_id", tokenize("text").alias("tok"))
+    scored = tok.select(
+        "doc_id",
+        F.when(F.size("tok") == 0, F.lit(0.0))
+        .otherwise(F.round(quality_score(F.col("tok")), 6))
+        .alias("quality"),
+    )
+    return select_canonicals(clusters, scored)

@@ -363,3 +363,25 @@ def test_global_rank_consistent_at_scale_with_cached_input(spark):
         assert cum.agg(F.sum("cs")).first()[0] == n * (n + 1) // 2
     finally:
         df.unpersist()
+
+
+def test_select_canonicals_quality_argmax_with_id_tiebreak(spark):
+    from mergers_acquisitions_predictions_spark.operators.curation import (
+        select_canonicals,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        ["doc_id", "cluster_id"],
+    )
+    # cluster 1: strict max at doc 2; cluster 4: tie -> min doc_id (4);
+    # cluster 6: singleton.
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (4, 0.7), (5, 0.7), (6, 0.0)],
+        ["doc_id", "quality"],
+    )
+    rows = {
+        r.cluster_id: (r.canonical_id, r.quality, r.n_members)
+        for r in select_canonicals(clusters, scored).collect()
+    }
+    assert rows == {1: (2, 0.9, 3), 4: (4, 0.7, 2), 6: (6, 0.0, 1)}
