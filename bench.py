@@ -60,6 +60,7 @@ def main() -> None:
         "d11_semantic_dedup",
         "d12_incremental_neardup",
         "d13_simhash_neardups",
+        "d14_cluster_canonicals",
         "t21_source_mixture",
         "t18_sequence_packing",
         "t19_quality_rank_filter",
