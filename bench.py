@@ -43,6 +43,7 @@ def main() -> None:
         "q16_running_customer_spend",
         "q17_tumbling_windows",
         "q18_session_windows",
+        "j03_fuzzy_name_match",
         "t01_token_stats",
         "t08_vocabulary",
         "t09_tfidf_top_terms",

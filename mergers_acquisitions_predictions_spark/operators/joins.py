@@ -67,6 +67,64 @@ def _bucket_seconds(bucket: str) -> int:
         ) from None
 
 
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    block_left: Column | str,
+    block_right: Column | str,
+    max_dist: int = 2,
+    dist_col: str = "edit_dist",
+) -> DataFrame:
+    """Approximate string-match join (entity resolution): the fuzzy
+    generalization of the reference's exact name-equality linkage
+    (`join_acquirers.scala:26` joins deal names to the company master
+    verbatim — real deal feeds carry typos/OCR noise that exact
+    equality drops on the floor).
+
+    Standard blocking-key design: rows pair ONLY within equal blocking
+    keys (``block_left``/``block_right`` — expressions over each side,
+    e.g. a phonetic key, a name token, a sorted-token prefix), then a
+    cheap length-band prune (|len diff| > max_dist can never be within
+    edit distance) runs as a join residual, and the survivors are
+    verified with Levenshtein — Spark 3.5+'s thresholded form, which
+    abandons a pair's DP early once ``max_dist`` is exceeded.
+
+    Scale shape: the block key turns an O(n·m) all-pairs comparison
+    into a hash equi-join; per-block cost is quadratic, so blocking
+    keys must be selective (run multiple passes with different keys
+    and union for recall — the standard multi-pass blocking scheme).
+    Matches within ``max_dist`` whose blocking keys DIFFER are missed
+    by construction; that recall trade is the documented semantics
+    (and what makes the operator oracle-replayable).
+
+    ``left_col``/``right_col`` must be distinct names; output carries
+    both sides' columns plus ``dist_col`` (the exact edit distance,
+    ≤ ``max_dist``)."""
+    if left_col == right_col:
+        raise ValueError("left_col and right_col must be distinct names")
+    lb = F.col(block_left) if isinstance(block_left, str) else block_left
+    rb = F.col(block_right) if isinstance(block_right, str) else block_right
+    l_k = left.withColumn("__blk", lb)
+    r_k = right.withColumn("__blk", rb)
+    dist = F.levenshtein(F.col(left_col), F.col(right_col), max_dist)
+    return (
+        l_k.join(
+            r_k,
+            (l_k["__blk"] == r_k["__blk"])
+            & (
+                F.abs(F.length(F.col(left_col)) - F.length(F.col(right_col)))
+                <= max_dist
+            ),
+        )
+        .withColumn(dist_col, dist)
+        # thresholded levenshtein returns -1 past the bound
+        .filter((F.col(dist_col) >= 0) & (F.col(dist_col) <= max_dist))
+        .drop("__blk")
+    )
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,

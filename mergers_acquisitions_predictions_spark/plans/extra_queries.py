@@ -16,6 +16,7 @@ from .registry import query
 # so their no-oracle rows sit past the checked window: m05 (iterative
 # Lloyd fitting), u03 (fake multimodal payload bytes aren't SQL).
 from .ml_queries import m05_kmeans_clusters  # noqa: E402
+from .text_queries import T02_ORACLE, t02_clean_text  # noqa: E402
 from .udf_queries import U01_ORACLE, u01_pandas_udf_charge  # noqa: E402
 from .udf_queries import u03_multimodal_features  # noqa: E402
 
@@ -25,6 +26,10 @@ query("u03_multimodal_features")(u03_multimodal_features)
 # scalar-pandas_udf mechanism keeps in-window driver evidence via
 # u04's lemmatizer; u01 stays value-checked by the local parity sweep.
 query("u01_pandas_udf_charge", oracle=U01_ORACLE)(u01_pandas_udf_charge)
+# t02 rotated out in favor of j03_fuzzy_name_match (round 2): t02 was
+# driver-green in round 1, and regex normalization keeps in-window
+# evidence via t01/t15; still value-checked by the local parity sweep.
+query("t02_clean_text", oracle=T02_ORACLE)(t02_clean_text)
 
 
 @query("s05_ivf_kmeans_topk")  # rows-only: k-means fit is not SQL-expressible

@@ -322,3 +322,83 @@ def j02_deal_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ISO-string date output (repo convention: DATE columns don't
     # round-trip identically through both engines' pandas bridges).
     return linked.withColumn("announce_date", F.col("announce_date").cast("string"))
+
+
+@query(
+    "j03_fuzzy_name_match",
+    oracle="""
+    WITH master AS (
+        SELECT p_partkey AS master_key, p_name AS master_name FROM part
+    ),
+    dirty AS (
+        SELECT p_partkey AS dirty_key,
+               substr(p_name, 1, 2) || substr(p_name, 4) AS dirty_name
+        FROM part WHERE p_partkey % 7 = 0
+    ),
+    pairs AS (
+        SELECT d.dirty_key, d.dirty_name, m.master_key, m.master_name,
+               CAST(levenshtein(d.dirty_name, m.master_name) AS BIGINT)
+                   AS edit_dist
+        FROM dirty d JOIN master m
+          ON regexp_extract(d.dirty_name, '([a-z]+)$', 1)
+             = regexp_extract(m.master_name, '([a-z]+)$', 1)
+         AND abs(length(d.dirty_name) - length(m.master_name)) <= 2
+        WHERE levenshtein(d.dirty_name, m.master_name) <= 2
+    )
+    SELECT dirty_key, master_key, master_name, edit_dist
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY dirty_key ORDER BY edit_dist, master_key) AS rn
+          FROM pairs)
+    WHERE rn = 1
+    """,
+)
+def j03_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2's fuzzy generalization — entity resolution under noise. The
+    reference links deal names to the company master by EXACT equality
+    (`join_acquirers.scala:26`); real deal feeds carry typo/OCR noise,
+    so this is the blocked approximate-match version: a dirty side is
+    synthesized from `part` names (every 7th part, 3rd character
+    dropped — a deterministic single-edit corruption), then resolved
+    back against the master via `operators.joins.fuzzy_join`
+    (last-word blocking key → hash equi-join; length-band prune;
+    thresholded-Levenshtein verify) and a best-match window
+    (min distance, master-key tiebreak) per dirty record.
+
+    Scale shape: blocking turns all-pairs O(n·m) into an equi-join;
+    the verify is JVM-side `levenshtein(l, r, threshold)` with early
+    DP abandon. The corruption never touches the last word (p_name
+    words are ≥3 chars), so single-pass last-word blocking has full
+    recall HERE; the operator docstring records the general multi-pass
+    recall story."""
+    from ..operators.joins import fuzzy_join
+    from pyspark.sql import Window as W
+
+    part = load_table(spark, sf_dir, "part")
+    master = part.select(
+        F.col("p_partkey").alias("master_key"), F.col("p_name").alias("master_name")
+    )
+    dirty = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("dirty_key"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")
+        ).alias("dirty_name"),
+    )
+    last_word = lambda c: F.regexp_extract(F.col(c), r"([a-z]+)$", 1)  # noqa: E731
+    pairs = fuzzy_join(
+        dirty,
+        master,
+        "dirty_name",
+        "master_name",
+        block_left=last_word("dirty_name"),
+        block_right=last_word("master_name"),
+        max_dist=2,
+    )
+    best = pairs.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("dirty_key").orderBy("edit_dist", "master_key")
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "dirty_key", "master_key", "master_name", F.col("edit_dist").cast("long").alias("edit_dist")
+    )

@@ -55,6 +55,7 @@ def test_north_star_queries_inside_driver_correctness_window():
         "t22_funnel_accounting",  # funnel: t13 holds the slot
         "t23_interleaved_order",  # ordering: t18/t19 hold the ordered.py slots
         "t24_shingle_diversity",  # corpus stats: t05/t16 hold the slots
+        "t02_clean_text",  # r1-driver-green; regex cleaning: t01/t15 hold slots
     }
 
     names = list(QUERIES)
