@@ -67,6 +67,7 @@ def main() -> None:
         "t19_quality_rank_filter",
         "t14_token_chunks",
         "t16_repetition_stats",
+        "t26_bpe_encode",
         "s02_cosine_topk",
         "m04_pair_ranking",
         "q25_monthly_orders",

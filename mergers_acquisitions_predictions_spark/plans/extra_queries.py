@@ -16,6 +16,7 @@ from .registry import query
 # so their no-oracle rows sit past the checked window: m05 (iterative
 # Lloyd fitting), u03 (fake multimodal payload bytes aren't SQL).
 from .ml_queries import m05_kmeans_clusters  # noqa: E402
+from .text_queries import T01_ORACLE, t01_token_stats  # noqa: E402
 from .text_queries import T02_ORACLE, t02_clean_text  # noqa: E402
 from .udf_queries import U01_ORACLE, u01_pandas_udf_charge  # noqa: E402
 from .udf_queries import u03_multimodal_features  # noqa: E402
@@ -28,8 +29,29 @@ query("u03_multimodal_features")(u03_multimodal_features)
 query("u01_pandas_udf_charge", oracle=U01_ORACLE)(u01_pandas_udf_charge)
 # t02 rotated out in favor of j03_fuzzy_name_match (round 2): t02 was
 # driver-green in round 1, and regex normalization keeps in-window
-# evidence via t01/t15; still value-checked by the local parity sweep.
+# evidence via t15; still value-checked by the local parity sweep.
 query("t02_clean_text", oracle=T02_ORACLE)(t02_clean_text)
+# t01 rotated out in favor of t26_bpe_encode (round 2): t01 was
+# driver-green in round 1, and token counting keeps in-window evidence
+# via t12/t16; still value-checked by the local parity sweep.
+query("t01_token_stats", oracle=T01_ORACLE)(t01_token_stats)
+
+
+@query("t25_bpe_merges")  # rows-only: iterative fit (argmax per round)
+def t25_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge LEARNING (operators/bpe.learn_bpe_merges): one corpus
+    pass builds the word-frequency table, then every iteration runs
+    over that vocab-sized frame — adjacent-pair count + argmax +
+    greedy merge fold, localCheckpoint-ed per round. Not
+    SQL-expressible (per-round argmax feeds the next round's
+    rewrite), so driver-checked rows-only; the exact merge sequence
+    is golden-tested against a plain-Python reference implementation
+    (tests/test_bpe.py) at two corpus shapes."""
+    from ..operators.bpe import learn_bpe_merges, merges_as_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=12, min_freq=2)
+    return merges_as_df(spark, merges)
 
 
 @query("s05_ivf_kmeans_topk")  # rows-only: k-means fit is not SQL-expressible

@@ -55,7 +55,9 @@ def test_north_star_queries_inside_driver_correctness_window():
         "t22_funnel_accounting",  # funnel: t13 holds the slot
         "t23_interleaved_order",  # ordering: t18/t19 hold the ordered.py slots
         "t24_shingle_diversity",  # corpus stats: t05/t16 hold the slots
-        "t02_clean_text",  # r1-driver-green; regex cleaning: t01/t15 hold slots
+        "t02_clean_text",  # r1-driver-green; regex cleaning: t15 holds the slot
+        "t01_token_stats",  # r1-driver-green; token counts: t12/t16 hold slots
+        "t25_bpe_merges",  # rows-only (iterative fit); t26 holds the BPE slot
     }
 
     names = list(QUERIES)
