@@ -124,3 +124,15 @@ def write_parquet_observed(
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     return dict(obs.get)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by=None
+) -> None:
+    """ORC sink — the columnar alternative for Hive-era consumers.
+    Same layout discipline as `write_parquet` (multi-part distributed
+    output; `partition_by` for pruned downstream scans)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

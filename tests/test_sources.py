@@ -205,3 +205,20 @@ def test_write_parquet_observed_single_pass_metrics(spark, tmp_path):
     assert got["total_chars"] == want.total_chars
     assert got["max_doc"] == want.max_doc
     assert spark.read.parquet(path).count() == want.n_docs
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from mergers_acquisitions_predictions_spark.sources.readers import read_orc
+    from mergers_acquisitions_predictions_spark.sources.writers import write_orc
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path, partition_by=["n_regionkey"])
+    back = read_orc(spark, path)
+    assert sorted(back.columns) == sorted(src.columns)
+    assert back.count() == src.count()
+    # partition pruning: the partition filter must not scan every file
+    pruned = back.filter(back.n_regionkey == 0)
+    assert pruned.count() == src.filter(src.n_regionkey == 0).count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
