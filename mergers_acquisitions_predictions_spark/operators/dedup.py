@@ -245,6 +245,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above ``threshold``.
 
@@ -258,12 +259,41 @@ def jaccard_pairs(
     The exploded postings frame is PERSISTED: both self-join sides and
     the per-doc size aggregate reuse it, so tokenize+shingle runs once
     over the corpus instead of three times.
+
+    ``max_df`` (stop-gram pruning): shingles occurring in more than
+    ``max_df`` documents are dropped from CANDIDATE GENERATION — the
+    hot-postings pair explosion is quadratic in document frequency, so
+    this caps the dominant cost at web scale. Found pairs keep their
+    EXACT Jaccard (candidates re-verify against the full shingle
+    arrays map-side via ``jaccard_verify_pairs``); the documented
+    recall trade is that a pair sharing ONLY stop-grams is missed —
+    which for near-dup detection is the pair you didn't want anyway.
+    ``prefix_jaccard_pairs`` remains the exact-AND-sub-quadratic path.
     """
     toks = repartition_for_compute(df).select(
         F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("__tok")
     )
     sh = toks.select("doc", shingles(F.col("__tok"), shingle_n).alias("sh"))
     exploded = sh.select("doc", F.explode("sh").alias("shingle")).persist()
+    if max_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        # persisted: the candidate self-join consumes this frame TWICE
+        # (the self-join-input materialization lesson — see NOTES.md)
+        pruned = exploded.join(hot, "shingle", "left_anti").persist()
+        cand = (
+            pruned.select(F.col("doc").alias("a_id"), "shingle")
+            .join(pruned.select(F.col("doc").alias("b_id"), "shingle"), "shingle")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
+        out = jaccard_verify_pairs(cand, sh, threshold)
+        return own_caches(out, exploded, pruned)
     sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.select(F.col("doc").alias("a_id"), "shingle")
     b = exploded.select(F.col("doc").alias("b_id"), "shingle")

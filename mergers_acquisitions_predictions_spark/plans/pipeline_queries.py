@@ -328,20 +328,21 @@ def j02_deal_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j03_fuzzy_name_match",
     oracle="""
     WITH master AS (
-        SELECT p_partkey AS master_key, p_name AS master_name FROM part
+        SELECT c_custkey AS master_key, c_name AS master_name FROM customer
     ),
     dirty AS (
-        SELECT p_partkey AS dirty_key,
-               substr(p_name, 1, 2) || substr(p_name, 4) AS dirty_name
-        FROM part WHERE p_partkey % 7 = 0
+        SELECT c_custkey AS dirty_key,
+               substr(c_name, 1, length(c_name) - 1)
+                 || translate(substr(c_name, length(c_name), 1),
+                              '0123456789', 'OIZEASGTBP') AS dirty_name
+        FROM customer WHERE c_custkey % 7 = 0
     ),
     pairs AS (
         SELECT d.dirty_key, d.dirty_name, m.master_key, m.master_name,
                CAST(levenshtein(d.dirty_name, m.master_name) AS BIGINT)
                    AS edit_dist
         FROM dirty d JOIN master m
-          ON regexp_extract(d.dirty_name, '([a-z]+)$', 1)
-             = regexp_extract(m.master_name, '([a-z]+)$', 1)
+          ON substr(d.dirty_name, 1, 16) = substr(m.master_name, 1, 16)
          AND abs(length(d.dirty_name) - length(m.master_name)) <= 2
         WHERE levenshtein(d.dirty_name, m.master_name) <= 2
     )
@@ -357,40 +358,50 @@ def j03_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference links deal names to the company master by EXACT equality
     (`join_acquirers.scala:26`); real deal feeds carry typo/OCR noise,
     so this is the blocked approximate-match version: a dirty side is
-    synthesized from `part` names (every 7th part, 3rd character
-    dropped — a deterministic single-edit corruption), then resolved
-    back against the master via `operators.joins.fuzzy_join`
-    (last-word blocking key → hash equi-join; length-band prune;
-    thresholded-Levenshtein verify) and a best-match window
-    (min distance, master-key tiebreak) per dirty record.
+    synthesized from `customer` names (every 7th customer, final
+    digit OCR-corrupted to a letter — 0→O, 1→I, … — a deterministic
+    single-substitution error), then resolved back against the master
+    via `operators.joins.fuzzy_join` (name-prefix blocking key → hash
+    equi-join; length-band prune; thresholded-Levenshtein verify) and
+    a best-match window (min distance, master-key tiebreak) per dirty
+    record.
 
-    Scale shape: blocking turns all-pairs O(n·m) into an equi-join;
-    the verify is JVM-side `levenshtein(l, r, threshold)` with early
-    DP abandon. The corruption never touches the last word (p_name
-    words are ≥3 chars), so single-pass last-word blocking has full
-    recall HERE; the operator docstring records the general multi-pass
-    recall story."""
+    Scale shape: prefix blocking turns all-pairs O(n·m) into an
+    equi-join whose block count grows WITH the corpus (name prefixes,
+    not a fixed category set — the `part` table is unusable here: its
+    64 distinct names make every block quadratic); the verify is
+    JVM-side `levenshtein(l, r, threshold)` with early DP abandon.
+    Matches whose first 16 chars differ are missed by construction —
+    the standard single-pass blocking recall trade; multi-pass
+    blocking (union over different keys) is the documented recall
+    path in the operator docstring."""
     from ..operators.joins import fuzzy_join
     from pyspark.sql import Window as W
 
-    part = load_table(spark, sf_dir, "part")
-    master = part.select(
-        F.col("p_partkey").alias("master_key"), F.col("p_name").alias("master_name")
+    # per-pair Levenshtein is CPU-bound: round the single-row-group
+    # local scan up to cluster parallelism (no-op at real scale)
+    cust = repartition_for_compute(load_table(spark, sf_dir, "customer"))
+    master = cust.select(
+        F.col("c_custkey").alias("master_key"), F.col("c_name").alias("master_name")
     )
-    dirty = part.filter(F.col("p_partkey") % 7 == 0).select(
-        F.col("p_partkey").alias("dirty_key"),
+    dirty = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
         F.concat(
-            F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")
+            F.expr("substring(c_name, 1, length(c_name) - 1)"),
+            F.translate(
+                F.expr("substring(c_name, length(c_name), 1)"),
+                "0123456789",
+                "OIZEASGTBP",
+            ),
         ).alias("dirty_name"),
     )
-    last_word = lambda c: F.regexp_extract(F.col(c), r"([a-z]+)$", 1)  # noqa: E731
     pairs = fuzzy_join(
         dirty,
         master,
         "dirty_name",
         "master_name",
-        block_left=last_word("dirty_name"),
-        block_right=last_word("master_name"),
+        block_left=F.substring("dirty_name", 1, 16),
+        block_right=F.substring("master_name", 1, 16),
         max_dist=2,
     )
     best = pairs.withColumn(

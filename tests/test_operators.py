@@ -154,6 +154,38 @@ def test_prefix_jaccard_equals_plain_jaccard(spark):
         assert pruned == plain and plain  # exact, and non-vacuous
 
 
+def test_jaccard_max_df_prunes_stopgram_only_pairs(spark):
+    """max_df drops hot shingles from candidate generation: pairs
+    sharing ONLY stop-grams disappear; surviving pairs keep their
+    EXACT Jaccard (full-array verify)."""
+    from mergers_acquisitions_predictions_spark.operators.dedup import jaccard_pairs
+
+    # "the of" is a stop-bigram present in EVERY doc (df=4 > max_df=2);
+    # docs 0/1 also share real content; 2/3 share only the stop-gram.
+    docs = spark.createDataFrame(
+        [
+            (0, "the of alpha beta gamma delta"),
+            (1, "the of alpha beta gamma zeta"),
+            (2, "the of one two three four"),
+            (3, "the of five six seven eight"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.01, shingle_n=2).collect()
+    }
+    pruned = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.01, shingle_n=2, max_df=2).collect()
+    }
+    assert set(pruned) < set(exact)  # strictly fewer pairs
+    assert (2, 3) in exact and (2, 3) not in pruned  # stop-gram-only pair gone
+    assert (0, 1) in pruned
+    for k, v in pruned.items():
+        assert v == exact[k]  # surviving pairs: exact values
+
+
 def test_simhash_neardups_pigeonhole_complete(spark):
     """The banded plan must find EVERY pair within max_hamming (the
     pigeonhole guarantee) — checked against a brute-force popcount of
