@@ -38,6 +38,73 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def zorder_value(
+    bucketed: list, bits: int = 8
+):
+    """Morton (Z-curve) value from per-column bucket indexes: bit i of
+    column c lands at position ``i * n_cols + c``. Pure shift/mask
+    expression — map-side, codegen'd."""
+    n = len(bucketed)
+    z = F.lit(0).cast("long")
+    for c, col in enumerate(bucketed):
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(col, i).bitwiseAND(F.lit(1)), i * n + c
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 8,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered parquet write: multi-column data skipping for
+    workloads that filter on SEVERAL columns (partitioning prunes one
+    hierarchy; a Z-curve keeps every listed column's value range
+    narrow within each file, so parquet min/max footer stats prune
+    files/row-groups for box predicates on ANY subset of the columns).
+
+    Plan: one tiny min/max aggregate per write (driver-sized), then a
+    map-side uniform bucket index per column, bit-interleaved into the
+    Z-value, `repartitionByRange` on it (range exchange → files own
+    contiguous Z-ranges) and a within-partition sort so row groups are
+    tight too. The data shuffles exactly once.
+
+    Numeric columns only (cast dates/timestamps to epoch first);
+    uniform binning is min/max based — heavy skew concentrates
+    buckets, where quantile-based binning (approxQuantile boundaries)
+    is the standard refinement. Effectiveness is test-asserted by
+    reading back parquet footer stats (tests/test_layout.py)."""
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in zorder_cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in zorder_cols],
+    ).first()
+    n_buckets = 1 << bits
+    bucketed = []
+    for c in zorder_cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            bucketed.append(F.lit(0).cast("long"))
+            continue
+        frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
+        idx = F.floor(frac * n_buckets).cast("long")
+        bucketed.append(F.least(F.greatest(idx, F.lit(0)), F.lit(n_buckets - 1)))
+    z = df.withColumn("__z", zorder_value(bucketed, bits))
+    (
+        z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def salted_group_count(
     df: DataFrame, key: str, n_salts: int = 16, agg_col: str | None = None
 ) -> DataFrame:

@@ -52,3 +52,66 @@ def test_salted_aggregation_equals_plain(spark):
         for r in salted_group_count(li, "l_returnflag", agg_col="l_quantity").collect()
     }
     assert salted == plain
+
+
+def test_zorder_write_prunes_box_queries(spark, tmp_path):
+    """Z-order clustering must make parquet footer min/max stats
+    selective for a 2-column box predicate: far fewer files overlap
+    the box than under the natural (single-column-clustered) layout,
+    and no rows are lost."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from mergers_acquisitions_predictions_spark.operators.layout import (
+        write_zordered,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    zpath, npath = str(tmp_path / "zord"), str(tmp_path / "nat")
+    write_zordered(orders, zpath, ["o_custkey", "o_totalprice"], n_files=16)
+    # natural baseline: same file count, clustered by o_orderkey only
+    orders.repartitionByRange(16, "o_orderkey").write.parquet(npath)
+
+    lo_k, hi_k, lo_p, hi_p = 1, 150, 1000.0, 20000.0
+
+    def overlapping(path: str) -> tuple[int, int]:
+        files = sorted(Path(path).glob("*.parquet"))
+        hit = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            mins = {"o_custkey": None, "o_totalprice": None}
+            maxs = dict(mins)
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        s = col.statistics
+                        mins[name] = s.min if mins[name] is None else min(mins[name], s.min)
+                        maxs[name] = s.max if maxs[name] is None else max(maxs[name], s.max)
+            if (
+                mins["o_custkey"] is not None
+                and mins["o_custkey"] <= hi_k
+                and maxs["o_custkey"] >= lo_k
+                and mins["o_totalprice"] <= hi_p
+                and maxs["o_totalprice"] >= lo_p
+            ):
+                hit += 1
+        return hit, len(files)
+
+    z_hit, z_total = overlapping(zpath)
+    n_hit, n_total = overlapping(npath)
+    assert z_total >= 8 and n_total >= 8
+    # the natural layout overlaps the box almost everywhere; z-order
+    # confines it to a corner of the curve
+    assert n_hit >= n_total * 3 // 4
+    assert z_hit * 2 <= n_hit, (z_hit, z_total, n_hit, n_total)
+
+    # correctness: the clustered copy is the same table
+    back = spark.read.parquet(zpath)
+    cond = (
+        (F.col("o_custkey").between(lo_k, hi_k))
+        & (F.col("o_totalprice").between(lo_p, hi_p))
+    )
+    assert back.filter(cond).count() == orders.filter(cond).count()
+    assert back.count() == orders.count()
