@@ -53,6 +53,39 @@ def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> Dat
     return left.join(right, on, "left_anti")
 
 
+def fuzzy_join_multipass(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    block_passes: Sequence[tuple[Column | str, Column | str]],
+    max_dist: int = 2,
+    dist_col: str = "edit_dist",
+) -> DataFrame:
+    """Multi-pass blocking (the standard recall scheme): run
+    :func:`fuzzy_join` once per ``(block_left, block_right)`` pair and
+    union the results, deduplicating pairs found by several passes. A
+    true match is missed only if EVERY pass's blocking key differs —
+    e.g. a name-prefix pass plus a last-token pass covers corruptions
+    at either end of a string.
+
+    Scale shape: each pass is an independent hash equi-join over the
+    same two scans (Spark reuses the exchange across passes when keys
+    align); the dedup is ONE distinct over full rows (a pair found by
+    two passes yields byte-identical rows). Cost is additive in
+    passes — recall is bought linearly, never quadratically. Output is
+    set-semantics over rows."""
+    if not block_passes:
+        raise ValueError("block_passes must name at least one blocking pass")
+    out = None
+    for bl, br in block_passes:
+        p = fuzzy_join(
+            left, right, left_col, right_col, bl, br, max_dist, dist_col
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()
+
+
 #: Bucket width units for range_join_bucketed (singular form).
 _BUCKET_UNITS = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}
 

@@ -108,3 +108,43 @@ def test_plan_is_hash_join_not_nested_loop(spark):
     never BroadcastNestedLoop/Cartesian."""
     plan = _match(spark)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_multipass_blocking_recovers_single_pass_misses(spark):
+    from mergers_acquisitions_predictions_spark.operators.joins import (
+        fuzzy_join_multipass,
+    )
+
+    dirty, master = _frames(spark)
+    first_tok = lambda c: F.split(F.col(c), " ")[0]  # noqa: E731
+    last_tok = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
+    passes = [
+        (first_tok("dirty_name"), first_tok("master_name")),
+        (last_tok("dirty_name"), last_tok("master_name")),
+    ]
+    rows = {
+        (r.dirty_id, r.master_id)
+        for r in fuzzy_join_multipass(
+            dirty, master, "dirty_name", "master_name", passes, max_dist=2
+        ).collect()
+    }
+    # single-pass (first-token) result plus the pass-2 recovery:
+    # "acme corp" vs master 12 "acmex corp" (distance 1) shares the
+    # LAST token block even though first tokens differ.
+    assert (1, 12) in rows
+    assert rows >= {(1, 10), (2, 10), (4, 11)}
+    # no duplicate pair rows from overlapping passes
+    df = fuzzy_join_multipass(
+        dirty, master, "dirty_name", "master_name", passes, max_dist=2
+    )
+    assert df.count() == df.dropDuplicates(["dirty_id", "master_id"]).count()
+
+
+def test_multipass_requires_a_pass(spark):
+    dirty, master = _frames(spark)
+    from mergers_acquisitions_predictions_spark.operators.joins import (
+        fuzzy_join_multipass,
+    )
+
+    with pytest.raises(ValueError):
+        fuzzy_join_multipass(dirty, master, "dirty_name", "master_name", [])
