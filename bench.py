@@ -68,6 +68,7 @@ def main() -> None:
         "t14_token_chunks",
         "t16_repetition_stats",
         "t26_bpe_encode",
+        "t27_snapshot_diff",
         "s02_cosine_topk",
         "m04_pair_ranking",
         "q25_monthly_orders",

@@ -192,3 +192,67 @@ class Engine:
         from .operators.curation import interleaved_order
 
         return interleaved_order(docs, weights, **kw)
+
+    def fuzzy_match(
+        self,
+        left: DataFrame,
+        right: DataFrame,
+        left_col: str,
+        right_col: str,
+        block_on,
+        max_dist: int = 2,
+        **kw,
+    ) -> DataFrame:
+        """Entity resolution under noise: blocked approximate string
+        join (Levenshtein-verified). ``block_on`` is one
+        ``(left_expr, right_expr)`` blocking-key pair, or a list of
+        pairs for the multi-pass recall scheme."""
+        from .operators.joins import fuzzy_join, fuzzy_join_multipass
+
+        if isinstance(block_on, (list,)) and block_on and isinstance(block_on[0], tuple):
+            return fuzzy_join_multipass(
+                left, right, left_col, right_col, block_on, max_dist, **kw
+            )
+        bl, br = block_on
+        return fuzzy_join(left, right, left_col, right_col, bl, br, max_dist, **kw)
+
+    def learn_bpe(self, docs: DataFrame, n_merges: int = 16, **kw):
+        """Learn a BPE merge list from the corpus (one corpus pass +
+        vocab-sized iterations); returns [(left, right, freq), ...]."""
+        from .operators.bpe import learn_bpe_merges
+
+        return learn_bpe_merges(docs, n_merges=n_merges, **kw)
+
+    def bpe_encode(
+        self, docs: DataFrame, merges, text_col: str = "text"
+    ) -> DataFrame:
+        """Tokenize the corpus with a FROZEN merge list: adds
+        ``bpe_tokens`` (readable segment string) and ``n_bpe_tokens``.
+        Map-side only — the 100 TB tokenization-pass shape.
+
+        ``merges`` accepts (left, right) pairs, or the
+        (left, right, freq) tuples ``learn_bpe`` returns."""
+        from .operators.bpe import bpe_readable, bpe_segment, bpe_token_count
+
+        pairs = [(m[0], m[1]) for m in merges]
+        seg = bpe_segment(text_col, pairs)
+        return docs.withColumn("bpe_tokens", bpe_readable(seg)).withColumn(
+            "n_bpe_tokens", bpe_token_count(seg)
+        )
+
+    def snapshot_diff(self, old: DataFrame, new: DataFrame, **kw) -> DataFrame:
+        """Per-id added/removed/changed/unchanged between two corpus
+        snapshots with fingerprint columns — the incremental-pipeline
+        primitive (process only the delta)."""
+        from .operators.curation import snapshot_diff
+
+        return snapshot_diff(old, new, **kw)
+
+    def write_zordered(
+        self, df: DataFrame, path: str, zorder_cols: list[str], **kw
+    ) -> None:
+        """Z-order clustered parquet write — multi-column data
+        skipping via footer min/max stats (operators/layout)."""
+        from .operators.layout import write_zordered
+
+        write_zordered(df, path, zorder_cols, **kw)

@@ -279,3 +279,33 @@ def select_canonicals(
         )
     )
     return own_caches(out, clusters, scored)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Corpus delta between two snapshots keyed by ``id_col`` with a
+    content fingerprint ``fp_col`` (e.g. `functions/textstats.
+    fingerprint`): one full-outer join → status
+    ``added | removed | changed | unchanged`` per id. The nightly
+    incremental-pipeline primitive — downstream stages (re-tokenize,
+    re-embed, re-index) consume only the non-``unchanged`` slice
+    instead of the whole corpus.
+
+    Scale shape: one id-keyed shuffle; the payload is a 32-byte
+    fingerprint, never the document text (same discipline as exact
+    dedup). Both sides project to (id, fp) before the join."""
+    o = old.select(F.col(id_col), F.col(fp_col).alias("__fp_old"))
+    n = new.select(F.col(id_col), F.col(fp_col).alias("__fp_new"))
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") == F.col("__fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, id_col, "full_outer").select(
+        id_col, status.alias("status")
+    )

@@ -19,6 +19,7 @@ from .ml_queries import m05_kmeans_clusters  # noqa: E402
 from .text_queries import T01_ORACLE, t01_token_stats  # noqa: E402
 from .text_queries import T02_ORACLE, t02_clean_text  # noqa: E402
 from .udf_queries import U01_ORACLE, u01_pandas_udf_charge  # noqa: E402
+from .udf_queries import U02_ORACLE, u02_grouped_minmax_scale  # noqa: E402
 from .udf_queries import u03_multimodal_features  # noqa: E402
 
 query("m05_kmeans_clusters")(m05_kmeans_clusters)
@@ -35,6 +36,10 @@ query("t02_clean_text", oracle=T02_ORACLE)(t02_clean_text)
 # driver-green in round 1, and token counting keeps in-window evidence
 # via t12/t16; still value-checked by the local parity sweep.
 query("t01_token_stats", oracle=T01_ORACLE)(t01_token_stats)
+# u02 rotated out in favor of t27_snapshot_diff (round 2): u02 was
+# driver-green in round 1, and the Python-UDF surface keeps in-window
+# evidence via u04/u05; still value-checked by the local parity sweep.
+query("u02_grouped_minmax_scale", oracle=U02_ORACLE)(u02_grouped_minmax_scale)
 
 
 @query("t25_bpe_merges")  # rows-only: iterative fit (argmax per round)

@@ -413,3 +413,53 @@ def j03_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         "dirty_key", "master_key", "master_name", F.col("edit_dist").cast("long").alias("edit_dist")
     )
+
+
+@query(
+    "t27_snapshot_diff",
+    oracle=f"""
+    WITH y AS (
+        SELECT doc_id, {_FP} AS fp FROM documents
+        WHERE {_SQL_BUCKET.format(k='doc_id', n=10)} <> 0
+    ),
+    tt AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN text || ' edited'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 17 <> 0
+    ),
+    t AS (SELECT doc_id, {_FP} AS fp FROM tt)
+    SELECT COALESCE(y.doc_id, t.doc_id) AS doc_id,
+           CASE WHEN y.fp IS NULL THEN 'added'
+                WHEN t.fp IS NULL THEN 'removed'
+                WHEN y.fp = t.fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM y FULL OUTER JOIN t ON y.doc_id = t.doc_id
+    """,
+)
+def t27_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot DELTA — the nightly incremental-pipeline
+    primitive (operators/curation.snapshot_diff): per-doc status
+    added/removed/changed/unchanged between yesterday's corpus and
+    today's, by content fingerprint. Downstream stages (re-tokenize,
+    re-embed, re-index, re-dedup via d12) consume only the
+    non-unchanged slice instead of re-processing 100 TB.
+
+    Snapshots are synthesized deterministically from `documents`:
+    yesterday = a 90% hash-bucket slice (so today holds 'added' docs),
+    today drops every 17th doc ('removed') and edits every 13th
+    ('changed'). One id-keyed full-outer join; the shuffle carries
+    32-byte fingerprints, never text."""
+    from ..operators.curation import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    y = docs.filter(_hash_bucket(F.col("doc_id"), 10) != 0).select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    today_text = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" edited"))
+    ).otherwise(F.col("text"))
+    t = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id", fingerprint(today_text).alias("fp")
+    )
+    return snapshot_diff(y, t)

@@ -48,9 +48,12 @@ def u01_pandas_udf_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "u02_grouped_minmax_scale",
-    oracle="""
+# Registered late (plans/extra_queries.py): rotated out of the driver
+# window in round 2 to admit t27_snapshot_diff — u02 was driver-green
+# in round 1 and the Python-UDF surface keeps in-window evidence via
+# u04 (scalar pandas_udf) and u05 (mapInPandas); still value-checked
+# by the local parity sweep.
+U02_ORACLE = """
     SELECT c_nationkey, c_custkey,
            round(CASE WHEN mx = mn THEN 0.5
                       ELSE (c_acctbal - mn) / (mx - mn) END, 6) AS balance_scaled
@@ -60,8 +63,9 @@ def u01_pandas_udf_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(c_acctbal) OVER (PARTITION BY c_nationkey) AS mx
         FROM customer
     )
-    """,
-)
+    """
+
+
 def u02_grouped_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas (the UDTF-shaped surface, SURVEY
     §2.7): per-nation min-max scaling. Min/max are order-insensitive

@@ -139,3 +139,50 @@ def test_pack_manifest_tiles_the_stream(spark):
     assert all(r.n_tokens == 256 for r in by_id[:-1])
     assert 0 < by_id[-1].n_tokens <= 256
     assert all(r.first_doc <= r.last_doc for r in by_id)
+
+
+def test_facade_fuzzy_match_single_and_multipass(spark):
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark)
+    left = spark.createDataFrame([(1, "acme corp")], ["lid", "lname"])
+    right = spark.createDataFrame(
+        [(10, "acme corp."), (12, "acmex corp")], ["rid", "rname"]
+    )
+    first = lambda c: F.split(F.col(c), " ")[0]  # noqa: E731
+    last = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
+    single = eng.fuzzy_match(
+        left, right, "lname", "rname", (first("lname"), first("rname"))
+    )
+    assert {r.rid for r in single.collect()} == {10}
+    multi = eng.fuzzy_match(
+        left, right, "lname", "rname",
+        [(first("lname"), first("rname")), (last("lname"), last("rname"))],
+    )
+    assert {r.rid for r in multi.collect()} == {10, 12}
+
+
+def test_facade_bpe_learn_then_encode(spark):
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark)
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "lowest low")], ["doc_id", "text"]
+    )
+    merges = eng.learn_bpe(docs, n_merges=4, min_freq=2)
+    assert merges and all(len(m) == 3 for m in merges)
+    enc = eng.bpe_encode(docs, merges)
+    rows = {r.doc_id: r for r in enc.collect()}
+    assert set(enc.columns) >= {"bpe_tokens", "n_bpe_tokens"}
+    # encoding with the learned merges never yields more subword
+    # tokens than characters, and at least one merge fired
+    n_chars = sum(len(t) for t in "low low lower".split())
+    assert 0 < rows[1].n_bpe_tokens < n_chars
+
+
+def test_facade_zorder_write(spark, tmp_path):
+    eng = Engine(spark, SF)
+    orders = eng.table("orders")
+    path = str(tmp_path / "z")
+    eng.write_zordered(orders, path, ["o_custkey", "o_totalprice"], n_files=4)
+    assert spark.read.parquet(path).count() == orders.count()

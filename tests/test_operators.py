@@ -417,3 +417,18 @@ def test_select_canonicals_quality_argmax_with_id_tiebreak(spark):
         for r in select_canonicals(clusters, scored).collect()
     }
     assert rows == {1: (2, 0.9, 3), 4: (4, 0.7, 2), 6: (6, 0.0, 1)}
+
+
+def test_snapshot_diff_statuses(spark):
+    from mergers_acquisitions_predictions_spark.operators.curation import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "fp"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], ["doc_id", "fp"]
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

@@ -59,3 +59,41 @@ def test_streaming_sessions_equal_batch_islands(spark, events_dir):
     )
     cols = ["user_id", "session_start", "n_events", "sum_value"]
     assert _norm(got, cols) == _norm(want, cols)
+
+
+def test_streaming_bpe_encode_equals_batch(spark, tmp_path_factory):
+    """The tokenization pass is stateless map work, so its streaming
+    form (nightly incremental encode of newly-landed files) must equal
+    the batch encode byte-for-byte — append mode, no state, no
+    watermark needed."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators.bpe import (
+        bpe_segment,
+        bpe_token_count,
+    )
+    from mergers_acquisitions_predictions_spark.plans.text_queries import T26_MERGES
+
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(SF + "/documents.parquet", d / "documents.parquet")
+    batch = spark.read.parquet(str(d))
+
+    def encode(df):
+        seg = bpe_segment("text", [(a, b) for a, b in T26_MERGES])
+        return df.select("doc_id", bpe_token_count(seg).alias("n_bpe_tokens"))
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(d))
+    q = (
+        encode(stream)
+        .writeStream.format("memory")
+        .queryName("t_bpe_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_bpe_stream")
+    cols = ["doc_id", "n_bpe_tokens"]
+    assert _norm(got, cols) == _norm(encode(batch), cols)
