@@ -239,3 +239,43 @@ def test_interleaved_order_replays_wfq_schedule(spark, n_a, n_b, w_a, w_b):
     )
     want = {p + 1: (i, s) for p, (vt, s, i) in enumerate(replay)}
     assert got == want
+
+
+_names = st.lists(
+    st.text(alphabet="abc ", min_size=1, max_size=8), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(left=_names, right=_names, k=st.integers(min_value=0, max_value=3))
+def test_fuzzy_join_equals_brute_force_within_blocks(spark, left, right, k):
+    """fuzzy_join must equal the brute-force cross join filtered by
+    the SAME blocking predicate + edit-distance bound, with the exact
+    distance reported — on arbitrary strings (including empties after
+    strip, repeats, and all-space names)."""
+    from mergers_acquisitions_predictions_spark.operators.joins import fuzzy_join
+
+    l = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(left)], "lid int, lname string"
+    )
+    r = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(right)], "rid int, rname string"
+    )
+    blk = lambda c: F.substring(F.col(c), 1, 1)  # noqa: E731
+    got = {
+        (x.lid, x.rid, x.edit_dist)
+        for x in fuzzy_join(
+            l, r, "lname", "rname", blk("lname"), blk("rname"), max_dist=k
+        ).collect()
+    }
+    want = {
+        (x.lid, x.rid, x.d)
+        for x in l.crossJoin(r)
+        .withColumn("d", F.levenshtein("lname", "rname"))
+        .where(
+            (F.substring("lname", 1, 1) == F.substring("rname", 1, 1))
+            & (F.col("d") <= k)
+        )
+        .collect()
+    }
+    assert got == want
