@@ -63,6 +63,7 @@ def write_zordered(
     bits: int = 8,
     n_files: int = 32,
     mode: str = "overwrite",
+    binning: str = "uniform",
 ) -> None:
     """Z-order clustered parquet write: multi-column data skipping for
     workloads that filter on SEVERAL columns (partitioning prunes one
@@ -76,25 +77,48 @@ def write_zordered(
     contiguous Z-ranges) and a within-partition sort so row groups are
     tight too. The data shuffles exactly once.
 
-    Numeric columns only (cast dates/timestamps to epoch first);
-    uniform binning is min/max based — heavy skew concentrates
-    buckets, where quantile-based binning (approxQuantile boundaries)
-    is the standard refinement. Effectiveness is test-asserted by
-    reading back parquet footer stats (tests/test_layout.py)."""
-    stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in zorder_cols],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in zorder_cols],
-    ).first()
+    Numeric columns only (cast dates/timestamps to epoch first).
+    ``binning="uniform"`` (default) buckets on min/max — one tiny
+    aggregate, right when values are roughly even. Under heavy skew
+    (power-law ids, prices) most rows land in a few buckets and the
+    curve degenerates; ``binning="quantile"`` draws the 2^bits bucket
+    boundaries from ``approxQuantile`` instead (equal-POPULATION
+    buckets, driver-sized boundary list folded into the expression as
+    a sorted-array rank). Effectiveness is test-asserted by reading
+    back parquet footer stats (tests/test_layout.py)."""
+    if binning not in ("uniform", "quantile"):
+        raise ValueError(f"unknown binning {binning!r} (uniform|quantile)")
     n_buckets = 1 << bits
     bucketed = []
-    for c in zorder_cols:
-        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
-        if mn is None or mx is None or mx <= mn:
-            bucketed.append(F.lit(0).cast("long"))
-            continue
-        frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
-        idx = F.floor(frac * n_buckets).cast("long")
-        bucketed.append(F.least(F.greatest(idx, F.lit(0)), F.lit(n_buckets - 1)))
+    if binning == "quantile":
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        dd = df.select(
+            *[F.col(c).cast("double").alias(c) for c in zorder_cols]
+        )
+        all_bounds = dd.approxQuantile(zorder_cols, probs, 0.001)
+        for c, bounds in zip(zorder_cols, all_bounds):
+            if not bounds:
+                bucketed.append(F.lit(0).cast("long"))
+                continue
+            arr = F.array(*[F.lit(float(b)) for b in bounds])
+            # bucket = #boundaries <= x  (0..n_buckets-1), null -> 0
+            idx = F.size(
+                F.filter(arr, lambda b: b <= F.col(c).cast("double"))
+            ).cast("long")
+            bucketed.append(F.coalesce(idx, F.lit(0).cast("long")))
+    else:
+        stats = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in zorder_cols],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in zorder_cols],
+        ).first()
+        for c in zorder_cols:
+            mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+            if mn is None or mx is None or mx <= mn:
+                bucketed.append(F.lit(0).cast("long"))
+                continue
+            frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
+            idx = F.floor(frac * n_buckets).cast("long")
+            bucketed.append(F.least(F.greatest(idx, F.lit(0)), F.lit(n_buckets - 1)))
     z = df.withColumn("__z", zorder_value(bucketed, bits))
     (
         z.repartitionByRange(n_files, "__z")

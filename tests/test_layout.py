@@ -115,3 +115,60 @@ def test_zorder_write_prunes_box_queries(spark, tmp_path):
     )
     assert back.filter(cond).count() == orders.filter(cond).count()
     assert back.count() == orders.count()
+
+
+def test_zorder_quantile_binning_beats_uniform_under_skew(spark, tmp_path):
+    """Power-law values crowd min/max (uniform) buckets: nearly every
+    row lands in bucket 0, the curve degenerates, and a box query on
+    the dense region overlaps almost every file. Quantile binning
+    (equal-population buckets) keeps per-file value ranges narrow."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from mergers_acquisitions_predictions_spark.operators.layout import (
+        write_zordered,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        # v: 95% of rows in [0, 1), a long tail reaching 1e6
+        F.when(F.col("id") % 20 != 0, (F.col("id") % 1000) / 1000.0)
+        .otherwise(F.col("id").cast("double") * 50.0)
+        .alias("v"),
+        F.pmod(F.hash("id"), F.lit(1000)).cast("double").alias("u"),
+    )
+    up, qp = str(tmp_path / "uni"), str(tmp_path / "qnt")
+    write_zordered(df, up, ["v", "u"], n_files=16, binning="uniform")
+    write_zordered(df, qp, ["v", "u"], n_files=16, binning="quantile")
+
+    def files_overlapping_v(path, lo, hi):
+        hit = total = 0
+        for f in sorted(Path(path).glob("*.parquet")):
+            md = pq.read_metadata(f)
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "v" and col.statistics:
+                        s = col.statistics
+                        mn = s.min if mn is None else min(mn, s.min)
+                        mx = s.max if mx is None else max(mx, s.max)
+            total += 1
+            if mn is not None and mn <= hi and mx >= lo:
+                hit += 1
+        return hit, total
+
+    lo, hi = 0.2, 0.3  # a slice of the dense region
+    u_hit, u_total = files_overlapping_v(up, lo, hi)
+    q_hit, q_total = files_overlapping_v(qp, lo, hi)
+    assert u_total >= 8 and q_total >= 8
+    # uniform: the dense mass shares one v-bucket -> most files overlap
+    assert u_hit >= u_total // 2
+    # quantile: equal-population buckets isolate the slice
+    assert q_hit * 2 <= u_hit, (q_hit, q_total, u_hit, u_total)
+    # same table either way
+    got = spark.read.parquet(qp)
+    assert got.count() == n
+    assert got.filter(F.col("v").between(lo, hi)).count() == df.filter(
+        F.col("v").between(lo, hi)
+    ).count()
