@@ -18,6 +18,7 @@ from .registry import query
 from .ml_queries import m05_kmeans_clusters  # noqa: E402
 from .text_queries import T01_ORACLE, t01_token_stats  # noqa: E402
 from .text_queries import T02_ORACLE, t02_clean_text  # noqa: E402
+from .text_queries import T14_ORACLE, t14_token_chunks  # noqa: E402
 from .udf_queries import U01_ORACLE, u01_pandas_udf_charge  # noqa: E402
 from .udf_queries import U02_ORACLE, u02_grouped_minmax_scale  # noqa: E402
 from .udf_queries import u03_multimodal_features  # noqa: E402
@@ -40,6 +41,10 @@ query("t01_token_stats", oracle=T01_ORACLE)(t01_token_stats)
 # driver-green in round 1, and the Python-UDF surface keeps in-window
 # evidence via u04/u05; still value-checked by the local parity sweep.
 query("u02_grouped_minmax_scale", oracle=U02_ORACLE)(u02_grouped_minmax_scale)
+# t14 rotated out in favor of t28_unigram_logprob_quality (round 2):
+# the chunking/packing mechanism keeps in-window evidence via t18/t20;
+# still value-checked by the local parity sweep.
+query("t14_token_chunks", oracle=T14_ORACLE)(t14_token_chunks)
 
 
 @query("t25_bpe_merges")  # rows-only: iterative fit (argmax per round)

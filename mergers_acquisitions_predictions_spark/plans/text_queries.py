@@ -393,9 +393,12 @@ _CHUNK, _OVERLAP = 20, 5
 _STRIDE = _CHUNK - _OVERLAP
 
 
-@query(
-    "t14_token_chunks",
-    oracle=f"""
+# Registered late (plans/extra_queries.py): rotated out of the driver
+# window in round 2 to admit t28_unigram_logprob_quality — the
+# chunking/packing family keeps in-window evidence via t18 (sequence
+# packing) and t20 (pack manifest); still value-checked by the local
+# parity sweep.
+T14_ORACLE = f"""
     SELECT doc_id,
            (s - 1) // {_STRIDE} AS chunk_id,
            array_to_string(list_slice(tok, s, s + {_CHUNK - 1}), ' ') AS chunk_text,
@@ -405,8 +408,9 @@ _STRIDE = _CHUNK - _OVERLAP
                unnest(range(1, greatest(len(tok) - {_OVERLAP}, 1) + 1, {_STRIDE})) AS s
         FROM (SELECT doc_id, {{tok}} AS tok FROM documents)
     )
-    """.format(tok=SQL_TOKENS),
-)
+    """.format(tok=SQL_TOKENS)
+
+
 def t14_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-token-window chunking — the doc→training-
     sample splitter of an LLM data pipeline (20-token chunks, 5-token
@@ -852,4 +856,51 @@ def t26_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_word_tokens",
         bpe_token_count(F.col("seg")).alias("n_bpe_tokens"),
         F.substring(bpe_readable(F.col("seg")), 1, 80).alias("bpe_preview"),
+    )
+
+
+@query(
+    "t28_unigram_logprob_quality",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT count(*) AS n FROM tok),
+    voc AS (SELECT count(*) AS v FROM freq)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln((f.c + 1) / (CAST(tot.n AS DOUBLE) + voc.v))), 6)
+               AS avg_logprob
+    FROM tok JOIN freq f USING (tok), tot, voc
+    GROUP BY doc_id
+    """,
+)
+def t28_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, unigram flavor (the CCNet/
+    perplexity-filter shape): learn token probabilities FROM the
+    corpus (Laplace-smoothed), score each document by mean token
+    log-probability. Low scorers are gibberish/boilerplate/OOV-dense;
+    thresholding is downstream's call (compose with t19's percentile
+    rank filter).
+
+    Plan: ONE token-keyed shuffle builds the frequency table; N and V
+    are two driver-side scalars (model constants, like class
+    weights); the score join is freq-table-sized on the build side —
+    vocabulary, not corpus (AQE broadcasts when it fits; ~10⁷ rows at
+    100 TB, no forced hint) — then one doc-keyed aggregate. Docs with
+    zero tokens have no defined score and drop out (join semantics,
+    both engines)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokenize("text")).alias("tok")
+    )
+    freq = d.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total, n_vocab = freq.agg(
+        F.sum("c").cast("long"), F.count(F.lit(1))
+    ).first()
+    logp = F.log((F.col("c") + 1) / F.lit(float(n_total) + float(n_vocab)))
+    scored = d.join(freq.select("tok", logp.alias("logp")), "tok")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("logp"), 6).alias("avg_logprob"),
     )
