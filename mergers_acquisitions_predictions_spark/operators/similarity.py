@@ -779,3 +779,61 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "candidate_id", "cos_sim", "rank")
     )
+
+
+def mine_hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_neg: int = 5,
+    overfetch: int = 3,
+    positives: DataFrame | None = None,
+    label_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk_fn=None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: the
+    candidates most similar to each query that are NOT its positives —
+    the negatives that actually move an embedding model.
+
+    Composition of existing machinery: ANN top-(n_neg × overfetch)
+    (``topk_fn``: any of brute_force_topk / lsh_topk / ivf_topk with
+    the (query_id, candidate_id, cos_sim, rank) contract; default
+    brute force), minus known positives (``positives`` as a
+    (query_id, candidate_id) frame, anti-joined) and/or same-class
+    candidates (``label_col``: a label equality filter — the textbook
+    "similar but differently labeled" definition), re-ranked to the
+    top ``n_neg`` per query.
+
+    Overfetch bounds the candidate pool: if more than
+    (overfetch-1)·n_neg of a query's neighbors are positives, fewer
+    than n_neg negatives come back — raise ``overfetch`` rather than
+    re-scanning (standard practice; the miss is visible in the output
+    cardinality). Scale: the expensive stage is the top-k itself
+    (choose the LSH/IVF fn past ~10⁵ vectors); the exclusion joins
+    run on the q × k candidate frame, which is tiny."""
+    fn = topk_fn or brute_force_topk
+    k = n_neg * overfetch
+    cand = fn(queries, corpus, k=k, id_col=id_col, vec_col=vec_col).drop("rank")
+    if positives is not None:
+        pos = positives.toDF("query_id", "candidate_id")
+        cand = cand.join(pos, ["query_id", "candidate_id"], "left_anti")
+    if label_col is not None:
+        ql = queries.select(
+            F.col(id_col).alias("query_id"), F.col(label_col).alias("__ql")
+        )
+        cl = corpus.select(
+            F.col(id_col).alias("candidate_id"), F.col(label_col).alias("__cl")
+        )
+        cand = (
+            cand.join(F.broadcast(ql), "query_id")
+            .join(cl, "candidate_id")
+            .filter(F.col("__ql") != F.col("__cl"))
+            .drop("__ql", "__cl")
+        )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("candidate_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n_neg)
+        .select("query_id", "candidate_id", "cos_sim", "rank")
+    )

@@ -331,3 +331,9 @@ def t24_shingle_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "diversity"
         ),
     )
+
+from .similarity_queries import S06_ORACLE, s06_hard_negatives  # noqa: E402
+
+# s06 composes s02's ANN machinery with exclusion joins; s02-s04 hold
+# the in-window similarity slots.
+query("s06_hard_negatives", oracle=S06_ORACLE)(s06_hard_negatives)

@@ -166,3 +166,57 @@ def s04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5, n_cells=16, n_probe=2)
+
+
+# Registered late (plans/extra_queries.py): the ANN mechanism keeps
+# in-window evidence via s02/s03/s04; s06 composes them. Still
+# value-checked by the local parity sweep.
+S06_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS candidate_id, embedding AS ce, label AS cl
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, candidate_id, ql, cl,
+               round(
+                 list_sum(list_transform(range(1, len(qe) + 1),
+                          i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+                 / (sqrt({_SQL_SQNORM.format(v='qe')})
+                    * sqrt({_SQL_SQNORM.format(v='ce')})), 6) AS cos_sim
+        FROM q CROSS JOIN c
+        WHERE query_id <> candidate_id
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT query_id, candidate_id, ql, cl, cos_sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos_sim DESC, candidate_id
+                   ) AS rk
+            FROM scored
+        ) WHERE rk <= 15
+    )
+    SELECT query_id, candidate_id, cos_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, candidate_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, candidate_id
+               ) AS rank
+        FROM topk WHERE ql <> cl
+    )
+    WHERE rank <= 5
+    """
+
+
+def s06_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.mine_hard_negatives):
+    per query, the 5 most-similar DIFFERENTLY-LABELED vectors from a
+    3× overfetched exact top-k — the contrastive-training data-prep
+    op. Brute-force config is the oracle anchor; at scale swap
+    ``topk_fn`` for the LSH/IVF path (same output contract)."""
+    from ..operators.similarity import mine_hard_negatives
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return mine_hard_negatives(
+        e.filter(F.col("vec_id") < 5), e, n_neg=5, overfetch=3, label_col="label"
+    )

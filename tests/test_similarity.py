@@ -147,3 +147,36 @@ def test_auto_planes_policy():
     for n in (10_000, 10**6, 10**9):
         k = auto_planes(n)
         assert 125 <= n / 2**k < 250
+
+
+def test_mine_hard_negatives_excludes_positives_and_caps(spark):
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        brute_force_topk,
+        mine_hard_negatives,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    # declare each query's top-2 exact neighbors as its positives
+    pos = brute_force_topk(q, e, k=2).select("query_id", "candidate_id")
+    got = mine_hard_negatives(q, e, n_neg=4, overfetch=3, positives=pos)
+    rows = got.collect()
+    got_pairs = {(r.query_id, r.candidate_id) for r in rows}
+    pos_pairs = {(r.query_id, r.candidate_id) for r in pos.collect()}
+    assert got_pairs.isdisjoint(pos_pairs)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) == 4  # overfetch 3x covers the 2 excluded
+        assert sorted(r.rank for r in rs) == [1, 2, 3, 4]
+        # negatives are exactly the best remaining candidates
+        top12 = [
+            r.candidate_id
+            for r in brute_force_topk(q, e, k=12).collect()
+            if r.query_id == qid
+        ]
+        expect = [c for c in top12 if (qid, c) not in pos_pairs][:4]
+        assert [r.candidate_id for r in sorted(rs, key=lambda r: r.rank)] == expect
