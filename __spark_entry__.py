@@ -35,8 +35,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query; keys
-    absent here (m01–m03/m05/s05 MLlib fits, u03 binary payloads) get
-    the driver's rows-only check. The approximate LSH/IVF queries
-    (s03/s04/d07) ARE value-checked — their deterministic constants
-    are emitted into the oracle SQL (plans/lsh_oracle.py)."""
+    absent here (m01–m03/m05/s05 MLlib fits, t25 iterative BPE fit,
+    u03 binary payloads) get the driver's rows-only check. The
+    approximate LSH/IVF queries (s03/s04/d07) ARE value-checked —
+    their deterministic constants are emitted into the oracle SQL
+    (plans/lsh_oracle.py)."""
     return dict(ORACLES)

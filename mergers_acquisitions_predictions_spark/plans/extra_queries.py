@@ -337,3 +337,19 @@ from .similarity_queries import S06_ORACLE, s06_hard_negatives  # noqa: E402
 # s06 composes s02's ANN machinery with exclusion joins; s02-s04 hold
 # the in-window similarity slots.
 query("s06_hard_negatives", oracle=S06_ORACLE)(s06_hard_negatives)
+
+
+@query("m08_pca_whiten")  # rows-only: eigendecomposition fit
+def m08_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening of the embeddings table (ml/pca.pca_whiten):
+    MLlib covariance-eigendecomposition fit, then the projection as k
+    literal-array dot products with centering and whitening folded
+    into driver-side constants — map-side, no ml.Vector round-trip.
+    Eigen signs fixed by the largest-|loading|>0 convention so output
+    is a function of the data. Rows-only (the fit isn't SQL);
+    whitened-variance≈1, near-orthogonality, and sign-stability are
+    asserted in tests/test_ml_extra.py."""
+    from ..ml.pca import pca_whiten
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pca_whiten(e, k=4)

@@ -59,6 +59,7 @@ def test_north_star_queries_inside_driver_correctness_window():
         "t01_token_stats",  # r1-driver-green; token counts: t12/t16 hold slots
         "t25_bpe_merges",  # rows-only (iterative fit); t26 holds the BPE slot
         "s06_hard_negatives",  # ANN composition: s02-s04 hold the slots
+        "m08_pca_whiten",  # rows-only (eigendecomposition fit)
         "u02_grouped_minmax_scale",  # r1-driver-green; u04/u05 hold UDF slots
         "t14_token_chunks",  # chunking family: t18/t20 hold the slots
     }

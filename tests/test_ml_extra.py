@@ -71,3 +71,34 @@ def test_lr_training_deterministic(spark):
     a = sorted(map(tuple, m02_lr_confusion(spark, SF).collect()))
     b = sorted(map(tuple, m02_lr_confusion(spark, SF).collect()))
     assert a == b and sum(n for *_, n in a) > 0
+
+
+def test_pca_whiten_properties(spark):
+    """Whitened components: (a) unit variance, (b) pairwise
+    decorrelated, (c) reproducible across two fits in one session
+    (sign convention pins the eigenvector ambiguity)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.ml.pca import pca_whiten
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = pca_whiten(e, k=3, decimals=9)
+    aggs = [F.variance(f"pc{j}").alias(f"v{j}") for j in (1, 2, 3)]
+    aggs += [F.avg(f"pc{j}").alias(f"m{j}") for j in (1, 2, 3)]
+    aggs += [F.corr("pc1", "pc2").alias("c12"), F.corr("pc1", "pc3").alias("c13"),
+             F.corr("pc2", "pc3").alias("c23")]
+    r = out.agg(*aggs).first()
+    n = e.count()
+    # MLlib covariance uses the n-1 denominator; variance() matches
+    for j in (1, 2, 3):
+        assert math.isclose(r[f"v{j}"], 1.0, rel_tol=0.05), (j, r[f"v{j}"])
+        assert abs(r[f"m{j}"]) < 1e-6  # centered
+    for c in ("c12", "c13", "c23"):
+        assert abs(r[c]) < 0.05, (c, r[c])
+    again = pca_whiten(e, k=3, decimals=9)
+    a = sorted(tuple(x) for x in out.collect())
+    b = sorted(tuple(x) for x in again.collect())
+    assert a == b
+    assert n == len(a)
