@@ -72,6 +72,16 @@ class Engine:
 
         return sorted(QUERIES)
 
+    def explain(self, query_name: str, mode: str = "formatted") -> str:
+        """The physical plan a registry query would execute against
+        the attached directory (modes: simple | extended | codegen |
+        cost | formatted) — the `.explain` audit surface as a string,
+        for plan review without stdout capture."""
+        df = self.run(query_name)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+
     # -- direct operator surface (the north-star pipeline ops) --------
 
     def dedup(self, df: DataFrame, method: str = "exact", **kw) -> DataFrame:

@@ -353,3 +353,87 @@ def m08_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return pca_whiten(e, k=4)
+
+
+# j04 composes j03's fuzzy_join via the multi-pass recall scheme; j03
+# holds the in-window ER slot. Still value-checked locally.
+@query(
+    "j04_fuzzy_multipass",
+    oracle="""
+    WITH master AS (
+        SELECT c_custkey AS master_key, c_name AS master_name FROM customer
+    ),
+    dirty AS (
+        SELECT c_custkey AS dirty_key,
+               CASE WHEN c_custkey % 2 = 0
+                    -- even keys: corrupt the LAST char (prefix pass finds)
+                    THEN substr(c_name, 1, length(c_name) - 1)
+                         || translate(substr(c_name, length(c_name), 1),
+                                      '0123456789', 'OIZEASGTBP')
+                    -- odd keys: corrupt the FIRST char (suffix pass finds)
+                    ELSE 'K' || substr(c_name, 2) END AS dirty_name
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    p1 AS (
+        SELECT d.dirty_key, m.master_key,
+               CAST(levenshtein(d.dirty_name, m.master_name) AS BIGINT) AS edit_dist
+        FROM dirty d JOIN master m
+          ON substr(d.dirty_name, 1, 12) = substr(m.master_name, 1, 12)
+         AND abs(length(d.dirty_name) - length(m.master_name)) <= 1
+        WHERE levenshtein(d.dirty_name, m.master_name) <= 1
+    ),
+    p2 AS (
+        SELECT d.dirty_key, m.master_key,
+               CAST(levenshtein(d.dirty_name, m.master_name) AS BIGINT) AS edit_dist
+        FROM dirty d JOIN master m
+          ON substr(d.dirty_name, length(d.dirty_name) - 5, 6)
+             = substr(m.master_name, length(m.master_name) - 5, 6)
+         AND abs(length(d.dirty_name) - length(m.master_name)) <= 1
+        WHERE levenshtein(d.dirty_name, m.master_name) <= 1
+    )
+    SELECT DISTINCT dirty_key, master_key, edit_dist
+    FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+    """,
+)
+def j04_fuzzy_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass blocked entity resolution (`joins.fuzzy_join_multipass`)
+    with corruption at BOTH string ends: even dirty keys corrupt the
+    final character (only the name-PREFIX pass can find them), odd
+    keys corrupt the first character (only the name-SUFFIX pass can) —
+    so the union of passes is load-bearing, not redundant. Output is
+    the distinct matched-pair set with exact distances."""
+    from ..operators.joins import fuzzy_join_multipass
+
+    cust = load_table(spark, sf_dir, "customer")
+    master = cust.select(
+        F.col("c_custkey").alias("master_key"), F.col("c_name").alias("master_name")
+    )
+    dirty = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(
+                F.expr("substring(c_name, 1, length(c_name) - 1)"),
+                F.translate(
+                    F.expr("substring(c_name, length(c_name), 1)"),
+                    "0123456789",
+                    "OIZEASGTBP",
+                ),
+            ),
+        )
+        .otherwise(F.concat(F.lit("K"), F.expr("substring(c_name, 2)")))
+        .alias("dirty_name"),
+    )
+    passes = [
+        (F.substring("dirty_name", 1, 12), F.substring("master_name", 1, 12)),
+        (
+            F.expr("substring(dirty_name, length(dirty_name) - 5, 6)"),
+            F.expr("substring(master_name, length(master_name) - 5, 6)"),
+        ),
+    ]
+    pairs = fuzzy_join_multipass(
+        dirty, master, "dirty_name", "master_name", passes, max_dist=1
+    )
+    return pairs.select(
+        "dirty_key", "master_key", F.col("edit_dist").cast("long").alias("edit_dist")
+    ).distinct()

@@ -186,3 +186,10 @@ def test_facade_zorder_write(spark, tmp_path):
     path = str(tmp_path / "z")
     eng.write_zordered(orders, path, ["o_custkey", "o_totalprice"], n_files=4)
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_facade_explain_returns_physical_plan(spark):
+    eng = Engine(spark, SF)
+    plan = eng.explain("q04_revenue_by_region")
+    assert "Physical Plan" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

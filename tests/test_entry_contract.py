@@ -60,6 +60,7 @@ def test_north_star_queries_inside_driver_correctness_window():
         "t25_bpe_merges",  # rows-only (iterative fit); t26 holds the BPE slot
         "s06_hard_negatives",  # ANN composition: s02-s04 hold the slots
         "m08_pca_whiten",  # rows-only (eigendecomposition fit)
+        "j04_fuzzy_multipass",  # multi-pass ER: j03 holds the window slot
         "u02_grouped_minmax_scale",  # r1-driver-green; u04/u05 hold UDF slots
         "t14_token_chunks",  # chunking family: t18/t20 hold the slots
     }
