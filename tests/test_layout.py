@@ -162,10 +162,14 @@ def test_zorder_quantile_binning_beats_uniform_under_skew(spark, tmp_path):
     u_hit, u_total = files_overlapping_v(up, lo, hi)
     q_hit, q_total = files_overlapping_v(qp, lo, hi)
     assert u_total >= 8 and q_total >= 8
-    # uniform: the dense mass shares one v-bucket -> most files overlap
-    assert u_hit >= u_total // 2
-    # quantile: equal-population buckets isolate the slice
-    assert q_hit * 2 <= u_hit, (q_hit, q_total, u_hit, u_total)
+    # uniform: the whole dense mass shares v-bucket 0, so v contributes
+    # no discrimination and (almost) every dense-bearing file overlaps
+    assert u_hit >= u_total - 2
+    # quantile: equal-population buckets give v real resolution. The
+    # margin is deliberately loose: repartitionByRange SAMPLES file
+    # boundaries per execution, so the exact hit count varies run to
+    # run (the same sampled-exchange behavior NOTES.md documents).
+    assert q_hit + 3 <= u_hit, (q_hit, q_total, u_hit, u_total)
     # same table either way
     got = spark.read.parquet(qp)
     assert got.count() == n
