@@ -71,6 +71,12 @@ def upsert_parquet_sink(
         staging.rename(table)
         if old.exists():
             shutil.rmtree(old)
+        # The swap happened behind Spark's back: the session's file
+        # listing cache (metadataCacheTTLSeconds = -1 by default) will
+        # otherwise serve any reader who touched this path BEFORE the
+        # upsert a stale file list — observed as a same-session reader
+        # seeing the pre-upsert table (tests/test_foreachbatch_sink).
+        spark.catalog.refreshByPath(str(table))
 
     return (
         stream_df.writeStream.foreachBatch(do_upsert)
