@@ -55,7 +55,9 @@ def train_weighted_lr(
         regParam=reg,
         threshold=threshold,
     )
-    model = lr.fit(train)
+    from ..operators.util import fit_released
+
+    model = fit_released(lr, train)
     return model, train, test
 
 

@@ -45,7 +45,9 @@ def pca_whiten_weights(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("features")
     )
-    model = MLPCA(k=k, inputCol="features", outputCol="pc").fit(feat)
+    from ..operators.util import fit_released
+
+    model = fit_released(MLPCA(k=k, inputCol="features", outputCol="pc"), feat)
     stats = feat.select(
         Summarizer.mean(F.col("features")).alias("mu"),
         Summarizer.variance(F.col("features")).alias("var"),

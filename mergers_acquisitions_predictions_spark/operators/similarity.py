@@ -484,7 +484,9 @@ def kmeans_centroids(
         F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
     )
     feat = corpus.select(array_to_vector(unit).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feat)
+    from .util import fit_released
+
+    model = fit_released(KMeans(k=n_cells, seed=seed, maxIter=max_iter), feat)
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]

@@ -121,3 +121,18 @@ def repartition_for_compute(df: DataFrame, min_partitions: int | None = None) ->
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def fit_released(estimator, dataset: DataFrame):
+    """Fit an MLlib estimator with OUR persistence handle. Estimators
+    cache an uncached input internally (handlePersistence) and release
+    it on paths that can outlive the fit in a long-lived session
+    (observed: LR's sampled train split and KMeans' feature projection
+    still cached after a 110-query registry sweep). Persisting the
+    input first makes MLlib skip its internal cache entirely, and the
+    finally puts the release on OUR exit path."""
+    dataset = dataset.persist()
+    try:
+        return estimator.fit(dataset)
+    finally:
+        dataset.unpersist(blocking=False)

@@ -87,7 +87,9 @@ def m05_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", array_to_vector(F.col("embedding")).alias("features")
     )
     e = e.cache()
-    model = KMeans(k=10, seed=42, featuresCol="features").fit(e)
+    from ..operators.util import fit_released
+
+    model = fit_released(KMeans(k=10, seed=42, featuresCol="features"), e)
     scored = model.transform(e)
     per_label = scored.groupBy("prediction", "label").agg(
         F.count(F.lit(1)).alias("n")
