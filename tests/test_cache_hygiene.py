@@ -88,3 +88,28 @@ def test_ownership_transfers_through_composition(spark):
     for cached in df._owned_caches:
         lvl = cached.storageLevel
         assert lvl.useMemory or lvl.useDisk
+
+
+def test_mllib_fits_leave_no_cached_blocks(spark):
+    """MLlib estimators persist their input internally when it isn't
+    cached (handlePersistence) — and those blocks were observed
+    outliving the fit across a 110-query sweep. util.fit_released
+    owns the handle instead; this guards every fit-bearing query."""
+    import gc
+    import time
+
+    for name in (
+        "m02_lr_confusion",
+        "m05_kmeans_clusters",
+        "m08_pca_whiten",
+        "s05_ivf_kmeans_topk",
+    ):
+        QUERIES[name](spark, SF_SMOKE).count()
+    gc.collect()
+    sc = spark.sparkContext
+    for _ in range(24):
+        if not sc._jsc.sc().getRDDStorageInfo():
+            break
+        time.sleep(0.5)
+    left = sc._jsc.sc().getRDDStorageInfo()
+    assert not left, [x.name()[:90] for x in left]
