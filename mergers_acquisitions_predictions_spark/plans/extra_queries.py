@@ -437,3 +437,136 @@ def j04_fuzzy_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "dirty_key", "master_key", F.col("edit_dist").cast("long").alias("edit_dist")
     ).distinct()
+
+
+# t29 upgrades t28's unigram scorer; t28 holds the in-window LM slot.
+@query(
+    "t29_bigram_backoff_quality",
+    oracle="""
+    WITH train AS (SELECT text FROM documents WHERE source <> 'src0'),
+    held AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+             FROM documents WHERE source = 'src0'),
+    tuni AS (
+        SELECT t, count(*) AS c FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+            FROM train) GROUP BY t
+    ),
+    tbig AS (
+        SELECT prev, cur, count(*) AS c FROM (
+            SELECT tok[i] AS prev, tok[i + 1] AS cur
+            FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+                  FROM train),
+                 unnest(range(1, len(tok))) AS u(i)
+        ) GROUP BY prev, cur
+    ),
+    consts AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+               FROM tuni),
+    pos AS (
+        SELECT h.doc_id, len(h.tok) AS n_tokens, tok[i] AS cur,
+               CASE WHEN i > 1 THEN tok[i - 1] END AS prev
+        FROM held h, unnest(range(1, len(h.tok) + 1)) AS u(i)
+    ),
+    scored AS (
+        SELECT p.doc_id, p.n_tokens,
+               CASE WHEN p.prev IS NOT NULL AND b.c IS NOT NULL
+                    THEN ln(b.c / CAST(up.c AS DOUBLE))
+                    WHEN p.prev IS NOT NULL
+                    THEN ln(0.4 * (COALESCE(uc.c, 0) + 1) / (consts.n + consts.v))
+                    ELSE ln((COALESCE(uc.c, 0) + 1) / (consts.n + consts.v))
+               END AS lp
+        FROM pos p
+        LEFT JOIN tbig b ON b.prev = p.prev AND b.cur = p.cur
+        LEFT JOIN tuni up ON up.t = p.prev
+        LEFT JOIN tuni uc ON uc.t = p.cur
+        CROSS JOIN consts
+    )
+    SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+           round(avg(lp), 6) AS avg_logscore
+    FROM scored GROUP BY doc_id
+    """,
+)
+def t29_bigram_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring with stupid back-off (Brants et al.):
+    the model is FIT on the non-src0 corpus slice and scores the
+    HELD-OUT src0 documents, so unseen bigrams genuinely take the
+    back-off path (scoring training data never would). Per position:
+    ln(c(prev,cur)/c(prev)) when the bigram was seen, else
+    ln(0.4 · laplace_unigram(cur)); the first token scores by unigram
+    alone. One shuffle each for the bigram and unigram tables; the
+    scoring joins are model-table-sized on the build side; N/V are
+    driver scalars. The t28 shape, one order up."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.text import tokenize
+
+    train_tok = d.filter(F.col("source") != "src0").select(
+        tokenize("text").alias("tok")
+    )
+    tuni = (
+        train_tok.select(F.explode("tok").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tbig = (
+        train_tok.filter(F.size("tok") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("tok", 1, F.size("tok") - 1),
+                    F.slice("tok", 2, F.size("tok") - 1),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total, n_vocab = tuni.agg(
+        F.sum("c").cast("double"), F.count(F.lit(1)).cast("double")
+    ).first()
+    held = d.filter(F.col("source") == "src0").select(
+        "doc_id", tokenize("text").alias("tok")
+    )
+    pos = held.select(
+        "doc_id",
+        F.size("tok").alias("n_tokens"),
+        F.posexplode("tok").alias("i", "cur"),
+        F.col("tok").alias("__tok"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "cur",
+        F.when(F.col("i") > 0, F.element_at("__tok", F.col("i"))).alias("prev"),
+    )
+    lap = (F.coalesce(F.col("uc_c"), F.lit(0)) + 1) / F.lit(
+        float(n_total) + float(n_vocab)
+    )
+    lp = (
+        F.when(
+            F.col("prev").isNotNull() & F.col("b_c").isNotNull(),
+            F.log(F.col("b_c") / F.col("up_c").cast("double")),
+        )
+        .when(F.col("prev").isNotNull(), F.log(0.4 * lap))
+        .otherwise(F.log(lap))
+    )
+    scored = (
+        pos.join(
+            tbig.select("prev", "cur", F.col("c").alias("b_c")),
+            ["prev", "cur"],
+            "left",
+        )
+        .join(
+            tuni.select(F.col("t").alias("prev"), F.col("c").alias("up_c")),
+            "prev",
+            "left",
+        )
+        .join(
+            tuni.select(F.col("t").alias("cur"), F.col("c").alias("uc_c")),
+            "cur",
+            "left",
+        )
+        .withColumn("lp", lp)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logscore"),
+    )
