@@ -68,6 +68,7 @@ def main() -> None:
         "t14_token_chunks",
         "t16_repetition_stats",
         "t28_unigram_logprob_quality",
+        "t29_bigram_backoff_quality",
         "t26_bpe_encode",
         "t27_snapshot_diff",
         "s02_cosine_topk",
