@@ -180,3 +180,33 @@ def test_mine_hard_negatives_excludes_positives_and_caps(spark):
         ]
         expect = [c for c in top12 if (qid, c) not in pos_pairs][:4]
         assert [r.candidate_id for r in sorted(rs, key=lambda r: r.rank)] == expect
+
+
+def test_mine_hard_negatives_lsh_scale_path_composes(spark):
+    """The documented scale swap: topk_fn=lsh_topk must satisfy the
+    same output contract, and its approximate negatives must be a
+    subset of the exhaustive candidate scoring (never an invented
+    pair, scores identical where found)."""
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        mine_hard_negatives,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    approx = mine_hard_negatives(
+        q, e, n_neg=4, overfetch=3, label_col="label", topk_fn=lsh_topk
+    )
+    assert approx.columns == ["query_id", "candidate_id", "cos_sim", "rank"]
+    exact_scores = {
+        (r.query_id, r.candidate_id): r.cos_sim
+        for r in brute_force_topk(q, e, k=e.count()).collect()
+    }
+    rows = approx.collect()
+    assert rows  # the LSH path returns negatives on this corpus
+    for r in rows:
+        assert (r.query_id, r.candidate_id) in exact_scores
+        assert r.cos_sim == exact_scores[(r.query_id, r.candidate_id)]
