@@ -626,3 +626,70 @@ def exact_dedup(
     fp = df.withColumn("__fp", fingerprint(F.col(text_col)))
     keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     return fp.join(keep, ["__fp", id_col], "inner").drop("__fp")
+
+
+def winnow_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """CONTAINMENT detection via shared winnow fingerprints (the
+    MOSS scheme): pairs where one document contains a substantial
+    substring of the other — the dup class Jaccard-style resemblance
+    misses (a paragraph lifted into an otherwise-unrelated document
+    moves global similarity barely, but its winnow fingerprints
+    match exactly). Score = |shared fps| / min(|fps_a|, |fps_b|),
+    the asymmetric-containment normalizer.
+
+    Plan: winnow sketches are map-side (functions/textstats,
+    guarantee: any shared substring of length ≥ k + w - 1 yields ≥ 1
+    shared fingerprint); candidate pairs meet on a fingerprint
+    equi-join of the PERSISTED postings frame (both self-join sides
+    read it — the materialize-before-self-join rule); the pair
+    aggregation is bounded by fingerprint document-frequency, same
+    cost profile and same hot-key remedy as `jaccard_pairs`
+    (prune stop-fingerprints above a df cap at web scale)."""
+    from ..functions.textstats import winnow_fingerprints
+
+    posts = (
+        repartition_for_compute(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                winnow_fingerprints(F.col(text_col), k=k, w=w)
+            ).alias("fp"),
+        )
+        .persist()
+    )
+    sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    shared = (
+        posts.select(F.col("doc").alias("a_id"), "fp")
+        .join(posts.select(F.col("doc").alias("b_id"), "fp"), "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    cont = F.col("n_shared") / F.least("n_a", "n_b")
+    out = (
+        shared.join(
+            sizes.select(F.col("doc").alias("a_id"), F.col("n_fp").alias("n_a")),
+            "a_id",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("b_id"), F.col("n_fp").alias("n_b")),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(cont, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return own_caches(out, posts)

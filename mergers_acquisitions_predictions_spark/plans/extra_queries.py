@@ -570,3 +570,59 @@ def t29_bigram_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").cast("long").alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("avg_logscore"),
     )
+
+
+# d15 reuses t17's winnow sketch; d03/d06/d08 hold the postings-join
+# dedup slots in the window. Still value-checked locally.
+@query(
+    "d15_winnow_containment",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(range(1, length(norm) - 8 + 2),
+                   i -> ('0x' || substr(md5(substr(norm, CAST(i AS INTEGER), 8)),
+                         1, 15))::BIGINT) AS hs
+        FROM n
+    ),
+    posts AS (
+        SELECT doc_id, unnest(list_distinct(
+                   list_transform(range(1, len(hs) - 4 + 2),
+                       j -> list_min(list_slice(hs, j, j + 3))))) AS fp
+        FROM h
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_fp FROM posts GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        FROM posts a JOIN posts b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 2
+    )
+    SELECT s.a_id, s.b_id,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           round(s.n_shared / least(sa.n_fp, sb.n_fp), 6) AS containment
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.a_id
+    JOIN sizes sb ON sb.doc_id = s.b_id
+    WHERE round(s.n_shared / least(sa.n_fp, sb.n_fp), 6) >= 0.3
+    """,
+)
+def d15_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT-dup pairs (operators/dedup.winnow_containment_pairs):
+    documents sharing ≥2 winnow fingerprints with
+    |shared| / min(|fps|) ≥ 0.3 — the partial-duplication class
+    (lifted paragraphs, boilerplate blocks, quote farms) that global
+    Jaccard resemblance under-scores by construction. Same postings
+    cost profile as d03; the t17 sketch guarantees any shared
+    substring of length ≥ k+w-1 = 11 chars produces a shared
+    fingerprint."""
+    from ..operators.dedup import winnow_containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_containment_pairs(d, min_shared=2, threshold=0.3)

@@ -62,6 +62,7 @@ def test_north_star_queries_inside_driver_correctness_window():
         "m08_pca_whiten",  # rows-only (eigendecomposition fit)
         "j04_fuzzy_multipass",  # multi-pass ER: j03 holds the window slot
         "t29_bigram_backoff_quality",  # LM family: t28 holds the slot
+        "d15_winnow_containment",  # containment: d03/d06/d08 hold postings slots
         "u02_grouped_minmax_scale",  # r1-driver-green; u04/u05 hold UDF slots
         "t14_token_chunks",  # chunking family: t18/t20 hold the slots
     }

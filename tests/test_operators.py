@@ -432,3 +432,31 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_winnow_containment_catches_what_jaccard_misses(spark):
+    """A lifted paragraph inside an otherwise-unrelated document:
+    containment flags it; global Jaccard resemblance stays low."""
+    from mergers_acquisitions_predictions_spark.operators.dedup import (
+        jaccard_pairs,
+        winnow_containment_pairs,
+    )
+
+    para = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"unrelated{i} filler{i} words{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, para), (1, para + " " + filler), (2, filler + " totally other")],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r.a_id, r.b_id): r.containment
+        for r in winnow_containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in cont and cont[(0, 1)] >= 0.9  # doc 0 ⊂ doc 1
+    jac = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.0, shingle_n=3).collect()
+    }
+    # resemblance between 0 and its containing doc is LOW — the class
+    # split that motivates the containment operator
+    assert jac.get((0, 1), 0.0) < 0.2
