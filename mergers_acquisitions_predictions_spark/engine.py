@@ -219,12 +219,26 @@ class Engine:
         pairs for the multi-pass recall scheme."""
         from .operators.joins import fuzzy_join, fuzzy_join_multipass
 
-        if isinstance(block_on, (list,)) and block_on and isinstance(block_on[0], tuple):
+        # Multipass iff a sequence OF (left, right) pairs — accept list
+        # or tuple at either level, so [(a,b)], [[a,b]], ((a,b),) all
+        # route the same way instead of falling through to a confusing
+        # unpack error.
+        if (
+            isinstance(block_on, (list, tuple))
+            and block_on
+            and isinstance(block_on[0], (list, tuple))
+        ):
             return fuzzy_join_multipass(
                 left, right, left_col, right_col, block_on, max_dist, **kw
             )
-        bl, br = block_on
-        return fuzzy_join(left, right, left_col, right_col, bl, br, max_dist, **kw)
+        if isinstance(block_on, (list, tuple)) and len(block_on) == 2:
+            bl, br = block_on
+            return fuzzy_join(left, right, left_col, right_col, bl, br, max_dist, **kw)
+        raise ValueError(
+            "block_on must be one (left_expr, right_expr) pair or a "
+            f"sequence of such pairs; got {type(block_on).__name__} "
+            f"of length {len(block_on) if hasattr(block_on, '__len__') else '?'}"
+        )
 
     def learn_bpe(self, docs: DataFrame, n_merges: int = 16, **kw):
         """Learn a BPE merge list from the corpus (one corpus pass +

@@ -42,11 +42,12 @@ def train_weighted_lr(
 ):
     """M5+M7 (`lr.scala:32-44`): 80/20 split (seed 42), elastic-net
     weighted LR with the reference's hyperparameters. Returns
-    (model, train_df, test_df); caller caches train_df when iterating
-    (the L-BFGS loop re-reads it every iteration)."""
+    (model, train_df, test_df). The train split is NOT cached here:
+    fit_released persists it for the duration of the L-BFGS loop (which
+    re-reads it every iteration) and releases it on exit — a cache this
+    function created but handed to the caller would have no owner."""
     weighted = with_class_weights(df, label_col)
     train, test = weighted.randomSplit([0.8, 0.2], seed=seed)
-    train = train.cache()
     lr = LogisticRegression(
         featuresCol=features_col,
         labelCol=label_col,

@@ -43,8 +43,18 @@ def zorder_value(
 ):
     """Morton (Z-curve) value from per-column bucket indexes: bit i of
     column c lands at position ``i * n_cols + c``. Pure shift/mask
-    expression — map-side, codegen'd."""
+    expression — map-side, codegen'd.
+
+    The interleave must fit a signed long: Java's shiftleft masks the
+    shift amount mod 64, so positions past 63 would silently WRAP onto
+    low bits and corrupt the clustering with no error — reject that
+    configuration instead."""
     n = len(bucketed)
+    if bits * n > 63:
+        raise ValueError(
+            f"z-order interleave needs bits*n_cols <= 63; got {bits}*{n} = "
+            f"{bits * n} — reduce bits (e.g. {63 // n}) or drop columns"
+        )
     z = F.lit(0).cast("long")
     for c, col in enumerate(bucketed):
         for i in range(bits):
@@ -118,7 +128,11 @@ def write_zordered(
                 continue
             frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
             idx = F.floor(frac * n_buckets).cast("long")
-            bucketed.append(F.least(F.greatest(idx, F.lit(0)), F.lit(n_buckets - 1)))
+            clamped = F.least(F.greatest(idx, F.lit(0)), F.lit(n_buckets - 1))
+            # NULL values land in bucket 0 (greatest/least skip nulls,
+            # the coalesce pins the invariant) — same deterministic
+            # placement as the quantile path's explicit coalesce.
+            bucketed.append(F.coalesce(clamped, F.lit(0).cast("long")))
     z = df.withColumn("__z", zorder_value(bucketed, bits))
     (
         z.repartitionByRange(n_files, "__z")

@@ -117,8 +117,24 @@ def repartition_for_compute(df: DataFrame, min_partitions: int | None = None) ->
     projection."""
     if df.isStreaming:  # partitioning is the source's concern per micro-batch
         return df
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    # Estimate the scan's split count from optimizer statistics instead
+    # of df.rdd.getNumPartitions(): touching .rdd forces full PHYSICAL
+    # planning (and codegen) per call, measurable at interactive scale;
+    # stats().sizeInBytes comes from the analyzed/optimized plan only
+    # (file-listing sizes for file sources, row estimates otherwise).
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        max_bytes = int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+            )
+        )
+        est_splits = max(1, -(-size // max_bytes))
+    except Exception:  # non-SQL plan or py4j shape change: assume small
+        est_splits = 1
+    if est_splits < target:
         return df.repartition(target)
     return df
 
@@ -130,7 +146,14 @@ def fit_released(estimator, dataset: DataFrame):
     (observed: LR's sampled train split and KMeans' feature projection
     still cached after a 110-query registry sweep). Persisting the
     input first makes MLlib skip its internal cache entirely, and the
-    finally puts the release on OUR exit path."""
+    finally puts the release on OUR exit path.
+
+    A dataset the CALLER already persisted is used as-is: the caller
+    owns that handle (unpersisting here would silently drop a cache
+    the caller created for post-fit transforms)."""
+    lvl = dataset.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return estimator.fit(dataset)
     dataset = dataset.persist()
     try:
         return estimator.fit(dataset)

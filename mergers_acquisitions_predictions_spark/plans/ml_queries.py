@@ -86,15 +86,18 @@ def m05_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", array_to_vector(F.col("embedding")).alias("features")
     )
+    # Cached because BOTH the fit's Lloyd iterations and the post-fit
+    # transform read it; fit_released sees the caller-owned handle and
+    # leaves it alone, own_caches releases it with the result.
     e = e.cache()
-    from ..operators.util import fit_released
+    from ..operators.util import fit_released, own_caches
 
     model = fit_released(KMeans(k=10, seed=42, featuresCol="features"), e)
     scored = model.transform(e)
     per_label = scored.groupBy("prediction", "label").agg(
         F.count(F.lit(1)).alias("n")
     )
-    return (
+    out = (
         per_label.groupBy(F.col("prediction").cast("long").alias("cluster"))
         .agg(
             F.sum("n").cast("long").alias("n_points"),
@@ -102,6 +105,7 @@ def m05_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+    return own_caches(out, e)
 
 
 @query(

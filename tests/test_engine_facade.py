@@ -193,3 +193,55 @@ def test_facade_explain_returns_physical_plan(spark):
     plan = eng.explain("q04_revenue_by_region")
     assert "Physical Plan" in plan and "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_facade_fuzzy_match_accepts_pair_lists_and_rejects_junk(spark):
+    """Multipass detection must treat a list of 2-element LISTS (or a
+    tuple of pairs) like a list of tuples, and reject unrecognizable
+    shapes with a clear error instead of an unpack failure."""
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark)
+    left = spark.createDataFrame([(1, "acme corp")], ["lid", "lname"])
+    right = spark.createDataFrame(
+        [(10, "acme corp."), (12, "acmex corp")], ["rid", "rname"]
+    )
+    first = lambda c: F.split(F.col(c), " ")[0]  # noqa: E731
+    last = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
+    for shape in (
+        [[first("lname"), first("rname")], [last("lname"), last("rname")]],
+        ([first("lname"), first("rname")], (last("lname"), last("rname"))),
+    ):
+        multi = eng.fuzzy_match(left, right, "lname", "rname", shape)
+        assert {r.rid for r in multi.collect()} == {10, 12}
+    import pytest
+
+    with pytest.raises(ValueError, match="block_on"):
+        eng.fuzzy_match(left, right, "lname", "rname", "not a pair")
+
+
+def test_fit_released_respects_caller_cache(spark):
+    """A dataset the caller already persisted must stay persisted after
+    the fit (the caller owns the handle for post-fit transforms)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators.util import fit_released
+
+    e = (
+        spark.range(50)
+        .select(
+            F.col("id"),
+            array_to_vector(
+                F.array((F.col("id") % 5).cast("double"), F.lit(1.0))
+            ).alias("features"),
+        )
+        .cache()
+    )
+    try:
+        fit_released(KMeans(k=3, seed=1, maxIter=2), e)
+        lvl = e.storageLevel
+        assert lvl.useMemory or lvl.useDisk  # still the caller's cache
+    finally:
+        e.unpersist(blocking=True)

@@ -176,3 +176,41 @@ def test_zorder_quantile_binning_beats_uniform_under_skew(spark, tmp_path):
     assert got.filter(F.col("v").between(lo, hi)).count() == df.filter(
         F.col("v").between(lo, hi)
     ).count()
+
+
+def test_zorder_rejects_wrapping_interleave(spark, tmp_path):
+    """bits * n_cols > 63 would make Java's mod-64 shiftleft silently
+    wrap high bits onto low positions — must raise, not corrupt."""
+    from mergers_acquisitions_predictions_spark.operators.layout import (
+        write_zordered,
+        zorder_value,
+    )
+
+    df = spark.range(10).select(*[F.col("id").alias(f"c{i}") for i in range(9)])
+    with pytest.raises(ValueError, match="bits"):
+        write_zordered(df, str(tmp_path / "z"), [f"c{i}" for i in range(9)], bits=8)
+    with pytest.raises(ValueError, match="bits"):
+        zorder_value([F.col("c0")] * 9, bits=8)
+    # 9 cols fits at 7 bits (63 positions exactly)
+    write_zordered(df, str(tmp_path / "ok"), [f"c{i}" for i in range(9)], bits=7)
+    assert spark.read.parquet(str(tmp_path / "ok")).count() == 10
+
+
+def test_zorder_nulls_land_in_bucket_zero_both_binnings(spark, tmp_path):
+    """A NULL z-order column value must cluster deterministically (the
+    min bucket) under BOTH binning modes, not scatter into a NULL range
+    partition."""
+    from mergers_acquisitions_predictions_spark.operators.layout import (
+        write_zordered,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), float(i % 7)) for i in range(100)] + [(None, 3.0), (None, None)],
+        "v double, u double",
+    )
+    for binning in ("uniform", "quantile"):
+        p = str(tmp_path / binning)
+        write_zordered(df, p, ["v", "u"], n_files=4, binning=binning)
+        got = spark.read.parquet(p)
+        assert got.count() == 102
+        assert got.filter(F.col("v").isNull()).count() == 2
