@@ -5,14 +5,6 @@ ORACLES from here."""
 from .registry import ORACLES, QUERIES, query
 
 # Import for side effect: each module registers its queries.
-#
-# ORDER IS LOAD-BEARING: the driver's CORRECTNESS gate verifies the
-# FIRST 50 registry entries, so the north-star LLM-pipeline surface
-# (dedup, similarity, ML, pipeline composites, text analysis)
-# registers first; the long-green relational batches rotate to the
-# back of the window — they stay fully guarded by
-# tests/test_oracle_parity.py, which sweeps EVERY oracle regardless
-# of position.
 from . import dedup_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401
@@ -26,4 +18,85 @@ from . import relational3  # noqa: E402,F401
 from . import relational4  # noqa: E402,F401
 from . import extra_queries  # noqa: E402,F401
 
-__all__ = ["QUERIES", "ORACLES", "query"]
+#: ORDER IS LOAD-BEARING: the driver's CORRECTNESS gate verifies the
+#: FIRST 50 registry entries each round. This pinned manifest (not
+#: module import order) decides the window; tests/test_entry_contract
+#: asserts list(QUERIES)[:50] == DRIVER_WINDOW so a refactor cannot
+#: silently reshuffle it.
+#:
+#: Round-3 rotation: the 14 queries that had NO driver row in either
+#: round 1 or 2 (d13, d15, j04, m05, m08, q46, s05, s06, t14,
+#: t22–t25, t29) move IN, so every registry entry has a driver row in
+#: r01∪r02∪r03. Fourteen r2-green queries rotate OUT (d01, d02, s01,
+#: q17, q38, t03–t07, t10–t12, t15); they stay value-guarded by
+#: tests/test_oracle_parity.py, which sweeps EVERY oracle regardless
+#: of position.
+DRIVER_WINDOW = [
+    # dedup family
+    "d03_jaccard_pairs",
+    "d04_simhash",
+    "d05_embedding_neardups",
+    "d06_lsh_verified_neardups",
+    "d07_lsh_embedding_neardups",
+    "d08_prefix_jaccard_pairs",
+    "d09_dup_clusters",
+    "d10_contamination",
+    "d11_semantic_dedup",
+    "d12_incremental_neardup",
+    "d13_simhash_neardups",
+    "d14_cluster_canonicals",
+    "d15_winnow_containment",
+    # similarity / ANN family
+    "s02_cosine_topk",
+    "s03_lsh_ann_topk",
+    "s04_ivf_ann_topk",
+    "s05_ivf_kmeans_topk",
+    "s06_hard_negatives",
+    # ML family
+    "m01_tfidf_features",
+    "m02_lr_confusion",
+    "m03_lda_topics",
+    "m04_pair_ranking",
+    "m05_kmeans_clusters",
+    "m06_split_assignment",
+    "m07_stratified_sample",
+    "m08_pca_whiten",
+    # text / curation family
+    "t08_vocabulary",
+    "t09_tfidf_top_terms",
+    "t13_training_prep_funnel",
+    "t14_token_chunks",
+    "t16_repetition_stats",
+    "t17_winnow_fingerprints",
+    "t18_sequence_packing",
+    "t19_quality_rank_filter",
+    "t20_pack_manifest",
+    "t21_source_mixture",
+    "t22_funnel_accounting",
+    "t23_interleaved_order",
+    "t24_shingle_diversity",
+    "t25_bpe_merges",
+    "t26_bpe_encode",
+    "t27_snapshot_diff",
+    "t28_unigram_logprob_quality",
+    "t29_bigram_backoff_quality",
+    # joins / ER, UDF surface, relational newcomers
+    "j02_deal_name_linkage",
+    "j03_fuzzy_name_match",
+    "j04_fuzzy_multipass",
+    "u04_lemmatize_pandas_udf",
+    "u05_frame_sample_stats",
+    "q46_unpivot_measures",
+]
+
+_missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
+if _missing:  # fail at import, not in the driver's harness
+    raise RuntimeError(f"DRIVER_WINDOW names unregistered queries: {_missing}")
+_ordered = {n: QUERIES[n] for n in DRIVER_WINDOW}
+for _n, _f in list(QUERIES.items()):
+    if _n not in _ordered:
+        _ordered[_n] = _f
+QUERIES.clear()
+QUERIES.update(_ordered)
+
+__all__ = ["QUERIES", "ORACLES", "DRIVER_WINDOW", "query"]

@@ -1,8 +1,9 @@
-"""Late-registered queries — variants whose value is the LOCAL test
-surface (determinism, recall bounds), registered AFTER the driver's
-50-entry CORRECTNESS window on purpose: a rows-only row in the window
-would displace a full value-parity row, and these have no SQL oracle
-by nature (iterative ML fitting)."""
+"""Late-DEFINED queries (registration order within this module is
+historical). Since round 3 the driver's 50-entry CORRECTNESS window is
+pinned EXPLICITLY by `plans/__init__.DRIVER_WINDOW`, not by
+registration order — the per-query "rotated out in favor of ..."
+comments below record rounds 1-2 history only. The round-3 window
+includes every query that had no driver row in rounds 1-2."""
 
 from __future__ import annotations
 

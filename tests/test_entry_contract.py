@@ -31,49 +31,36 @@ def test_all_queries_produce_stable_schemas(spark):
         assert len(set(df.columns)) == len(df.columns), f"{name}: duplicate col names"
 
 
-def test_north_star_queries_inside_driver_correctness_window():
+def test_driver_window_is_the_pinned_manifest():
     """The driver's CORRECTNESS gate verifies only the FIRST 50
-    registry entries (round-1 verdict: the entire LLM-pipeline surface
-    once registered past the window and went driver-unchecked). Guard
-    the import order: every dedup/similarity/ml/text/udf/pipeline
-    query must register inside the window; only long-green relational
-    q* may rotate out."""
-    from mergers_acquisitions_predictions_spark.plans import QUERIES
+    registry entries. Round 3 pins the window as an explicit manifest
+    (plans.DRIVER_WINDOW) so a module refactor cannot silently
+    reshuffle which queries the driver checks — assert the registry's
+    first 50 ARE that manifest, verbatim and in order."""
+    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW, QUERIES
 
-    # Deliberate exceptions, registered late ON PURPOSE in
-    # plans/extra_queries.py: rows-only variants (a rows-only row
-    # inside the window would displace a full value-parity row), and
-    # oracle-backed queries whose MECHANISM already has an in-window
-    # representative (the window holds 50; every late entry stays
-    # value-checked by the local parity sweep, which has no cutoff).
-    deliberate_late = {
-        "s05_ivf_kmeans_topk",  # rows-only (k-means fit)
-        "m05_kmeans_clusters",  # rows-only (k-means fit)
-        "u03_multimodal_features",  # rows-only (binary payloads)
-        "u01_pandas_udf_charge",  # scalar pandas_udf: u04 holds the slot
-        "d13_simhash_neardups",  # sketch banding: d02/d04/d06 hold slots
-        "t22_funnel_accounting",  # funnel: t13 holds the slot
-        "t23_interleaved_order",  # ordering: t18/t19 hold the ordered.py slots
-        "t24_shingle_diversity",  # corpus stats: t05/t16 hold the slots
-        "t02_clean_text",  # r1-driver-green; regex cleaning: t15 holds the slot
-        "t01_token_stats",  # r1-driver-green; token counts: t12/t16 hold slots
-        "t25_bpe_merges",  # rows-only (iterative fit); t26 holds the BPE slot
-        "s06_hard_negatives",  # ANN composition: s02-s04 hold the slots
-        "m08_pca_whiten",  # rows-only (eigendecomposition fit)
-        "j04_fuzzy_multipass",  # multi-pass ER: j03 holds the window slot
-        "t29_bigram_backoff_quality",  # LM family: t28 holds the slot
-        "d15_winnow_containment",  # containment: d03/d06/d08 hold postings slots
-        "u02_grouped_minmax_scale",  # r1-driver-green; u04/u05 hold UDF slots
-        "t14_token_chunks",  # chunking family: t18/t20 hold the slots
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    assert list(QUERIES)[:50] == DRIVER_WINDOW
+    # Round-3 rotation goal: the 14 queries with no driver row in
+    # rounds 1-2 must all sit inside the window this round.
+    never_checked_before_r3 = {
+        "d13_simhash_neardups",
+        "d15_winnow_containment",
+        "j04_fuzzy_multipass",
+        "m05_kmeans_clusters",
+        "m08_pca_whiten",
+        "q46_unpivot_measures",
+        "s05_ivf_kmeans_topk",
+        "s06_hard_negatives",
+        "t14_token_chunks",
+        "t22_funnel_accounting",
+        "t23_interleaved_order",
+        "t24_shingle_diversity",
+        "t25_bpe_merges",
+        "t29_bigram_backoff_quality",
     }
-
-    names = list(QUERIES)
-    window = set(names[:50])
-    outside = [
-        n for n in names[50:] if n[0] in "dsmtuj" and n not in deliberate_late
-    ]
-    assert not outside, f"north-star queries past the driver window: {outside}"
-    assert deliberate_late.isdisjoint(window), "late-listed query moved into window"
+    assert never_checked_before_r3 <= set(DRIVER_WINDOW)
 
 
 def test_missing_sf_dir_fails_cleanly(spark):
