@@ -62,6 +62,7 @@ def main() -> None:
         "d12_incremental_neardup",
         "d13_simhash_neardups",
         "d14_cluster_canonicals",
+        "d15_winnow_containment",
         "t21_source_mixture",
         "t18_sequence_packing",
         "t19_quality_rank_filter",

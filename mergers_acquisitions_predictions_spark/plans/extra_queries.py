@@ -573,8 +573,10 @@ def t29_bigram_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# d15 reuses t17's winnow sketch; d03/d06/d08 hold the postings-join
-# dedup slots in the window. Still value-checked locally.
+# d15 reuses t17's winnow sketch. The MOSS stop-fingerprint cap
+# (max_df=32) is mirrored verbatim into the oracle: fingerprints in
+# more than 32 docs are dropped from the index before candidates,
+# counts, and sketch sizes are computed.
 @query(
     "d15_winnow_containment",
     oracle="""
@@ -597,10 +599,12 @@ def t29_bigram_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                        j -> list_min(list_slice(hs, j, j + 3))))) AS fp
         FROM h
     ),
-    sizes AS (SELECT doc_id, count(*) AS n_fp FROM posts GROUP BY doc_id),
+    hot AS (SELECT fp FROM posts GROUP BY fp HAVING count(*) > 32),
+    idx AS (SELECT * FROM posts ANTI JOIN hot USING (fp)),
+    sizes AS (SELECT doc_id, count(*) AS n_fp FROM idx GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
-        FROM posts a JOIN posts b
+        FROM idx a JOIN idx b
           ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
         HAVING count(*) >= 2
@@ -619,11 +623,14 @@ def d15_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents sharing ≥2 winnow fingerprints with
     |shared| / min(|fps|) ≥ 0.3 — the partial-duplication class
     (lifted paragraphs, boilerplate blocks, quote farms) that global
-    Jaccard resemblance under-scores by construction. Same postings
-    cost profile as d03; the t17 sketch guarantees any shared
-    substring of length ≥ k+w-1 = 11 chars produces a shared
-    fingerprint."""
+    Jaccard resemblance under-scores by construction. Fingerprints in
+    more than 32 documents are dropped from the index first (the MOSS
+    stop-fingerprint rule — Σdf² is the postings-join cost and one
+    boilerplate fp dominates it; measured 190M → ~1M pair-rows at
+    sf0.1); scores are computed over the retained index. The t17
+    sketch guarantees any shared substring of length ≥ k+w-1 = 11
+    chars produces a shared fingerprint."""
     from ..operators.dedup import winnow_containment_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return winnow_containment_pairs(d, min_shared=2, threshold=0.3)
+    return winnow_containment_pairs(d, min_shared=2, threshold=0.3, max_df=32)
