@@ -793,6 +793,7 @@ def mine_hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     topk_fn=None,
+    brute_force_max: int = 50_000,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training data: the
     candidates most similar to each query that are NOT its positives —
@@ -800,21 +801,38 @@ def mine_hard_negatives(
 
     Composition of existing machinery: ANN top-(n_neg × overfetch)
     (``topk_fn``: any of brute_force_topk / lsh_topk / ivf_topk with
-    the (query_id, candidate_id, cos_sim, rank) contract; default
-    brute force), minus known positives (``positives`` as a
-    (query_id, candidate_id) frame, anti-joined) and/or same-class
-    candidates (``label_col``: a label equality filter — the textbook
-    "similar but differently labeled" definition), re-ranked to the
-    top ``n_neg`` per query.
+    the (query_id, candidate_id, cos_sim, rank) contract), minus
+    known positives (``positives`` as a (query_id, candidate_id)
+    frame, anti-joined) and/or same-class candidates (``label_col``:
+    a label equality filter — the textbook "similar but differently
+    labeled" definition), re-ranked to the top ``n_neg`` per query.
+
+    Default top-k is SIZE-AWARE, not brute force: when the corpus
+    exceeds ``brute_force_max`` rows (one count, the index-build-time
+    decision), the multi-table sign-LSH path with ``auto_planes``-
+    sized buckets is selected — the O(q·n) broadcast scan is exact
+    but quadratic-in-practice once q grows with n, and a default must
+    not be the config that falls over at 10⁶ vectors. Pass ``topk_fn``
+    explicitly to force either path (the swap equivalence is tested).
 
     Overfetch bounds the candidate pool: if more than
     (overfetch-1)·n_neg of a query's neighbors are positives, fewer
     than n_neg negatives come back — raise ``overfetch`` rather than
     re-scanning (standard practice; the miss is visible in the output
-    cardinality). Scale: the expensive stage is the top-k itself
-    (choose the LSH/IVF fn past ~10⁵ vectors); the exclusion joins
-    run on the q × k candidate frame, which is tiny."""
-    fn = topk_fn or brute_force_topk
+    cardinality). The exclusion joins run on the q × k candidate
+    frame, which is tiny."""
+    if topk_fn is None:
+        n = corpus.count()
+        if n <= brute_force_max:
+            fn = brute_force_topk
+        else:
+            planes = auto_planes(n)
+
+            def fn(q, c, **kw):
+                return lsh_topk(q, c, n_planes=planes, multiprobe=True, **kw)
+
+    else:
+        fn = topk_fn
     k = n_neg * overfetch
     cand = fn(queries, corpus, k=k, id_col=id_col, vec_col=vec_col).drop("rank")
     if positives is not None:

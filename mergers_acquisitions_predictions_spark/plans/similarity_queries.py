@@ -168,27 +168,34 @@ def s04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5, n_cells=16, n_probe=2)
 
 
-# Registered late (plans/extra_queries.py): the ANN mechanism keeps
-# in-window evidence via s02/s03/s04; s06 composes them. Still
-# value-checked by the local parity sweep.
+# Registered late (plans/extra_queries.py, r1-r2 history); since
+# round 3 the registered config runs the BUCKETED sign-LSH top-k (the
+# scale path), and the oracle replays its candidate set exactly via
+# the deterministic hyperplane constants — so even the approximate
+# configuration is value-checked.
 S06_ORACLE = f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
-               FROM embeddings WHERE vec_id < 5),
-    c AS (SELECT vec_id AS candidate_id, embedding AS ce, label AS cl
-          FROM embeddings),
+    WITH {{buckets}},
+    qb AS (SELECT vec_id, t, bucket FROM buckets WHERE vec_id < 5),
+    qprobe AS ({{probe}}
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS candidate_id
+        FROM qprobe q
+        JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+        WHERE q.vec_id <> c.vec_id
+    ),
     scored AS (
-        SELECT query_id, candidate_id, ql, cl,
-               round(
-                 list_sum(list_transform(range(1, len(qe) + 1),
-                          i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
-                 / (sqrt({_SQL_SQNORM.format(v='qe')})
-                    * sqrt({_SQL_SQNORM.format(v='ce')})), 6) AS cos_sim
-        FROM q CROSS JOIN c
-        WHERE query_id <> candidate_id
+        SELECT query_id, candidate_id,
+               round({SQL_DOT.format(a='qv.embedding', b='cv.embedding')}
+                     / (sqrt({SQL_SQNORM.format(v='qv.embedding')})
+                        * sqrt({SQL_SQNORM.format(v='cv.embedding')})), 6) AS cos_sim
+        FROM cand
+        JOIN embeddings qv ON qv.vec_id = query_id
+        JOIN embeddings cv ON cv.vec_id = candidate_id
     ),
     topk AS (
         SELECT * FROM (
-            SELECT query_id, candidate_id, ql, cl, cos_sim,
+            SELECT query_id, candidate_id, cos_sim,
                    row_number() OVER (
                        PARTITION BY query_id ORDER BY cos_sim DESC, candidate_id
                    ) AS rk
@@ -198,25 +205,44 @@ S06_ORACLE = f"""
     SELECT query_id, candidate_id, cos_sim,
            CAST(rank AS BIGINT) AS rank
     FROM (
-        SELECT query_id, candidate_id, cos_sim,
+        SELECT t.query_id, t.candidate_id, t.cos_sim,
                row_number() OVER (
-                   PARTITION BY query_id ORDER BY cos_sim DESC, candidate_id
+                   PARTITION BY t.query_id
+                   ORDER BY t.cos_sim DESC, t.candidate_id
                ) AS rank
-        FROM topk WHERE ql <> cl
+        FROM topk t
+        JOIN embeddings ql ON ql.vec_id = t.query_id
+        JOIN embeddings cl ON cl.vec_id = t.candidate_id
+        WHERE ql.label <> cl.label
     )
     WHERE rank <= 5
-    """
+    """.format(
+    buckets=buckets_cte_sql(dim=64, n_planes=4, n_tables=8),
+    probe=hamming1_probe_sql(n_planes=4, base="qb"),
+)
 
 
 def s06_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (operators/similarity.mine_hard_negatives):
     per query, the 5 most-similar DIFFERENTLY-LABELED vectors from a
-    3× overfetched exact top-k — the contrastive-training data-prep
-    op. Brute-force config is the oracle anchor; at scale swap
-    ``topk_fn`` for the LSH/IVF path (same output contract)."""
-    from ..operators.similarity import mine_hard_negatives
+    3× overfetched top-k — the contrastive-training data-prep op. The
+    registered config uses the BUCKETED multi-table sign-LSH top-k
+    (multiprobe), i.e. the path a 10⁸-vector corpus runs: candidates
+    meet on bucket equi-joins, never a cross join. The default
+    operator auto-selects this path past `brute_force_max` rows; it is
+    forced here so the driver row proves the scale plan, with the
+    oracle replaying the identical LSH candidate set."""
+    from ..operators.similarity import lsh_topk, mine_hard_negatives
+
+    def lsh_multiprobe(q, c, **kw):
+        return lsh_topk(q, c, multiprobe=True, **kw)
 
     e = load_table(spark, sf_dir, "embeddings")
     return mine_hard_negatives(
-        e.filter(F.col("vec_id") < 5), e, n_neg=5, overfetch=3, label_col="label"
+        e.filter(F.col("vec_id") < 5),
+        e,
+        n_neg=5,
+        overfetch=3,
+        label_col="label",
+        topk_fn=lsh_multiprobe,
     )

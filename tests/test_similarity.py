@@ -210,3 +210,36 @@ def test_mine_hard_negatives_lsh_scale_path_composes(spark):
     for r in rows:
         assert (r.query_id, r.candidate_id) in exact_scores
         assert r.cos_sim == exact_scores[(r.query_id, r.candidate_id)]
+
+
+def test_mine_hard_negatives_auto_selects_bucketed_path(spark):
+    """With no explicit topk_fn, a corpus past brute_force_max must
+    route through the sign-LSH bucketed plan (no cross/BNLJ shape) and
+    a small corpus through the exact baseline — the default must never
+    be the config that falls over at 10^6 vectors."""
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    bad = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+    small = mine_hard_negatives(q, e, n_neg=3, label_col="label")
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert any(b in small_plan for b in bad)  # exact baseline: broadcast q x n
+
+    big = mine_hard_negatives(q, e, n_neg=3, label_col="label", brute_force_max=10)
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    assert not any(b in big_plan for b in bad)
+    # both paths return the (query_id, candidate_id, cos_sim, rank)
+    # contract with <= n_neg rows per query
+    for df in (small, big):
+        rows = df.collect()
+        assert df.columns == ["query_id", "candidate_id", "cos_sim", "rank"]
+        per_q = {}
+        for r in rows:
+            per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+        assert all(v <= 3 for v in per_q.values())
