@@ -35,9 +35,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query; keys
-    absent here (m01–m03/m05/s05 MLlib fits, t25 iterative BPE fit,
-    u03 binary payloads) get the driver's rows-only check. The
-    approximate LSH/IVF queries (s03/s04/d07) ARE value-checked —
+    absent here (m02/m03/m05/m08/s05 MLlib fits, t25 iterative BPE
+    fit, u03 binary payloads) get the driver's rows-only check. The
+    approximate LSH/IVF queries (s03/s04/d07/s06) ARE value-checked —
     their deterministic constants are emitted into the oracle SQL
-    (plans/lsh_oracle.py)."""
+    (plans/lsh_oracle.py) — and so is m01: the fitted TF-IDF pipeline's
+    vectors are projected to (doc_id, term, weight) rows the oracle
+    recomputes relationally."""
     return dict(ORACLES)

@@ -42,6 +42,7 @@ def build_tfidf_pipeline(
     min_df: float = 2.0,
     max_df: float = 1 << 60,
     vocab_size: int = 1 << 18,
+    stopwords: list[str] | None = None,
 ) -> Pipeline:
     """The reference's feature dataflow as one Pipeline:
 
@@ -56,13 +57,21 @@ def build_tfidf_pipeline(
 
     Defaults: reference uses minDF=100/maxDF=20000 at corpus scale
     (`acq_etl_code.scala:73`); tests pass smaller bands.
+
+    ``stopwords`` overrides StopWordsRemover's default English list —
+    pass an explicit list when the downstream check must replay the
+    exact configuration (the DuckDB oracle embeds the list as SQL
+    constants, so it cannot depend on MLlib's resource file).
     """
+    remover = StopWordsRemover(inputCol="tokens", outputCol="content_tokens")
+    if stopwords is not None:
+        remover.setStopWords(list(stopwords))
     return Pipeline(
         stages=[
             RegexTokenizer(
                 inputCol=text_col, outputCol="tokens", pattern="\\W+", toLowercase=True
             ),
-            StopWordsRemover(inputCol="tokens", outputCol="content_tokens"),
+            remover,
             NGram(n=2, inputCol="content_tokens", outputCol="ngrams2"),
             NGram(n=3, inputCol="content_tokens", outputCol="ngrams3"),
             SQLTransformer(

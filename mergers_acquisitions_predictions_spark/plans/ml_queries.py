@@ -18,23 +18,83 @@ from ..sources.readers import load_table
 from .registry import query
 
 
-@query("m01_tfidf_features")  # rows-only: Vector columns aren't oracle-hashable
+#: The m01 oracle embeds the engine's deterministic stop-word list
+#: (functions/text.STOPWORDS_EN) so DuckDB replays the exact pipeline
+#: configuration without MLlib's resource files.
+from ..functions.text import STOPWORDS_EN as _SW  # noqa: E402
+
+_M01_SW_SQL = "(" + ", ".join(f"'{s}'" for s in _SW) + ")"
+
+M01_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                           t -> t NOT IN {_M01_SW_SQL}) AS ct
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest(list_distinct(
+            ct
+            || list_transform(range(1, len(ct)),
+                              i -> ct[i] || ' ' || ct[i + 1])
+            || list_transform(range(1, len(ct) - 1),
+                              i -> ct[i] || ' ' || ct[i + 1] || ' ' || ct[i + 2])
+        )) AS term
+        FROM tok
+    ),
+    consts AS (SELECT count(*) AS n FROM documents),
+    dfs AS (
+        SELECT term, count(*) AS df FROM grams GROUP BY term
+        HAVING count(*) >= 2 AND count(*) < (SELECT n FROM consts)
+    )
+    SELECT g.doc_id, g.term,
+           round(ln((c.n + 1.0) / (d.df + 1.0)), 6) AS weight
+    FROM grams g JOIN dfs d USING (term) CROSS JOIN consts c
+    """
+
+
+@query("m01_tfidf_features", oracle=M01_ORACLE)
 def m01_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's feature ETL (M1–M4) on `documents`: fit the
-    tokenize→stopwords→2/3-gram→union→CountVectorizer→IDF pipeline and
-    report per-doc vector shape (dim + nnz — deterministic even though
-    the Vector itself can't be hashed by the oracle)."""
-    docs = load_table(spark, sf_dir, "documents")
-    model = build_tfidf_pipeline(min_df=2.0).fit(docs)
-    out = model.transform(docs)
-    # numNonzeros via the ml-vector -> array bridge (SURVEY §1.1).
+    tokenize→stopwords→2/3-gram→union→CountVectorizer→IDF pipeline,
+    then project the fitted model's OUTPUT VECTORS to hashable
+    (doc_id, term, weight) rows — vector_to_array + an index→term join
+    against the model's vocabulary, so the oracle value-checks the
+    actual MLlib pipeline output, not a relational twin (t08/t09 cover
+    that). What makes it replayable: the distinct-union feature array
+    (U1, the reference's `mergeArrays`) makes TF binary, so weight =
+    idf = ln((N+1)/(df+1)); mapping indices back to TERM strings
+    removes any dependence on CountVectorizer's tie-ordering; terms in
+    every document (idf = 0, indistinguishable from absent in a dense
+    projection) are excluded on both sides; and the stop-word list is
+    pinned (STOPWORDS_EN) rather than MLlib's resource default."""
     from pyspark.ml.functions import vector_to_array
 
+    docs = load_table(spark, sf_dir, "documents")
+    model = build_tfidf_pipeline(min_df=2.0, stopwords=list(_SW)).fit(docs)
+    out = model.transform(docs)
+    vocab = model.stages[-2].vocabulary
+    vocab_df = spark.createDataFrame(
+        list(enumerate(vocab)), "term_idx INT, term STRING"
+    )
     arr = vector_to_array(F.col("tfidf"))
-    return out.select(
-        "doc_id",
-        F.size(arr).cast("long").alias("vocab_size"),
-        F.size(F.filter(arr, lambda x: x != 0)).cast("long").alias("nnz"),
+    # Sparsify BEFORE exploding: zip (idx, weight), keep nonzeros —
+    # the explode then carries ~nnz rows, not vocab-size rows per doc.
+    pairs = F.filter(
+        F.zip_with(
+            arr,
+            F.sequence(F.lit(0), F.size(arr) - 1),
+            lambda w, i: F.struct(
+                i.cast("int").alias("term_idx"), w.alias("weight")
+            ),
+        ),
+        lambda s: s["weight"] != 0,
+    )
+    exploded = out.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.term_idx").alias("term_idx"), F.col("p.weight").alias("weight")
+    )
+    return exploded.join(F.broadcast(vocab_df), "term_idx").select(
+        "doc_id", "term", F.round("weight", 6).alias("weight")
     )
 
 
