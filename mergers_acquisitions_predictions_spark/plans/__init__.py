@@ -26,9 +26,10 @@ from . import extra_queries  # noqa: E402,F401
 #:
 #: Round-3 rotation: the 14 queries that had NO driver row in either
 #: round 1 or 2 (d13, d15, j04, m05, m08, q46, s05, s06, t14,
-#: t22–t25, t29) move IN, so every registry entry has a driver row in
-#: r01∪r02∪r03. Fourteen r2-green queries rotate OUT (d01, d02, s01,
-#: q17, q38, t03–t07, t10–t12, t15); they stay value-guarded by
+#: t22–t25, t29) move IN, plus the new j05 hour-bucket range join, so
+#: every registry entry has a driver row in r01∪r02∪r03. Fifteen
+#: r1/r2-green queries rotate OUT (d01, d02, s01, q17, q38, t03–t07,
+#: t10–t12, t15, j02); they stay value-guarded by
 #: tests/test_oracle_parity.py, which sweeps EVERY oracle regardless
 #: of position.
 DRIVER_WINDOW = [
@@ -81,9 +82,9 @@ DRIVER_WINDOW = [
     "t28_unigram_logprob_quality",
     "t29_bigram_backoff_quality",
     # joins / ER, UDF surface, relational newcomers
-    "j02_deal_name_linkage",
     "j03_fuzzy_name_match",
     "j04_fuzzy_multipass",
+    "j05_event_window_range_join",
     "u04_lemmatize_pandas_udf",
     "u05_frame_sample_stats",
     "q46_unpivot_measures",

@@ -440,6 +440,54 @@ def j04_fuzzy_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+@query(
+    "j05_event_window_range_join",
+    oracle="""
+    WITH inc AS (
+        SELECT event_id AS incident_id, ts AS win_start,
+               ts + INTERVAL 90 MINUTE AS win_end
+        FROM events WHERE event_id % 50 = 0
+    )
+    SELECT i.incident_id, count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM inc i JOIN events e
+      ON e.ts >= i.win_start AND e.ts < i.win_end
+    GROUP BY i.incident_id
+    """,
+)
+def j05_event_window_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOUR-granularity interval join via `joins.range_join_bucketed`
+    (the operator's sub-day parameterization): every 50th event opens
+    a 90-minute incident window; all events inside any window join to
+    it. The interval side explodes into its 2-3 covering hour buckets,
+    the join is an equi hash join on the bucket, and the exact range
+    residual filters — results are bucket-alignment-independent, the
+    knob only trades explode fan-out against key selectivity (90-min
+    windows × 1-hour buckets ⇒ O(1) fan-out; day buckets would put
+    ~all windows of a day on one key). The only plan that survives an
+    interval join at 100 TB — never a nested loop."""
+    from ..operators.joins import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    inc = ev.filter(F.col("event_id") % 50 == 0).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("win_start"),
+        F.timestamp_add("MINUTE", F.lit(90), F.col("ts")).alias("win_end"),
+    )
+    joined = range_join_bucketed(
+        inc,
+        ev.select("event_id", "ts", "value"),
+        "win_start",
+        "win_end",
+        "ts",
+        bucket="1 hour",
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 # t29 upgrades t28's unigram scorer; t28 holds the in-window LM slot.
 @query(
     "t29_bigram_backoff_quality",
