@@ -306,6 +306,39 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def lsh_tables(
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int = 42,
+    k_max: int | None = None,
+) -> list[list[list[float]]]:
+    """Per-table hyperplane lists for the multi-table sign-LSH ops.
+
+    With ``k_max`` set, each table draws a ``k_max``-sized chunk from
+    the deterministic plane stream and uses only its FIRST
+    ``n_planes`` planes — so a table's planes are a fixed PREFIX
+    independent of ``n_planes`` (≤ k_max). That prefix property is
+    what makes an AUTO-SIZED plane count oracle-replayable: the SQL
+    oracle emits the full k_max chunks once and masks to a k it
+    computes from ``count(*)`` with the same `auto_planes` formula, so
+    one static oracle string is value-exact at every corpus size.
+
+    ``k_max=None`` (default) chunks at ``n_planes`` — byte-identical
+    to the historical allocation, so fixed-k callers and their oracle
+    constants are unaffected."""
+    chunk = k_max if k_max is not None else n_planes
+    if n_planes > chunk:
+        raise ValueError(
+            f"n_planes={n_planes} exceeds k_max={chunk}; raise k_max "
+            "(and regenerate the oracle constants) for larger corpora"
+        )
+    all_planes = _hyperplanes(dim, chunk * n_tables, seed)
+    return [
+        all_planes[t * chunk : t * chunk + n_planes] for t in range(n_tables)
+    ]
+
+
 def auto_planes(n_vectors: int, target_bucket: int = 125, floor: int = 4) -> int:
     """Plane count for `lsh_neardup_pairs`/`lsh_topk` at a given
     corpus size: k ≈ log2(n / target_bucket) keeps expected bucket
@@ -346,6 +379,7 @@ def lsh_neardup_pairs(
     n_tables: int = 8,
     seed: int = 42,
     use_arrow: bool = True,
+    k_max: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold) via
     sign-LSH prefilter + EXACT verification of collisions only — the
@@ -372,10 +406,12 @@ def lsh_neardup_pairs(
     ``n_planes`` MUST grow with corpus size (`auto_planes`): at a
     fixed k, buckets hold n/2^k vectors and candidates grow
     quadratically — measured in SCALE.md §7b (k=4 thrashes at 16k
-    vectors; k=log2(n/125) holds wall time flat). The default 4 fits
-    the ≤4k-vector test corpora and the oracle replay."""
-    all_planes = _hyperplanes(dim, n_planes * n_tables, seed)
-    tables = [all_planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
+    vectors; k=log2(n/125) holds wall time flat). Pass
+    ``n_planes=auto_planes(n)`` with ``k_max`` set (prefix-stable
+    plane chunks, see `lsh_tables`) so the registered oracle replays
+    the same auto-sized buckets; the default 4 fits the ≤4k-vector
+    test corpora."""
+    tables = lsh_tables(dim, n_planes, n_tables, seed, k_max)
     src = repartition_for_compute(df)
     idx = (
         src.select(
@@ -706,6 +742,7 @@ def lsh_topk(
     n_tables: int = 8,
     seed: int = 42,
     multiprobe: bool = False,
+    k_max: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE sign-LSH: `n_tables`
     independent hash tables of `n_planes` sign bits each; a corpus
@@ -725,9 +762,9 @@ def lsh_topk(
     rides along once per table; at extreme scale store bucket tables
     separately) — then equi-join on (table, bucket), dedup candidate
     pairs, score once, per-query top-k. The corpus×query cross join
-    never materializes."""
-    all_planes = _hyperplanes(dim, n_planes * n_tables, seed)
-    tables = [all_planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
+    never materializes. ``k_max``: prefix-stable plane chunks for
+    auto-sized ``n_planes`` (see `lsh_tables`)."""
+    tables = lsh_tables(dim, n_planes, n_tables, seed, k_max)
 
     def with_buckets(
         df: DataFrame, id_alias: str, vec_alias: str, probe: bool = False

@@ -19,7 +19,7 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import lsh_neardup_pairs
 from ..sources.readers import load_table
-from .lsh_oracle import SQL_DOT, SQL_SQNORM, buckets_cte_sql
+from .lsh_oracle import SQL_DOT, SQL_SQNORM, auto_buckets_cte_sql, buckets_cte_sql
 from .registry import query
 
 #: DuckDB spelling of `shingles(tokenize(text), 3)` — distinct word
@@ -347,7 +347,7 @@ def d05_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d07_lsh_embedding_neardups",
     oracle=f"""
-    WITH {buckets_cte_sql(dim=64, n_planes=4, n_tables=8)},
+    WITH {auto_buckets_cte_sql(dim=64, k_max=8, n_tables=8)},
     cand AS (
         SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         FROM buckets a
@@ -375,12 +375,21 @@ def d07_lsh_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact cosine verification of only the collisions. Replaces
     d05's O(n²) plan beyond ~10⁵ vectors.
 
-    Fully value-checkable DESPITE being approximate: the hyperplane
-    constants are deterministic and emitted into the oracle SQL
-    (plans/lsh_oracle.py), so DuckDB reproduces the identical
-    candidate set."""
+    The plane count is SIZE-AWARE: k = auto_planes(count) keeps
+    expected bucket occupancy (and hence the candidate-pair space)
+    ~n·target instead of n²/2^k — a fixed k is the config that
+    thrashes at 100× (SCALE.md §7b/§7c). Fully value-checkable
+    DESPITE being approximate AND auto-sized: plane chunks are
+    prefix-stable (`lsh_tables(k_max=8)`) and the oracle recomputes
+    the same k from count(*) (plans/lsh_oracle.auto_buckets_cte_sql),
+    so DuckDB reproduces the identical candidate set at every SF."""
+    from ..operators.similarity import auto_planes
+
     e = load_table(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(e, threshold=0.4, dim=64, n_planes=4, n_tables=8)
+    k = auto_planes(e.count())
+    return lsh_neardup_pairs(
+        e, threshold=0.4, dim=64, n_planes=k, n_tables=8, k_max=8
+    )
 
 
 @query(

@@ -63,6 +63,66 @@ def buckets_cte_sql(
     )"""
 
 
+def auto_buckets_cte_sql(
+    dim: int,
+    k_max: int,
+    n_tables: int,
+    seed: int = 42,
+    target_bucket: int = 125,
+    floor: int = 4,
+    source: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """CTE prelude for AUTO-SIZED sign-LSH: `planes` carries the full
+    ``k_max``-plane chunk per table (matching the engine's
+    `lsh_tables(..., k_max=k_max)` allocation), `kk` computes the
+    plane count from ``count(*)`` with the `auto_planes` formula
+    (greatest(floor, ⌊log2(n/target)⌋) — int() and floor agree for
+    the non-negative log2 here), and `buckets` masks each table's bit
+    string to the first k planes. One static oracle string is then
+    value-exact at EVERY corpus size, because a table's first k
+    planes never change as k grows (the prefix property)."""
+    return f"""
+    planes(t, i, p) AS (VALUES
+        {planes_values_sql(dim, k_max, n_tables, seed)}
+    ),
+    kk AS (
+        SELECT greatest({floor}, CAST(floor(log2(greatest(1.0,
+                   count(*) / {target_bucket}.0))) AS INTEGER)) AS k
+        FROM {source}
+    ),
+    buckets AS (
+        SELECT e.{id_col} AS vec_id, pl.t,
+               string_agg(
+                   CASE WHEN list_sum(list_transform(range(1, {dim} + 1),
+                            j -> CAST(e.{vec_col}[j] AS DOUBLE) * pl.p[j])) >= 0
+                        THEN '1' ELSE '0' END,
+                   '' ORDER BY pl.i) AS bucket
+        FROM {source} e CROSS JOIN planes pl CROSS JOIN kk
+        WHERE pl.i < kk.k
+        GROUP BY e.{id_col}, pl.t
+    )"""
+
+
+def auto_hamming1_probe_sql(k_max: int, base: str = "qb") -> str:
+    """Query-side Hamming-1 multiprobe for AUTO-SIZED buckets: flip
+    positions run to the `kk`-computed k, not a literal (generated up
+    to ``k_max`` and masked, since DuckDB range() wants a constant
+    shape)."""
+    return f"""
+        SELECT vec_id, t, bucket FROM {base}
+        UNION ALL
+        SELECT vec_id, t,
+               substr(bucket, 1, CAST(r.i AS INTEGER))
+               || (CASE WHEN substr(bucket, CAST(r.i AS INTEGER) + 1, 1) = '1'
+                        THEN '0' ELSE '1' END)
+               || substr(bucket, CAST(r.i AS INTEGER) + 2,
+                         kk.k - CAST(r.i AS INTEGER) - 1) AS bucket
+        FROM {base} CROSS JOIN kk CROSS JOIN range(0, {k_max}) r(i)
+        WHERE r.i < kk.k"""
+
+
 def hamming1_probe_sql(n_planes: int, base: str = "qb") -> str:
     """Query-side Hamming-1 multiprobe: the base bucket plus each
     1-bit-flipped variant (mirrors `lsh_topk(multiprobe=True)`)."""

@@ -14,7 +14,14 @@ from pyspark.sql import functions as F
 from ..functions.vectors import l2_norm
 from ..operators.similarity import brute_force_topk, lsh_topk
 from ..sources.readers import load_table
-from .lsh_oracle import SQL_DOT, SQL_SQNORM, buckets_cte_sql, hamming1_probe_sql
+from .lsh_oracle import (
+    SQL_DOT,
+    SQL_SQNORM,
+    auto_buckets_cte_sql,
+    auto_hamming1_probe_sql,
+    buckets_cte_sql,
+    hamming1_probe_sql,
+)
 from .registry import query
 
 _SQL_SQNORM = SQL_SQNORM
@@ -78,9 +85,9 @@ def s02_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s03_lsh_ann_topk",
     oracle=f"""
-    WITH {buckets_cte_sql(dim=64, n_planes=4, n_tables=8)},
+    WITH {auto_buckets_cte_sql(dim=64, k_max=8, n_tables=8)},
     qb AS (SELECT vec_id, t, bucket FROM buckets WHERE vec_id < 5),
-    qprobe AS ({hamming1_probe_sql(n_planes=4, base="qb")}
+    qprobe AS ({auto_hamming1_probe_sql(k_max=8, base="qb")}
     ),
     cand AS (
         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS candidate_id
@@ -113,13 +120,22 @@ def s03_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiprobe (the scale path: the candidate join is an equi-join on
     the bucket key, so corpus×query never cross-joins; multiprobe
     recovers 100% of exact top-5 on the test embeddings vs 69%
-    single-probe). FULL value-parity check despite being approximate:
-    the deterministic hyperplane constants are emitted into the oracle
-    SQL (plans/lsh_oracle.py) so DuckDB reproduces the identical
-    buckets, probes, and candidate set; recall vs. the exact baseline
-    is additionally asserted in tests/test_similarity.py."""
+    single-probe). The plane count is SIZE-AWARE (auto_planes from the
+    corpus count — fixed k is the config that thrashes at 100×,
+    SCALE.md §7b/§7c). FULL value-parity check despite being
+    approximate AND auto-sized: plane chunks are prefix-stable
+    (`lsh_tables(k_max=8)`) and the oracle recomputes the same k from
+    count(*) (plans/lsh_oracle.auto_buckets_cte_sql), so DuckDB
+    reproduces the identical buckets, probes, and candidate set at
+    every SF; recall vs. the exact baseline is additionally asserted
+    in tests/test_similarity.py."""
+    from ..operators.similarity import auto_planes
+
     e = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(e.filter(F.col("vec_id") < 5), e, k=5, multiprobe=True)
+    k = auto_planes(e.count())
+    return lsh_topk(
+        e.filter(F.col("vec_id") < 5), e, k=5, n_planes=k, multiprobe=True, k_max=8
+    )
 
 
 from .lsh_oracle import ivf_assign_sql as _ivf_assign_sql  # noqa: E402

@@ -243,3 +243,29 @@ def test_mine_hard_negatives_auto_selects_bucketed_path(spark):
         for r in rows:
             per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
         assert all(v <= 3 for v in per_q.values())
+
+
+def test_lsh_tables_prefix_property():
+    """With k_max set, a table's planes must be a fixed PREFIX
+    independent of n_planes — the invariant that lets one static
+    oracle replay auto-sized buckets at every corpus size. With
+    k_max=None the allocation must equal the historical chunking
+    (so fixed-k oracles keep their constants)."""
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_tables,
+    )
+
+    t4 = lsh_tables(8, 4, 3, k_max=8)
+    t6 = lsh_tables(8, 6, 3, k_max=8)
+    t8 = lsh_tables(8, 8, 3, k_max=8)
+    for t in range(3):
+        assert t8[t][:4] == t4[t]
+        assert t8[t][:6] == t6[t]
+    legacy = _hyperplanes(8, 4 * 3)
+    hist = lsh_tables(8, 4, 3)
+    assert hist == [legacy[t * 4 : (t + 1) * 4] for t in range(3)]
+    import pytest
+
+    with pytest.raises(ValueError, match="k_max"):
+        lsh_tables(8, 9, 3, k_max=8)
