@@ -63,6 +63,7 @@ def main() -> None:
         "d13_simhash_neardups",
         "d14_cluster_canonicals",
         "d15_winnow_containment",
+        "d16_dup_span_coverage",
         "t21_source_mixture",
         "t18_sequence_packing",
         "t19_quality_rank_filter",

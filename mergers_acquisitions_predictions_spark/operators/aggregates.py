@@ -63,3 +63,63 @@ def document_frequency(
     if max_df is not None:
         df_counts = df_counts.filter(F.col("df") <= max_df)
     return df_counts
+
+
+def table_profile(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """One-pass column profile — the data-quality summary a pipeline
+    runs before training on a new table drop: one row per column with
+    (column, n_rows, n_nonnull, null_frac, ndv, min_str, max_str).
+
+    min/max are computed on the NATIVE type (never lexicographically
+    on strings) and stringified only for display, with deterministic
+    cross-engine formats: fractional numerics as DECIMAL(18,2),
+    timestamps as 'yyyy-MM-dd HH:mm:ss', everything else a plain
+    cast.
+
+    Scale shape: a single global aggregate — map-side partials, one
+    1-row result, the per-column fan-out happens on that single row.
+    Exact distinct counts (the oracle-checkable default) make
+    Catalyst Expand the scan ×n_cols before the partial agg; at
+    100 TB pass ``approx=True`` and the count-distincts become
+    one-pass HyperLogLog sketches (no Expand, same plan otherwise) —
+    the documented accuracy trade, decided by the caller, not
+    silently."""
+    cols = cols or df.columns
+    ndv = F.approx_count_distinct if approx else F.countDistinct
+
+    def fmt(expr, typename: str):
+        if typename in ("double", "float"):
+            return F.round(expr, 2).cast("decimal(18,2)").cast("string")
+        if typename == "timestamp":
+            return F.date_format(expr, "yyyy-MM-dd HH:mm:ss")
+        return expr.cast("string")
+
+    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            ndv(F.col(c)).alias(f"__nd_{c}"),
+            fmt(F.min(F.col(c)), types[c]).alias(f"__mn_{c}"),
+            fmt(F.max(F.col(c)), types[c]).alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__rows").cast("long").alias("n_rows"),
+            F.col(f"__nn_{c}").cast("long").alias("n_nonnull"),
+            F.round(
+                (F.col("__rows") - F.col(f"__nn_{c}"))
+                / F.greatest(F.col("__rows"), F.lit(1)),
+                6,
+            ).alias("null_frac"),
+            F.col(f"__nd_{c}").cast("long").alias("ndv"),
+            F.col(f"__mn_{c}").alias("min_str"),
+            F.col(f"__mx_{c}").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -723,3 +723,81 @@ def winnow_containment_pairs(
         .filter(F.col("containment") >= threshold)
     )
     return own_caches(out, *owned)
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+) -> DataFrame:
+    """Per-document coverage by CROSS-document duplicated token spans —
+    the exact-substring dedup statistic of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), at
+    token-window granularity: a position is "duplicated" when it lies
+    inside a ``window``-token run that appears verbatim in at least
+    one OTHER document. Returns
+    (id, n_tokens, dup_windows, dup_tokens, dup_fraction) for EVERY
+    input document (zeroes when nothing matches), the per-doc signal a
+    curation pipeline thresholds on (drop / trim docs whose text is
+    mostly boilerplate copied across the corpus). Complements the
+    sketch-based ops: winnowing (d15) SAMPLES fingerprints to find
+    containing PAIRS; this measures exact coverage per document
+    without materializing pairs at all.
+
+    Plan shape for 100 TB: windows are map-side (one projection:
+    tokenize → n-gram slices → md5; only the 32-char hash and an int
+    position ride every shuffle, never text). One hash-keyed
+    aggregate finds hashes with ≥ 2 distinct docs; the join back
+    touches only DUPLICATED windows (at healthy dedup rates a small
+    fraction of the corpus — AQE broadcasts it when small). The
+    interval-union that converts overlapping windows into covered
+    token counts is a PER-DOCUMENT window function (partitioned by
+    doc id — thousands of rows max per partition, never a global
+    sort): with windows sorted by position, each contributes
+    ``end − max(start, furthest end seen)`` tokens, the classic
+    running-cummax sweep. Within-doc-only repeats are deliberately
+    NOT counted (countDistinct ≥ 2): self-repetition is a quality
+    signal (functions/textstats repetition stats), not duplication."""
+    toks = repartition_for_compute(df).select(
+        F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("__tok")
+    )
+    from ..functions.text import word_ngrams
+
+    wins = (
+        toks.select(
+            "doc", F.posexplode(word_ngrams(F.col("__tok"), window)).alias("pos", "gram")
+        )
+        .select("doc", (F.col("pos") + 1).alias("pos"), F.md5("gram").alias("h"))
+        .persist()
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("h")
+    )
+    marked = wins.join(dup, "h")
+    sweep = W.partitionBy("doc").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    end = F.col("pos") + F.lit(window)  # exclusive end of [pos, pos+window)
+    prev_end = F.max(F.col("pos") + F.lit(window)).over(sweep)
+    contrib = end - F.greatest(F.col("pos"), F.coalesce(prev_end, F.lit(0)))
+    cov = (
+        marked.withColumn("__c", contrib)
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("dup_windows"),
+            F.sum("__c").alias("dup_tokens"),
+        )
+    )
+    sizes = toks.select("doc", F.size("__tok").cast("long").alias("n_tokens"))
+    out = sizes.join(cov, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        "n_tokens",
+        F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.greatest("n_tokens", F.lit(1)), 6
+        ).alias("dup_fraction"),
+    )
+    return own_caches(out, wins)

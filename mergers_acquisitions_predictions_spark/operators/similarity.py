@@ -894,3 +894,41 @@ def mine_hard_negatives(
         .filter(F.col("rank") <= n_neg)
         .select("query_id", "candidate_id", "cos_sim", "rank")
     )
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    cand_col: str = "candidate_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact
+    baseline, per query: (query_id, n_hits, recall). The evaluation
+    loop every ANN deployment needs ("measure, don't guess"): run the
+    exact scorer over a SAMPLE of queries, the candidate index over
+    the same sample, and this join scores the index — tune
+    n_planes / n_tables / nprobe against a recall target instead of
+    folklore.
+
+    Plan shape: both inputs are k-rows-per-query (tiny relative to
+    the corpus that produced them); the equi-join on
+    (query, candidate) and the per-query count are query-set-sized.
+    The expensive parts are the INPUT plans; this adds nothing but a
+    sample-sized shuffle."""
+    a = exact.select(
+        F.col(query_col).alias("__q"), F.col(cand_col).alias("__c")
+    )
+    b = approx.select(
+        F.col(query_col).alias("__q"), F.col(cand_col).alias("__c"), F.lit(1).alias("__hit")
+    )
+    return (
+        a.join(b, ["__q", "__c"], "left_outer")
+        .groupBy("__q")
+        .agg(F.count("__hit").alias("n_hits"))
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(float(k)), 4).alias("recall"),
+        )
+    )

@@ -581,3 +581,58 @@ def d14_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("quality"),
     )
     return select_canonicals(clusters, scored)
+
+
+@query(
+    "d16_dup_span_coverage",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    win AS (
+        SELECT doc_id, CAST(u.pos AS INTEGER) AS pos,
+               array_to_string(
+                   list_slice(tok, CAST(u.pos AS INTEGER),
+                              CAST(u.pos AS INTEGER) + 4), ' ') AS gram
+        FROM tok, unnest(CASE WHEN len(tok) >= 5
+                              THEN range(1, len(tok) - 5 + 2)
+                              ELSE [] END) AS u(pos)
+    ),
+    dup AS (SELECT gram FROM win GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    mk AS (SELECT doc_id, pos FROM win JOIN dup USING (gram)),
+    cv AS (
+        SELECT doc_id, pos,
+               pos + 5 - greatest(pos, coalesce(max(pos + 5) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS c
+        FROM mk
+    ),
+    cov AS (SELECT doc_id, count(*) AS dup_windows, sum(c) AS dup_tokens
+            FROM cv GROUP BY doc_id),
+    sz AS (SELECT doc_id, len(tok) AS n_tokens FROM tok)
+    SELECT s.doc_id,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.dup_windows, 0) AS BIGINT) AS dup_windows,
+           CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(coalesce(c.dup_tokens, 0) / greatest(s.n_tokens, 1), 6) AS dup_fraction
+    FROM sz s LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def d16_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage per document (Lee et al.
+    2022, token-window granularity): for every document, how many of
+    its token positions sit inside a 5-token run that appears verbatim
+    in at least one OTHER document — the statistic a curation pipeline
+    thresholds to drop or trim boilerplate-heavy documents. Distinct
+    from the sketch family: winnowing (d15) SAMPLES fingerprints to
+    rank containing PAIRS; this measures exact coverage per document
+    and never materializes a pair.
+
+    Plan (operators/dedup.dup_span_coverage): map-side window hashing
+    (only a 32-char md5 + int position ride the shuffles), one
+    hash-keyed countDistinct to find cross-doc windows, a join back
+    that touches only the duplicated subset, and a PER-DOCUMENT
+    interval-union sweep (cummax window partitioned by doc id — never
+    a global sort)."""
+    from ..operators.dedup import dup_span_coverage
+
+    d = load_table(spark, sf_dir, "documents")
+    return dup_span_coverage(d, window=5)

@@ -183,3 +183,66 @@ def q46_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@query(
+    "q47_table_profile",
+    oracle="""
+    WITH base AS (
+        SELECT count(*) AS n_rows,
+               count(o_orderkey) AS nn_orderkey, count(DISTINCT o_orderkey) AS nd_orderkey,
+               CAST(min(o_orderkey) AS VARCHAR) AS mn_orderkey, CAST(max(o_orderkey) AS VARCHAR) AS mx_orderkey,
+               count(o_custkey) AS nn_custkey, count(DISTINCT o_custkey) AS nd_custkey,
+               CAST(min(o_custkey) AS VARCHAR) AS mn_custkey, CAST(max(o_custkey) AS VARCHAR) AS mx_custkey,
+               count(o_orderstatus) AS nn_status, count(DISTINCT o_orderstatus) AS nd_status,
+               CAST(min(o_orderstatus) AS VARCHAR) AS mn_status, CAST(max(o_orderstatus) AS VARCHAR) AS mx_status,
+               count(o_totalprice) AS nn_price, count(DISTINCT o_totalprice) AS nd_price,
+               CAST(CAST(round(min(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR) AS mn_price,
+               CAST(CAST(round(max(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR) AS mx_price,
+               count(o_orderdate) AS nn_date, count(DISTINCT o_orderdate) AS nd_date,
+               strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn_date,
+               strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx_date,
+               count(o_orderpriority) AS nn_prio, count(DISTINCT o_orderpriority) AS nd_prio,
+               CAST(min(o_orderpriority) AS VARCHAR) AS mn_prio, CAST(max(o_orderpriority) AS VARCHAR) AS mx_prio
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS column, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(nn_orderkey AS BIGINT) AS n_nonnull,
+           round((n_rows - nn_orderkey) / greatest(n_rows, 1), 6) AS null_frac,
+           CAST(nd_orderkey AS BIGINT) AS ndv, mn_orderkey AS min_str, mx_orderkey AS max_str FROM base
+    UNION ALL
+    SELECT 'o_custkey', n_rows, nn_custkey,
+           round((n_rows - nn_custkey) / greatest(n_rows, 1), 6), nd_custkey, mn_custkey, mx_custkey FROM base
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, nn_status,
+           round((n_rows - nn_status) / greatest(n_rows, 1), 6), nd_status, mn_status, mx_status FROM base
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, nn_price,
+           round((n_rows - nn_price) / greatest(n_rows, 1), 6), nd_price, mn_price, mx_price FROM base
+    UNION ALL
+    SELECT 'o_orderdate', n_rows, nn_date,
+           round((n_rows - nn_date) / greatest(n_rows, 1), 6), nd_date, mn_date, mx_date FROM base
+    UNION ALL
+    SELECT 'o_orderpriority', n_rows, nn_prio,
+           round((n_rows - nn_prio) / greatest(n_rows, 1), 6), nd_prio, mn_prio, mx_prio FROM base
+    """,
+)
+def q47_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling of the orders table — the
+    data-quality gate before a new table drop enters a pipeline: one
+    row per column with exact non-null / distinct counts and
+    native-type min/max stringified in cross-engine-deterministic
+    formats (fractional numerics via DECIMAL(18,2), timestamps via an
+    explicit pattern — never a raw double→string cast, whose
+    scientific-notation cutover differs between engines).
+
+    Plan (operators/aggregates.table_profile): ONE global aggregate
+    (map-side partials, 1-row result); the per-column melt happens on
+    that single row. Exact NDVs make Catalyst Expand the scan
+    ×n_cols; `approx=True` swaps them for one-pass HLL sketches at
+    100 TB — an explicit caller decision, mirrored in the docstring
+    and COVERAGE notes, not a silent default."""
+    from ..operators.aggregates import table_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return table_profile(o)

@@ -262,3 +262,37 @@ def s06_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_col="label",
         topk_fn=lsh_multiprobe,
     )
+
+
+from .registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "s07_ann_recall",
+    oracle=f"""
+    SELECT e.query_id,
+           CAST(count(a.candidate_id) AS BIGINT) AS n_hits,
+           round(count(a.candidate_id) / 5.0, 4) AS recall
+    FROM ({_ORACLES["s02_cosine_topk"]}) e
+    LEFT JOIN ({_ORACLES["s03_lsh_ann_topk"]}) a
+      ON e.query_id = a.query_id AND e.candidate_id = a.candidate_id
+    GROUP BY e.query_id
+    """,
+)
+def s07_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the sign-LSH multiprobe ANN index (s03) against the
+    exact brute-force baseline (s02), per query — the evaluation loop
+    an ANN deployment tunes against ("measure, don't guess"): raise
+    n_tables / probe radius until recall meets target, then stop
+    paying for more. The oracle literally composes the two underlying
+    query oracles, so the approximate index's QUALITY is itself
+    value-checked cross-engine.
+
+    Plan shape (operators/similarity.topk_recall): both inputs are
+    k-rows-per-query; the recall join and per-query count add only a
+    sample-sized shuffle on top of the input plans."""
+    from ..operators.similarity import topk_recall
+
+    ex = s02_cosine_topk(spark, sf_dir)
+    ap = s03_lsh_ann_topk(spark, sf_dir)
+    return topk_recall(ex, ap, k=5)

@@ -460,3 +460,48 @@ def test_winnow_containment_catches_what_jaccard_misses(spark):
     # resemblance between 0 and its containing doc is LOW — the class
     # split that motivates the containment operator
     assert jac.get((0, 1), 0.0) < 0.2
+
+
+def test_dup_span_coverage_interval_union(spark):
+    """Overlapping duplicated windows merge into one covered interval;
+    within-doc-only repeats do not count; clean docs report zeroes."""
+    from mergers_acquisitions_predictions_spark.operators.dedup import dup_span_coverage
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens → 2 windows (w=5), union = 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " one two three"),
+            (2, "x y " + shared),
+            (3, "p q r s t u v w"),  # no cross-doc window
+            (4, "rep rep rep rep rep rep rep"),  # within-doc repeat only
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dup_span_coverage(docs, window=5).collect()
+    }
+    assert out[1]["dup_tokens"] == 6 and out[1]["dup_windows"] == 2
+    assert out[2]["dup_tokens"] == 6
+    assert out[3]["dup_tokens"] == 0 and out[3]["dup_fraction"] == 0.0
+    assert out[4]["dup_tokens"] == 0  # countDistinct(doc) >= 2, not count >= 2
+    assert abs(out[1]["dup_fraction"] - 6 / 9) < 1e-6
+
+
+def test_table_profile_exact_and_approx_shapes(spark):
+    from mergers_acquisitions_predictions_spark.operators.aggregates import table_profile
+
+    df = spark.createDataFrame(
+        [(1, 2.5, None), (2, 3.5, "b"), (2, None, "b")],
+        "k long, v double, s string",
+    )
+    prof = {r["column"]: r.asDict() for r in table_profile(df).collect()}
+    assert prof["k"]["ndv"] == 2 and prof["k"]["n_nonnull"] == 3
+    assert prof["v"]["n_nonnull"] == 2 and prof["v"]["min_str"] == "2.50"
+    assert prof["s"]["ndv"] == 1 and abs(prof["s"]["null_frac"] - 1 / 3) < 1e-6
+    assert prof["k"]["min_str"] == "1" and prof["k"]["max_str"] == "2"
+    # approx path: same schema, NDVs within HLL tolerance of exact
+    ap = {r["column"]: r.asDict() for r in table_profile(df, approx=True).collect()}
+    assert set(ap) == set(prof)
+    for c in ap:
+        assert abs(ap[c]["ndv"] - prof[c]["ndv"]) <= 1

@@ -26,6 +26,8 @@ ALLOW = {
     "d05_embedding_neardups": "exact all-pairs cosine: the small-n oracle anchor for d07/d11",
     "q35_cross_join_grid": "deliberate small-dims cross join building a dense grid",
     "s02_cosine_topk": "brute-force baseline: broadcast query set x corpus is O(q*n) by definition",
+    "s07_ann_recall": "embeds s02's brute-force EXACT baseline (the referent recall is measured "
+    "against, O(q*n) on a query SAMPLE by definition); the recall join itself is equi-keyed",
     # (b) BNLJ against a bounded broadcast side
     "q23_scalar_subquery": "1-row scalar aggregate broadcast",
     "q37_any_all_semantics": "1-row min/max aggregate broadcast (ANY/ALL rewrite)",

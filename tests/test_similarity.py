@@ -269,3 +269,19 @@ def test_lsh_tables_prefix_property():
 
     with pytest.raises(ValueError, match="k_max"):
         lsh_tables(8, 9, 3, k_max=8)
+
+
+def test_topk_recall_counts_hits_per_query(spark):
+    from mergers_acquisitions_predictions_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)],
+        "query_id long, candidate_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)],
+        "query_id long, candidate_id long",
+    )
+    out = {r["query_id"]: r.asDict() for r in topk_recall(exact, approx, k=2).collect()}
+    assert out[1]["n_hits"] == 1 and abs(out[1]["recall"] - 0.5) < 1e-9
+    assert out[2]["n_hits"] == 2 and abs(out[2]["recall"] - 1.0) < 1e-9
