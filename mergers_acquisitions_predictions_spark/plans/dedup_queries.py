@@ -636,3 +636,26 @@ def d16_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dup_span_coverage(d, window=5)
+
+
+@query(
+    "d17_components_star",
+    oracle=_CLUSTER_CTES + "SELECT doc_id, cluster_id FROM clusters",
+)
+def d17_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the SAME MinHash-LSH pair graph as
+    d09, via alternating large-star/small-star rounds (Kiveris et al.
+    2014) instead of min-label propagation — the adversarial-depth
+    scale path: O(log² n) rounds regardless of component DIAMETER,
+    where propagation pays O(diameter) (a crawl-graph chain of 10⁶
+    nodes is 10⁶ propagation rounds but ~10 star rounds; the split is
+    demonstrated on a 512-chain in tests/test_operators.py). Labels
+    are identical by construction — component min id — so this query
+    shares d09's transitive-closure oracle verbatim, and the suite
+    additionally equivalence-tests the two operators on seeded random
+    graphs (operators/dedup.connected_components_star)."""
+    from ..operators.dedup import connected_components_star
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, "text", "doc_id", n_bands=4, rows_per_band=2)
+    return connected_components_star(d, pairs, "doc_id")

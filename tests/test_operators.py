@@ -505,3 +505,53 @@ def test_table_profile_exact_and_approx_shapes(spark):
     assert set(ap) == set(prof)
     for c in ap:
         assert abs(ap[c]["ndv"] - prof[c]["ndv"]) <= 1
+
+
+def test_star_components_match_propagation_on_random_graphs(spark):
+    """large-star/small-star labels == min-label-propagation labels on
+    seeded random graphs (including singletons and multi-component)."""
+    import random
+
+    from mergers_acquisitions_predictions_spark.operators.dedup import (
+        connected_components_star,
+        dup_clusters,
+    )
+
+    rng = random.Random(7)
+    n = 120
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges if a != b],
+        "a_id long, b_id long",
+    )
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(nodes, pairs).collect()
+    }
+    prop = {
+        r["doc_id"]: r["cluster_id"] for r in dup_clusters(nodes, pairs).collect()
+    }
+    assert star == prop
+
+
+def test_star_components_depth_independent_where_propagation_gives_up(spark):
+    """A 512-node chain: diameter 511. Propagation needs >50 rounds
+    (its default cap raises); the star algorithm converges in a
+    handful of rounds and labels the whole chain with node 0."""
+    import pytest as _pytest
+
+    from mergers_acquisitions_predictions_spark.operators.dedup import (
+        connected_components_star,
+        dup_clusters,
+    )
+
+    n = 512
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    out = connected_components_star(nodes, chain, max_iter=12).collect()
+    assert all(r["cluster_id"] == 0 for r in out) and len(out) == n
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(nodes, chain, max_iter=5)
