@@ -96,8 +96,22 @@ class Engine:
             from .operators.util import own_caches
 
             id_col = kw.pop("id_col", "doc_id")
+            # 'propagate' = min-label propagation, O(component diameter)
+            # rounds — right for shallow dup graphs; 'star' =
+            # large-star/small-star, O(log² n) rounds regardless of
+            # diameter — right for chain-shaped/adversarial graphs.
+            components = kw.pop("components", "propagate")
+            cc = {
+                "propagate": D.dup_clusters,
+                "star": D.connected_components_star,
+            }
+            if components not in cc:
+                raise ValueError(
+                    f"unknown components algorithm {components!r} "
+                    f"({'|'.join(cc)})"
+                )
             pairs = D.lsh_candidate_pairs(df, id_col=id_col, **kw)
-            clusters = D.dup_clusters(df, pairs, id_col=id_col)
+            clusters = cc[components](df, pairs, id_col=id_col)
             keep = clusters.filter(
                 clusters[id_col] == clusters["cluster_id"]
             ).select(id_col)
@@ -280,3 +294,27 @@ class Engine:
         from .operators.layout import write_zordered
 
         write_zordered(df, path, zorder_cols, **kw)
+
+    def span_coverage(self, docs: DataFrame, **kw) -> DataFrame:
+        """Per-document coverage by cross-document duplicated token
+        spans (Lee et al. 2022 exact-substring dedup statistic) —
+        threshold `dup_fraction` to drop boilerplate-heavy docs."""
+        from .operators.dedup import dup_span_coverage
+
+        return dup_span_coverage(docs, **kw)
+
+    def ann_recall(
+        self, exact: DataFrame, approx: DataFrame, k: int, **kw
+    ) -> DataFrame:
+        """Recall@k of an approximate top-k result vs the exact
+        baseline, per query — the ANN tuning loop's metric."""
+        from .operators.similarity import topk_recall
+
+        return topk_recall(exact, approx, k, **kw)
+
+    def profile(self, df: DataFrame, **kw) -> DataFrame:
+        """One-pass per-column profile (nulls, NDV, native min/max);
+        `approx=True` swaps exact NDVs for HLL sketches at scale."""
+        from .operators.aggregates import table_profile
+
+        return table_profile(df, **kw)

@@ -245,3 +245,44 @@ def test_fit_released_respects_caller_cache(spark):
         assert lvl.useMemory or lvl.useDisk  # still the caller's cache
     finally:
         e.unpersist(blocking=True)
+
+
+def test_facade_round3_surfaces(spark):
+    """span_coverage / ann_recall / profile / dedup(components=) route
+    to the round-3 operators with the documented contracts."""
+    from mergers_acquisitions_predictions_spark.engine import Engine
+
+    eng = Engine(spark)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally different words here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    cov = {r["doc_id"]: r["dup_fraction"] for r in eng.span_coverage(docs).collect()}
+    assert cov[1] == 1.0 and cov[2] == 1.0 and cov[3] == 0.0
+
+    exact = spark.createDataFrame([(1, 10), (1, 11)], "query_id long, candidate_id long")
+    approx = spark.createDataFrame([(1, 10), (1, 12)], "query_id long, candidate_id long")
+    rec = eng.ann_recall(exact, approx, k=2).collect()
+    assert rec[0]["n_hits"] == 1
+
+    prof = {r["column"] for r in eng.profile(docs).collect()}
+    assert prof == {"doc_id", "text"}
+
+    # star components through the cluster dedup path: same keep set
+    kept_star = {
+        r["doc_id"]
+        for r in eng.dedup(docs, method="cluster", components="star").collect()
+    }
+    kept_prop = {
+        r["doc_id"] for r in eng.dedup(docs, method="cluster").collect()
+    }
+    assert kept_star == kept_prop
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="components"):
+        eng.dedup(docs, method="cluster", components="nope")
