@@ -303,6 +303,15 @@ class Engine:
 
         return dup_span_coverage(docs, **kw)
 
+    def trim_spans(self, docs: DataFrame, **kw) -> DataFrame:
+        """Destructively remove cross-document duplicated token spans
+        (keep the globally-first occurrence) and reassemble documents
+        — Lee et al. 2022 exact-substring dedup; pass
+        `return_text=True` for the trimmed text column."""
+        from .operators.dedup import trim_dup_spans
+
+        return trim_dup_spans(docs, **kw)
+
     def ann_recall(
         self, exact: DataFrame, approx: DataFrame, k: int, **kw
     ) -> DataFrame:

@@ -901,3 +901,98 @@ def connected_components_star(
         )
     )
     return own_local_checkpoint(out, edges)
+
+
+def trim_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+    return_text: bool = False,
+) -> DataFrame:
+    """REMOVE cross-document duplicated token spans, keeping the
+    globally-first occurrence — the destructive half of Lee et al.
+    2022 exact-substring dedup (`dup_span_coverage` is the
+    measurement half): for every ``window``-token run appearing in
+    ≥ 2 documents, exactly one occurrence survives (min (doc, pos)
+    lexicographically — deterministic, engine-portable), every other
+    occurrence's positions are dropped, and each document is
+    reassembled from its surviving tokens in order. Returns
+    (id, n_tokens, n_kept, n_dropped, clean_fp) — ``clean_fp`` is
+    the md5 of the space-joined surviving tokens, so the TRIMMED TEXT
+    itself is value-checkable cross-engine; ``return_text=True`` adds
+    the reassembled ``clean_text`` column (the production output; the
+    fingerprint column is what the oracle hashes).
+
+    Greedy-by-gram semantics, stated plainly: a keeper occurrence of
+    one gram may still lose positions to a DIFFERENT overlapping
+    duplicated gram whose keeper lives elsewhere — "first occurrence
+    per gram wins", not an interval covering problem (which would be
+    order-dependent and non-portable).
+
+    Plan shape for 100 TB: everything keyed rides as (md5, int) or
+    (doc, int) pairs — never text. Window hashing and the
+    drop-position explode (×window per dropped window) are map-side;
+    the keeper choice is one `min(struct(doc, pos))` aggregate per
+    duplicated hash (lexicographic struct min — no second pass); the
+    token-level anti-join is (doc, pos)-keyed and AQE-sized; the
+    reassembly `sort_array(collect_list(struct(pos, token)))` is
+    PER-DOCUMENT (bounded by doc length, the same bound every per-doc
+    op here lives under)."""
+    from ..functions.text import word_ngrams
+
+    toks = repartition_for_compute(df).select(
+        F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("__tok")
+    )
+    wins = (
+        toks.select(
+            "doc", F.posexplode(word_ngrams(F.col("__tok"), window)).alias("pos", "gram")
+        )
+        .select("doc", (F.col("pos") + 1).alias("pos"), F.md5("gram").alias("h"))
+        .persist()
+    )
+    keepers = (
+        wins.groupBy("h")
+        .agg(
+            F.countDistinct("doc").alias("__nd"),
+            F.min(F.struct("doc", "pos")).alias("k"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .select("h", F.col("k.doc").alias("k_doc"), F.col("k.pos").alias("k_pos"))
+    )
+    drops = (
+        wins.join(keepers, "h")
+        .filter(~((F.col("doc") == F.col("k_doc")) & (F.col("pos") == F.col("k_pos"))))
+        .select(
+            "doc",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))).alias(
+                "p"
+            ),
+        )
+        .distinct()
+    )
+    tpos = toks.select(
+        "doc", F.posexplode(F.col("__tok")).alias("p0", "t")
+    ).select("doc", (F.col("p0") + 1).alias("p"), "t")
+    kept = tpos.join(drops, ["doc", "p"], "left_anti")
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("p", "t"))), lambda s: s["t"]
+    )
+    agg = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(ordered, " ").alias("__clean"),
+    )
+    sizes = toks.select("doc", F.size("__tok").cast("long").alias("n_tokens"))
+    joined = sizes.join(agg, "doc", "left")
+    cols = [
+        F.col("doc").alias(id_col),
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.md5(F.coalesce("__clean", F.lit(""))).alias("clean_fp"),
+    ]
+    if return_text:
+        cols.append(F.coalesce("__clean", F.lit("")).alias("clean_text"))
+    return own_caches(joined.select(*cols), wins)

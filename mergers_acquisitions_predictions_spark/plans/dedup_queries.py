@@ -659,3 +659,76 @@ def d17_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(d, "text", "doc_id", n_bands=4, rows_per_band=2)
     return connected_components_star(d, pairs, "doc_id")
+
+
+@query(
+    "d18_span_trim",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    win AS (
+        SELECT doc_id, CAST(u.pos AS INTEGER) AS pos,
+               array_to_string(
+                   list_slice(tok, CAST(u.pos AS INTEGER),
+                              CAST(u.pos AS INTEGER) + 4), ' ') AS gram
+        FROM tok, unnest(CASE WHEN len(tok) >= 5
+                              THEN range(1, len(tok) - 5 + 2)
+                              ELSE [] END) AS u(pos)
+    ),
+    dup AS (SELECT gram FROM win GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    keeper AS (
+        SELECT gram, min(doc_id) AS k_doc FROM win JOIN dup USING (gram) GROUP BY gram
+    ),
+    k_pos AS (
+        SELECT w.gram, w.doc_id AS k_doc, min(w.pos) AS k_pos
+        FROM win w JOIN keeper k ON w.gram = k.gram AND w.doc_id = k.k_doc
+        GROUP BY w.gram, w.doc_id
+    ),
+    drops AS (
+        SELECT DISTINCT w.doc_id, CAST(u.p AS INTEGER) AS pos
+        FROM win w
+        JOIN keeper k ON w.gram = k.gram
+        JOIN k_pos kp ON w.gram = kp.gram
+        CROSS JOIN unnest(range(w.pos, w.pos + 5)) AS u(p)
+        WHERE NOT (w.doc_id = kp.k_doc AND w.pos = kp.k_pos)
+    ),
+    toks AS (
+        SELECT doc_id, CAST(u.p AS INTEGER) AS pos, tok[CAST(u.p AS INTEGER)] AS t
+        FROM tok, unnest(CASE WHEN len(tok) >= 1
+                              THEN range(1, len(tok) + 1) ELSE [] END) AS u(p)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.t
+        FROM toks t ANTI JOIN drops d ON t.doc_id = d.doc_id AND t.pos = d.pos
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(t, ' ' ORDER BY pos)) AS clean_fp
+        FROM kept GROUP BY doc_id
+    ),
+    sz AS (SELECT doc_id, len(tok) AS n_tokens FROM tok)
+    SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(s.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped,
+           coalesce(a.clean_fp, md5('')) AS clean_fp
+    FROM sz s LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def d18_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destructive exact-substring dedup (Lee et al. 2022): REMOVE
+    every cross-document duplicated 5-token span except its
+    globally-first occurrence (min (doc, pos) — deterministic) and
+    reassemble each document from the surviving tokens. d16 measures
+    the duplication; this query performs the edit — the output md5s
+    the trimmed token stream, so the EDITED TEXT itself is
+    value-checked cross-engine, not just its size.
+
+    Plan (operators/dedup.trim_dup_spans): map-side window hashing;
+    ONE `min(struct(doc, pos))` aggregate per duplicated hash picks
+    keepers (lexicographic struct min — no second pass); the
+    drop-position explode and (doc, pos)-keyed token anti-join touch
+    only duplicated spans; reassembly is a per-document
+    sort_array(collect_list) bounded by doc length."""
+    from ..operators.dedup import trim_dup_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return trim_dup_spans(d, window=5)

@@ -555,3 +555,28 @@ def test_star_components_depth_independent_where_propagation_gives_up(spark):
     assert all(r["cluster_id"] == 0 for r in out) and len(out) == n
     with _pytest.raises(RuntimeError, match="did not converge"):
         dup_clusters(nodes, chain, max_iter=5)
+
+
+def test_trim_dup_spans_keeps_first_occurrence(spark):
+    """The (min doc, min pos) occurrence survives; every other
+    occurrence's positions drop; reassembly preserves token order."""
+    from mergers_acquisitions_predictions_spark.operators.dedup import trim_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "z a b c d e"),
+            (3, "q w e r t y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in trim_dup_spans(docs, window=5, return_text=True).collect()
+    }
+    assert out[1]["n_dropped"] == 0 and out[1]["clean_text"] == "a b c d e f"
+    assert out[2]["n_dropped"] == 5 and out[2]["clean_text"] == "z"
+    assert out[3]["n_dropped"] == 0 and out[3]["clean_text"] == "q w e r t y"
+    import hashlib
+
+    assert out[2]["clean_fp"] == hashlib.md5(b"z").hexdigest()
