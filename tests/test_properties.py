@@ -279,3 +279,56 @@ def test_fuzzy_join_equals_brute_force_within_blocks(spark, left, right, k):
         .collect()
     }
     assert got == want
+
+
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from("aa bb cc dd ee".split()), min_size=0, max_size=14
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _ref_trim(docs: dict[int, list[str]], w: int) -> dict[int, list[str]]:
+    """Pure-python reference of trim_dup_spans' greedy-by-gram
+    semantics: keeper = lexicographic-min (doc, pos) per cross-doc
+    gram; every other occurrence drops its w positions."""
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for d, toks in docs.items():
+        for p in range(len(toks) - w + 1):
+            occ.setdefault(tuple(toks[p : p + w]), []).append((d, p))
+    drops: dict[int, set[int]] = {d: set() for d in docs}
+    for gram, places in occ.items():
+        if len({d for d, _ in places}) < 2:
+            continue
+        keeper = min(places)
+        for d, p in places:
+            if (d, p) != keeper:
+                drops[d].update(range(p, p + w))
+    return {
+        d: [t for i, t in enumerate(toks) if i not in drops[d]]
+        for d, toks in docs.items()
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus=corpus_strategy)
+def test_trim_dup_spans_matches_python_reference(spark, corpus):
+    """trim_dup_spans == the 20-line sequential reference on random
+    small-alphabet corpora (small alphabet forces heavy window
+    collisions — overlapping drops, multi-doc grams, keeper races)."""
+    from mergers_acquisitions_predictions_spark.operators.dedup import trim_dup_spans
+
+    w = 3
+    docs = {i: toks for i, toks in enumerate(corpus)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_kept"], r["clean_text"])
+        for r in trim_dup_spans(df, window=w, return_text=True).collect()
+    }
+    want = _ref_trim(docs, w)
+    for d, toks in want.items():
+        assert got[d] == (len(toks), " ".join(toks)), (d, docs[d], got[d], toks)
