@@ -26,33 +26,36 @@ from . import extra_queries  # noqa: E402,F401
 #:
 #: Round-3 rotation: the 14 queries that had NO driver row in either
 #: round 1 or 2 (d13, d15, j04, m05, m08, q46, s05, s06, t14,
-#: t22–t25, t29) move IN, plus the new j05 hour-bucket range join, so
-#: every registry entry has a driver row in r01∪r02∪r03. Fifteen
-#: r1/r2-green queries rotate OUT (d01, d02, s01, q17, q38, t03–t07,
-#: t10–t12, t15, j02); they stay value-guarded by
+#: t22–t25, t29) move IN, plus every query built new THIS round (j05
+#: hour-bucket range join, d16 span coverage, d17 star components,
+#: d18 span trim, q47 profile, s07 ANN recall), so every registry
+#: entry has a driver row in r01∪r02∪r03. Twenty r1/r2-green queries
+#: rotate OUT (d01–d04, d10, s01, q17, q38, t03–t07, t10–t13, t15,
+#: t27, j02); they stay value-guarded by
 #: tests/test_oracle_parity.py, which sweeps EVERY oracle regardless
 #: of position.
 DRIVER_WINDOW = [
     # dedup family
-    "d03_jaccard_pairs",
-    "d04_simhash",
     "d05_embedding_neardups",
     "d06_lsh_verified_neardups",
     "d07_lsh_embedding_neardups",
     "d08_prefix_jaccard_pairs",
     "d09_dup_clusters",
-    "d10_contamination",
     "d11_semantic_dedup",
     "d12_incremental_neardup",
     "d13_simhash_neardups",
     "d14_cluster_canonicals",
     "d15_winnow_containment",
+    "d16_dup_span_coverage",
+    "d17_components_star",
+    "d18_span_trim",
     # similarity / ANN family
     "s02_cosine_topk",
     "s03_lsh_ann_topk",
     "s04_ivf_ann_topk",
     "s05_ivf_kmeans_topk",
     "s06_hard_negatives",
+    "s07_ann_recall",
     # ML family
     "m01_tfidf_features",
     "m02_lr_confusion",
@@ -65,7 +68,6 @@ DRIVER_WINDOW = [
     # text / curation family
     "t08_vocabulary",
     "t09_tfidf_top_terms",
-    "t13_training_prep_funnel",
     "t14_token_chunks",
     "t16_repetition_stats",
     "t17_winnow_fingerprints",
@@ -78,7 +80,6 @@ DRIVER_WINDOW = [
     "t24_shingle_diversity",
     "t25_bpe_merges",
     "t26_bpe_encode",
-    "t27_snapshot_diff",
     "t28_unigram_logprob_quality",
     "t29_bigram_backoff_quality",
     # joins / ER, UDF surface, relational newcomers
@@ -88,6 +89,7 @@ DRIVER_WINDOW = [
     "u04_lemmatize_pandas_udf",
     "u05_frame_sample_stats",
     "q46_unpivot_measures",
+    "q47_table_profile",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

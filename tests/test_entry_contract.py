@@ -61,6 +61,18 @@ def test_driver_window_is_the_pinned_manifest():
         "t29_bigram_backoff_quality",
     }
     assert never_checked_before_r3 <= set(DRIVER_WINDOW)
+    # Queries BUILT in round 3 must also debut inside the window —
+    # otherwise they'd repeat the round-2 "never driver-checked"
+    # finding verbatim.
+    new_in_r3 = {
+        "j05_event_window_range_join",
+        "d16_dup_span_coverage",
+        "d17_components_star",
+        "d18_span_trim",
+        "s07_ann_recall",
+        "q47_table_profile",
+    }
+    assert new_in_r3 <= set(DRIVER_WINDOW)
 
 
 def test_missing_sf_dir_fails_cleanly(spark):
