@@ -62,6 +62,29 @@ def language_id(tokens: Column) -> Column:
     return expr
 
 
+def mean_token_len(tokens: Column) -> Column:
+    """Mean token length in characters, 0.0 for an empty token list.
+    One of the Gopher document-quality signals (Rae et al. 2021,
+    §A1.1): templated/garbage text drifts out of the 3–10 char band
+    natural language sits in."""
+    total = F.aggregate(
+        tokens, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    return F.when(F.size(tokens) == 0, F.lit(0.0)).otherwise(
+        total / F.size(tokens).cast("double")
+    )
+
+
+def alpha_token_frac(tokens: Column) -> Column:
+    """Fraction of tokens containing at least one alphabetic char
+    (Gopher: ≥80% of words must contain an alphabetic character —
+    filters number/symbol dumps). 0.0 for an empty list."""
+    n_alpha = F.size(F.filter(tokens, lambda t: t.rlike("[a-z]")))
+    return F.when(F.size(tokens) == 0, F.lit(0.0)).otherwise(
+        n_alpha.cast("double") / F.size(tokens).cast("double")
+    )
+
+
 def winnow_fingerprints(text: Column | str, k: int = 8, w: int = 4) -> Column:
     """Winnowing document fingerprints (the rolling-hash scheme of
     MOSS): hash every ``k``-char gram of the normalized text, slide a

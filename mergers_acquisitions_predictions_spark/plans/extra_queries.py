@@ -682,3 +682,79 @@ def d15_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return winnow_containment_pairs(d, min_shared=2, threshold=0.3, max_df=32)
+
+
+#: Gopher-style rule thresholds (Rae et al. 2021 §A1.1), re-banded
+#: for this corpus's 10–99-word documents so the keep flag actually
+#: discriminates (the paper's 50–100k word band would pass ~all docs
+#: here and fail none for the right reasons).
+_G_MIN_WORDS, _G_MAX_WORDS = 20, 10_000
+_G_MIN_MWL, _G_MAX_MWL = 3.0, 10.0
+_G_MIN_ALPHA = 0.7
+_G_MIN_STOP = 1
+
+T30_ORACLE = f"""
+    SELECT doc_id,
+           CAST(len(tok) AS BIGINT) AS n_words,
+           round(CASE WHEN len(tok) = 0 THEN 0.0
+                 ELSE list_sum(list_transform(tok, t -> CAST(length(t) AS DOUBLE)))
+                      / len(tok) END, 6) AS mean_word_len,
+           round(CASE WHEN len(tok) = 0 THEN 0.0
+                 ELSE len(list_filter(tok, t -> regexp_matches(t, '[a-z]')))
+                      / CAST(len(tok) AS DOUBLE) END, 6) AS alpha_frac,
+           CAST(len(list_filter(tok,
+                t -> list_contains(['the','and','of','to','is'], t)))
+                AS BIGINT) AS stop_hits,
+           (len(tok) BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
+            AND (CASE WHEN len(tok) = 0 THEN 0.0
+                 ELSE list_sum(list_transform(tok, t -> CAST(length(t) AS DOUBLE)))
+                      / len(tok) END) BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL}
+            AND (CASE WHEN len(tok) = 0 THEN 0.0
+                 ELSE len(list_filter(tok, t -> regexp_matches(t, '[a-z]')))
+                      / CAST(len(tok) AS DOUBLE) END) >= {_G_MIN_ALPHA}
+            AND len(list_filter(tok,
+                t -> list_contains(['the','and','of','to','is'], t)))
+                >= {_G_MIN_STOP}) AS keep
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+          FROM documents)
+"""
+
+
+@query("t30_gopher_rules", oracle=T30_ORACLE)
+def t30_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality rule filter (Rae et al. 2021
+    §A1.1; the rule family C4/RefinedWeb/Dolma all reuse): word-count
+    band, mean-word-length band, alphabetic-word fraction, and
+    stop-word presence, each emitted as an auditable signal column
+    plus the combined ``keep`` flag. Complements t11 (scalar quality
+    score), t16 (repetition), and t24 (corpus diversity) — together
+    they are the standard pre-training quality gate.
+
+    Scale shape: pure map-side column expressions over one tokenize —
+    runs inside the scan stage, zero shuffles, trivially linear at
+    100 TB. Thresholds are module constants emitted into the oracle
+    SQL so the keep flag is value-checked, not just row-counted."""
+    from ..functions.text import tokenize
+    from ..functions.textstats import alpha_token_frac, marker_hits, mean_token_len
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokenize(F.col("text"))
+    t = d.select("doc_id", tok.alias("tok"))
+    n_words = F.size("tok").cast("long")
+    mwl = mean_token_len(F.col("tok"))
+    alpha = alpha_token_frac(F.col("tok"))
+    stops = marker_hits(F.col("tok"), "en")
+    keep = (
+        n_words.between(_G_MIN_WORDS, _G_MAX_WORDS)
+        & mwl.between(_G_MIN_MWL, _G_MAX_MWL)
+        & (alpha >= _G_MIN_ALPHA)
+        & (stops >= _G_MIN_STOP)
+    )
+    return t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(alpha, 6).alias("alpha_frac"),
+        stops.alias("stop_hits"),
+        keep.alias("keep"),
+    )

@@ -168,3 +168,20 @@ def test_winnow_fingerprints_shared_substring_guarantee(spark):
     # shared fingerprint; unrelated docs share none here
     assert a.intersect(b).count() > 0
     assert a.intersect(c).count() == 0
+
+
+def test_mean_token_len_and_alpha_frac_edges(spark):
+    from mergers_acquisitions_predictions_spark.functions.textstats import (
+        alpha_token_frac,
+        mean_token_len,
+    )
+
+    assert one(spark, mean_token_len(F.col("t")), t=["ab", "abcd"]) == 3.0
+    assert one(spark, alpha_token_frac(F.col("t")), t=["ab", "42", "a1"]) == pytest.approx(
+        2.0 / 3.0
+    )
+    empty = spark.createDataFrame([([],)], "t array<string>")
+    row = empty.select(
+        mean_token_len(F.col("t")).alias("m"), alpha_token_frac(F.col("t")).alias("a")
+    ).first()
+    assert row.m == 0.0 and row.a == 0.0
