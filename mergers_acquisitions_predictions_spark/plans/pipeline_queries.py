@@ -463,3 +463,59 @@ def t27_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", fingerprint(today_text).alias("fp")
     )
     return snapshot_diff(y, t)
+
+
+#: Importance-sampling geometry (t31): keep-probability = clip(boost ×
+#: quality, 0, 1) realized against a 1M-bucket doc-id hash. The boost
+#: (>1) shows the clip branch: high-quality docs are kept with
+#: certainty, low-quality docs survive at a rate proportional to
+#: their score — "soft" quality filtering (the FineWeb/DCLM-style
+#: alternative to a hard keep/drop threshold, preserving tail
+#: diversity instead of cliffing it).
+_IS_BOOST = 1.2
+_IS_BUCKETS = 1_000_000
+
+T31_ORACLE = f"""
+    SELECT doc_id, quality
+    FROM (
+        SELECT doc_id,
+               CASE WHEN len(tok) = 0 THEN 0.0
+                    ELSE round(least(len(tok) / 100.0, 1.0)
+                         * greatest(0.0, 1.0 - abs(
+                             list_sum(list_transform(tok, t -> CAST(length(t) AS DOUBLE)))
+                             / len(tok) - 5.0) / 10.0), 6)
+               END AS quality
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+              FROM documents)
+    )
+    WHERE {_SQL_BUCKET.format(k='doc_id', n=_IS_BUCKETS)}
+          < CAST(round(quality * {_IS_BOOST} * {_IS_BUCKETS}, 0) AS BIGINT)
+"""
+
+
+@query("t31_importance_sample", oracle=T31_ORACLE)
+def t31_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED reproducible sampling: each document's keep
+    probability is proportional to its quality score (clipped at 1 by
+    the bucket range), realized as `hash_bucket(doc_id) <
+    round(boost·quality·1M)` — soft quality filtering. Deterministic
+    by construction (a pure function of doc_id and text), so the
+    sample is identical across reruns, partitionings, cluster sizes,
+    and engines, unlike anything built on `rand()`.
+
+    Scale shape: map-side only — the quality expression and the
+    membership predicate both fold into the scan stage; zero
+    shuffles, trivially linear at 100 TB. The quality score is
+    rounded to 6 dp BEFORE the threshold multiply so both engines
+    compare bit-identical doubles (same parity contract as t11)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokenize(F.col("text"))
+    t = d.select("doc_id", tok.alias("tok"))
+    q6 = F.when(F.size("tok") == 0, F.lit(0.0)).otherwise(
+        F.round(quality_score(F.col("tok")), 6)
+    )
+    scored = t.select("doc_id", q6.alias("quality"))
+    thresh = F.round(
+        F.col("quality") * F.lit(float(_IS_BOOST)) * F.lit(_IS_BUCKETS), 0
+    ).cast("long")
+    return scored.filter(_hash_bucket(F.col("doc_id"), _IS_BUCKETS) < thresh)
