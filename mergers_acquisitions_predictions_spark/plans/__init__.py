@@ -28,9 +28,9 @@ from . import extra_queries  # noqa: E402,F401
 #: round 1 or 2 (d13, d15, j04, m05, m08, q46, s05, s06, t14,
 #: t22–t25, t29) move IN, plus every query built new THIS round (j05
 #: hour-bucket range join, d16 span coverage, d17 star components,
-#: d18 span trim, q47 profile, s07 ANN recall), so every registry
+#: d18 span trim, q47 profile, s07 ANN recall, s08 IVF-PQ), so every registry
 #: entry has a driver row in r01∪r02∪r03. Twenty r1/r2-green queries
-#: rotate OUT (d01–d04, d10, s01, q17, q38, t03–t07, t10–t13, t15,
+#: rotate OUT (d01–d04, d10, s01, q17, q38, t03–t08, t10–t13, t15,
 #: t27, j02); they stay value-guarded by
 #: tests/test_oracle_parity.py, which sweeps EVERY oracle regardless
 #: of position.
@@ -56,6 +56,7 @@ DRIVER_WINDOW = [
     "s05_ivf_kmeans_topk",
     "s06_hard_negatives",
     "s07_ann_recall",
+    "s08_ivfpq_topk",
     # ML family
     "m01_tfidf_features",
     "m02_lr_confusion",
@@ -66,7 +67,6 @@ DRIVER_WINDOW = [
     "m07_stratified_sample",
     "m08_pca_whiten",
     # text / curation family
-    "t08_vocabulary",
     "t09_tfidf_top_terms",
     "t14_token_chunks",
     "t16_repetition_stats",

@@ -164,3 +164,112 @@ def ivf_assign_sql(filter_sql: str, id_alias: str, probes: int) -> str:
                    ) AS rn
             FROM (SELECT * FROM embeddings {filter_sql}) e CROSS JOIN cent ct
         ) WHERE rn <= {probes}"""
+
+
+def ivfpq_topk_sql(
+    n_subspaces: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    k: int = 5,
+    query_filter: str = "WHERE vec_id < 5",
+    rerank: int | None = None,
+) -> str:
+    """DuckDB mirror of `operators/pq.ivfpq_topk` — and the proof that
+    even a compressed approximate index can be value-checked: the
+    oracle REGENERATES the anchor codebooks from the parquet (so one
+    static string is exact at every SF), re-encodes every corpus
+    vector with the same rounded-argmin/lowest-code tiebreak, and
+    replays the ADC scan with the same left-to-right `list_sum`
+    folds the engine's `aggregate` uses. Unit-sphere math throughout:
+    u = x/√Σx² per element, codebook = subspace slices of the
+    ``n_codes`` lowest-id unit vectors, adc = Σ_m ‖u_q[m] −
+    cb[m][code_m]‖², rounded to 6 dp with candidate-id tiebreak."""
+    M, SUB, K = n_subspaces, sub_dim, n_codes
+    sq = (
+        f"(u[(m - 1) * {SUB} + i] - cbs[m][c][i])"
+        f" * (u[(m - 1) * {SUB} + i] - cbs[m][c][i])"
+    )
+    dists_m = f"""list_transform(range(1, {K} + 1), c ->
+                       round(list_sum(list_transform(range(1, {SUB} + 1),
+                           i -> {sq})), 6))"""
+    return f"""
+    unit AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)
+                   / sqrt({SQL_SQNORM.format(v='embedding')})) AS u
+        FROM embeddings
+    ),
+    cb_nested AS (
+        SELECT list_transform(range(1, {M} + 1), m ->
+                   list_transform(anchors, a ->
+                       list_transform(range(1, {SUB} + 1),
+                                      i -> a[(m - 1) * {SUB} + i]))) AS cbs
+        FROM (SELECT list(u ORDER BY vec_id) AS anchors
+              FROM (SELECT vec_id, u FROM unit ORDER BY vec_id LIMIT {K}))
+    ),
+    codes AS (
+        SELECT vec_id,
+               list_transform(range(1, {M} + 1), m ->
+                   CAST(list_position({dists_m},
+                        list_min({dists_m})) - 1 AS INTEGER)) AS pq
+        FROM unit CROSS JOIN cb_nested
+    ),
+    cent AS ({ivf_cent_cte_sql(n_cells)}
+    ),
+    c_assign AS ({ivf_assign_sql("", "candidate_id", 1)}
+    ),
+    q_assign AS ({ivf_assign_sql(query_filter, "query_id", n_probe)}
+    ),
+    scored AS (
+        SELECT q.query_id, c.candidate_id,
+               round(list_sum(list_transform(range(1, {M} + 1), m ->
+                   list_sum(list_transform(range(1, {SUB} + 1), i ->
+                       (qu.u[(m - 1) * {SUB} + i] - cbs[m][pq[m] + 1][i])
+                     * (qu.u[(m - 1) * {SUB} + i] - cbs[m][pq[m] + 1][i]))))), 6)
+                   AS adc_dist
+        FROM q_assign q
+        JOIN c_assign c USING (cell_id)
+        JOIN codes cd ON cd.vec_id = c.candidate_id
+        JOIN unit qu ON qu.vec_id = q.query_id
+        CROSS JOIN cb_nested
+        WHERE q.query_id <> c.candidate_id
+    ){"" if rerank is None else f''',
+    shortlist AS (
+        SELECT query_id, candidate_id
+        FROM (
+            SELECT query_id, candidate_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY adc_dist, candidate_id
+                   ) AS adc_rank
+            FROM scored
+        )
+        WHERE adc_rank <= {rerank}
+    ),
+    rescored AS (
+        SELECT s.query_id, s.candidate_id,
+               round({SQL_DOT.format(a='qe.embedding', b='ce.embedding')}
+                     / (sqrt({SQL_SQNORM.format(v='qe.embedding')})
+                        * sqrt({SQL_SQNORM.format(v='ce.embedding')})), 6) AS cos_sim
+        FROM shortlist s
+        JOIN embeddings qe ON qe.vec_id = s.query_id
+        JOIN embeddings ce ON ce.vec_id = s.candidate_id
+    )'''}
+    {f'''SELECT query_id, candidate_id, cos_sim, rank
+    FROM (
+        SELECT query_id, candidate_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, candidate_id
+               ) AS BIGINT) AS rank
+        FROM rescored
+    )
+    WHERE rank <= {k}''' if rerank is not None else f'''SELECT query_id, candidate_id, adc_dist, rank
+    FROM (
+        SELECT query_id, candidate_id, adc_dist,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_dist, candidate_id
+               ) AS BIGINT) AS rank
+        FROM scored
+    )
+    WHERE rank <= {k}'''}"""

@@ -184,6 +184,45 @@ def s04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5, n_cells=16, n_probe=2)
 
 
+from .lsh_oracle import ivfpq_topk_sql as _ivfpq_topk_sql  # noqa: E402
+
+
+@query(
+    "s08_ivfpq_topk",
+    oracle=f"WITH {_ivfpq_topk_sql(n_subspaces=8, sub_dim=8, n_codes=16, n_cells=16, n_probe=2, k=5, rerank=40)}\n",
+)
+def s08_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF-PQ with exact re-rank
+    (operators/pq.ivfpq_topk): the COMPRESSED-index ANN path that
+    completes the family — s02 exact baseline, s03 sign-LSH buckets,
+    s04/s05 IVF cells, s08 IVF cells + 8-byte PQ codes + ADC
+    shortlist + exact top-k. At 100 TB the coded corpus is 32×
+    smaller than raw float32 vectors; the ADC scan costs 8 table
+    lookups per candidate, and full vectors are touched only for the
+    R=8k shortlist. Cells keep the scan sub-linear (equi-join on
+    cell_id, never a cross join).
+
+    FULL value parity despite double approximation (cells AND
+    quantization): anchor codebooks + rounded-argmin encoding +
+    ordered ADC folds + the shortlist cut are all deterministic, and
+    the oracle regenerates every stage from the parquet — see
+    lsh_oracle.ivfpq_topk_sql. Recall vs the exact baseline (0.80,
+    at the 0.81 IVF-ceiling) is asserted in tests/test_pq.py."""
+    from ..operators.pq import ivfpq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e.filter(F.col("vec_id") < 5),
+        e,
+        k=5,
+        n_cells=16,
+        n_probe=2,
+        n_subspaces=8,
+        n_codes=16,
+        rerank=40,
+    )
+
+
 # Registered late (plans/extra_queries.py, r1-r2 history); since
 # round 3 the registered config runs the BUCKETED sign-LSH top-k (the
 # scale path), and the oracle replays its candidate set exactly via

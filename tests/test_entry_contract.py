@@ -70,6 +70,7 @@ def test_driver_window_is_the_pinned_manifest():
         "d17_components_star",
         "d18_span_trim",
         "s07_ann_recall",
+        "s08_ivfpq_topk",
         "q47_table_profile",
     }
     assert new_in_r3 <= set(DRIVER_WINDOW)

@@ -35,6 +35,7 @@ ALLOW = {
     "t19_quality_rank_filter": "1-row total-count broadcast for the decile cut",
     "s04_ivf_ann_topk": "n_cells-row centroid broadcast fan-out in ivf_assign",
     "s05_ivf_kmeans_topk": "n_cells-row centroid broadcast fan-out in ivf_assign",
+    "s08_ivfpq_topk": "n_cells-row centroid broadcast fan-out in ivf_assign",
     "d11_semantic_dedup": "n_cells-row centroid broadcast fan-out in ivf_assign",
 }
 
