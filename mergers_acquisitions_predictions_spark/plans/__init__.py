@@ -28,10 +28,11 @@ from . import extra_queries  # noqa: E402,F401
 #: round 1 or 2 (d13, d15, j04, m05, m08, q46, s05, s06, t14,
 #: t22–t25, t29) move IN, plus every query built new THIS round (j05
 #: hour-bucket range join, d16 span coverage, d17 star components,
-#: d18 span trim, q47 profile, s07 ANN recall, s08 IVF-PQ), so every registry
+#: d18 span trim, q47 profile, s07 ANN recall, s08 IVF-PQ, t30 Gopher rules, t31
+#: importance sampling), so every registry
 #: entry has a driver row in r01∪r02∪r03. Twenty r1/r2-green queries
-#: rotate OUT (d01–d04, d10, s01, q17, q38, t03–t08, t10–t13, t15,
-#: t27, j02); they stay value-guarded by
+#: rotate OUT (d01–d04, d10, s01, q17, q38, t03–t13, t15, t27,
+#: j02, u04); they stay value-guarded by
 #: tests/test_oracle_parity.py, which sweeps EVERY oracle regardless
 #: of position.
 DRIVER_WINDOW = [
@@ -67,7 +68,6 @@ DRIVER_WINDOW = [
     "m07_stratified_sample",
     "m08_pca_whiten",
     # text / curation family
-    "t09_tfidf_top_terms",
     "t14_token_chunks",
     "t16_repetition_stats",
     "t17_winnow_fingerprints",
@@ -82,11 +82,12 @@ DRIVER_WINDOW = [
     "t26_bpe_encode",
     "t28_unigram_logprob_quality",
     "t29_bigram_backoff_quality",
+    "t30_gopher_rules",
+    "t31_importance_sample",
     # joins / ER, UDF surface, relational newcomers
     "j03_fuzzy_name_match",
     "j04_fuzzy_multipass",
     "j05_event_window_range_join",
-    "u04_lemmatize_pandas_udf",
     "u05_frame_sample_stats",
     "q46_unpivot_measures",
     "q47_table_profile",

@@ -71,6 +71,8 @@ def test_driver_window_is_the_pinned_manifest():
         "d18_span_trim",
         "s07_ann_recall",
         "s08_ivfpq_topk",
+        "t30_gopher_rules",
+        "t31_importance_sample",
         "q47_table_profile",
     }
     assert new_in_r3 <= set(DRIVER_WINDOW)
