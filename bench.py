@@ -70,10 +70,13 @@ def main() -> None:
         "t14_token_chunks",
         "t16_repetition_stats",
         "t28_unigram_logprob_quality",
+        "t30_gopher_rules",
+        "t31_importance_sample",
         "t29_bigram_backoff_quality",
         "t26_bpe_encode",
         "t27_snapshot_diff",
         "s02_cosine_topk",
+        "s08_ivfpq_topk",
         "m04_pair_ranking",
         "q25_monthly_orders",
         "q31_json_extract",
