@@ -155,13 +155,17 @@ class Engine:
         self, queries: DataFrame, corpus: DataFrame, method: str = "brute", **kw
     ) -> DataFrame:
         """Similarity search: 'brute' (exact), 'lsh' (sign-LSH
-        multi-table), 'ivf' (cell-partitioned index)."""
+        multi-table), 'ivf' (cell-partitioned index), 'ivfpq'
+        (compressed codes + ADC; pass rerank=R for the exact-re-rank
+        production config)."""
         from .operators import similarity as S
+        from .operators.pq import ivfpq_topk
 
         fns = {
             "brute": S.brute_force_topk,
             "lsh": S.lsh_topk,
             "ivf": S.ivf_topk,
+            "ivfpq": ivfpq_topk,
         }
         try:
             return fns[method](queries, corpus, **kw)
@@ -327,3 +331,20 @@ class Engine:
         from .operators.aggregates import table_profile
 
         return table_profile(df, **kw)
+
+    def quality_rules(self, docs: DataFrame, **kw) -> DataFrame:
+        """Gopher-style quality rule table: per-doc rule signals +
+        combined `keep` flag (thresholds as keyword args)."""
+        from .operators.curation import gopher_rules
+
+        return gopher_rules(docs, **kw)
+
+    def importance_sample(
+        self, df: DataFrame, weight_col: str, key_col: str, **kw
+    ) -> DataFrame:
+        """Weighted reproducible sampling: keep rows with probability
+        clip(boost·weight, 0, 1) by key-hash threshold — soft quality
+        filtering without rand()."""
+        from .operators.curation import importance_sample
+
+        return importance_sample(df, weight_col, key_col, **kw)

@@ -309,3 +309,76 @@ def snapshot_diff(
     return o.join(n, id_col, "full_outer").select(
         id_col, status.alias("status")
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 10_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.7,
+    min_stop_hits: int = 1,
+) -> DataFrame:
+    """Gopher-style document-quality rule table (Rae et al. 2021
+    §A1.1): per document, the rule signals (word count, mean word
+    length, alphabetic-word fraction, stop-word hits) plus the
+    combined ``keep`` flag. Signals are emitted alongside the flag so
+    a pipeline can audit WHY a document was dropped and re-tune
+    thresholds without re-scanning.
+
+    Scale shape: pure map-side column expressions over one tokenize —
+    runs inside the scan stage, zero shuffles, linear at 100 TB.
+    Registered as t30 with every threshold mirrored into the oracle
+    SQL."""
+    from ..functions.textstats import (
+        alpha_token_frac,
+        marker_hits,
+        mean_token_len,
+    )
+
+    t = docs.select(id_col, tokenize(F.col(text_col)).alias("tok"))
+    n_words = F.size("tok").cast("long")
+    mwl = mean_token_len(F.col("tok"))
+    alpha = alpha_token_frac(F.col("tok"))
+    stops = marker_hits(F.col("tok"), "en")
+    keep = (
+        n_words.between(min_words, max_words)
+        & mwl.between(min_mean_word_len, max_mean_word_len)
+        & (alpha >= min_alpha_frac)
+        & (stops >= min_stop_hits)
+    )
+    return t.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(alpha, 6).alias("alpha_frac"),
+        stops.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+def importance_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    boost: float = 1.0,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Weighted reproducible sampling: keep each row with probability
+    ``clip(boost · weight, 0, 1)``, realized as `hash_bucket(key) <
+    round(boost · weight · buckets)` — membership is a pure function
+    of (key, weight), so the sample is identical across reruns,
+    partitionings, cluster sizes, and engines (`rand()` is none of
+    those, and resampling a 100 TB corpus must be replayable).
+
+    The weight column should already be rounded to a fixed number of
+    decimals if cross-engine bit-parity of the threshold compare
+    matters (see t31). Map-side only: the predicate folds into the
+    scan."""
+    thresh = F.round(
+        F.col(weight_col) * F.lit(float(boost)) * F.lit(buckets), 0
+    ).cast("long")
+    return df.filter(hash_bucket(F.col(key_col), buckets) < thresh)

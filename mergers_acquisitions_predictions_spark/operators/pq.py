@@ -92,12 +92,27 @@ def _unit(vec: Column, norm: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double") / norm)
 
 
-def _sqdist(u: Column, lit_vec: list[float]) -> Column:
-    """Squared L2 between a unit-vector slice and a literal subvector:
-    left-to-right double fold, the oracle's list_sum order."""
-    lit = F.array(*[F.lit(x) for x in lit_vec])
+def _cb_literal(codebooks: list[list[list[float]]]) -> Column:
+    """The codebooks as ONE nested array<array<array<double>>> literal
+    column. Keeping the codebook a literal (not a join) keeps
+    encoding map-side; keeping it ONE column (not n_subspaces x
+    n_codes unrolled sub-expressions) keeps the Catalyst tree small —
+    the first formulation here unrolled 128 aggregate expressions and
+    spent seconds per query in driver-side analysis alone."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in code]) for code in book])
+            for book in codebooks
+        ]
+    )
+
+
+def _sqdist(u_slice: Column, code: Column) -> Column:
+    """Squared L2 between a unit-vector slice and a codebook
+    subvector: left-to-right double fold, the oracle's list_sum
+    order."""
     return F.aggregate(
-        F.zip_with(u, lit, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(u_slice, code, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -111,16 +126,31 @@ def pq_encode(
     distances (`array_position` returns the FIRST minimum — the same
     tiebreak the oracle's `list_position` applies). Returns
     ``array<int>`` of length ``n_subspaces`` — the 8-byte compressed
-    representation that replaces the 256-byte vector corpus-side."""
+    representation that replaces the 256-byte vector corpus-side.
+
+    One nested higher-order-function expression (transform over
+    subspaces -> transform over codes -> zip_with fold over dims)
+    against the literal codebook column — semantically identical to
+    unrolling every (m, c) pair but ~100x smaller as a Catalyst
+    tree (the unrolled form cost seconds of driver-side analysis
+    per query; see _cb_literal)."""
     sub = len(codebooks[0][0])
-    codes = []
-    for m, book in enumerate(codebooks):
+    n_sub = len(codebooks)
+    cbs = _cb_literal(codebooks)
+
+    def dists(m: Column) -> Column:
         sl = F.slice(unit_vec, m * sub + 1, sub)
-        dists = F.array(*[F.round(_sqdist(sl, code), 6) for code in book])
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return F.transform(
+            F.element_at(cbs, (m + 1).cast("int")),
+            lambda code: F.round(_sqdist(sl, code), 6),
         )
-    return F.array(*codes)
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda m: (F.array_position(dists(m), F.array_min(dists(m))) - 1).cast(
+            "int"
+        ),
+    )
 
 
 def pq_adc_table(
@@ -129,19 +159,17 @@ def pq_adc_table(
     """Per-query ADC distance table: ``dtab[m][c]`` = squared L2
     between the query's subspace-``m`` slice and code ``c`` — the
     classic PQ trick that turns each candidate's distance into M
-    array lookups. Computed ONCE per query row (M·K doubles, ~1 KB), then
-    carried through the broadcast to every probe pair."""
+    array lookups. Computed ONCE per query row (M*K doubles, ~1 KB),
+    then carried through the broadcast to every probe pair."""
     sub = len(codebooks[0][0])
-    return F.array(
-        *[
-            F.array(
-                *[
-                    _sqdist(F.slice(unit_vec, m * sub + 1, sub), code)
-                    for code in book
-                ]
-            )
-            for m, book in enumerate(codebooks)
-        ]
+    n_sub = len(codebooks)
+    cbs = _cb_literal(codebooks)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda m: F.transform(
+            F.element_at(cbs, (m + 1).cast("int")),
+            lambda code: _sqdist(F.slice(unit_vec, m * sub + 1, sub), code),
+        ),
     )
 
 

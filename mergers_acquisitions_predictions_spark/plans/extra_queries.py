@@ -734,27 +734,15 @@ def t30_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs inside the scan stage, zero shuffles, trivially linear at
     100 TB. Thresholds are module constants emitted into the oracle
     SQL so the keep flag is value-checked, not just row-counted."""
-    from ..functions.text import tokenize
-    from ..functions.textstats import alpha_token_frac, marker_hits, mean_token_len
+    from ..operators.curation import gopher_rules
 
     d = load_table(spark, sf_dir, "documents")
-    tok = tokenize(F.col("text"))
-    t = d.select("doc_id", tok.alias("tok"))
-    n_words = F.size("tok").cast("long")
-    mwl = mean_token_len(F.col("tok"))
-    alpha = alpha_token_frac(F.col("tok"))
-    stops = marker_hits(F.col("tok"), "en")
-    keep = (
-        n_words.between(_G_MIN_WORDS, _G_MAX_WORDS)
-        & mwl.between(_G_MIN_MWL, _G_MAX_MWL)
-        & (alpha >= _G_MIN_ALPHA)
-        & (stops >= _G_MIN_STOP)
-    )
-    return t.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        F.round(mwl, 6).alias("mean_word_len"),
-        F.round(alpha, 6).alias("alpha_frac"),
-        stops.alias("stop_hits"),
-        keep.alias("keep"),
+    return gopher_rules(
+        d,
+        min_words=_G_MIN_WORDS,
+        max_words=_G_MAX_WORDS,
+        min_mean_word_len=_G_MIN_MWL,
+        max_mean_word_len=_G_MAX_MWL,
+        min_alpha_frac=_G_MIN_ALPHA,
+        min_stop_hits=_G_MIN_STOP,
     )

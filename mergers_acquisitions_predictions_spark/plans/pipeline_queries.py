@@ -515,7 +515,8 @@ def t31_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(quality_score(F.col("tok")), 6)
     )
     scored = t.select("doc_id", q6.alias("quality"))
-    thresh = F.round(
-        F.col("quality") * F.lit(float(_IS_BOOST)) * F.lit(_IS_BUCKETS), 0
-    ).cast("long")
-    return scored.filter(_hash_bucket(F.col("doc_id"), _IS_BUCKETS) < thresh)
+    from ..operators.curation import importance_sample
+
+    return importance_sample(
+        scored, "quality", "doc_id", boost=_IS_BOOST, buckets=_IS_BUCKETS
+    )

@@ -286,3 +286,37 @@ def test_facade_round3_surfaces(spark):
 
     with _pytest.raises(ValueError, match="components"):
         eng.dedup(docs, method="cluster", components="nope")
+
+
+def test_facade_quality_and_sampling_surfaces(spark):
+    from mergers_acquisitions_predictions_spark.engine import Engine
+
+    eng = Engine(spark)
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 4),
+            (2, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    rules = {r["doc_id"]: r.asDict() for r in eng.quality_rules(docs).collect()}
+    assert rules[1]["keep"] is True
+    assert rules[2]["keep"] is False and rules[2]["n_words"] == 1
+
+    weighted = spark.createDataFrame(
+        [(i, 1.0) for i in range(50)] + [(i, 0.0) for i in range(50, 100)],
+        "doc_id long, w double",
+    )
+    kept = {r["doc_id"] for r in eng.importance_sample(weighted, "w", "doc_id").collect()}
+    assert kept == set(range(50))  # weight 1 always kept, weight 0 never
+
+    # ivfpq through the ann facade
+    import pyspark.sql.functions as F
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = eng.ann_topk(
+        e.filter(F.col("vec_id") < 2), e, method="ivfpq", k=3, rerank=12
+    )
+    assert out.columns == ["query_id", "candidate_id", "cos_sim", "rank"]
+    assert out.count() == 6
