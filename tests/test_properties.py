@@ -332,3 +332,64 @@ def test_trim_dup_spans_matches_python_reference(spark, corpus):
     want = _ref_trim(docs, w)
     for d, toks in want.items():
         assert got[d] == (len(toks), " ".join(toks)), (d, docs[d], got[d], toks)
+
+
+_vec = st.lists(
+    # bounded away from 0 so every vector has a safely nonzero norm
+    st.floats(min_value=0.0625, max_value=1.0, width=32),
+    min_size=8,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(vecs=st.lists(_vec, min_size=5, max_size=12))
+def test_pq_encode_matches_sequential_reference(spark, vecs):
+    """pq_encode == a plain-Python PQ encoder (normalize, slice,
+    rounded argmin with first-min tie-break) on arbitrary float32
+    vectors — the Spark HOF expression and the reference must agree
+    code-for-code, including ties."""
+    import math
+
+    from mergers_acquisitions_predictions_spark.operators.pq import (
+        pq_anchor_codebooks,
+        pq_encode,
+    )
+
+    n_sub, sub = 4, 2
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    cbs = pq_anchor_codebooks(df, n_subspaces=n_sub, n_codes=3)
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return [x / math.sqrt(acc) for x in v]
+
+    def ref_codes(v):
+        u = norm(v)
+        out = []
+        for m in range(n_sub):
+            sl = u[m * sub : (m + 1) * sub]
+            ds = [
+                round(sum((a - b) * (a - b) for a, b in zip(sl, code)), 6)
+                for code in cbs[m]
+            ]
+            out.append(ds.index(min(ds)))
+        return out
+
+    from mergers_acquisitions_predictions_spark.functions.vectors import l2_norm
+
+    u = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") / l2_norm(F.col("embedding"))
+    )
+    got = {
+        r.vec_id: list(r.pq)
+        for r in df.select("vec_id", pq_encode(u, cbs).alias("pq")).collect()
+    }
+    # float32 -> python float round-trip: collect the same casts Spark sees
+    raw = {r.vec_id: [float(x) for x in r.embedding] for r in df.collect()}
+    for i in got:
+        assert got[i] == ref_codes(raw[i]), i
