@@ -746,3 +746,86 @@ def t30_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_alpha_frac=_G_MIN_ALPHA,
         min_stop_hits=_G_MIN_STOP,
     )
+
+
+#: Vocabulary sizes at which coverage is evaluated (t32) — the
+#: tokenizer-budget sweep a vocab-size decision reads off. Banded to
+#: this corpus's ~64-type vocabulary so the curve discriminates (a
+#: real corpus would sweep 2^13..2^18).
+_VOCAB_SIZES = (5, 10, 20, 40)
+
+T32_ORACLE = f"""
+    WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                 FROM documents),
+    tc AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+    ranked AS (SELECT term, freq,
+                      row_number() OVER (ORDER BY freq DESC, term) AS rnk
+               FROM tc)
+    SELECT s.n AS vocab_size,
+           CAST(sum(CASE WHEN rnk <= s.n THEN freq ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           CAST(sum(freq) AS BIGINT) AS total_tokens,
+           round(sum(CASE WHEN rnk <= s.n THEN freq ELSE 0 END)
+                 / CAST(sum(freq) AS DOUBLE), 6) AS coverage
+    FROM ranked CROSS JOIN (VALUES {", ".join(f"({n})" for n in _VOCAB_SIZES)}) s(n)
+    GROUP BY s.n
+"""
+
+
+@query("t32_vocab_coverage", oracle=T32_ORACLE)
+def t32_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab size N, the
+    fraction of all corpus token OCCURRENCES covered by the N most
+    frequent types (ties broken lexicographically) — the Zipf sweep
+    that sizes a tokenizer vocabulary / UNK budget before a BPE run
+    (t25/t26 then learn within the chosen budget).
+
+    Scale shape: one token shuffle builds the vocab-sized frequency
+    table; the global frequency rank uses
+    `ordered.global_row_number` (range partition + per-partition
+    rank + broadcast offsets) so there is NO single-task
+    row_number() OVER (ORDER BY ...) even when the type space is
+    10⁸; the curve itself is one conditional aggregation over the
+    vocab-sized frame. The oracle's plain OVER (ORDER BY) is the
+    same math DuckDB-side."""
+    from ..functions.text import tokenize
+    from ..operators.ordered import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = global_row_number(
+        counts.withColumn("__neg", -F.col("freq")), ["__neg", "term"], "rnk"
+    )
+    aggs = [F.sum("freq").alias("total")] + [
+        F.sum(F.when(F.col("rnk") <= n, F.col("freq")).otherwise(0)).alias(f"c{n}")
+        for n in _VOCAB_SIZES
+    ]
+    row = ranked.agg(*aggs)
+    curve = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("vocab_size"),
+                        F.col(f"c{n}").cast("long").alias("covered_tokens"),
+                        F.col("total").cast("long").alias("total_tokens"),
+                    )
+                    for n in _VOCAB_SIZES
+                ]
+            )
+        ).alias("s")
+    ).select("s.vocab_size", "s.covered_tokens", "s.total_tokens")
+    out = curve.withColumn(
+        "coverage",
+        F.round(F.col("covered_tokens") / F.col("total_tokens").cast("double"), 6),
+    )
+    # ranked is a localCheckpoint owner (global_row_number) — transfer
+    # ownership to the composed result so the checkpoint blocks live
+    # until THIS frame is done (own_local_checkpoint contract).
+    from ..operators.util import own_caches
+
+    return own_caches(out, ranked)

@@ -73,6 +73,7 @@ def test_driver_window_is_the_pinned_manifest():
         "s08_ivfpq_topk",
         "t30_gopher_rules",
         "t31_importance_sample",
+        "t32_vocab_coverage",
         "q47_table_profile",
     }
     assert new_in_r3 <= set(DRIVER_WINDOW)
