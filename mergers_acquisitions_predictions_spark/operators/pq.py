@@ -283,3 +283,65 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "candidate_id", "cos_sim", "rank")
     )
+
+
+def pq_kmeans_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """LEARNED PQ codebooks — the production replacement for
+    `pq_anchor_codebooks`' deterministic anchor slices, exactly as
+    `kmeans_centroids` is for `ivf_centroids`: per subspace, k-means
+    (fixed seed) fits ``n_codes`` centroids to the distribution of
+    that subspace's unit-vector slices, minimizing the quantization
+    error the ADC distance carries. Same nested-list shape, so
+    `pq_encode`/`pq_adc_table`/`ivfpq_topk` consume it unchanged via
+    the ``codebooks=`` parameter.
+
+    The training input is materialized ONCE (all subspace slices in
+    one cached frame); each of the ``n_subspaces`` fits is a
+    distributed MLlib Lloyd run over its slice column, and the
+    resulting centers are driver-sized (n_codes × sub_dim floats per
+    subspace) by construction — the index-build artifact a deployment
+    persists. Not oracle-replayable (iterative fit), which is why the
+    registered hash-checked query (s08) uses the anchor codebooks;
+    the swap equivalence of every downstream join shape is what the
+    rows-only s09 configuration demonstrates."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .util import fit_released
+
+    first = corpus.select(vec_col).first()
+    dim = len(first[vec_col])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    unit = _unit(F.col(vec_col), l2_norm(F.col(vec_col)))
+    slices = corpus.select(
+        *[
+            array_to_vector(F.slice(unit, m * sub + 1, sub)).alias(f"__s{m}")
+            for m in range(n_subspaces)
+        ]
+    )
+    slices = slices.persist()
+    try:
+        books: list[list[list[float]]] = []
+        for m in range(n_subspaces):
+            model = fit_released(
+                KMeans(
+                    k=n_codes, seed=seed + m, maxIter=max_iter, featuresCol=f"__s{m}"
+                ),
+                slices,
+            )
+            books.append(
+                [[float(x) for x in c] for c in model.clusterCenters()]
+            )
+        return books
+    finally:
+        slices.unpersist()

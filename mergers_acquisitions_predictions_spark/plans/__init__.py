@@ -28,17 +28,16 @@ from . import extra_queries  # noqa: E402,F401
 #: round 1 or 2 (d13, d15, j04, m05, m08, q46, s05, s06, t14,
 #: t22–t25, t29) move IN, plus every query built new THIS round (j05
 #: hour-bucket range join, d16 span coverage, d17 star components,
-#: d18 span trim, q47 profile, s07 ANN recall, s08 IVF-PQ, t30 Gopher rules, t31
+#: d18 span trim, q47 profile, s07 ANN recall, s08/s09 IVF-PQ, t30 Gopher rules, t31
 #: importance sampling, t32 vocab coverage), so every registry
 #: entry has a driver row in r01∪r02∪r03. Twenty r1/r2-green queries
-#: rotate OUT (d01–d04, d10, s01, q17, q38, t03–t13, t15, t16,
-#: t27, j02, u04); they stay value-guarded by
+#: rotate OUT (d01–d04, d06, d10, s01, q17, q38, t03–t13, t15,
+#: t16, t27, j02, u04); they stay value-guarded by
 #: tests/test_oracle_parity.py, which sweeps EVERY oracle regardless
 #: of position.
 DRIVER_WINDOW = [
     # dedup family
     "d05_embedding_neardups",
-    "d06_lsh_verified_neardups",
     "d07_lsh_embedding_neardups",
     "d08_prefix_jaccard_pairs",
     "d09_dup_clusters",
@@ -58,6 +57,7 @@ DRIVER_WINDOW = [
     "s06_hard_negatives",
     "s07_ann_recall",
     "s08_ivfpq_topk",
+    "s09_ivfpq_kmeans_topk",
     # ML family
     "m01_tfidf_features",
     "m02_lr_confusion",

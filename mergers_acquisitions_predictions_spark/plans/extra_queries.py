@@ -829,3 +829,29 @@ def t32_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.util import own_caches
 
     return own_caches(out, ranked)
+
+
+@query("s09_ivfpq_kmeans_topk")  # rows-only: per-subspace k-means fits
+def s09_ivfpq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION configuration of the IVF-PQ index (s08 with
+    LEARNED codebooks): per-subspace k-means centroids (fixed seeds →
+    reproducible) replace the anchor slices, cutting quantization
+    error where the data actually lives — exactly the s05-vs-s04
+    relationship, one level down the index. Every join shape is
+    identical to s08 (the codebooks= parameter is the only change),
+    so the hash-checked s08 row carries the plan correctness and this
+    row carries the learned-fit configuration. Determinism and a
+    recall floor are asserted in tests/test_pq.py."""
+    from ..operators.pq import ivfpq_topk, pq_kmeans_codebooks
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_kmeans_codebooks(e, n_subspaces=8, n_codes=16)
+    return ivfpq_topk(
+        e.filter(F.col("vec_id") < 5),
+        e,
+        k=5,
+        n_cells=16,
+        n_probe=2,
+        codebooks=cbs,
+        rerank=40,
+    )

@@ -71,6 +71,7 @@ def test_driver_window_is_the_pinned_manifest():
         "d18_span_trim",
         "s07_ann_recall",
         "s08_ivfpq_topk",
+        "s09_ivfpq_kmeans_topk",
         "t30_gopher_rules",
         "t31_importance_sample",
         "t32_vocab_coverage",

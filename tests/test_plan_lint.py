@@ -36,6 +36,7 @@ ALLOW = {
     "s04_ivf_ann_topk": "n_cells-row centroid broadcast fan-out in ivf_assign",
     "s05_ivf_kmeans_topk": "n_cells-row centroid broadcast fan-out in ivf_assign",
     "s08_ivfpq_topk": "n_cells-row centroid broadcast fan-out in ivf_assign",
+    "s09_ivfpq_kmeans_topk": "n_cells-row centroid broadcast fan-out in ivf_assign",
     "d11_semantic_dedup": "n_cells-row centroid broadcast fan-out in ivf_assign",
 }
 

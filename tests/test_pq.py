@@ -99,3 +99,30 @@ def test_ivfpq_deterministic_across_runs(spark):
     a = sorted(map(tuple, ivfpq_topk(q, e, k=5, rerank=40).collect()))
     b = sorted(map(tuple, ivfpq_topk(q, e, k=5, rerank=40).collect()))
     assert a == b
+
+
+def test_kmeans_codebooks_deterministic_and_swap_equivalent(spark):
+    """Learned codebooks: same shape contract as anchors, bit-stable
+    across refits (fixed seeds), and the downstream ivfpq_topk
+    consumes them unchanged with recall at least matching the anchor
+    config's floor."""
+    from mergers_acquisitions_predictions_spark.operators.pq import (
+        pq_kmeans_codebooks,
+    )
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        brute_force_topk,
+        topk_recall,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    a = pq_kmeans_codebooks(e, n_subspaces=8, n_codes=16)
+    b = pq_kmeans_codebooks(e, n_subspaces=8, n_codes=16)
+    assert a == b  # fixed seeds -> identical centers
+    assert len(a) == 8 and all(len(book) == 16 for book in a)
+    assert all(len(code) == 8 for book in a for code in book)
+
+    q = e.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(q, e, k=5)
+    learned = ivfpq_topk(q, e, k=5, n_cells=16, n_probe=2, codebooks=a, rerank=40)
+    rec = topk_recall(exact, learned, k=5).agg(F.avg("recall")).first()[0]
+    assert rec >= 0.7
