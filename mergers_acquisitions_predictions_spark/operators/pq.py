@@ -213,7 +213,7 @@ def ivfpq_topk(
     Returns (query_id, candidate_id, adc_dist, rank); adc_dist is the
     6-dp-rounded quantized distance (≈ 2−2·cos), rank ties broken by
     candidate_id — deterministic, DuckDB-replayable end to end."""
-    from .similarity import ivf_assign, ivf_centroids
+    from .similarity import ivf_assign_literal, ivf_centroids
 
     cbs = (
         codebooks
@@ -221,16 +221,25 @@ def ivfpq_topk(
         else pq_anchor_codebooks(corpus, n_subspaces, n_codes, id_col, vec_col)
     )
     n_sub = len(cbs)
-    cent = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    # centroids as driver constants (n_cells rows — the same class of
+    # collect as the codebooks above): assignment then needs NO
+    # broadcast fan-out join and NO per-vector argmax window over the
+    # corpus — the whole index build is one map-side pass.
+    cent_rows = [
+        (r["cell_id"], [float(x) for x in r["cent_vec"]], float(r["cent_norm"]))
+        for r in ivf_centroids(corpus, n_cells, id_col, vec_col).collect()
+    ]
 
-    c = ivf_assign(
-        repartition_for_compute(corpus), cent, "candidate_id", 1, id_col, vec_col
+    c = ivf_assign_literal(
+        repartition_for_compute(corpus), cent_rows, "candidate_id", 1, id_col, vec_col
     ).select(
         "candidate_id",
         "cell_id",
         pq_encode(_unit(F.col("__vec"), F.col("__norm")), cbs).alias("pq"),
     )
-    q = ivf_assign(queries, cent, "query_id", n_probe, id_col, vec_col).select(
+    q = ivf_assign_literal(
+        queries, cent_rows, "query_id", n_probe, id_col, vec_col
+    ).select(
         "query_id",
         "cell_id",
         pq_adc_table(_unit(F.col("__vec"), F.col("__norm")), cbs).alias("dtab"),

@@ -568,6 +568,74 @@ def ivf_assign(
     )
 
 
+def ivf_assign_literal(
+    df: DataFrame,
+    cent_rows: list[tuple[int, list[float], float]],
+    id_alias: str,
+    probes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`ivf_assign` with the centroid table as LITERALS instead of a
+    broadcast join: per row, one transform computes the rounded
+    cosine to every centroid, and the ``probes`` nearest cells come
+    from a sort of the (−sim, cell_id) struct array — entirely
+    map-side, no ×n_cells row fan-out and no per-vector argmax window
+    exchange. Identical semantics to `ivf_assign` (6-dp rounding,
+    sim-desc / cell-id-asc tiebreak), so any oracle replaying the
+    window formulation stays green.
+
+    ``cent_rows`` is the collected centroid table [(cell_id, vec,
+    norm)] — n_cells rows, driver-sized by construction (the same
+    class of collect as `kmeans_centroids` / `pq_anchor_codebooks`;
+    a deployment holds the index's centroids as constants anyway).
+    Use for the corpus-sized side of an index build, where the window
+    exchange is the dominant cost; the DataFrame form remains right
+    when centroids are produced and consumed plan-side."""
+    cent_rows = sorted(cent_rows, key=lambda r: r[0])
+    k = len(cent_rows)
+    cvecs = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r[1]]) for r in cent_rows]
+    )
+    cnorms = F.array(*[F.lit(float(r[2])) for r in cent_rows])
+    cids = F.array(*[F.lit(int(r[0])).cast("long") for r in cent_rows])
+    side = df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias("__vec"),
+        l2_norm(F.col(vec_col)).alias("__norm"),
+    )
+    sims = F.transform(
+        F.sequence(F.lit(1), F.lit(k)),
+        lambda i: F.round(
+            dot(F.col("__vec"), F.element_at(cvecs, i.cast("int")))
+            / (F.col("__norm") * F.element_at(cnorms, i.cast("int"))),
+            6,
+        ),
+    )
+    # materialize __sims as a column so the ranking transform reads it
+    # k times instead of re-deriving the k-cosine array per element
+    with_sims = side.withColumn("__sims", sims)
+    ranked = F.slice(
+        F.sort_array(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(k)),
+                lambda i: F.struct(
+                    (-F.element_at(F.col("__sims"), i.cast("int"))).alias("neg"),
+                    F.element_at(cids, i.cast("int")).alias("cell_id"),
+                ),
+            )
+        ),
+        1,
+        probes,
+    )
+    return with_sims.select(
+        id_alias,
+        "__vec",
+        "__norm",
+        F.explode(ranked).alias("__probe"),
+    ).select(id_alias, "__vec", "__norm", F.col("__probe.cell_id").alias("cell_id"))
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.4,
