@@ -568,6 +568,16 @@ def ivf_assign(
     )
 
 
+def collect_centroid_rows(cent: DataFrame) -> list[tuple[int, list[float], float]]:
+    """Materialize a (cell_id, cent_vec, cent_norm) centroid table as
+    driver constants for `ivf_assign_literal` — n_cells rows by
+    construction, the index artifact a deployment holds in memory."""
+    return [
+        (r["cell_id"], [float(x) for x in r["cent_vec"]], float(r["cent_norm"]))
+        for r in cent.collect()
+    ]
+
+
 def ivf_assign_literal(
     df: DataFrame,
     cent_rows: list[tuple[int, list[float], float]],
@@ -594,6 +604,8 @@ def ivf_assign_literal(
     when centroids are produced and consumed plan-side."""
     cent_rows = sorted(cent_rows, key=lambda r: r[0])
     k = len(cent_rows)
+    if k == 0:
+        raise ValueError("ivf_assign_literal needs at least one centroid")
     cvecs = F.array(
         *[F.array(*[F.lit(float(x)) for x in r[1]]) for r in cent_rows]
     )
@@ -672,7 +684,10 @@ def semantic_dedup(
     from .util import own_caches
 
     cent = ivf_centroids(df, n_cells, id_col, vec_col)
-    asg = ivf_assign(repartition_for_compute(df), cent, id_col, 1, id_col, vec_col)
+    asg = ivf_assign_literal(
+        repartition_for_compute(df), collect_centroid_rows(cent), id_col, 1,
+        id_col, vec_col,
+    )
     a = asg.select(
         F.col(id_col).alias("a_id"),
         F.col("__vec").alias("a_vec"),
@@ -755,8 +770,10 @@ def ivf_topk(
         else ivf_centroids(corpus, n_cells, id_col, vec_col)
     )
 
+    cent_rows = collect_centroid_rows(cent)
+
     def assign(df: DataFrame, id_alias: str, probes: int) -> DataFrame:
-        return ivf_assign(df, cent, id_alias, probes, id_col, vec_col)
+        return ivf_assign_literal(df, cent_rows, id_alias, probes, id_col, vec_col)
 
     c = assign(repartition_for_compute(corpus), "candidate_id", 1).select(
         "candidate_id",

@@ -33,11 +33,8 @@ ALLOW = {
     "q37_any_all_semantics": "1-row min/max aggregate broadcast (ANY/ALL rewrite)",
     "t09_tfidf_top_terms": "1-row doc-count broadcast for the IDF term",
     "t19_quality_rank_filter": "1-row total-count broadcast for the decile cut",
-    "s04_ivf_ann_topk": "n_cells-row centroid broadcast fan-out in ivf_assign",
-    "s05_ivf_kmeans_topk": "n_cells-row centroid broadcast fan-out in ivf_assign",
-    "s08_ivfpq_topk": "n_cells-row centroid broadcast fan-out in ivf_assign",
-    "s09_ivfpq_kmeans_topk": "n_cells-row centroid broadcast fan-out in ivf_assign",
-    "d11_semantic_dedup": "n_cells-row centroid broadcast fan-out in ivf_assign",
+    # (the ivf_assign centroid fan-out entries were removed in round 3:
+    # ivf_assign_literal made every IVF consumer BNLJ-free)
 }
 
 BAD = ("CartesianProduct", "BroadcastNestedLoopJoin")
