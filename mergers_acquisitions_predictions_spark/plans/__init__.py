@@ -29,10 +29,11 @@ from . import extra_queries  # noqa: E402,F401
 #: t22–t25, t29) move IN, plus every query built new THIS round (j05
 #: hour-bucket range join, d16 span coverage, d17 star components,
 #: d18 span trim, q47 profile, s07 ANN recall, s08/s09 IVF-PQ, t30 Gopher rules, t31
-#: importance sampling, t32 vocab coverage), so every registry
+#: importance sampling, t32 vocab coverage, t33
+#: token entropy), so every registry
 #: entry has a driver row in r01∪r02∪r03. Twenty r1/r2-green queries
 #: rotate OUT (d01–d04, d06, d10, s01, q17, q38, t03–t13, t15,
-#: t16, t27, j02, u04); they stay value-guarded by
+#: t16, t17, t27, j02, u04); they stay value-guarded by
 #: tests/test_oracle_parity.py, which sweeps EVERY oracle regardless
 #: of position.
 DRIVER_WINDOW = [
@@ -69,7 +70,6 @@ DRIVER_WINDOW = [
     "m08_pca_whiten",
     # text / curation family
     "t14_token_chunks",
-    "t17_winnow_fingerprints",
     "t18_sequence_packing",
     "t19_quality_rank_filter",
     "t20_pack_manifest",
@@ -84,6 +84,7 @@ DRIVER_WINDOW = [
     "t30_gopher_rules",
     "t31_importance_sample",
     "t32_vocab_coverage",
+    "t33_token_entropy",
     # joins / ER, UDF surface, relational newcomers
     "j03_fuzzy_name_match",
     "j04_fuzzy_multipass",

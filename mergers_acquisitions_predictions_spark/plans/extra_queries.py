@@ -855,3 +855,59 @@ def s09_ivfpq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebooks=cbs,
         rerank=40,
     )
+
+
+T33_ORACLE = """
+    SELECT doc_id,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tok)) AS BIGINT) AS n_types,
+           CASE WHEN len(tok) = 0 THEN 0.0
+                ELSE round(-list_sum(list_transform(
+                         list_sort(list_distinct(tok)),
+                         t -> (CAST(len(list_filter(tok, x -> x = t)) AS DOUBLE)
+                               / len(tok))
+                              * ln(CAST(len(list_filter(tok, x -> x = t)) AS DOUBLE)
+                                   / len(tok)))), 6)
+           END AS token_entropy
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+          FROM documents)
+"""
+
+
+@query("t33_token_entropy", oracle=T33_ORACLE)
+def t33_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) —
+    the information-density quality signal: low entropy flags
+    repetitive/templated text (complementing t16's repetition ratios
+    with a single scale-free number), near-log(n_types) flags
+    natural prose. Summation runs over the SORTED distinct-token list
+    in both engines, so the float fold order is deterministic and the
+    6-dp value hash-checks (ln, not log2 — the ln parity precedent is
+    t09's IDF term).
+
+    Scale shape: pure per-row array expressions — the within-doc
+    frequency scan is O(types·tokens) on ≤k-token documents, runs
+    inside the scan stage, zero shuffles, linear at 100 TB."""
+    from ..functions.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokenize(F.col("text")).alias("tok"))
+    n = F.size("tok")
+    p_of = lambda tcol: (
+        F.size(F.filter(F.col("tok"), lambda x: x == tcol)).cast("double")
+        / n.cast("double")
+    )
+    ent = -F.aggregate(
+        F.transform(
+            F.array_sort(F.array_distinct(F.col("tok"))),
+            lambda tcol: p_of(tcol) * F.log(p_of(tcol)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return t.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tok")).cast("long").alias("n_types"),
+        F.when(n == 0, F.lit(0.0)).otherwise(F.round(ent, 6)).alias("token_entropy"),
+    )

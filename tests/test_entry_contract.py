@@ -75,6 +75,7 @@ def test_driver_window_is_the_pinned_manifest():
         "t30_gopher_rules",
         "t31_importance_sample",
         "t32_vocab_coverage",
+        "t33_token_entropy",
         "q47_table_profile",
     }
     assert new_in_r3 <= set(DRIVER_WINDOW)
