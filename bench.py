@@ -72,6 +72,8 @@ def main() -> None:
         "t28_unigram_logprob_quality",
         "t30_gopher_rules",
         "t31_importance_sample",
+        "t32_vocab_coverage",
+        "t33_token_entropy",
         "t29_bigram_backoff_quality",
         "t26_bpe_encode",
         "t27_snapshot_diff",

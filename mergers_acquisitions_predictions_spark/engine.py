@@ -348,3 +348,10 @@ class Engine:
         from .operators.curation import importance_sample
 
         return importance_sample(df, weight_col, key_col, **kw)
+
+    def compact(self, path: str, **kw) -> tuple[int, int]:
+        """Small-file compaction of a parquet table (crash-safe swap);
+        returns (files_before, files_after)."""
+        from .sources.writers import compact_parquet
+
+        return compact_parquet(self.spark, path, **kw)

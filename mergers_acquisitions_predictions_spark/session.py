@@ -27,6 +27,14 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Parquet scans: vectorized reader on, 128 MB split target.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Runtime Bloom-filter join pruning: inject a bloom filter built
+    # from the creation side of a selective join into the other
+    # side's scan — at 100 TB this prunes shuffle input for the
+    # id-keyed joins (dedup cluster joins, shortlist re-rank fetch)
+    # the same way DPP prunes partitions. Semantics-preserving
+    # (false-positive rows are re-filtered by the join itself), so
+    # oracle parity is unaffected.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

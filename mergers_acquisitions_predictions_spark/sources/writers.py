@@ -136,3 +136,50 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Small-file compaction — the table-maintenance pass every
+    long-lived 100 TB dataset needs: streaming ingest, dynamic
+    partition overwrites, and per-shard re-runs all accrete small
+    parquet files, and scan cost at scale is dominated by file-open
+    overhead once files shrink below the split target. Rewrites the
+    table at ~``target_file_bytes`` per file (matching the session's
+    ``maxPartitionBytes`` scan split by default) with the same
+    crash-safe rename promotion as the upsert sink: a complete table
+    exists under ``path`` or its ``.old`` twin at every instant.
+
+    Returns (n_input_files, n_output_files). Driver-side file sizing
+    uses the local filesystem walk; on HDFS/S3 swap the two
+    ``os``/``shutil`` blocks for the Hadoop FileSystem API — the plan
+    (read → repartition(n) → staged write → swap) is unchanged.
+    Compaction is layout-only: content equality is asserted by the
+    roundtrip test, and readers see the new files immediately
+    (refreshByPath clears the listing cache)."""
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".compacting"
+    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(path)
+    return len(files), n_out

@@ -222,3 +222,24 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     assert pruned.count() == src.filter(src.n_regionkey == 0).count()
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "orc" in plan.lower()
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from mergers_acquisitions_predictions_spark.sources.writers import compact_parquet
+
+    p = str(tmp_path / "frag")
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    df.repartition(32).write.parquet(p)
+    before = {r.id: r.v for r in spark.read.parquet(p).collect()}
+    n_in, n_out = compact_parquet(spark, p, target_file_bytes=64 * 1024 * 1024)
+    assert n_in == 32 and n_out == 1
+    import os
+
+    pq_files = [f for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")]
+    assert len(pq_files) == n_out
+    after = {r.id: r.v for r in spark.read.parquet(p).collect()}
+    assert after == before
+    # idempotent second pass, and the staging/old twins are gone
+    assert not os.path.exists(p + ".old") and not os.path.exists(p + ".compacting")
+    n_in2, n_out2 = compact_parquet(spark, p, target_file_bytes=64 * 1024 * 1024)
+    assert n_in2 == 1 and n_out2 == 1
