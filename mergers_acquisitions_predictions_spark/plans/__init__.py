@@ -30,10 +30,11 @@ from . import extra_queries  # noqa: E402,F401
 #: hour-bucket range join, d16 span coverage, d17 star components,
 #: d18 span trim, q47 profile, s07 ANN recall, s08/s09 IVF-PQ, t30 Gopher rules, t31
 #: importance sampling, t32 vocab coverage, t33
-#: token entropy), so every registry
+#: token entropy, q48 cont-quantiles, q49 relative ranks), so every
+#: registry
 #: entry has a driver row in r01∪r02∪r03. Twenty r1/r2-green queries
 #: rotate OUT (d01–d04, d06, d10, s01, q17, q38, t03–t13, t15,
-#: t16, t17, t27, j02, u04); they stay value-guarded by
+#: t16, t17, t27, j02, j03, m04, u04); they stay value-guarded by
 #: tests/test_oracle_parity.py, which sweeps EVERY oracle regardless
 #: of position.
 DRIVER_WINDOW = [
@@ -63,7 +64,6 @@ DRIVER_WINDOW = [
     "m01_tfidf_features",
     "m02_lr_confusion",
     "m03_lda_topics",
-    "m04_pair_ranking",
     "m05_kmeans_clusters",
     "m06_split_assignment",
     "m07_stratified_sample",
@@ -86,12 +86,13 @@ DRIVER_WINDOW = [
     "t32_vocab_coverage",
     "t33_token_entropy",
     # joins / ER, UDF surface, relational newcomers
-    "j03_fuzzy_name_match",
     "j04_fuzzy_multipass",
     "j05_event_window_range_join",
     "u05_frame_sample_stats",
     "q46_unpivot_measures",
     "q47_table_profile",
+    "q48_percentile_cont",
+    "q49_relative_rank",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -246,3 +246,69 @@ def q47_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return table_profile(o)
+
+
+@query(
+    "q48_percentile_cont",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.5), 6)  AS median_price,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+           round(quantile_cont(l_discount, 0.5), 6)       AS median_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q48_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPOLATED per-group quantiles (`percentile` /
+    `quantile_cont`) — the continuous companion of q33's discrete
+    quantiles: both engines use the same linear-interpolation rank
+    definition ((n−1)·p between order statistics), so the values
+    hash-match at 6 dp. One exact-percentile hash aggregation per
+    group; at 100 TB swap for `approx_percentile` (t-digest sketch:
+    mergeable, constant memory) when the groups are corpus-sized —
+    same query shape, sketch-bounded error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+        F.round(F.expr("percentile(l_discount, 0.5)"), 6).alias("median_disc"),
+    )
+
+
+@query(
+    "q49_relative_rank",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6)    AS cume,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q49_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window family: percent_rank ((rank−1)/(n−1)),
+    cume_dist (rows ≤ current / n), and decile ntile over one window
+    spec — the distribution-position trio quality-curation cuts are
+    phrased in (t19 implements the same decile cut with the
+    distributed two-phase rank; this is the single-partition-key
+    window form both engines define identically). The total order
+    (price, orderkey) makes every rank deterministic; one shuffle on
+    the partition key."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )

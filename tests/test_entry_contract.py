@@ -76,6 +76,8 @@ def test_driver_window_is_the_pinned_manifest():
         "t31_importance_sample",
         "t32_vocab_coverage",
         "t33_token_entropy",
+        "q48_percentile_cont",
+        "q49_relative_rank",
         "q47_table_profile",
     }
     assert new_in_r3 <= set(DRIVER_WINDOW)
