@@ -79,6 +79,7 @@ def main() -> None:
         "t27_snapshot_diff",
         "s02_cosine_topk",
         "s08_ivfpq_topk",
+        "s10_ivfsq_topk",
         "m04_pair_ranking",
         "q25_monthly_orders",
         "q31_json_extract",

@@ -157,15 +157,18 @@ class Engine:
         """Similarity search: 'brute' (exact), 'lsh' (sign-LSH
         multi-table), 'ivf' (cell-partitioned index), 'ivfpq'
         (compressed codes + ADC; pass rerank=R for the exact-re-rank
-        production config)."""
+        production config), 'ivfsq' (8-bit scalar quantization —
+        4x-smaller index, ~lossless, no re-rank needed)."""
         from .operators import similarity as S
         from .operators.pq import ivfpq_topk
+        from .operators.sq import ivfsq_topk
 
         fns = {
             "brute": S.brute_force_topk,
             "lsh": S.lsh_topk,
             "ivf": S.ivf_topk,
             "ivfpq": ivfpq_topk,
+            "ivfsq": ivfsq_topk,
         }
         try:
             return fns[method](queries, corpus, **kw)

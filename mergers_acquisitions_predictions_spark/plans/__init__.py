@@ -37,9 +37,11 @@ from . import extra_queries  # noqa: E402,F401
 #: t16, t17, t27, j02, j03, m04, u04); they stay value-guarded by
 #: tests/test_oracle_parity.py, which sweeps EVERY oracle regardless
 #: of position.
+#: Later round-3 sessions build MORE queries (s10 IVF-SQ8, t34 CCNet
+#: buckets); each debuts in the window by rotating out an r1/r2-green
+#: entry (d05, s02), keeping the r01∪r02∪r03 invariant.
 DRIVER_WINDOW = [
     # dedup family
-    "d05_embedding_neardups",
     "d07_lsh_embedding_neardups",
     "d08_prefix_jaccard_pairs",
     "d09_dup_clusters",
@@ -60,6 +62,7 @@ DRIVER_WINDOW = [
     "s07_ann_recall",
     "s08_ivfpq_topk",
     "s09_ivfpq_kmeans_topk",
+    "s10_ivfsq_topk",
     # ML family
     "m01_tfidf_features",
     "m02_lr_confusion",

@@ -273,3 +273,75 @@ def ivfpq_topk_sql(
         FROM scored
     )
     WHERE rank <= {k}'''}"""
+
+
+def ivfsq_topk_sql(
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    k: int = 5,
+    query_filter: str = "WHERE vec_id < 5",
+) -> str:
+    """DuckDB mirror of `operators/sq.ivfsq_topk` (IVF + 8-bit scalar
+    quantization): the oracle regenerates the per-dimension min/range
+    stats from the parquet (exact double comparisons — no fold-order
+    sensitivity), re-encodes every corpus vector onto the same
+    round-half-up 0..255 grid, and replays the asymmetric dequantized
+    dot product with the same left-to-right `list_sum` fold the
+    engine's `aggregate` uses. One static string, exact at every SF."""
+    D = dim
+    code = f"""CAST(CASE WHEN rngs[i] = 0 THEN 0
+                        ELSE least(greatest(floor(
+                            (u[i] - mns[i]) / rngs[i] * 255.0 + 0.5), 0), 255)
+                   END AS INTEGER)"""
+    return f"""
+    unit AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)
+                   / sqrt({SQL_SQNORM.format(v='embedding')})) AS u
+        FROM embeddings
+    ),
+    dimstats AS (
+        SELECT CAST(t.i AS INTEGER) AS dim,
+               min(u[CAST(t.i AS INTEGER)]) AS mn,
+               max(u[CAST(t.i AS INTEGER)]) - min(u[CAST(t.i AS INTEGER)]) AS rng
+        FROM unit CROSS JOIN range(1, {D} + 1) t(i)
+        GROUP BY 1
+    ),
+    statarr AS (
+        SELECT list(mn ORDER BY dim) AS mns, list(rng ORDER BY dim) AS rngs
+        FROM dimstats
+    ),
+    codes AS (
+        SELECT vec_id,
+               list_transform(range(1, {D} + 1), i -> {code}) AS sq
+        FROM unit CROSS JOIN statarr
+    ),
+    cent AS ({ivf_cent_cte_sql(n_cells)}
+    ),
+    c_assign AS ({ivf_assign_sql("", "candidate_id", 1)}
+    ),
+    q_assign AS ({ivf_assign_sql(query_filter, "query_id", n_probe)}
+    ),
+    scored AS (
+        SELECT q.query_id, c.candidate_id,
+               round(list_sum(list_transform(range(1, {D} + 1), i ->
+                   qu.u[i] * (sa.mns[i]
+                              + CAST(cd.sq[i] AS DOUBLE) * sa.rngs[i] / 255.0))),
+                     6) AS sq_sim
+        FROM q_assign q
+        JOIN c_assign c USING (cell_id)
+        JOIN codes cd ON cd.vec_id = c.candidate_id
+        JOIN unit qu ON qu.vec_id = q.query_id
+        CROSS JOIN statarr sa
+        WHERE q.query_id <> c.candidate_id
+    )
+    SELECT query_id, candidate_id, sq_sim, rank
+    FROM (
+        SELECT query_id, candidate_id, sq_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY sq_sim DESC, candidate_id
+               ) AS BIGINT) AS rank
+        FROM scored
+    )
+    WHERE rank <= {k}"""

@@ -335,3 +335,35 @@ def s07_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = s02_cosine_topk(spark, sf_dir)
     ap = s03_lsh_ann_topk(spark, sf_dir)
     return topk_recall(ex, ap, k=5)
+
+
+from .lsh_oracle import ivfsq_topk_sql as _ivfsq_topk_sql  # noqa: E402
+
+
+@query(
+    "s10_ivfsq_topk",
+    oracle=f"WITH {_ivfsq_topk_sql(dim=64, n_cells=16, n_probe=2, k=5)}\n",
+)
+def s10_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF + 8-bit SCALAR quantization
+    (operators/sq.ivfsq_topk) — the missing design point between raw
+    vectors and PQ codes that completes the compression family: s02
+    exact float32 (256 B/vec), s10 SQ8 (64 B/vec, ~lossless — no
+    re-rank stage needed), s08 PQ (8 B/vec, ADC lookups + exact
+    re-rank to recover quantization loss). SQ8 is what a deployment
+    picks when the index must fit executor RAM but scan FLOPs are
+    cheap: per-dimension min/max learned from the corpus, one uint8
+    per dimension, full-precision queries (asymmetric distance).
+
+    FULL value parity despite double approximation (cells AND
+    quantization): the oracle regenerates the per-dimension stats
+    from the parquet, re-encodes the corpus on the same
+    round-half-up grid, and replays the dequantized-dot ranking —
+    see lsh_oracle.ivfsq_topk_sql. Recall vs the exact baseline is
+    asserted at the IVF ceiling in tests/test_sq.py."""
+    from ..operators.sq import ivfsq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivfsq_topk(
+        e.filter(F.col("vec_id") < 5), e, k=5, n_cells=16, n_probe=2
+    )

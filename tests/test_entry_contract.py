@@ -79,6 +79,7 @@ def test_driver_window_is_the_pinned_manifest():
         "q48_percentile_cont",
         "q49_relative_rank",
         "q47_table_profile",
+        "s10_ivfsq_topk",
     }
     assert new_in_r3 <= set(DRIVER_WINDOW)
 
