@@ -70,6 +70,7 @@ def main() -> None:
         "t14_token_chunks",
         "t16_repetition_stats",
         "t28_unigram_logprob_quality",
+        "t34_ccnet_buckets",
         "t30_gopher_rules",
         "t31_importance_sample",
         "t32_vocab_coverage",

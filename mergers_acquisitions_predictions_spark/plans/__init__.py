@@ -54,7 +54,6 @@ DRIVER_WINDOW = [
     "d17_components_star",
     "d18_span_trim",
     # similarity / ANN family
-    "s02_cosine_topk",
     "s03_lsh_ann_topk",
     "s04_ivf_ann_topk",
     "s05_ivf_kmeans_topk",
@@ -88,6 +87,7 @@ DRIVER_WINDOW = [
     "t31_importance_sample",
     "t32_vocab_coverage",
     "t33_token_entropy",
+    "t34_ccnet_buckets",
     # joins / ER, UDF surface, relational newcomers
     "j04_fuzzy_multipass",
     "j05_event_window_range_join",

@@ -904,3 +904,83 @@ def t28_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.avg("logp"), 6).alias("avg_logprob"),
     )
+
+
+@query(
+    "t34_ccnet_buckets",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest({SQL_TOKENS}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT count(*) AS n FROM tok),
+    voc AS (SELECT count(*) AS v FROM freq),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(floor(avg(ln((f.c + 1) / (CAST(tot.n AS DOUBLE) + voc.v)))
+                          * 1e6 + 0.5) AS BIGINT) AS score_ppm
+        FROM tok JOIN freq f USING (tok), tot, voc
+        GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_tokens, score_ppm,
+           CAST(ntile(3) OVER (
+               PARTITION BY lang ORDER BY score_ppm DESC, doc_id
+           ) AS BIGINT) AS bucket,
+           CASE ntile(3) OVER (
+               PARTITION BY lang ORDER BY score_ppm DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket_label
+    FROM scored
+    """,
+)
+def t34_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus partitioning (Wenzek et al.
+    2020): score every document by corpus-LM mean token log-prob
+    (t28's unigram scorer), then split EACH LANGUAGE into perplexity
+    terciles — 'head' is the cleanest third a pretraining mix
+    upsamples, 'tail' the third it drops or down-weights. Per-language
+    bucketing is the point: absolute perplexity is not comparable
+    across languages, so thresholds must be language-relative.
+
+    Plan: t28's shapes (one token-keyed shuffle for the freq table,
+    two scalar model constants, vocab-sized score join, one doc-keyed
+    aggregate) plus ONE lang-keyed window exchange for the terciles.
+    At 100 TB the ntile sort is per-language; a language so dominant
+    its partition breaks the sort budget switches to approx-quantile
+    boundary assignment (q33's percentile machinery) at the cost of
+    exact tercile cardinality — documented, not defaulted, because
+    exact ntile is what the oracle can replay. Scores become integer
+    ppm BEFORE ranking (floor(x*1e6+0.5) — engine-portable round-
+    half-up, NOTES.md) so the tercile cut is bit-stable cross-engine."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.explode(tokenize("text")).alias("tok")
+    )
+    freq = d.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total, n_vocab = freq.agg(
+        F.sum("c").cast("long"), F.count(F.lit(1))
+    ).first()
+    logp = F.log((F.col("c") + 1) / F.lit(float(n_total) + float(n_vocab)))
+    scored = (
+        d.join(freq.select("tok", logp.alias("logp")), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.floor(F.avg("logp") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("score_ppm"),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+    bucket = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "score_ppm",
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket == 1, "head")
+        .when(bucket == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket_label"),
+    )

@@ -80,6 +80,7 @@ def test_driver_window_is_the_pinned_manifest():
         "q49_relative_rank",
         "q47_table_profile",
         "s10_ivfsq_topk",
+        "t34_ccnet_buckets",
     }
     assert new_in_r3 <= set(DRIVER_WINDOW)
 
