@@ -81,6 +81,7 @@ def main() -> None:
         "s02_cosine_topk",
         "s08_ivfpq_topk",
         "s10_ivfsq_topk",
+        "s11_rrf_fusion",
         "m04_pair_ranking",
         "q25_monthly_orders",
         "q31_json_extract",

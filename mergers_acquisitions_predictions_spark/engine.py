@@ -328,6 +328,15 @@ class Engine:
 
         return topk_recall(exact, approx, k, **kw)
 
+    def rrf_fuse(self, ranked: list[DataFrame], k: int = 5, **kw) -> DataFrame:
+        """Reciprocal-rank fusion of N ranked retrieval lists — the
+        standard hybrid-search combiner (no score calibration; only
+        ranks enter). Fuse e.g. an LSH and an IVF index whose recall
+        failure modes differ."""
+        from .operators.similarity import rrf_fuse
+
+        return rrf_fuse(ranked, k, **kw)
+
     def profile(self, df: DataFrame, **kw) -> DataFrame:
         """One-pass per-column profile (nulls, NDV, native min/max);
         `approx=True` swaps exact NDVs for HLL sketches at scale."""

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
@@ -1016,4 +1016,63 @@ def topk_recall(
             F.col("n_hits").cast("long").alias("n_hits"),
             F.round(F.col("n_hits") / F.lit(float(k)), 4).alias("recall"),
         )
+    )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 5,
+    c: int = 60,
+    query_col: str = "query_id",
+    cand_col: str = "candidate_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked
+    retrieval lists: score(q, d) = Σ_lists 1/(c + rank_list(q, d)),
+    missing-from-a-list contributes 0. THE standard hybrid-retrieval
+    combiner — fuse a sign-LSH index with an IVF index (different
+    recall failure modes: LSH misses near-boundary buckets, IVF
+    misses near-cell-edge vectors) and the union outranks either,
+    with no score calibration needed because only RANKS enter.
+
+    Determinism/oracle contract: 1/(c + rank) is the same double on
+    both engines; the N contributions add in list order via nested
+    coalesce(x, 0) sums; the fused score becomes integer parts-per-
+    billion (floor(x*1e9 + 0.5) — round-half-up, NOTES.md) BEFORE the
+    final rank so the cut is engine-portable.
+
+    Plan shape: inputs are k-rows-per-query (tiny vs the corpora that
+    produced them); N-1 full-outer joins on (query, candidate) plus
+    one per-query top-k window — all query-set-sized. The expensive
+    parts are the INPUT index scans; fusion itself is free at scale.
+
+    Returns (query_id, candidate_id, rrf_ppb, fused_rank)."""
+    if len(ranked) < 2:
+        raise ValueError("rrf_fuse needs at least two ranked lists")
+    contribs = [
+        df.select(
+            query_col,
+            cand_col,
+            (
+                F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col).cast("double"))
+            ).alias(f"__rrf{i}"),
+        )
+        for i, df in enumerate(ranked)
+    ]
+    joined = contribs[0]
+    for nxt in contribs[1:]:
+        joined = joined.join(nxt, [query_col, cand_col], "full_outer")
+    score: Column = F.coalesce(F.col("__rrf0"), F.lit(0.0))
+    for i in range(1, len(contribs)):
+        score = score + F.coalesce(F.col(f"__rrf{i}"), F.lit(0.0))
+    fused = joined.select(
+        query_col,
+        cand_col,
+        F.floor(score * F.lit(1e9) + F.lit(0.5)).cast("long").alias("rrf_ppb"),
+    )
+    w = W.partitionBy(query_col).orderBy(F.desc("rrf_ppb"), F.asc(cand_col))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= k)
+        .select(query_col, cand_col, "rrf_ppb", "fused_rank")
     )

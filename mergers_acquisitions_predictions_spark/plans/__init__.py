@@ -38,8 +38,9 @@ from . import extra_queries  # noqa: E402,F401
 #: tests/test_oracle_parity.py, which sweeps EVERY oracle regardless
 #: of position.
 #: Later round-3 sessions build MORE queries (s10 IVF-SQ8, t34 CCNet
-#: buckets); each debuts in the window by rotating out an r1/r2-green
-#: entry (d05, s02), keeping the r01∪r02∪r03 invariant.
+#: buckets, s11 RRF hybrid fusion); each debuts in the window by
+#: rotating out an r1/r2-green entry (d05, s02, s04), keeping the
+#: r01∪r02∪r03 invariant.
 DRIVER_WINDOW = [
     # dedup family
     "d07_lsh_embedding_neardups",
@@ -55,13 +56,13 @@ DRIVER_WINDOW = [
     "d18_span_trim",
     # similarity / ANN family
     "s03_lsh_ann_topk",
-    "s04_ivf_ann_topk",
     "s05_ivf_kmeans_topk",
     "s06_hard_negatives",
     "s07_ann_recall",
     "s08_ivfpq_topk",
     "s09_ivfpq_kmeans_topk",
     "s10_ivfsq_topk",
+    "s11_rrf_fusion",
     # ML family
     "m01_tfidf_features",
     "m02_lr_confusion",

@@ -367,3 +367,51 @@ def s10_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfsq_topk(
         e.filter(F.col("vec_id") < 5), e, k=5, n_cells=16, n_probe=2
     )
+
+
+@query(
+    "s11_rrf_fusion",
+    oracle=f"""
+    WITH lsh AS ({_ORACLES["s03_lsh_ann_topk"]}),
+    ivf AS ({_ORACLES["s04_ivf_ann_topk"]}),
+    fused AS (
+        SELECT coalesce(l.query_id, i.query_id) AS query_id,
+               coalesce(l.candidate_id, i.candidate_id) AS candidate_id,
+               CAST(floor((coalesce(CAST(1.0 AS DOUBLE)
+                                    / (CAST(60.0 AS DOUBLE)
+                                       + CAST(l.rank AS DOUBLE)), 0.0)
+                           + coalesce(CAST(1.0 AS DOUBLE)
+                                      / (CAST(60.0 AS DOUBLE)
+                                         + CAST(i.rank AS DOUBLE)), 0.0))
+                          * 1e9 + 0.5) AS BIGINT) AS rrf_ppb
+        FROM lsh l
+        FULL OUTER JOIN ivf i
+          ON l.query_id = i.query_id AND l.candidate_id = i.candidate_id
+    )
+    SELECT query_id, candidate_id, rrf_ppb, fused_rank
+    FROM (
+        SELECT query_id, candidate_id, rrf_ppb,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY rrf_ppb DESC, candidate_id
+               ) AS BIGINT) AS fused_rank
+        FROM fused
+    )
+    WHERE fused_rank <= 5
+    """,
+)
+def s11_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the sign-LSH index
+    (s03) with the IVF index (s04) — operators/similarity.rrf_fuse.
+    The two indexes have DIFFERENT recall failure modes (LSH misses
+    near-hyperplane-boundary neighbors, IVF misses near-cell-edge
+    ones), so their rank-level union beats either alone with no score
+    calibration — the reason RRF is the default combiner in hybrid
+    search stacks. The oracle literally composes the two underlying
+    index oracles, so the fused ranking is value-checked end to end;
+    the fused score becomes integer ppb before ranking so the cut is
+    engine-portable."""
+    from ..operators.similarity import rrf_fuse
+
+    lsh = s03_lsh_ann_topk(spark, sf_dir)
+    ivf = s04_ivf_ann_topk(spark, sf_dir)
+    return rrf_fuse([lsh, ivf], k=5, c=60)

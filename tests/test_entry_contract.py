@@ -81,6 +81,7 @@ def test_driver_window_is_the_pinned_manifest():
         "q47_table_profile",
         "s10_ivfsq_topk",
         "t34_ccnet_buckets",
+        "s11_rrf_fusion",
     }
     assert new_in_r3 <= set(DRIVER_WINDOW)
 

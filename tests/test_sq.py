@@ -109,3 +109,56 @@ def test_ivfsq_deterministic_across_runs(spark):
     a = sorted(map(tuple, ivfsq_topk(q, e, k=5).collect()))
     b = sorted(map(tuple, ivfsq_topk(q, e, k=5).collect()))
     assert a == b
+
+
+def test_rrf_fusion_recall_beats_or_matches_components(spark):
+    """RRF's pitch: the fused list's recall is >= max(components) when
+    the components fail differently. On this corpus LSH and IVF do
+    fail differently (different bucket/cell geometry), so assert
+    fused >= each component with a small tolerance for rank-churn."""
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+        rrf_fuse,
+        topk_recall,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 25)
+    exact = brute_force_topk(q, e, k=5)
+    lsh = lsh_topk(q, e, k=5)
+    ivf = ivf_topk(q, e, k=5, n_cells=16, n_probe=2)
+    fused = rrf_fuse([lsh, ivf], k=5).withColumnRenamed("fused_rank", "rank")
+
+    def avg_recall(ap):
+        return topk_recall(exact, ap, k=5).agg(F.avg("recall")).first()[0]
+
+    r_lsh, r_ivf, r_f = avg_recall(lsh), avg_recall(ivf), avg_recall(fused)
+    assert r_f >= max(r_lsh, r_ivf) - 0.05
+    assert r_f > 0.5
+
+
+def test_rrf_scores_and_determinism(spark):
+    """A doc ranked 1 by BOTH lists must outrank a doc ranked 1 by
+    one list only; two-list membership is visible in the ppb score
+    (2/(c+1) vs 1/(c+1)); repeat runs are bit-identical."""
+    from mergers_acquisitions_predictions_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, candidate_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 2)], "query_id long, candidate_id long, rank long"
+    )
+    out = {r.candidate_id: (r.rrf_ppb, r.fused_rank) for r in rrf_fuse([a, b], k=5).collect()}
+    both = 1.0 / 61 + 1.0 / 61
+    one_r2 = 1.0 / 62
+    assert out[10] == (int(both * 1e9 + 0.5), 1)
+    assert out[11][0] == out[12][0] == int(one_r2 * 1e9 + 0.5)
+    assert out[11][1] == 2 and out[12][1] == 3  # id tiebreak
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least two"):
+        rrf_fuse([a])
