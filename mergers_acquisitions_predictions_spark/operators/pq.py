@@ -177,7 +177,7 @@ def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_probe: int = 2,
     n_subspaces: int = 8,
     n_codes: int = 16,
@@ -213,8 +213,10 @@ def ivfpq_topk(
     Returns (query_id, candidate_id, adc_dist, rank); adc_dist is the
     6-dp-rounded quantized distance (≈ 2−2·cos), rank ties broken by
     candidate_id — deterministic, DuckDB-replayable end to end."""
-    from .similarity import ivf_assign_literal, ivf_centroids
+    from .similarity import auto_cells, ivf_assign_literal, ivf_centroids
 
+    if n_cells is None:  # √n sizing policy — see similarity.auto_cells
+        n_cells = auto_cells(corpus.count())
     cbs = (
         codebooks
         if codebooks is not None

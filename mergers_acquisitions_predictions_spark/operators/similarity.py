@@ -354,12 +354,53 @@ def auto_planes(n_vectors: int, target_bucket: int = 125, floor: int = 4) -> int
     return max(floor, int(math.log2(max(1.0, n_vectors / target_bucket))))
 
 
+def auto_cells(n_vectors: int, floor: int = 16) -> int:
+    """Cell count for the IVF family (`ivf_topk`/`ivfpq_topk`/
+    `ivfsq_topk`) at a given corpus size: cells ≈ √n — the classic
+    flat-IVF balance (FAISS guidance is C·√n). Why √n: assignment
+    costs n·cells cosines (map-side) and each probe scans ~n/cells
+    candidates, so √n equalizes the two and BOTH grow as n^1.5 /
+    √n-per-query instead of one of them going quadratic. A fixed
+    cell count is the same trap as a fixed LSH plane count
+    (`auto_planes`, SCALE.md §7b): at 100× the data each cell holds
+    100× the vectors and every probe join degenerates toward a scan.
+    The registered oracle queries keep an explicit n_cells (the
+    oracle SQL regenerates the same centroid LIMIT); pass
+    ``n_cells=None`` to the operators to get this policy."""
+    if n_vectors <= 0:
+        return floor
+    return max(floor, int(math.isqrt(n_vectors)))
+
+
+#: (applicationId, plane-values) -> list[Column] literal arrays.
+#: Building a 64-float literal array costs ~40 py4j round trips; a
+#: multi-table bucket expression needs 32+ of them PER SIDE PER
+#: INVOCATION, which showed up as seconds of DRIVER-side DataFrame
+#: construction in s03 (4.1 s build vs 1.2 s execution at sf0.1).
+#: Plane literals are pure functions of (dim, n, seed), so memoize
+#: the constructed Columns per JVM session (keyed by applicationId —
+#: a Column from a stopped session must never be reused).
+_PLANE_LIT_CACHE: dict = {}
+
+
+def _plane_lit_arrays(planes: list[list[float]]) -> list:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else None
+    key = (app, tuple(tuple(p) for p in planes))
+    hit = _PLANE_LIT_CACHE.get(key)
+    if hit is None:
+        hit = [F.array(*[F.lit(v) for v in p]) for p in planes]
+        _PLANE_LIT_CACHE[key] = hit
+    return hit
+
+
 def lsh_bucket(vec_col, planes: list[list[float]]):
     """Sign-LSH bucket key: one bit per hyperplane (sign of the dot
     product), concatenated to a string key. Pure expression."""
     bits = []
-    for p in planes:
-        plane = F.array(*[F.lit(v) for v in p])
+    for plane in _plane_lit_arrays(planes):
         d = F.aggregate(
             F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -732,7 +773,7 @@ def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -763,7 +804,13 @@ def ivf_topk(
     ``use_arrow`` scores the probe pairs with `arrow_pair_cosines`
     (threshold −2 ⇒ no prefilter: top-k needs every cosine) instead
     of the JVM fold — bit-identical ranks (round + row_number stay
-    JVM-side); worth it at 768+ dims, see semantic_dedup."""
+    JVM-side); worth it at 768+ dims, see semantic_dedup.
+
+    ``n_cells=None`` sizes cells as √n (`auto_cells`) — the policy a
+    deployment should use; registered oracle queries pin an explicit
+    count so the oracle SQL stays static."""
+    if n_cells is None:
+        n_cells = auto_cells(corpus.count())
     cent = (
         centroids
         if centroids is not None
@@ -854,9 +901,25 @@ def lsh_topk(
     def with_buckets(
         df: DataFrame, id_alias: str, vec_alias: str, probe: bool = False
     ) -> DataFrame:
+        # Stage 1 materializes each table's base bucket ONCE as a
+        # column; stage 2's probe entries reference those columns with
+        # cheap string ops. Inlining the k-dot bucket expression into
+        # every Hamming-1 flip (3 substring copies x k flips x L
+        # tables) put ~400 dot-product folds into one Catalyst tree
+        # and cost seconds of DRIVER-side analysis per invocation —
+        # the pq.py tree-size lesson. CollapseProject keeps the split
+        # because the producers are non-cheap (NOTES.md).
+        staged = df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            *[
+                lsh_bucket(F.col(vec_col), tables[t]).alias(f"__b{t}")
+                for t in range(n_tables)
+            ],
+        )
         entries = []
         for t in range(n_tables):
-            base = lsh_bucket(F.col(vec_col), tables[t])
+            base = F.col(f"__b{t}")
             entries.append(
                 F.struct(F.lit(t).alias("table"), base.alias("bucket"))
             )
@@ -873,9 +936,9 @@ def lsh_topk(
                     entries.append(
                         F.struct(F.lit(t).alias("table"), flipped.alias("bucket"))
                     )
-        return df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(vec_alias),
+        return staged.select(
+            id_alias,
+            vec_alias,
             F.explode(F.array(*entries)).alias("tb"),
         ).select(
             id_alias,

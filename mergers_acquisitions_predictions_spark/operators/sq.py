@@ -148,7 +148,7 @@ def ivfsq_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -167,8 +167,15 @@ def ivfsq_topk(
     the IVF ceiling (asserted in tests/test_sq.py), which is the
     practical argument for SQ8 when index memory, not scan FLOPs, is
     the binding constraint."""
-    from .similarity import collect_centroid_rows, ivf_assign_literal, ivf_centroids
+    from .similarity import (
+        auto_cells,
+        collect_centroid_rows,
+        ivf_assign_literal,
+        ivf_centroids,
+    )
 
+    if n_cells is None:  # √n sizing policy — see similarity.auto_cells
+        n_cells = auto_cells(corpus.count())
     mns, rngs = stats if stats is not None else sq_stats(corpus, vec_col)
     cent_rows = collect_centroid_rows(
         ivf_centroids(corpus, n_cells, id_col, vec_col)

@@ -162,3 +162,17 @@ def test_rrf_scores_and_determinism(spark):
 
     with _pt.raises(ValueError, match="at least two"):
         rrf_fuse([a])
+
+
+def test_auto_cells_policy(spark):
+    """√n sizing with a floor; n_cells=None routes through it."""
+    from mergers_acquisitions_predictions_spark.operators.similarity import auto_cells
+
+    assert auto_cells(0) == 16
+    assert auto_cells(100) == 16          # floor
+    assert auto_cells(10_000) == 100      # sqrt
+    assert auto_cells(1_000_000) == 1000
+    e = load_table(spark, SF, "embeddings")  # 500 vectors at sf0.01
+    q = e.filter(F.col("vec_id") < 5)
+    got = ivfsq_topk(q, e, k=5, n_cells=None, n_probe=2)
+    assert got.count() == 25  # 5 queries x top-5 under sqrt-sized cells
