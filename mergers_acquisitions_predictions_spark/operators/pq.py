@@ -98,12 +98,20 @@ def _cb_literal(codebooks: list[list[list[float]]]) -> Column:
     encoding map-side; keeping it ONE column (not n_subspaces x
     n_codes unrolled sub-expressions) keeps the Catalyst tree small —
     the first formulation here unrolled 128 aggregate expressions and
-    spent seconds per query in driver-side analysis alone."""
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in code]) for code in book])
-            for book in codebooks
-        ]
+    spent seconds per query in driver-side analysis alone. The
+    ~1k-element literal itself is memoized per session (py4j
+    construction cost — util.memoized_literal, PERF.md s03 lesson)."""
+    from .util import memoized_literal
+
+    frozen = tuple(tuple(tuple(map(float, code)) for code in book) for book in codebooks)
+    return memoized_literal(
+        ("pq_codebooks", frozen),
+        lambda: F.array(
+            *[
+                F.array(*[F.array(*[F.lit(float(x)) for x in code]) for code in book])
+                for book in codebooks
+            ]
+        ),
     )
 
 

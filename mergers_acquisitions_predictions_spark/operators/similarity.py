@@ -372,28 +372,20 @@ def auto_cells(n_vectors: int, floor: int = 16) -> int:
     return max(floor, int(math.isqrt(n_vectors)))
 
 
-#: (applicationId, plane-values) -> list[Column] literal arrays.
-#: Building a 64-float literal array costs ~40 py4j round trips; a
-#: multi-table bucket expression needs 32+ of them PER SIDE PER
-#: INVOCATION, which showed up as seconds of DRIVER-side DataFrame
-#: construction in s03 (4.1 s build vs 1.2 s execution at sf0.1).
-#: Plane literals are pure functions of (dim, n, seed), so memoize
-#: the constructed Columns per JVM session (keyed by applicationId —
-#: a Column from a stopped session must never be reused).
-_PLANE_LIT_CACHE: dict = {}
-
-
 def _plane_lit_arrays(planes: list[list[float]]) -> list:
-    from pyspark import SparkContext
+    """Hyperplane literal arrays, memoized per session: building a
+    64-float literal Column costs ~40 py4j round trips and a
+    multi-table bucket expression needs 32+ of them per side per
+    invocation — measured as 4.1 s of DRIVER-side DataFrame
+    construction vs 1.2 s execution for s03 at sf0.1 (PERF.md).
+    Planes are pure functions of (dim, n, seed), so the Columns are
+    safely shared by every LSH consumer in the session."""
+    from .util import memoized_literal
 
-    sc = SparkContext._active_spark_context
-    app = sc.applicationId if sc is not None else None
-    key = (app, tuple(tuple(p) for p in planes))
-    hit = _PLANE_LIT_CACHE.get(key)
-    if hit is None:
-        hit = [F.array(*[F.lit(v) for v in p]) for p in planes]
-        _PLANE_LIT_CACHE[key] = hit
-    return hit
+    return memoized_literal(
+        ("planes", tuple(tuple(p) for p in planes)),
+        lambda: [F.array(*[F.lit(v) for v in p]) for p in planes],
+    )
 
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
@@ -647,11 +639,17 @@ def ivf_assign_literal(
     k = len(cent_rows)
     if k == 0:
         raise ValueError("ivf_assign_literal needs at least one centroid")
-    cvecs = F.array(
-        *[F.array(*[F.lit(float(x)) for x in r[1]]) for r in cent_rows]
+    from .util import memoized_literal
+
+    frozen = tuple((int(r[0]), tuple(map(float, r[1])), float(r[2])) for r in cent_rows)
+    cvecs, cnorms, cids = memoized_literal(
+        ("centroids", frozen),
+        lambda: (
+            F.array(*[F.array(*[F.lit(float(x)) for x in r[1]]) for r in cent_rows]),
+            F.array(*[F.lit(float(r[2])) for r in cent_rows]),
+            F.array(*[F.lit(int(r[0])).cast("long") for r in cent_rows]),
+        ),
     )
-    cnorms = F.array(*[F.lit(float(r[2])) for r in cent_rows])
-    cids = F.array(*[F.lit(int(r[0])).cast("long") for r in cent_rows])
     side = df.select(
         F.col(id_col).alias(id_alias),
         F.col(vec_col).alias("__vec"),

@@ -86,7 +86,12 @@ def sq_stats(
 
 
 def _lit_arr(xs: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in xs])
+    from .util import memoized_literal
+
+    return memoized_literal(
+        ("sq_stats_arr", tuple(map(float, xs))),
+        lambda: F.array(*[F.lit(float(x)) for x in xs]),
+    )
 
 
 def sq_encode(

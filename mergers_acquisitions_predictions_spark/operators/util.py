@@ -159,3 +159,32 @@ def fit_released(estimator, dataset: DataFrame):
         return estimator.fit(dataset)
     finally:
         dataset.unpersist(blocking=False)
+
+
+#: Session-scoped memo for expensive literal-Column construction.
+#: Building a literal array column costs one py4j round trip PER
+#: ELEMENT; index-artifact literals (hyperplanes, centroids, PQ
+#: codebooks, SQ stats) are ~1-4k elements and were being rebuilt on
+#: every query invocation — measured as SECONDS of driver-side
+#: DataFrame construction (PERF.md, s03 breakdown). Keyed by
+#: applicationId so a Column from a stopped session is never reused.
+_LITERAL_MEMO: dict = {}
+
+
+def memoized_literal(key: tuple, build):
+    """Return ``build()``, memoized per (live session, ``key``).
+    ``key`` must fully determine the constructed expression (include
+    every value folded into the literal). The cache is bounded: it
+    resets when entries from >8 sessions accumulate."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else None
+    k = (app, key)
+    hit = _LITERAL_MEMO.get(k)
+    if hit is None:
+        if len({a for a, _ in _LITERAL_MEMO}) > 8:
+            _LITERAL_MEMO.clear()  # drop dead-session handles
+        hit = build()
+        _LITERAL_MEMO[k] = hit
+    return hit
