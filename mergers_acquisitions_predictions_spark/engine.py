@@ -337,6 +337,14 @@ class Engine:
 
         return rrf_fuse(ranked, k, **kw)
 
+    def key_skew(self, df: DataFrame, key: str) -> DataFrame:
+        """One-row shuffle-key skew diagnostic (max/p99/p50 key
+        counts, skew ratio, hottest key) — run it BEFORE choosing
+        salting or AQE skew thresholds for a big join."""
+        from .operators.aggregates import key_skew_profile
+
+        return key_skew_profile(df, key)
+
     def profile(self, df: DataFrame, **kw) -> DataFrame:
         """One-pass per-column profile (nulls, NDV, native min/max);
         `approx=True` swaps exact NDVs for HLL sketches at scale."""

@@ -123,3 +123,58 @@ def table_profile(
         for c in cols
     ]
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """One-row skew diagnostic for a prospective shuffle/join key —
+    the measurement you take BEFORE choosing salting / AQE skew-join
+    thresholds / a broadcast, instead of discovering the hot key from
+    a straggler task at hour three. At 100 TB a single key holding
+    1% of rows means one reducer gets 1 TB; this makes that visible
+    for the cost of one groupBy.
+
+    Output: n_keys, n_rows, max_count, p50_count, p99_count (count
+    distribution over keys; interpolated percentiles — the q48
+    parity rule), skew_ratio_ppm = max/mean in parts-per-million
+    (uniform keys → 1_000_000), and the hottest key (count desc, key
+    asc tiebreak via a lexicographic struct max — deterministic, no
+    separate top-1 job).
+
+    Plan: one key-keyed groupBy (map-side partial counts — the
+    shuffle is keys, not rows), one single-row aggregate over the
+    count frame. The diagnostic never touches row payloads.
+
+    ``key`` must be numeric (the negation tiebreak); for string keys
+    md5-hash to a numeric surrogate first or drop the top-key
+    column."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    agg = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_count"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50_count"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_count"),
+        F.max(
+            F.struct(
+                F.col("cnt").alias("c"), (-F.col(key)).alias("nk")
+            )
+        ).alias("__top"),
+    )
+    return agg.select(
+        "n_keys",
+        "n_rows",
+        "max_count",
+        "p50_count",
+        "p99_count",
+        F.floor(
+            F.col("max_count").cast("double")
+            * F.col("n_keys")
+            / F.col("n_rows")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("skew_ratio_ppm"),
+        (-F.col("__top.nk")).cast("long").alias("top_key"),
+        F.col("__top.c").cast("long").alias("top_key_count"),
+    )

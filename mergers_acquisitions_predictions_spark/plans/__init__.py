@@ -38,9 +38,9 @@ from . import extra_queries  # noqa: E402,F401
 #: tests/test_oracle_parity.py, which sweeps EVERY oracle regardless
 #: of position.
 #: Later round-3 sessions build MORE queries (s10 IVF-SQ8, t34 CCNet
-#: buckets, s11 RRF hybrid fusion); each debuts in the window by
-#: rotating out an r1/r2-green entry (d05, s02, s04), keeping the
-#: r01∪r02∪r03 invariant.
+#: buckets, s11 RRF hybrid fusion, q50 key-skew profile); each debuts
+#: in the window by rotating out an r1/r2-green entry (d05, s02, s04,
+#: m06), keeping the r01∪r02∪r03 invariant.
 DRIVER_WINDOW = [
     # dedup family
     "d07_lsh_embedding_neardups",
@@ -68,7 +68,6 @@ DRIVER_WINDOW = [
     "m02_lr_confusion",
     "m03_lda_topics",
     "m05_kmeans_clusters",
-    "m06_split_assignment",
     "m07_stratified_sample",
     "m08_pca_whiten",
     # text / curation family
@@ -97,6 +96,7 @@ DRIVER_WINDOW = [
     "q47_table_profile",
     "q48_percentile_cont",
     "q49_relative_rank",
+    "q50_join_key_skew",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -312,3 +312,38 @@ def q49_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).cast("long").alias("decile"),
     )
+
+
+@query(
+    "q50_join_key_skew",
+    oracle="""
+    WITH counts AS (
+        SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_count,
+           round(quantile_cont(cnt, 0.5), 6) AS p50_count,
+           round(quantile_cont(cnt, 0.99), 6) AS p99_count,
+           CAST(floor(CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt) * 1e6
+                      + 0.5) AS BIGINT) AS skew_ratio_ppm,
+           CAST((SELECT l_orderkey FROM counts
+                 ORDER BY cnt DESC, l_orderkey LIMIT 1) AS BIGINT) AS top_key,
+           CAST(max(cnt) AS BIGINT) AS top_key_count
+    FROM counts
+    """,
+)
+def q50_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators/aggregates.
+    key_skew_profile) over lineitem's join key — the measurement a
+    100 TB pipeline takes BEFORE picking salting / AQE skew
+    thresholds / broadcast sides, phrased as a query so it runs in
+    the same harness as everything else. One keys-sized shuffle plus
+    a one-row aggregate; the hottest key comes from a lexicographic
+    struct max in the SAME aggregate (count desc, key asc — no
+    second job, no 1-row cross join). skew_ratio is integer ppm
+    (floor(x*1e6+0.5), NOTES.md) so the row hashes cross-engine."""
+    from ..operators.aggregates import key_skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, "l_orderkey")

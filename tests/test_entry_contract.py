@@ -82,6 +82,7 @@ def test_driver_window_is_the_pinned_manifest():
         "s10_ivfsq_topk",
         "t34_ccnet_buckets",
         "s11_rrf_fusion",
+        "q50_join_key_skew",
     }
     assert new_in_r3 <= set(DRIVER_WINDOW)
 
