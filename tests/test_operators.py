@@ -580,3 +580,27 @@ def test_trim_dup_spans_keeps_first_occurrence(spark):
     import hashlib
 
     assert out[2]["clean_fp"] == hashlib.md5(b"z").hexdigest()
+
+
+def test_memoized_literal_session_scoped(spark):
+    """Same key + live session -> the SAME Column object (no py4j
+    rebuild); different key -> a different build. The cache key
+    includes applicationId so Columns never leak across sessions."""
+    from mergers_acquisitions_predictions_spark.operators.util import (
+        _LITERAL_MEMO,
+        memoized_literal,
+    )
+    from pyspark.sql import functions as F
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return F.lit(1.0)
+
+    a = memoized_literal(("t_memo", 1), build)
+    b = memoized_literal(("t_memo", 1), build)
+    c = memoized_literal(("t_memo", 2), build)
+    assert a is b and len(calls) == 2 and c is not a
+    app = spark.sparkContext.applicationId
+    assert (app, ("t_memo", 1)) in _LITERAL_MEMO
