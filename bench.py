@@ -84,6 +84,7 @@ def main() -> None:
         "s11_rrf_fusion",
         "m04_pair_ranking",
         "q25_monthly_orders",
+        "q50_join_key_skew",
         "q31_json_extract",
         "q33_quantiles",
         "u01_pandas_udf_charge",
