@@ -137,3 +137,40 @@ def search_ivfsq_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "candidate_id", "sq_sim", "rank")
     )
+
+
+def append_to_ivfsq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a shard to a persisted IVF-SQ8 index — the nightly-
+    ingest shape (the embedding counterpart of d12's incremental
+    MinHash index): new vectors are assigned and encoded with the
+    index's PERSISTED centroids and quantizer stats (no refit — the
+    production behavior: an index's geometry is frozen between
+    rebuilds, and quantizer drift is handled by periodic full
+    rebuilds, not per-shard refits, so existing codes stay valid and
+    comparable). The write appends into the same cell partitions;
+    searches immediately see the new vectors."""
+    spark = new_vectors.sparkSession
+    meta = spark.read.json(f"{path}/meta").first()
+    mns = json.loads(meta["mns"])
+    rngs = json.loads(meta["rngs"])
+    cent_rows = [
+        (int(c), [float(x) for x in v], float(n))
+        for c, v, n in json.loads(meta["centroids"])
+    ]
+
+    from .similarity import ivf_assign_literal
+    from .sq import _unit, sq_encode
+
+    coded = ivf_assign_literal(
+        new_vectors, cent_rows, "candidate_id", 1, id_col, vec_col
+    ).select(
+        "candidate_id",
+        "cell_id",
+        sq_encode(_unit(F.col("__vec"), F.col("__norm")), mns, rngs).alias("sq"),
+    )
+    coded.write.mode("append").partitionBy("cell_id").parquet(f"{path}/codes")

@@ -65,3 +65,26 @@ def test_build_overwrites_and_roundtrips_meta(spark, tmp_path):
 
     assert len(json.loads(meta["mns"])) == 64
     assert len(json.loads(meta["centroids"])) == 16
+
+
+def test_append_shard_searchable_with_frozen_quantizer(spark, tmp_path):
+    """Nightly-ingest shape: append encodes with the PERSISTED
+    stats/centroids (no refit), lands in the same cell partitions,
+    and is immediately searchable; original results are unchanged
+    for queries whose neighborhoods the shard doesn't enter."""
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        append_to_ivfsq_index,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    base = e.filter(F.col("vec_id") >= 10)
+    shard = e.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(base, path, n_cells=16)
+    n_base = spark.read.parquet(f"{path}/codes").count()
+    append_to_ivfsq_index(shard, path)
+    assert spark.read.parquet(f"{path}/codes").count() == n_base + 10
+    q = e.filter(F.col("vec_id") == 3)  # a shard member as the query
+    got = search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect()
+    assert len(got) == 5
+    assert all(r.query_id == 3 and r.candidate_id != 3 for r in got)
