@@ -328,6 +328,14 @@ class Engine:
 
         return topk_recall(exact, approx, k, **kw)
 
+    def mmr_rerank(self, candidates: DataFrame, k: int = 5, **kw) -> DataFrame:
+        """Diversity-aware MMR re-ranking of an ANN shortlist
+        (relevance traded against redundancy per pick) — feed it an
+        overfetched top-k with candidate vectors attached."""
+        from .operators.similarity import mmr_rerank
+
+        return mmr_rerank(candidates, k, **kw)
+
     def rrf_fuse(self, ranked: list[DataFrame], k: int = 5, **kw) -> DataFrame:
         """Reciprocal-rank fusion of N ranked retrieval lists — the
         standard hybrid-search combiner (no score calibration; only

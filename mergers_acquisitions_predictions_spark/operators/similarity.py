@@ -1137,3 +1137,80 @@ def rrf_fuse(
         .filter(F.col("fused_rank") <= k)
         .select(query_col, cand_col, "rrf_ppb", "fused_rank")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    cand_col: str = "candidate_id",
+    score_col: str = "cos_sim",
+    vec_col: str = "c_vec",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick, per query, the candidate maximizing
+    λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — relevance traded
+    against redundancy, the standard fix for an ANN shortlist full of
+    near-duplicates of the same document (which, in a dedup-focused
+    corpus, is exactly what a raw top-k returns).
+
+    Input: a per-query candidate SHORTLIST (query_id, candidate_id,
+    cos_sim, c_vec) — the overfetched output of any ANN path with the
+    candidate vectors attached (tens of rows per query, by the
+    shortlist contract). Output: (query_id, candidate_id, mmr_score,
+    rank) with rank 1..k in greedy pick order.
+
+    Greedy sequential selection is genuinely iterative — each pick
+    depends on everything picked so far — so this is the legitimate
+    `applyInPandas` case (per-QUERY groups, shortlist-sized: the
+    Python work is O(k·|shortlist|·dim) on ≲40 rows, never
+    corpus-sized; the one shuffle is the query_id grouping).
+    Deterministic: float64 numpy, candidates pre-sorted by
+    (−cos_sim, candidate_id), ties broken by that order — a
+    sequential pure-Python reference reproduces it exactly
+    (tests/test_similarity_mmr.py)."""
+    import pandas as pd
+
+    out_schema = (
+        f"{query_col} long, {cand_col} long, mmr_score double, rank long"
+    )
+    k_, lam_ = int(k), float(lam)
+    qc, cc, sc, vc = query_col, cand_col, score_col, vec_col
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values([sc, cc], ascending=[False, True]).reset_index(
+            drop=True
+        )
+        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vc]])
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf[sc].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        free = np.ones(n, dtype=bool)
+        for _ in range(min(k_, n)):
+            if chosen:
+                red = (unit @ unit[chosen].T).max(axis=1)
+            else:
+                red = np.zeros(n)
+            mmr = lam_ * rel - (1.0 - lam_) * red
+            mmr[~free] = -np.inf
+            best = int(np.argmax(mmr))  # first max = the sort-order tiebreak
+            chosen.append(best)
+            scores.append(float(mmr[best]))
+            free[best] = False
+        return pd.DataFrame(
+            {
+                qc: pdf[qc].iloc[chosen].to_numpy(),
+                cc: pdf[cc].iloc[chosen].to_numpy(),
+                "mmr_score": [round(s, 6) for s in scores],
+                "rank": range(1, len(chosen) + 1),
+            }
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(pick, out_schema)

@@ -38,9 +38,10 @@ from . import extra_queries  # noqa: E402,F401
 #: tests/test_oracle_parity.py, which sweeps EVERY oracle regardless
 #: of position.
 #: Later round-3 sessions build MORE queries (s10 IVF-SQ8, t34 CCNet
-#: buckets, s11 RRF hybrid fusion, q50 key-skew profile); each debuts
-#: in the window by rotating out an r1/r2-green entry (d05, s02, s04,
-#: m06), keeping the r01∪r02∪r03 invariant.
+#: buckets, s11 RRF hybrid fusion, q50 key-skew profile, s12 MMR
+#: rerank); each debuts in the window by rotating out an r1/r2-green
+#: entry (d05, s02, s04, m06, t18), keeping the r01∪r02∪r03
+#: invariant.
 DRIVER_WINDOW = [
     # dedup family
     "d07_lsh_embedding_neardups",
@@ -63,6 +64,7 @@ DRIVER_WINDOW = [
     "s09_ivfpq_kmeans_topk",
     "s10_ivfsq_topk",
     "s11_rrf_fusion",
+    "s12_mmr_rerank",
     # ML family
     "m01_tfidf_features",
     "m02_lr_confusion",
@@ -72,7 +74,6 @@ DRIVER_WINDOW = [
     "m08_pca_whiten",
     # text / curation family
     "t14_token_chunks",
-    "t18_sequence_packing",
     "t19_quality_rank_filter",
     "t20_pack_manifest",
     "t21_source_mixture",

@@ -415,3 +415,32 @@ def s11_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = s03_lsh_ann_topk(spark, sf_dir)
     ivf = s04_ivf_ann_topk(spark, sf_dir)
     return rrf_fuse([lsh, ivf], k=5, c=60)
+
+
+@query("s12_mmr_rerank")  # rows-only: greedy selection is iterative,
+def s12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware re-ranking of an ANN shortlist via Maximal
+    Marginal Relevance (operators/similarity.mmr_rerank): overfetch
+    top-15 exact candidates per query, greedily re-rank to top-5
+    trading relevance against redundancy (λ=0.7) — the standard fix
+    for a shortlist full of near-duplicates, which is precisely what
+    a dedup-focused corpus's raw top-k returns. Greedy sequential
+    selection depends on every prior pick, so it is not
+    SQL-expressible (rows-only driver row by declared design); its
+    correctness evidence is the sequential pure-Python reference
+    equivalence + diversity-property tests in
+    tests/test_similarity_mmr.py. Scale shape: the Python work is
+    per-QUERY over shortlist-sized groups (applyInPandas — the
+    legitimate case), never corpus-sized."""
+    from ..operators.similarity import mmr_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    short = brute_force_topk(q, e, k=15).join(
+        e.select(
+            F.col("vec_id").alias("candidate_id"),
+            F.col("embedding").alias("c_vec"),
+        ),
+        "candidate_id",
+    )
+    return mmr_rerank(short, k=5, lam=0.7)

@@ -83,6 +83,7 @@ def test_driver_window_is_the_pinned_manifest():
         "t34_ccnet_buckets",
         "s11_rrf_fusion",
         "q50_join_key_skew",
+        "s12_mmr_rerank",
     }
     assert new_in_r3 <= set(DRIVER_WINDOW)
 
