@@ -82,6 +82,7 @@ def main() -> None:
         "s08_ivfpq_topk",
         "s10_ivfsq_topk",
         "s11_rrf_fusion",
+        "s12_mmr_rerank",
         "m04_pair_ranking",
         "q25_monthly_orders",
         "q50_join_key_skew",

@@ -88,3 +88,53 @@ def test_append_shard_searchable_with_frozen_quantizer(spark, tmp_path):
     got = search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect()
     assert len(got) == 5
     assert all(r.query_id == 3 and r.candidate_id != 3 for r in got)
+
+
+def test_streaming_queries_served_from_persisted_index(spark, tmp_path):
+    """The persisted index serves STREAMING query traffic: a rate-less
+    file stream of query vectors, foreachBatch running the same
+    partition-pruned search per micro-batch — the online-serving shape
+    (index frozen, queries arrive continuously). Results must equal
+    the batch search for the same query set."""
+    import json as _json
+
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e, path, n_cells=16)
+
+    qdir = tmp_path / "qstream"
+    qdir.mkdir()
+    rows = e.filter(F.col("vec_id") < 3).collect()
+    with open(qdir / "batch0.jsonl", "w") as f:
+        for r in rows:
+            f.write(
+                _json.dumps(
+                    {"vec_id": r.vec_id, "embedding": [float(x) for x in r.embedding]}
+                )
+                + "\n"
+            )
+
+    got = []
+
+    def serve(batch_df, _bid):
+        res = search_ivfsq_index(spark, path, batch_df, k=5, n_probe=2)
+        got.extend(map(tuple, res.collect()))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .json(str(qdir))
+        .writeStream.foreachBatch(serve)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+
+    want = sorted(
+        map(
+            tuple,
+            search_ivfsq_index(
+                spark, path, e.filter(F.col("vec_id") < 3), k=5, n_probe=2
+            ).collect(),
+        )
+    )
+    assert sorted(got) == want and len(want) == 15
