@@ -39,9 +39,9 @@ from . import extra_queries  # noqa: E402,F401
 #: of position.
 #: Later round-3 sessions build MORE queries (s10 IVF-SQ8, t34 CCNet
 #: buckets, s11 RRF hybrid fusion, q50 key-skew profile, s12 MMR
-#: rerank); each debuts in the window by rotating out an r1/r2-green
-#: entry (d05, s02, s04, m06, t18), keeping the r01∪r02∪r03
-#: invariant.
+#: rerank, t35 source-overlap matrix); each debuts in the window by
+#: rotating out an r1/r2-green entry (d05, s02, s04, m06, t18, t20),
+#: keeping the r01∪r02∪r03 invariant.
 DRIVER_WINDOW = [
     # dedup family
     "d07_lsh_embedding_neardups",
@@ -75,7 +75,6 @@ DRIVER_WINDOW = [
     # text / curation family
     "t14_token_chunks",
     "t19_quality_rank_filter",
-    "t20_pack_manifest",
     "t21_source_mixture",
     "t22_funnel_accounting",
     "t23_interleaved_order",
@@ -89,6 +88,7 @@ DRIVER_WINDOW = [
     "t32_vocab_coverage",
     "t33_token_entropy",
     "t34_ccnet_buckets",
+    "t35_source_overlap_matrix",
     # joins / ER, UDF surface, relational newcomers
     "j04_fuzzy_multipass",
     "j05_event_window_range_join",

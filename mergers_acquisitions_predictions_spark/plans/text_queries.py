@@ -984,3 +984,83 @@ def t34_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket_label"),
     )
+
+
+@query(
+    "t35_source_overlap_matrix",
+    oracle=f"""
+    WITH fps AS (
+        SELECT DISTINCT md5({SQL_FP_CLEAN}) AS fp, source FROM documents
+    ),
+    totals AS (SELECT source, count(*) AS n_fps FROM fps GROUP BY source),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS shared_fps
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           CAST(shared_fps AS BIGINT) AS shared_fps,
+           CAST(ta.n_fps AS BIGINT) AS n_fps_a,
+           CAST(tb.n_fps AS BIGINT) AS n_fps_b,
+           CAST(floor(CAST(shared_fps AS DOUBLE)
+                      / least(ta.n_fps, tb.n_fps) * 1e6 + 0.5) AS BIGINT)
+               AS overlap_ppm
+    FROM pairs
+    JOIN totals ta ON ta.source = source_a
+    JOIN totals tb ON tb.source = source_b
+    """,
+)
+def t35_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE duplication matrix: for every source pair, how
+    many exact-dedup fingerprints they share, normalized by the
+    smaller source (overlap coefficient, ppm) — the curation view
+    that decides dedup ORDER and mixture design (two crawls sharing
+    40% of their content should not both get full mixture weight;
+    dedup the cheaper one against the better one). Web-scale corpora
+    (CC dumps across months) make this the first diagnostic run.
+
+    Scale shape: fingerprints ride the shuffle, never text; the fp
+    self-join is BOUNDED — a fingerprint appears in at most
+    n_sources rows (DISTINCT per source first), so pairs-per-fp ≤
+    C(n_sources,2) regardless of how many documents share the text:
+    no hot-key quadratic, unlike a doc-level join. Two fp-keyed
+    shuffles + one pair-keyed aggregate; totals broadcast back.
+    overlap is integer ppm (floor(x*1e6+0.5), NOTES.md)."""
+    d = _docs(spark, sf_dir).select(
+        fingerprint("text").alias("fp"), "source"
+    ).distinct()
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_fps"))
+    a = d.select("fp", F.col("source").alias("source_a"))
+    b = d.select("fp", F.col("source").alias("source_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.select(F.col("source").alias("source_a"), F.col("n_fps").alias("n_fps_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("source").alias("source_b"), F.col("n_fps").alias("n_fps_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared_fps").cast("long").alias("shared_fps"),
+            F.col("n_fps_a").cast("long").alias("n_fps_a"),
+            F.col("n_fps_b").cast("long").alias("n_fps_b"),
+            F.floor(
+                F.col("shared_fps").cast("double")
+                / F.least("n_fps_a", "n_fps_b")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("overlap_ppm"),
+        )
+    )
