@@ -71,6 +71,7 @@ def main() -> None:
         "t16_repetition_stats",
         "t28_unigram_logprob_quality",
         "t34_ccnet_buckets",
+        "t35_source_overlap_matrix",
         "t30_gopher_rules",
         "t31_importance_sample",
         "t32_vocab_coverage",
