@@ -64,6 +64,7 @@ def main() -> None:
         "d14_cluster_canonicals",
         "d15_winnow_containment",
         "d16_dup_span_coverage",
+        "d19_minhash_estimate",
         "t21_source_mixture",
         "t18_sequence_packing",
         "t19_quality_rank_filter",

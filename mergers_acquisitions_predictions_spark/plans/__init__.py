@@ -39,9 +39,9 @@ from . import extra_queries  # noqa: E402,F401
 #: of position.
 #: Later round-3 sessions build MORE queries (s10 IVF-SQ8, t34 CCNet
 #: buckets, s11 RRF hybrid fusion, q50 key-skew profile, s12 MMR
-#: rerank, t35 source-overlap matrix); each debuts in the window by
-#: rotating out an r1/r2-green entry (d05, s02, s04, m06, t18, t20),
-#: keeping the r01∪r02∪r03 invariant.
+#: rerank, t35 source-overlap matrix, d19 MinHash calibration); each
+#: debuts in the window by rotating out an r1/r2-green entry (d05,
+#: s02, s04, m06, t18, t20, t19), keeping the r01∪r02∪r03 invariant.
 DRIVER_WINDOW = [
     # dedup family
     "d07_lsh_embedding_neardups",
@@ -55,6 +55,7 @@ DRIVER_WINDOW = [
     "d16_dup_span_coverage",
     "d17_components_star",
     "d18_span_trim",
+    "d19_minhash_estimate",
     # similarity / ANN family
     "s03_lsh_ann_topk",
     "s05_ivf_kmeans_topk",
@@ -74,7 +75,6 @@ DRIVER_WINDOW = [
     "m08_pca_whiten",
     # text / curation family
     "t14_token_chunks",
-    "t19_quality_rank_filter",
     "t21_source_mixture",
     "t22_funnel_accounting",
     "t23_interleaved_order",

@@ -732,3 +732,123 @@ def d18_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return trim_dup_spans(d, window=5)
+
+
+@query(
+    "d19_minhash_estimate",
+    oracle=_SIGS_CTE
+    + """
+    , bands AS (
+        SELECT doc_id, 0 AS band, sig0 || '|' || sig1 AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1, sig2 || '|' || sig3 FROM sigs
+        UNION ALL SELECT doc_id, 2, sig4 || '|' || sig5 FROM sigs
+        UNION ALL SELECT doc_id, 3, sig6 || '|' || sig7 FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+        WHERE a.band_key IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    common AS (
+        SELECT c.a_id, c.b_id, count(*) AS n_common
+        FROM cand c
+        JOIN (SELECT doc_id, unnest(s) AS shingle FROM sh) ea ON ea.doc_id = c.a_id
+        JOIN (SELECT doc_id, unnest(s) AS shingle FROM sh) eb
+          ON eb.doc_id = c.b_id AND eb.shingle = ea.shingle
+        GROUP BY c.a_id, c.b_id
+    ),
+    est AS (
+        SELECT c.a_id, c.b_id,
+               (CASE WHEN sa.sig0 = sb.sig0 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig1 = sb.sig1 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig2 = sb.sig2 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig3 = sb.sig3 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig4 = sb.sig4 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig5 = sb.sig5 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig6 = sb.sig6 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig7 = sb.sig7 THEN 1 ELSE 0 END) AS n_match
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.a_id
+        JOIN sigs sb ON sb.doc_id = c.b_id
+    )
+    SELECT e.a_id, e.b_id,
+           CAST(floor(e.n_match / 8.0 * 1e6 + 0.5) AS BIGINT) AS est_ppm,
+           CAST(floor(round(co.n_common
+                            / (sa.n + sb.n - co.n_common), 6) * 1e6 + 0.5)
+                AS BIGINT) AS exact_ppm,
+           CAST(abs(CAST(floor(e.n_match / 8.0 * 1e6 + 0.5) AS BIGINT)
+                    - CAST(floor(round(co.n_common
+                                       / (sa.n + sb.n - co.n_common), 6)
+                                 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS err_ppm
+    FROM est e
+    JOIN common co ON co.a_id = e.a_id AND co.b_id = e.b_id
+    JOIN sz sa ON sa.doc_id = e.a_id
+    JOIN sz sb ON sb.doc_id = e.b_id
+    """,
+)
+def d19_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch CALIBRATION for the MinHash index — s07's role, played
+    for the dedup side: per LSH candidate pair, the signature-based
+    Jaccard estimate (matching hash fraction, the estimator whose
+    s-curve every band_config threshold is derived from) next to the
+    exact shingle Jaccard, with the absolute error. This is how a
+    deployment answers "are 8 hashes enough at my threshold?" with a
+    measurement instead of the textbook variance bound (j(1−j)/k):
+    widen n_hashes until the observed error at the decision boundary
+    is acceptable, then stop paying for more.
+
+    Composition of tested machinery: d02's candidate generation,
+    d06's map-side exact verify (threshold 0 — calibration wants the
+    full candidate set, not just accepted pairs), plus one
+    signatures join; everything rides equi-joins. Estimates and
+    exacts become integer ppm before the hash (floor(x*1e6+0.5),
+    NOTES.md)."""
+    from ..functions.text import shingles
+    from ..operators.dedup import (
+        jaccard_verify_pairs,
+        lsh_candidate_pairs,
+        with_minhash_signatures,
+    )
+    from ..operators.util import own_caches, repartition_for_compute
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(d, "text", "doc_id", n_bands=4, rows_per_band=2)
+    sh = (
+        repartition_for_compute(d)
+        .select("doc_id", tokenize(F.col("text")).alias("__tok"))
+        .select(F.col("doc_id").alias("doc"), shingles(F.col("__tok"), 3).alias("sh"))
+        .persist()
+    )
+    exact = jaccard_verify_pairs(cand, sh, threshold=0.0)
+    sigs = with_minhash_signatures(d, "text", "doc_id", n_hashes=8, shingle_n=3)
+    sa = sigs.select(
+        F.col("doc_id").alias("a_id"), *[F.col(f"sig{i}").alias(f"__a{i}") for i in range(8)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b_id"), *[F.col(f"sig{i}").alias(f"__b{i}") for i in range(8)]
+    )
+    n_match = None
+    for i in range(8):
+        term = F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        n_match = term if n_match is None else n_match + term
+    est_ppm = F.floor(n_match / F.lit(8.0) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    exact_ppm = F.floor(
+        F.col("jaccard") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    out = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", est_ppm.alias("est_ppm"))
+        .join(exact, ["a_id", "b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            "est_ppm",
+            exact_ppm.alias("exact_ppm"),
+            F.abs(F.col("est_ppm") - exact_ppm).cast("long").alias("err_ppm"),
+        )
+    )
+    return own_caches(out, cand, sh)

@@ -85,6 +85,7 @@ def test_driver_window_is_the_pinned_manifest():
         "q50_join_key_skew",
         "s12_mmr_rerank",
         "t35_source_overlap_matrix",
+        "d19_minhash_estimate",
     }
     assert new_in_r3 <= set(DRIVER_WINDOW)
 
