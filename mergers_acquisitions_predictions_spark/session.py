@@ -27,13 +27,23 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Parquet scans: vectorized reader on, 128 MB split target.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    # Runtime Bloom-filter join pruning: inject a bloom filter built
-    # from the creation side of a selective join into the other
-    # side's scan — at 100 TB this prunes shuffle input for the
-    # id-keyed joins (dedup cluster joins, shortlist re-rank fetch)
-    # the same way DPP prunes partitions. Semantics-preserving
-    # (false-positive rows are re-filtered by the join itself), so
-    # oracle parity is unaffected.
+}
+
+#: Confs that pay off ONLY past cluster-scale thresholds — applied via
+#: ``get_spark(cluster=True)``, never by default. Runtime Bloom-filter
+#: join pruning is the canonical member: at 100 TB it prunes shuffle
+#: input for selective id-keyed joins (dedup cluster joins, shortlist
+#: re-rank fetch) the way DPP prunes partitions, and it is
+#: semantics-preserving (false positives are re-filtered by the join).
+#: But the filter only ever INJECTS when the application side scans
+#: >10 GB (`applicationSideScanSizeThreshold`), which a local/bench
+#: profile never reaches — while the InjectRuntimeFilter optimizer
+#: rule taxes EVERY query's planning. Measured A/B at sf0.1
+#: (PERF.md round 4): geomean ×1.07 on the interactive relational
+#: set (q05 +19%, q01 +12%, q13 +11%) with zero filters injected —
+#: exactly the round-3 regression VERDICT flagged. Fixed overhead IS
+#: the workload at interactive scale, so scale-gated confs live here.
+CLUSTER_CONF: dict[str, str] = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
@@ -43,18 +53,24 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    cluster: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32) when no
     cluster is configured. ``shuffle_partitions`` defaults to the local
     core count — on a real cluster leave it None and let AQE coalesce
-    from a higher initial value.
+    from a higher initial value. ``cluster=True`` overlays
+    ``CLUSTER_CONF`` — optimizations whose thresholds only trigger at
+    cluster-scale scan sizes and whose planning overhead a local
+    profile should not pay (see CLUSTER_CONF).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cpus}]")
     conf = dict(ENGINE_CONF)
+    if cluster:
+        conf.update(CLUSTER_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
     conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     conf["spark.ui.enabled"] = "false"
