@@ -69,6 +69,7 @@ def build_ivfsq_index(
     spark = corpus.sparkSession
     meta = {
         "kind": "ivfsq",
+        "dim": len(mns),
         "n_cells": n_cells,
         "mns": json.dumps(mns),
         "rngs": json.dumps(rngs),
@@ -162,6 +163,18 @@ def append_to_ivfsq_index(
         (int(c), [float(x) for x in v], float(n))
         for c, v, n in json.loads(meta["centroids"])
     ]
+
+    # Fail FAST on dimensionality mismatch: encoding a wrong-dim
+    # vector would silently write NULL code elements (element_at past
+    # the stats arrays returns NULL), corrupting the index for every
+    # future search. limit(1) short-circuits the probe scan.
+    dim = int(meta["dim"]) if "dim" in meta.__fields__ else len(mns)
+    bad = new_vectors.filter(F.size(F.col(vec_col)) != dim).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"append_to_ivfsq_index: shard vectors must have dim={dim} "
+            f"to match the persisted quantizer at {path}"
+        )
 
     from .similarity import ivf_assign_literal
     from .sq import _unit, sq_encode

@@ -1167,13 +1167,19 @@ def mmr_rerank(
     Python work is O(k·|shortlist|·dim) on ≲40 rows, never
     corpus-sized; the one shuffle is the query_id grouping).
     Deterministic: float64 numpy, candidates pre-sorted by
-    (−cos_sim, candidate_id), ties broken by that order — a
-    sequential pure-Python reference reproduces it exactly
-    (tests/test_similarity_mmr.py)."""
+    (−cos_sim, candidate_id), ties broken by that order, and the
+    redundancy dot products are BLAS-FREE (elementwise multiply +
+    numpy pairwise-sum reduction — portable C with a fixed reduction
+    order, so the result does not vary with the BLAS build the way a
+    matmul can) — a sequential pure-Python reference reproduces it
+    exactly (tests/test_similarity_mmr.py). Output id columns keep
+    the INPUT id columns' types (string ids work unchanged)."""
     import pandas as pd
 
+    qt = candidates.schema[query_col].dataType.simpleString()
+    ct = candidates.schema[cand_col].dataType.simpleString()
     out_schema = (
-        f"{query_col} long, {cand_col} long, mmr_score double, rank long"
+        f"{query_col} {qt}, {cand_col} {ct}, mmr_score double, rank long"
     )
     k_, lam_ = int(k), float(lam)
     qc, cc, sc, vc = query_col, cand_col, score_col, vec_col
@@ -1195,7 +1201,12 @@ def mmr_rerank(
         free = np.ones(n, dtype=bool)
         for _ in range(min(k_, n)):
             if chosen:
-                red = (unit @ unit[chosen].T).max(axis=1)
+                # BLAS-free on purpose: matmul reduction order varies
+                # by BLAS build; broadcasted multiply + np.sum is
+                # numpy's own pairwise fold, stable across platforms.
+                red = (unit[:, None, :] * unit[chosen][None, :, :]).sum(
+                    axis=2
+                ).max(axis=1)
             else:
                 red = np.zeros(n)
             mmr = lam_ * rel - (1.0 - lam_) * red

@@ -171,11 +171,22 @@ def fit_released(estimator, dataset: DataFrame):
 _LITERAL_MEMO: dict = {}
 
 
+#: Live-session entry bound: distinct keys accumulate per corpus /
+#: config (centroids, quantizer stats, codebooks); past this many the
+#: session's own entries are dropped and rebuilt on demand (one py4j
+#: construction each — the memo is a perf knob, never correctness).
+_LITERAL_MEMO_MAX = 256
+
+
 def memoized_literal(key: tuple, build):
     """Return ``build()``, memoized per (live session, ``key``).
     ``key`` must fully determine the constructed expression (include
-    every value folded into the literal). The cache is bounded: it
-    resets when entries from >8 sessions accumulate."""
+    every value folded into the literal). Eviction is precise: on a
+    miss, entries from OTHER applicationIds are dropped (their
+    JVM-backed Column handles belong to stopped sessions), never the
+    live session's; the live session is separately bounded at
+    ``_LITERAL_MEMO_MAX`` entries so a long-lived driver running many
+    corpora cannot accumulate Column handles unboundedly."""
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
@@ -183,8 +194,10 @@ def memoized_literal(key: tuple, build):
     k = (app, key)
     hit = _LITERAL_MEMO.get(k)
     if hit is None:
-        if len({a for a, _ in _LITERAL_MEMO}) > 8:
-            _LITERAL_MEMO.clear()  # drop dead-session handles
+        for kk in [kk for kk in _LITERAL_MEMO if kk[0] != app]:
+            del _LITERAL_MEMO[kk]  # dead-session handles only
+        if sum(1 for kk in _LITERAL_MEMO if kk[0] == app) >= _LITERAL_MEMO_MAX:
+            _LITERAL_MEMO.clear()
         hit = build()
         _LITERAL_MEMO[k] = hit
     return hit

@@ -776,15 +776,17 @@ def d18_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.a_id, e.b_id,
            CAST(floor(e.n_match / 8.0 * 1e6 + 0.5) AS BIGINT) AS est_ppm,
-           CAST(floor(round(co.n_common
-                            / (sa.n + sb.n - co.n_common), 6) * 1e6 + 0.5)
+           CAST(floor(round(coalesce(co.n_common, 0)
+                            / (sa.n + sb.n - coalesce(co.n_common, 0)), 6)
+                      * 1e6 + 0.5)
                 AS BIGINT) AS exact_ppm,
            CAST(abs(CAST(floor(e.n_match / 8.0 * 1e6 + 0.5) AS BIGINT)
-                    - CAST(floor(round(co.n_common
-                                       / (sa.n + sb.n - co.n_common), 6)
+                    - CAST(floor(round(coalesce(co.n_common, 0)
+                                       / (sa.n + sb.n - coalesce(co.n_common, 0)),
+                                       6)
                                  * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS err_ppm
     FROM est e
-    JOIN common co ON co.a_id = e.a_id AND co.b_id = e.b_id
+    LEFT JOIN common co ON co.a_id = e.a_id AND co.b_id = e.b_id
     JOIN sz sa ON sa.doc_id = e.a_id
     JOIN sz sb ON sb.doc_id = e.b_id
     """,
