@@ -67,6 +67,10 @@ def build_ivfsq_index(
     coded.write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/codes")
 
     spark = corpus.sparkSession
+    # An index REBUILD over a path this session already searched must
+    # not serve the old file listing to the next search (the round-2
+    # upsert-sink lesson, sources/writers.py).
+    spark.catalog.refreshByPath(f"{path}/codes")
     meta = {
         "kind": "ivfsq",
         "dim": len(mns),
@@ -82,6 +86,7 @@ def build_ivfsq_index(
     spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(
         f"{path}/meta"
     )
+    spark.catalog.refreshByPath(f"{path}/meta")
 
 
 def search_ivfsq_index(

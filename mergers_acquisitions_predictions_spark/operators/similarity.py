@@ -364,9 +364,11 @@ def auto_cells(n_vectors: int, floor: int = 16) -> int:
     cell count is the same trap as a fixed LSH plane count
     (`auto_planes`, SCALE.md §7b): at 100× the data each cell holds
     100× the vectors and every probe join degenerates toward a scan.
-    The registered oracle queries keep an explicit n_cells (the
-    oracle SQL regenerates the same centroid LIMIT); pass
-    ``n_cells=None`` to the operators to get this policy."""
+    ``n_cells=None`` on the operators selects this policy; since
+    round 4 the REGISTERED IVF queries (s04/s08/s10/s13) run it too —
+    their oracles recompute ⌊√n⌋ from count(*)
+    (`plans/lsh_oracle.auto_ivf_cent_ctes_sql`), so the auto-sized
+    results stay fully value-checked."""
     if n_vectors <= 0:
         return floor
     return max(floor, int(math.isqrt(n_vectors)))

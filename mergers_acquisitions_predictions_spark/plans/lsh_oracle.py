@@ -147,6 +147,34 @@ def ivf_cent_cte_sql(n_cells: int) -> str:
         FROM embeddings ORDER BY vec_id LIMIT {n_cells}"""
 
 
+def auto_ivf_cent_ctes_sql(floor: int = 16) -> str:
+    """CTE pair ``ncells`` + ``cent`` for AUTO-SIZED IVF oracles — the
+    `auto_buckets_cte_sql` recipe applied to the cell count: ``ncells``
+    recomputes `similarity.auto_cells` (greatest(floor, ⌊√n⌋)) from
+    ``count(*)``, and ``cent`` rank-filters the lowest-id vectors to
+    that count. One static oracle string is then value-exact at every
+    corpus size — the mechanism that lets the REGISTERED IVF queries
+    run the √n sizing policy a deployment needs (SCALE.md §7i: fixed
+    cell counts degenerate at 100×) while staying hash-checked.
+
+    floor(sqrt(n)) vs Python's isqrt: exact for every n here — double
+    sqrt is correctly rounded, and below ~2^52 the k²−1 boundary cases
+    where floor(sqrt) could round up cannot occur."""
+    return f"""ncells AS (
+        SELECT greatest({floor},
+                        CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INTEGER)) AS c
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT cell_id, cvec, cnorm FROM (
+            SELECT vec_id AS cell_id, embedding AS cvec,
+                   sqrt({SQL_SQNORM.format(v='embedding')}) AS cnorm,
+                   row_number() OVER (ORDER BY vec_id) AS __rn
+            FROM embeddings
+        ) WHERE __rn <= (SELECT c FROM ncells)
+    )"""
+
+
 def ivf_assign_sql(filter_sql: str, id_alias: str, probes: int) -> str:
     """DuckDB mirror of `operators/similarity.ivf_assign`:
     argmax-cosine cell assignment over a `cent` CTE (rounded to 6 dp
@@ -170,7 +198,7 @@ def ivfpq_topk_sql(
     n_subspaces: int = 8,
     sub_dim: int = 8,
     n_codes: int = 16,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     n_probe: int = 2,
     k: int = 5,
     query_filter: str = "WHERE vec_id < 5",
@@ -185,8 +213,15 @@ def ivfpq_topk_sql(
     folds the engine's `aggregate` uses. Unit-sphere math throughout:
     u = x/√Σx² per element, codebook = subspace slices of the
     ``n_codes`` lowest-id unit vectors, adc = Σ_m ‖u_q[m] −
-    cb[m][code_m]‖², rounded to 6 dp with candidate-id tiebreak."""
+    cb[m][code_m]‖², rounded to 6 dp with candidate-id tiebreak.
+    ``n_cells="auto"`` emits the √n-sizing CTE pair
+    (`auto_ivf_cent_ctes_sql`) instead of a pinned centroid LIMIT."""
     M, SUB, K = n_subspaces, sub_dim, n_codes
+    cent_block = (
+        auto_ivf_cent_ctes_sql()
+        if n_cells == "auto"
+        else f"cent AS ({ivf_cent_cte_sql(n_cells)}\n    )"
+    )
     sq = (
         f"(u[(m - 1) * {SUB} + i] - cbs[m][c][i])"
         f" * (u[(m - 1) * {SUB} + i] - cbs[m][c][i])"
@@ -216,8 +251,7 @@ def ivfpq_topk_sql(
                         list_min({dists_m})) - 1 AS INTEGER)) AS pq
         FROM unit CROSS JOIN cb_nested
     ),
-    cent AS ({ivf_cent_cte_sql(n_cells)}
-    ),
+    {cent_block},
     c_assign AS ({ivf_assign_sql("", "candidate_id", 1)}
     ),
     q_assign AS ({ivf_assign_sql(query_filter, "query_id", n_probe)}
@@ -277,7 +311,7 @@ def ivfpq_topk_sql(
 
 def ivfsq_topk_sql(
     dim: int = 64,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     n_probe: int = 2,
     k: int = 5,
     query_filter: str = "WHERE vec_id < 5",
@@ -288,8 +322,15 @@ def ivfsq_topk_sql(
     sensitivity), re-encodes every corpus vector onto the same
     round-half-up 0..255 grid, and replays the asymmetric dequantized
     dot product with the same left-to-right `list_sum` fold the
-    engine's `aggregate` uses. One static string, exact at every SF."""
+    engine's `aggregate` uses. One static string, exact at every SF.
+    ``n_cells="auto"`` emits the √n-sizing CTE pair
+    (`auto_ivf_cent_ctes_sql`) instead of a pinned centroid LIMIT."""
     D = dim
+    cent_block = (
+        auto_ivf_cent_ctes_sql()
+        if n_cells == "auto"
+        else f"cent AS ({ivf_cent_cte_sql(n_cells)}\n    )"
+    )
     code = f"""CAST(CASE WHEN rngs[i] = 0 THEN 0
                         ELSE least(greatest(floor(
                             (u[i] - mns[i]) / rngs[i] * 255.0 + 0.5), 0), 255)
@@ -317,8 +358,7 @@ def ivfsq_topk_sql(
                list_transform(range(1, {D} + 1), i -> {code}) AS sq
         FROM unit CROSS JOIN statarr
     ),
-    cent AS ({ivf_cent_cte_sql(n_cells)}
-    ),
+    {cent_block},
     c_assign AS ({ivf_assign_sql("", "candidate_id", 1)}
     ),
     q_assign AS ({ivf_assign_sql(query_filter, "query_id", n_probe)}

@@ -138,15 +138,14 @@ def s03_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .lsh_oracle import auto_ivf_cent_ctes_sql as _auto_cent  # noqa: E402
 from .lsh_oracle import ivf_assign_sql as _ivf_assign_sql  # noqa: E402
-from .lsh_oracle import ivf_cent_cte_sql as _ivf_cent_cte_sql  # noqa: E402
 
 
 @query(
     "s04_ivf_ann_topk",
     oracle=f"""
-    WITH cent AS ({_ivf_cent_cte_sql(16)}
-    ),
+    WITH {_auto_cent()},
     c_assign AS ({_ivf_assign_sql("", "candidate_id", 1)}
     ),
     q_assign AS ({_ivf_assign_sql("WHERE vec_id < 5", "query_id", 2)}
@@ -170,18 +169,22 @@ from .lsh_oracle import ivf_cent_cte_sql as _ivf_cent_cte_sql  # noqa: E402
     """,
 )
 def s04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via an IVF index (16 cells, nprobe 2) — the
-    cell-partitioned ANN scale path alongside sign-LSH (s03): corpus
-    vectors live in exactly one nearest-centroid cell; a query scans
-    only its two nearest cells through an equi-join on cell_id. FULL
-    value parity despite approximation: centroids are deterministic
-    (lowest-id vectors — a production index would fit k-means and
-    persist the table; the join shapes are identical), so DuckDB
-    reproduces the same cells, probes, and ranking."""
+    """Approximate top-k via an IVF index (√n cells via `auto_cells`,
+    nprobe 2) — the cell-partitioned ANN scale path alongside sign-LSH
+    (s03): corpus vectors live in exactly one nearest-centroid cell; a
+    query scans only its two nearest cells through an equi-join on
+    cell_id. The cell count is SIZE-AWARE (auto_cells ⇒ √n — a fixed
+    count is the config that degenerates at 100×, SCALE.md §7i), and
+    the oracle recomputes the same count from count(*)
+    (lsh_oracle.auto_ivf_cent_ctes_sql) — so even the auto-sized
+    approximate result stays FULLY value-checked: centroids are
+    deterministic (lowest-id vectors — a production index would fit
+    k-means and persist the table; the join shapes are identical), so
+    DuckDB reproduces the same cells, probes, and ranking."""
     from ..operators.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5, n_cells=16, n_probe=2)
+    return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5, n_cells=None, n_probe=2)
 
 
 from .lsh_oracle import ivfpq_topk_sql as _ivfpq_topk_sql  # noqa: E402
@@ -189,7 +192,7 @@ from .lsh_oracle import ivfpq_topk_sql as _ivfpq_topk_sql  # noqa: E402
 
 @query(
     "s08_ivfpq_topk",
-    oracle=f"WITH {_ivfpq_topk_sql(n_subspaces=8, sub_dim=8, n_codes=16, n_cells=16, n_probe=2, k=5, rerank=40)}\n",
+    oracle=f"WITH {_ivfpq_topk_sql(n_subspaces=8, sub_dim=8, n_codes=16, n_cells='auto', n_probe=2, k=5, rerank=40)}\n",
 )
 def s08_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF-PQ with exact re-rank
@@ -215,7 +218,7 @@ def s08_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < 5),
         e,
         k=5,
-        n_cells=16,
+        n_cells=None,  # √n auto_cells; oracle recomputes from count(*)
         n_probe=2,
         n_subspaces=8,
         n_codes=16,
@@ -342,7 +345,7 @@ from .lsh_oracle import ivfsq_topk_sql as _ivfsq_topk_sql  # noqa: E402
 
 @query(
     "s10_ivfsq_topk",
-    oracle=f"WITH {_ivfsq_topk_sql(dim=64, n_cells=16, n_probe=2, k=5)}\n",
+    oracle=f"WITH {_ivfsq_topk_sql(dim=64, n_cells='auto', n_probe=2, k=5)}\n",
 )
 def s10_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF + 8-bit SCALAR quantization
@@ -365,7 +368,7 @@ def s10_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return ivfsq_topk(
-        e.filter(F.col("vec_id") < 5), e, k=5, n_cells=16, n_probe=2
+        e.filter(F.col("vec_id") < 5), e, k=5, n_cells=None, n_probe=2
     )
 
 
@@ -417,26 +420,67 @@ def s11_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lsh, ivf], k=5, c=60)
 
 
+@query(
+    "s13_persisted_index_topk",
+    oracle=f"WITH {_ivfsq_topk_sql(dim=64, n_cells='auto', n_probe=2, k=5)}\n",
+)
+def s13_persisted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT-shaped ANN flow, driver-certified end to end:
+    build the IVF-SQ8 index to DISK (`ann_index.build_ivfsq_index` —
+    codes partitioned by cell_id, quantizer + centroids in a meta
+    sidecar), then serve top-k from the persisted artifact
+    (`search_ivfsq_index` — the query batch's probed cells are pushed
+    into the codes scan as an `isin` PartitionFilter, so the scan
+    reads ONLY those cells' files; partition pruning is plan-asserted
+    in tests/test_ann_index.py). Search is bit-identical to the
+    in-memory `ivfsq_topk` path (same stats, codes, fold orders), so
+    s10's oracle applies verbatim — making the amortized serving
+    shape, not just the in-memory plan, a hash-checked driver row.
+
+    The index is REBUILT from the parquet on every invocation
+    (overwrite semantics, fixed per-sf path): correctness must never
+    depend on a stale artifact surviving a testdata regeneration. A
+    deployment builds once and amortizes — that regime's 5.7× scan
+    win is measured in SCALE.md §7i."""
+    import hashlib
+
+    from ..operators.ann_index import build_ivfsq_index, search_ivfsq_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    token = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/mergers_acquisitions_spark_ivfsq_{token}"
+    build_ivfsq_index(e, path, n_cells=None)
+    return search_ivfsq_index(
+        spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
+    )
+
+
 @query("s12_mmr_rerank")  # rows-only: greedy selection is iterative,
 def s12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware re-ranking of an ANN shortlist via Maximal
     Marginal Relevance (operators/similarity.mmr_rerank): overfetch
-    top-15 exact candidates per query, greedily re-rank to top-5
-    trading relevance against redundancy (λ=0.7) — the standard fix
-    for a shortlist full of near-duplicates, which is precisely what
-    a dedup-focused corpus's raw top-k returns. Greedy sequential
-    selection depends on every prior pick, so it is not
-    SQL-expressible (rows-only driver row by declared design); its
-    correctness evidence is the sequential pure-Python reference
-    equivalence + diversity-property tests in
-    tests/test_similarity_mmr.py. Scale shape: the Python work is
-    per-QUERY over shortlist-sized groups (applyInPandas — the
-    legitimate case), never corpus-sized."""
-    from ..operators.similarity import mmr_rerank
+    top-15 candidates per query from the BUCKETED multi-table
+    sign-LSH index (auto-sized planes — the same scale path s03
+    runs: candidates meet on bucket equi-joins, never a cross join),
+    then greedily re-rank to top-5 trading relevance against
+    redundancy (λ=0.7) — the standard fix for a shortlist full of
+    near-duplicates, which is precisely what a dedup-focused corpus's
+    raw top-k returns. Greedy sequential selection depends on every
+    prior pick, so it is not SQL-expressible (rows-only driver row by
+    declared design); its correctness evidence is the sequential
+    pure-Python reference equivalence + diversity-property tests in
+    tests/test_similarity_mmr.py. Scale shape: every stage is now
+    bucketed or shortlist-sized — the LSH overfetch is the 10⁸-vector
+    plan, and the Python work is per-QUERY over shortlist-sized
+    groups (applyInPandas — the legitimate case), never
+    corpus-sized."""
+    from ..operators.similarity import auto_planes, mmr_rerank
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    short = brute_force_topk(q, e, k=15).join(
+    short = lsh_topk(
+        q, e, k=15, n_planes=auto_planes(e.count()), multiprobe=True, k_max=8
+    ).join(
         e.select(
             F.col("vec_id").alias("candidate_id"),
             F.col("embedding").alias("c_vec"),

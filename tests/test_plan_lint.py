@@ -28,9 +28,8 @@ ALLOW = {
     "s02_cosine_topk": "brute-force baseline: broadcast query set x corpus is O(q*n) by definition",
     "s07_ann_recall": "embeds s02's brute-force EXACT baseline (the referent recall is measured "
     "against, O(q*n) on a query SAMPLE by definition); the recall join itself is equi-keyed",
-    "s12_mmr_rerank": "overfetches its shortlist via the s02 brute-force baseline (O(q*n) by "
-    "that baseline's declared semantics); the MMR stage itself is per-query shortlist-sized — "
-    "swap the shortlist source for lsh_topk/ivfsq_topk at scale (same contract)",
+    # (s12_mmr_rerank left the allowlist in round 4: its registered
+    # shortlist now comes from the bucketed lsh_topk path)
     # (b) BNLJ against a bounded broadcast side
     "q23_scalar_subquery": "1-row scalar aggregate broadcast",
     "q37_any_all_semantics": "1-row min/max aggregate broadcast (ANY/ALL rewrite)",
