@@ -264,8 +264,11 @@ def jaccard_pairs(
     ``max_df`` documents are dropped from CANDIDATE GENERATION — the
     hot-postings pair explosion is quadratic in document frequency, so
     this caps the dominant cost at web scale. Found pairs keep their
-    EXACT Jaccard (candidates re-verify against the full shingle
-    arrays map-side via ``jaccard_verify_pairs``); the documented
+    EXACT Jaccard: the retained-index common counts come from a
+    map-side combination explosion of the (≤max_df-bounded) inverted
+    doc lists, and the common count over HOT shingles is recovered
+    per candidate pair through a join against the hot postings —
+    linear in candidates, never quadratic in hot df. The documented
     recall trade is that a pair sharing ONLY stop-grams is missed —
     which for near-dup detection is the pair you didn't want anyway.
     ``prefix_jaccard_pairs`` remains the exact-AND-sub-quadratic path.
@@ -276,24 +279,82 @@ def jaccard_pairs(
     sh = toks.select("doc", shingles(F.col("__tok"), shingle_n).alias("sh"))
     exploded = sh.select("doc", F.explode("sh").alias("shingle")).persist()
     if max_df is not None:
-        hot = (
-            exploded.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shingle")
+        # Capped plan (round 4): prune skew-safely (count df with a
+        # partial-aggregating groupBy, anti-join the tiny hot set —
+        # a hot shingle never materializes a doc list), then INVERT
+        # the retained postings (collect_list bounded by the cap) and
+        # emit candidate pairs MAP-SIDE from each ≤max_df docs array
+        # (≤C(32,2)=496 structs per shingle at the default) — no
+        # postings self-join, no pair distinct, no full-array verify
+        # shipping. Exactness is preserved by RECOVERING the hot
+        # common counts per surviving pair: n_common = retained-common
+        # + hot-common, where hot-common joins the candidate pairs to
+        # the (tiny-keyed) hot postings of each side — linear in
+        # candidates, not quadratic in hot df.
+        dfc = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        hot = dfc.filter(F.col("__df") > max_df).select("shingle")
+        grouped = (
+            exploded.join(hot, "shingle", "left_anti")
+            .groupBy("shingle")
+            .agg(F.collect_list("doc").alias("docs"))
+            .persist()
         )
-        # persisted: the candidate self-join consumes this frame TWICE
-        # (the self-join-input materialization lesson — see NOTES.md)
-        pruned = exploded.join(hot, "shingle", "left_anti").persist()
-        cand = (
-            pruned.select(F.col("doc").alias("a_id"), "shingle")
-            .join(pruned.select(F.col("doc").alias("b_id"), "shingle"), "shingle")
-            .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id")
-            .distinct()
+        ds = F.sort_array(F.col("docs"))
+        combos = F.flatten(
+            F.transform(
+                ds,
+                lambda a, i: F.transform(
+                    F.slice(ds, i + F.lit(2), F.size(F.col("docs"))),
+                    lambda b: F.struct(a.alias("a_id"), b.alias("b_id")),
+                ),
+            )
         )
-        out = jaccard_verify_pairs(cand, sh, threshold)
-        return own_caches(out, exploded, pruned)
+        # Persisted: the main output AND the hot-common recovery both
+        # consume the candidate frame — without the persist the combo
+        # explosion + pair groupBy (the dominant stage) runs twice.
+        nc_kept = (
+            grouped.select(F.explode(combos).alias("__p"))
+            .select(F.col("__p.a_id").alias("a_id"), F.col("__p.b_id").alias("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("__nc_kept"))
+            .persist()
+        )
+        hotposts = exploded.join(hot, "shingle")
+        nc_hot = (
+            nc_kept.select("a_id", "b_id")
+            .join(
+                hotposts.select(F.col("doc").alias("a_id"), "shingle"), "a_id"
+            )
+            .join(
+                hotposts.select(F.col("doc").alias("b_id"), "shingle"),
+                ["b_id", "shingle"],
+            )
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("__nc_hot"))
+        )
+        # Sizes from the CACHED postings, persisted (doc-count rows —
+        # tiny): both pair-side joins consume it, and deriving it from
+        # the pre-explode plan would re-run tokenize+shingles per side
+        # (renames pushed into the aggregate defeat ReuseExchange).
+        sizes = (
+            exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("__n")).persist()
+        )
+        n_common = F.col("__nc_kept") + F.coalesce(F.col("__nc_hot"), F.lit(0))
+        jac = n_common / (F.col("__n_a") + F.col("__n_b") - n_common)
+        out = (
+            nc_kept.join(nc_hot, ["a_id", "b_id"], "left")
+            .join(
+                sizes.select(F.col("doc").alias("a_id"), F.col("__n").alias("__n_a")),
+                "a_id",
+            )
+            .join(
+                sizes.select(F.col("doc").alias("b_id"), F.col("__n").alias("__n_b")),
+                "b_id",
+            )
+            .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return own_caches(out, exploded, grouped, sizes, nc_kept)
     sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.select(F.col("doc").alias("a_id"), "shingle")
     b = exploded.select(F.col("doc").alias("b_id"), "shingle")
@@ -672,38 +733,73 @@ def winnow_containment_pairs(
     ``max_df=None`` scores the exhaustive index."""
     from ..functions.textstats import winnow_fingerprints
 
-    posts = (
-        repartition_for_compute(df)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(
-                winnow_fingerprints(F.col(text_col), k=k, w=w)
-            ).alias("fp"),
-        )
-        .persist()
+    posts = repartition_for_compute(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(winnow_fingerprints(F.col(text_col), k=k, w=w)).alias("fp"),
     )
-    owned = [posts]
-    index = posts
     if max_df is not None:
-        hot = (
-            posts.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("fp")
+        # Capped plan (round 4): prune skew-safely FIRST (df counts
+        # via a partial-aggregating groupBy, anti-join the tiny hot
+        # set — a boilerplate fingerprint with df in the thousands
+        # never materializes a doc list), then INVERT the retained
+        # postings (collect_list bounded by the cap) and emit
+        # candidate pairs MAP-SIDE from each ≤max_df docs array
+        # (≤C(32,2)=496 structs per fp at the default — bounded,
+        # skew-free) instead of a postings self-join. vs the round-3
+        # formulation this deletes the fp-keyed SELF-JOIN (the
+        # dominant shuffle; d15 2.85→~2.1 s at sf0.1). Only valid
+        # when df is capped: uncapped doc lists would put an
+        # unbounded quadratic into one task, which is strictly worse
+        # skew than the shuffled self-join below.
+        posts = posts.persist()
+        dfc = posts.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+        hot = dfc.filter(F.col("__df") > max_df).select("fp")
+        grouped = (
+            posts.join(hot, "fp", "left_anti")
+            .groupBy("fp")
+            .agg(F.collect_list("doc").alias("docs"))
+            .persist()
         )
-        # persisted: the self-join's two sides AND the size aggregate
-        # all consume this frame (materialize-before-self-join rule)
-        index = posts.join(hot, "fp", "left_anti").persist()
-        owned.append(index)
-    sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
-    shared = (
-        index.select(F.col("doc").alias("a_id"), "fp")
-        .join(index.select(F.col("doc").alias("b_id"), "fp"), "fp")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
+        # Persisted (doc-count rows — tiny): n_a and n_b both join it,
+        # and without the persist each side re-explodes every docs
+        # array (renames pushed into the aggregate defeat
+        # ReuseExchange between the two sides).
+        sizes = (
+            grouped.select(F.explode("docs").alias("doc"))
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_fp"))
+            .persist()
+        )
+        owned = [posts, grouped, sizes]
+        ds = F.sort_array(F.col("docs"))
+        combos = F.flatten(
+            F.transform(
+                ds,
+                lambda a, i: F.transform(
+                    F.slice(ds, i + F.lit(2), F.size(F.col("docs"))),
+                    lambda b: F.struct(a.alias("a_id"), b.alias("b_id")),
+                ),
+            )
+        )
+        shared = (
+            grouped.select(F.explode(combos).alias("__p"))
+            .select(F.col("__p.a_id").alias("a_id"), F.col("__p.b_id").alias("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+    else:
+        posts = posts.persist()
+        owned = [posts]
+        sizes = posts.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+        shared = (
+            posts.select(F.col("doc").alias("a_id"), "fp")
+            .join(posts.select(F.col("doc").alias("b_id"), "fp"), "fp")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
     cont = F.col("n_shared") / F.least("n_a", "n_b")
     out = (
         shared.join(

