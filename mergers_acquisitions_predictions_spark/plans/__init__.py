@@ -24,80 +24,76 @@ from . import extra_queries  # noqa: E402,F401
 #: asserts list(QUERIES)[:50] == DRIVER_WINDOW so a refactor cannot
 #: silently reshuffle it.
 #:
-#: Round-3 rotation: the 14 queries that had NO driver row in either
-#: round 1 or 2 (d13, d15, j04, m05, m08, q46, s05, s06, t14,
-#: t22–t25, t29) move IN, plus every query built new THIS round (j05
-#: hour-bucket range join, d16 span coverage, d17 star components,
-#: d18 span trim, q47 profile, s07 ANN recall, s08/s09 IVF-PQ, t30 Gopher rules, t31
-#: importance sampling, t32 vocab coverage, t33
-#: token entropy, q48 cont-quantiles, q49 relative ranks), so every
-#: registry
-#: entry has a driver row in r01∪r02∪r03. Twenty r1/r2-green queries
-#: rotate OUT (d01–d04, d06, d10, s01, q17, q38, t03–t13, t15,
-#: t16, t17, t27, j02, j03, m04, u04); they stay value-guarded by
-#: tests/test_oracle_parity.py, which sweeps EVERY oracle regardless
-#: of position.
-#: Later round-3 sessions build MORE queries (s10 IVF-SQ8, t34 CCNet
-#: buckets, s11 RRF hybrid fusion, q50 key-skew profile, s12 MMR
-#: rerank, t35 source-overlap matrix, d19 MinHash calibration); each
-#: debuts in the window by rotating out an r1/r2-green entry (d05,
-#: s02, s04, m06, t18, t20, t19), keeping the r01∪r02∪r03 invariant.
+#: ROTATION RULE (adopted round 4, per VERDICT r3): each round's
+#: window contains (a) every query REGISTERED this round, (b) every
+#: query whose implementation or oracle CHANGED since its last driver
+#: row — a driver row must postdate the code it certifies — and (c)
+#: the remaining slots go to the queries with the STALEST last driver
+#: row (refreshing r1-era rows first). Rotated-out queries stay
+#: value-guarded by tests/test_oracle_parity.py, which sweeps EVERY
+#: oracle regardless of position.
+#:
+#: Round 4: changed/new set = s13 (new: persisted-index serving),
+#: s04/s08/s10/s11 (auto_cells rewire — s04 also closes the r3
+#: "stale row" finding), s12 (bucketed shortlist + typed MMR schema),
+#: d03 (max_df cap registered + oracle), d15 (self-join-free capped
+#: plan), d19 (oracle zero-overlap symmetry). The other 41 slots
+#: refresh r1-green rows (q01–q43 family). Seven r1-stale queries
+#: did not fit (q44, q45, t01, t02, u01, u02, u03) — they are first
+#: in line for round 5's fill.
 DRIVER_WINDOW = [
-    # dedup family
-    "d07_lsh_embedding_neardups",
-    "d08_prefix_jaccard_pairs",
-    "d09_dup_clusters",
-    "d11_semantic_dedup",
-    "d12_incremental_neardup",
-    "d13_simhash_neardups",
-    "d14_cluster_canonicals",
-    "d15_winnow_containment",
-    "d16_dup_span_coverage",
-    "d17_components_star",
-    "d18_span_trim",
-    "d19_minhash_estimate",
-    # similarity / ANN family
-    "s03_lsh_ann_topk",
-    "s05_ivf_kmeans_topk",
-    "s06_hard_negatives",
-    "s07_ann_recall",
+    # (a)+(b): new or changed since their last driver row
+    "s13_persisted_index_topk",
+    "s04_ivf_ann_topk",
     "s08_ivfpq_topk",
-    "s09_ivfpq_kmeans_topk",
     "s10_ivfsq_topk",
     "s11_rrf_fusion",
     "s12_mmr_rerank",
-    # ML family
-    "m01_tfidf_features",
-    "m02_lr_confusion",
-    "m03_lda_topics",
-    "m05_kmeans_clusters",
-    "m07_stratified_sample",
-    "m08_pca_whiten",
-    # text / curation family
-    "t14_token_chunks",
-    "t21_source_mixture",
-    "t22_funnel_accounting",
-    "t23_interleaved_order",
-    "t24_shingle_diversity",
-    "t25_bpe_merges",
-    "t26_bpe_encode",
-    "t28_unigram_logprob_quality",
-    "t29_bigram_backoff_quality",
-    "t30_gopher_rules",
-    "t31_importance_sample",
-    "t32_vocab_coverage",
-    "t33_token_entropy",
-    "t34_ccnet_buckets",
-    "t35_source_overlap_matrix",
-    # joins / ER, UDF surface, relational newcomers
-    "j04_fuzzy_multipass",
-    "j05_event_window_range_join",
-    "u05_frame_sample_stats",
-    "q46_unpivot_measures",
-    "q47_table_profile",
-    "q48_percentile_cont",
-    "q49_relative_rank",
-    "q50_join_key_skew",
+    "d03_jaccard_pairs",
+    "d15_winnow_containment",
+    "d19_minhash_estimate",
+    # (c): stalest driver rows (all r1), oldest-first by name
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q04_revenue_by_region",
+    "q05_theta_pairs_per_nation",
+    "q06_label_within_year",
+    "q07_distinct_flags",
+    "q08_topk_orders_per_customer",
+    "q09_rollup_lineitem",
+    "q10_nation_setops",
+    "q11_semi_anti_customers",
+    "q12_priority_order_stats",
+    "q13_orders_near_events",
+    "q14_scalar_functions",
+    "q15_size_buckets",
+    "q16_running_customer_spend",
+    "q18_session_windows",
+    "q19_sliding_windows",
+    "q20_user_activity_gaps",
+    "q21_pivot_status_by_priority",
+    "q22_exists_subquery",
+    "q23_scalar_subquery",
+    "q24_having",
+    "q25_monthly_orders",
+    "q26_null_handling",
+    "q27_string_functions2",
+    "q28_union_dedup",
+    "q29_window_lead_lag",
+    "q30_cube",
+    "q31_json_extract",
+    "q32_collect_sorted",
+    "q33_quantiles",
+    "q34_full_outer_join",
+    "q35_cross_join_grid",
+    "q36_stats_aggregates",
+    "q37_any_all_semantics",
+    "q39_asof_attribution",
+    "q40_range_frame_window",
+    "q41_rank_functions",
+    "q42_grouping_sets",
+    "q43_datetime_functions",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

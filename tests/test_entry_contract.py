@@ -33,7 +33,7 @@ def test_all_queries_produce_stable_schemas(spark):
 
 def test_driver_window_is_the_pinned_manifest():
     """The driver's CORRECTNESS gate verifies only the FIRST 50
-    registry entries. Round 3 pins the window as an explicit manifest
+    registry entries. The window is pinned as an explicit manifest
     (plans.DRIVER_WINDOW) so a module refactor cannot silently
     reshuffle which queries the driver checks — assert the registry's
     first 50 ARE that manifest, verbatim and in order."""
@@ -42,52 +42,30 @@ def test_driver_window_is_the_pinned_manifest():
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50
     assert list(QUERIES)[:50] == DRIVER_WINDOW
-    # Round-3 rotation goal: the 14 queries with no driver row in
-    # rounds 1-2 must all sit inside the window this round.
-    never_checked_before_r3 = {
-        "d13_simhash_neardups",
-        "d15_winnow_containment",
-        "j04_fuzzy_multipass",
-        "m05_kmeans_clusters",
-        "m08_pca_whiten",
-        "q46_unpivot_measures",
-        "s05_ivf_kmeans_topk",
-        "s06_hard_negatives",
-        "t14_token_chunks",
-        "t22_funnel_accounting",
-        "t23_interleaved_order",
-        "t24_shingle_diversity",
-        "t25_bpe_merges",
-        "t29_bigram_backoff_quality",
+
+
+def test_driver_window_rotation_rule_r4():
+    """Rotation rule (adopted round 4, VERDICT r3 ask #2): the window
+    must contain (a) every query registered THIS round and (b) every
+    query whose implementation or oracle changed since its last
+    driver row — a driver row must postdate the code it certifies.
+    This round that set is s13 (new) + the auto_cells/shortlist/cap/
+    oracle changes; s04 is the r3 carry-over whose row predated its
+    ivf_assign_literal rewrite."""
+    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
+
+    changed_or_new_in_r4 = {
+        "s13_persisted_index_topk",  # new: persisted-index serving
+        "s04_ivf_ann_topk",  # stale r3 row + auto_cells rewire
+        "s08_ivfpq_topk",  # auto_cells rewire
+        "s10_ivfsq_topk",  # auto_cells rewire
+        "s11_rrf_fusion",  # composes s04's changed oracle
+        "s12_mmr_rerank",  # bucketed shortlist + typed MMR schema
+        "d03_jaccard_pairs",  # max_df cap registered + oracle
+        "d15_winnow_containment",  # self-join-free capped plan
+        "d19_minhash_estimate",  # oracle zero-overlap symmetry
     }
-    assert never_checked_before_r3 <= set(DRIVER_WINDOW)
-    # Queries BUILT in round 3 must also debut inside the window —
-    # otherwise they'd repeat the round-2 "never driver-checked"
-    # finding verbatim.
-    new_in_r3 = {
-        "j05_event_window_range_join",
-        "d16_dup_span_coverage",
-        "d17_components_star",
-        "d18_span_trim",
-        "s07_ann_recall",
-        "s08_ivfpq_topk",
-        "s09_ivfpq_kmeans_topk",
-        "t30_gopher_rules",
-        "t31_importance_sample",
-        "t32_vocab_coverage",
-        "t33_token_entropy",
-        "q48_percentile_cont",
-        "q49_relative_rank",
-        "q47_table_profile",
-        "s10_ivfsq_topk",
-        "t34_ccnet_buckets",
-        "s11_rrf_fusion",
-        "q50_join_key_skew",
-        "s12_mmr_rerank",
-        "t35_source_overlap_matrix",
-        "d19_minhash_estimate",
-    }
-    assert new_in_r3 <= set(DRIVER_WINDOW)
+    assert changed_or_new_in_r4 <= set(DRIVER_WINDOW)
 
 
 def test_missing_sf_dir_fails_cleanly(spark):
