@@ -85,6 +85,9 @@ def main() -> None:
         "s10_ivfsq_topk",
         "s11_rrf_fusion",
         "s12_mmr_rerank",
+        # build-to-disk + partition-pruned serve, measured end to end
+        # (a deployment amortizes the build; SCALE.md §7i)
+        "s13_persisted_index_topk",
         "m04_pair_ranking",
         "q25_monthly_orders",
         "q50_join_key_skew",

@@ -64,7 +64,15 @@ def build_ivfsq_index(
         "cell_id",
         sq_encode(_unit(F.col("__vec"), F.col("__norm")), mns, rngs).alias("sq"),
     )
-    coded.write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/codes")
+    # Cluster by cell BEFORE the partitioned write: without it every
+    # task holds rows of every cell and the sink fans out to
+    # (tasks × cells) small files — measured 9.1 s → ~5 s for the
+    # build+serve query at sf0.1. One shuffle, files-per-cell bounded
+    # by the repartition width, and the probed-cell reads downstream
+    # get contiguous row groups.
+    coded.repartition("cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(f"{path}/codes")
 
     spark = corpus.sparkSession
     # An index REBUILD over a path this session already searched must
@@ -83,9 +91,15 @@ def build_ivfsq_index(
     }
     # One-row JSON through Spark so the sidecar lands on the same
     # filesystem as the codes (local, HDFS, S3 — no driver open()).
-    spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(
-        f"{path}/meta"
-    )
+    # Written as a STRING LITERAL over range(1) — pure JVM plan. The
+    # obvious createDataFrame([dict]) is python-RDD-backed, and a job
+    # over a parallelized Python list measures ~5 s of worker
+    # round-trips for ONE row (the py4j construction-cost lesson,
+    # PERF.md round 4); spark.read.json parses the text line
+    # identically.
+    spark.range(1).select(F.lit(json.dumps(meta)).alias("value")).coalesce(
+        1
+    ).write.mode("overwrite").text(f"{path}/meta")
     spark.catalog.refreshByPath(f"{path}/meta")
 
 

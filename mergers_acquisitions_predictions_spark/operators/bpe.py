@@ -134,8 +134,10 @@ def merges_as_df(spark: SparkSession, merges: list[tuple[str, str, int]]) -> Dat
     rows = [
         (i + 1, a, b, a + b, f) for i, (a, b, f) in enumerate(merges)
     ]
-    return spark.createDataFrame(
-        rows, "rank int, left string, right string, merged string, pair_freq bigint"
+    from .util import local_rows_df
+
+    return local_rows_df(
+        spark, rows, "rank int, left string, right string, merged string, pair_freq bigint"
     )
 
 

@@ -561,7 +561,9 @@ def kmeans_centroids(
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    cent = spark.createDataFrame(rows, "cell_id BIGINT, cent_vec ARRAY<DOUBLE>")
+    from .util import local_rows_df
+
+    cent = local_rows_df(spark, rows, "cell_id BIGINT, cent_vec ARRAY<DOUBLE>")
     return cent.select(
         "cell_id", "cent_vec", l2_norm(F.col("cent_vec")).alias("cent_norm")
     )

@@ -161,6 +161,19 @@ def fit_released(estimator, dataset: DataFrame):
         dataset.unpersist(blocking=False)
 
 
+def local_rows_df(spark, rows: list, schema: str) -> DataFrame:
+    """DataFrame from a small DRIVER-side row list (index artifacts:
+    centroid tables, BPE merge lists, vocabularies) as a SINGLE
+    python-RDD partition. The default ``spark.createDataFrame(rows)``
+    spreads the list over ``defaultParallelism`` python-RDD slices,
+    and every job over it then pays one Python-worker round trip PER
+    SLICE — measured 2-7 s for a 44-row centroid table on local[32]
+    (the py4j/worker construction-cost lesson, PERF.md round 4) vs
+    ~0.25 s with one slice. Driver-sized inputs only: one partition
+    is the point."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 #: Session-scoped memo for expensive literal-Column construction.
 #: Building a literal array column costs one py4j round trip PER
 #: ELEMENT; index-artifact literals (hyperplanes, centroids, PQ

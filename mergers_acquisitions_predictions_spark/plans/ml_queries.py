@@ -74,8 +74,10 @@ def m01_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = build_tfidf_pipeline(min_df=2.0, stopwords=list(_SW)).fit(docs)
     out = model.transform(docs)
     vocab = model.stages[-2].vocabulary
-    vocab_df = spark.createDataFrame(
-        list(enumerate(vocab)), "term_idx INT, term STRING"
+    from ..operators.util import local_rows_df
+
+    vocab_df = local_rows_df(
+        spark, list(enumerate(vocab)), "term_idx INT, term STRING"
     )
     arr = vector_to_array(F.col("tfidf"))
     # Sparsify BEFORE exploding: zip (idx, weight), keep nonzeros —
