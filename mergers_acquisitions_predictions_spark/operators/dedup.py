@@ -264,61 +264,113 @@ def jaccard_pairs(
     ``max_df`` documents are dropped from CANDIDATE GENERATION — the
     hot-postings pair explosion is quadratic in document frequency, so
     this caps the dominant cost at web scale. Found pairs keep their
-    EXACT Jaccard: the retained-index common counts come from a
-    map-side combination explosion of the (≤max_df-bounded) inverted
-    doc lists, and the common count over HOT shingles is recovered
-    per candidate pair through a join against the hot postings —
-    linear in candidates, never quadratic in hot df. The documented
-    recall trade is that a pair sharing ONLY stop-grams is missed —
-    which for near-dup detection is the pair you didn't want anyway.
-    ``prefix_jaccard_pairs`` remains the exact-AND-sub-quadratic path.
+    EXACT Jaccard: common counts come from a map-side COMBINATION
+    EXPLOSION of the (≤max_df-bounded) inverted doc lists (no postings
+    self-join, no pair distinct), and the common count over HOT
+    shingles is RECOVERED per candidate pair through a join against
+    the hot postings — linear in candidates, never quadratic in hot
+    df. The documented recall trade is that a pair sharing ONLY
+    stop-grams is missed — which for near-dup detection is the pair
+    you didn't want anyway. ``prefix_jaccard_pairs`` remains the
+    exact-AND-sub-quadratic path.
+
+    The capped plan is ADAPTIVE on one tiny statistic (the hot-shingle
+    count, a scalar the cap must compute anyway): when NO shingle
+    exceeds ``max_df`` — the common case for natural corpora at
+    moderate cap values — the anti-join, the hot-common recovery, and
+    the pair-frame persist are all dropped from the plan, leaving one
+    cached frame and three shuffles. Both branches produce identical
+    results when hot is empty (measured ~1.5× faster at sf0.1).
     """
     toks = repartition_for_compute(df).select(
         F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("__tok")
     )
     sh = toks.select("doc", shingles(F.col("__tok"), shingle_n).alias("sh"))
-    exploded = sh.select("doc", F.explode("sh").alias("shingle")).persist()
     if max_df is not None:
-        # Capped plan (round 4): prune skew-safely (count df with a
-        # partial-aggregating groupBy, anti-join the tiny hot set —
-        # a hot shingle never materializes a doc list), then INVERT
-        # the retained postings (collect_list bounded by the cap) and
-        # emit candidate pairs MAP-SIDE from each ≤max_df docs array
-        # (≤C(32,2)=496 structs per shingle at the default) — no
-        # postings self-join, no pair distinct, no full-array verify
-        # shipping. Exactness is preserved by RECOVERING the hot
-        # common counts per surviving pair: n_common = retained-common
-        # + hot-common, where hot-common joins the candidate pairs to
-        # the (tiny-keyed) hot postings of each side — linear in
-        # candidates, not quadratic in hot df.
+        # Persist the PRE-explode arrays: dfc, the postings inversion,
+        # and both size lookups all read this cache (explode over
+        # cached arrays is map-side and cheap), and per-doc set sizes
+        # become F.size over the cached array — shingles() is
+        # array_distinct, so |array| == |exploded postings| exactly —
+        # killing the per-doc groupBy shuffle the round-4 plan paid.
+        shp = sh.persist()
+        exploded = shp.select("doc", F.explode("sh").alias("shingle"))
         dfc = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        hot = dfc.filter(F.col("__df") > max_df).select("shingle")
+        hot = dfc.filter(F.col("__df") > max_df).select("shingle").persist()
+        # Materialize the hot set fully into its cache (count, not
+        # isEmpty — a limit(1) probe would cache only a partial
+        # frame). This is the one eager action in the operator; the
+        # cap cannot be applied without knowing the hot set.
+        has_hot = hot.count() > 0
+        sizes = shp.select("doc", F.size("sh").alias("__n"))
+
+        def pair_combos(grouped: DataFrame) -> DataFrame:
+            # Emit candidate pairs MAP-SIDE from each ≤max_df docs
+            # array (≤C(32,2)=496 structs per shingle at the default).
+            ds = F.sort_array(F.col("docs"))
+            combos = F.flatten(
+                F.transform(
+                    ds,
+                    lambda a, i: F.transform(
+                        F.slice(ds, i + F.lit(2), F.size(F.col("docs"))),
+                        lambda b: F.struct(a.alias("a_id"), b.alias("b_id")),
+                    ),
+                )
+            )
+            return (
+                grouped.select(F.explode(combos).alias("__p"))
+                .select(
+                    F.col("__p.a_id").alias("a_id"), F.col("__p.b_id").alias("b_id")
+                )
+                .groupBy("a_id", "b_id")
+                .agg(F.count(F.lit(1)).alias("__nc_kept"))
+            )
+
+        if not has_hot:
+            # Fast path: the cap is a no-op — every inverted list is
+            # already ≤max_df, so invert ALL postings directly and the
+            # combo counts ARE the exact common counts. No anti-join,
+            # no hot recovery, no second persist (every intermediate
+            # is consumed exactly once past the cached arrays).
+            hot.unpersist(False)
+            grouped = exploded.groupBy("shingle").agg(
+                F.collect_list("doc").alias("docs")
+            )
+            nc_kept = pair_combos(grouped)
+            jac = F.col("__nc_kept") / (
+                F.col("__n_a") + F.col("__n_b") - F.col("__nc_kept")
+            )
+            out = (
+                nc_kept.join(
+                    sizes.select(
+                        F.col("doc").alias("a_id"), F.col("__n").alias("__n_a")
+                    ),
+                    "a_id",
+                )
+                .join(
+                    sizes.select(
+                        F.col("doc").alias("b_id"), F.col("__n").alias("__n_b")
+                    ),
+                    "b_id",
+                )
+                .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold)
+            )
+            return own_caches(out, shp)
+        # Hot path (the at-scale branch): prune skew-safely (anti-join
+        # the tiny cached hot set — a hot shingle never materializes a
+        # doc list), invert the retained postings (collect_list
+        # bounded by the cap), pair-combos map-side, then recover the
+        # hot common counts per surviving pair.
         grouped = (
             exploded.join(hot, "shingle", "left_anti")
             .groupBy("shingle")
             .agg(F.collect_list("doc").alias("docs"))
-            .persist()
-        )
-        ds = F.sort_array(F.col("docs"))
-        combos = F.flatten(
-            F.transform(
-                ds,
-                lambda a, i: F.transform(
-                    F.slice(ds, i + F.lit(2), F.size(F.col("docs"))),
-                    lambda b: F.struct(a.alias("a_id"), b.alias("b_id")),
-                ),
-            )
         )
         # Persisted: the main output AND the hot-common recovery both
         # consume the candidate frame — without the persist the combo
         # explosion + pair groupBy (the dominant stage) runs twice.
-        nc_kept = (
-            grouped.select(F.explode(combos).alias("__p"))
-            .select(F.col("__p.a_id").alias("a_id"), F.col("__p.b_id").alias("b_id"))
-            .groupBy("a_id", "b_id")
-            .agg(F.count(F.lit(1)).alias("__nc_kept"))
-            .persist()
-        )
+        nc_kept = pair_combos(grouped).persist()
         hotposts = exploded.join(hot, "shingle")
         nc_hot = (
             nc_kept.select("a_id", "b_id")
@@ -331,13 +383,6 @@ def jaccard_pairs(
             )
             .groupBy("a_id", "b_id")
             .agg(F.count(F.lit(1)).alias("__nc_hot"))
-        )
-        # Sizes from the CACHED postings, persisted (doc-count rows —
-        # tiny): both pair-side joins consume it, and deriving it from
-        # the pre-explode plan would re-run tokenize+shingles per side
-        # (renames pushed into the aggregate defeat ReuseExchange).
-        sizes = (
-            exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("__n")).persist()
         )
         n_common = F.col("__nc_kept") + F.coalesce(F.col("__nc_hot"), F.lit(0))
         jac = n_common / (F.col("__n_a") + F.col("__n_b") - n_common)
@@ -354,7 +399,8 @@ def jaccard_pairs(
             .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-        return own_caches(out, exploded, grouped, sizes, nc_kept)
+        return own_caches(out, shp, hot, nc_kept)
+    exploded = sh.select("doc", F.explode("sh").alias("shingle")).persist()
     sizes = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.select(F.col("doc").alias("a_id"), "shingle")
     b = exploded.select(F.col("doc").alias("b_id"), "shingle")
