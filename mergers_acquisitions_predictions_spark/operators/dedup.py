@@ -755,11 +755,14 @@ def winnow_containment_pairs(
 
     Plan: winnow sketches are map-side (functions/textstats,
     guarantee: any shared substring of length ≥ k + w - 1 yields ≥ 1
-    shared fingerprint); candidate pairs meet on a fingerprint
-    equi-join of the PERSISTED postings frame (both self-join sides
-    read it — the materialize-before-self-join rule); survivors are
-    verified EXACTLY against the full per-doc fingerprint sets with a
-    map-side ``array_intersect`` (the d08 verify shape).
+    shared fingerprint). With the default cap, candidate pairs and
+    their shared-fingerprint counts come from a map-side COMBINATION
+    EXPLOSION of the (≤max_df-bounded) inverted doc lists — no
+    postings self-join and no separate verify stage: the combo count
+    over the retained index IS n_shared, exact by construction.
+    Uncapped (``max_df=None``), pairs meet on a fingerprint equi-join
+    of the persisted postings frame instead (both self-join sides
+    read the cache — the materialize-before-self-join rule).
 
     ``max_df`` (DEFAULT ON — the d03 lesson, wired in): fingerprints
     occurring in more than ``max_df`` documents are dropped from the

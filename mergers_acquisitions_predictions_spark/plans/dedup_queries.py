@@ -127,11 +127,15 @@ def d03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d15 stop-gram recipe, mirrored into the oracle): shingles in more
     than 32 documents are dropped from CANDIDATE GENERATION — the
     Σdf² pair-explosion that is the one quadratic exposure of the
-    postings plan — while surviving pairs keep their EXACT Jaccard
-    (map-side re-verify against the full shingle arrays). At every
-    driver SF the corpus's max shingle df is ≤25, so the cap changes
-    no result here; at 100× it is the difference between a bounded
-    postings join and a hot-key blowup. `d08_prefix_jaccard_pairs`
+    postings plan — while surviving pairs keep their EXACT Jaccard:
+    common counts come from the map-side combo explosion of the
+    ≤32-doc inverted lists, plus (only when hot shingles exist) a
+    per-candidate join against the hot postings that recovers the
+    stop-gram contribution — the plan is ADAPTIVE on the hot count
+    (see `jaccard_pairs`). At every driver SF the corpus's max
+    shingle df is ≤25, so the cap changes no result here and the
+    fast no-hot branch runs; at 100× it is the difference between a
+    bounded postings join and a hot-key blowup. `d08_prefix_jaccard_pairs`
     remains the exact-AND-sub-quadratic sibling; the uncapped
     exhaustive form stays available as `jaccard_pairs(max_df=None)`."""
     d = load_table(spark, sf_dir, "documents")
@@ -367,7 +371,7 @@ def d05_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d07_lsh_embedding_neardups",
     oracle=f"""
-    WITH {auto_buckets_cte_sql(dim=64, k_max=8, n_tables=8)},
+    WITH {auto_buckets_cte_sql(dim=64, k_max=12, n_tables=8)},
     cand AS (
         SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         FROM buckets a
@@ -400,7 +404,7 @@ def d07_lsh_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~n·target instead of n²/2^k — a fixed k is the config that
     thrashes at 100× (SCALE.md §7b/§7c). Fully value-checkable
     DESPITE being approximate AND auto-sized: plane chunks are
-    prefix-stable (`lsh_tables(k_max=8)`) and the oracle recomputes
+    prefix-stable (`lsh_tables(k_max=12)`) and the oracle recomputes
     the same k from count(*) (plans/lsh_oracle.auto_buckets_cte_sql),
     so DuckDB reproduces the identical candidate set at every SF."""
     from ..operators.similarity import auto_planes
@@ -408,7 +412,7 @@ def d07_lsh_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     k = auto_planes(e.count())
     return lsh_neardup_pairs(
-        e, threshold=0.4, dim=64, n_planes=k, n_tables=8, k_max=8
+        e, threshold=0.4, dim=64, n_planes=k, n_tables=8, k_max=12
     )
 
 

@@ -85,9 +85,9 @@ def s02_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s03_lsh_ann_topk",
     oracle=f"""
-    WITH {auto_buckets_cte_sql(dim=64, k_max=8, n_tables=8)},
+    WITH {auto_buckets_cte_sql(dim=64, k_max=12, n_tables=8)},
     qb AS (SELECT vec_id, t, bucket FROM buckets WHERE vec_id < 5),
-    qprobe AS ({auto_hamming1_probe_sql(k_max=8, base="qb")}
+    qprobe AS ({auto_hamming1_probe_sql(k_max=12, base="qb")}
     ),
     cand AS (
         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS candidate_id
@@ -124,7 +124,7 @@ def s03_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus count — fixed k is the config that thrashes at 100×,
     SCALE.md §7b/§7c). FULL value-parity check despite being
     approximate AND auto-sized: plane chunks are prefix-stable
-    (`lsh_tables(k_max=8)`) and the oracle recomputes the same k from
+    (`lsh_tables(k_max=12)`) and the oracle recomputes the same k from
     count(*) (plans/lsh_oracle.auto_buckets_cte_sql), so DuckDB
     reproduces the identical buckets, probes, and candidate set at
     every SF; recall vs. the exact baseline is additionally asserted
@@ -144,7 +144,7 @@ def s03_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_planes=k,
         multiprobe=True,
-        k_max=8,
+        k_max=12,
         corpus_cache_key=(sf_dir, "embeddings"),
         queries_cache_key=(sf_dir, "embeddings", "vec_id<5"),
     )
@@ -305,7 +305,7 @@ def s06_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query, the 5 most-similar DIFFERENTLY-LABELED vectors from a
     3× overfetched top-k — the contrastive-training data-prep op. The
     registered config uses the BUCKETED multi-table sign-LSH top-k
-    (multiprobe), i.e. the path a 10⁸-vector corpus runs: candidates
+    (multiprobe), i.e. the SHAPE a large corpus runs: candidates
     meet on bucket equi-joins, never a cross join. The default
     operator auto-selects this path past `brute_force_max` rows; it is
     forced here so the driver row proves the scale plan, with the
@@ -465,17 +465,45 @@ def s13_persisted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, not just the in-memory plan, a hash-checked driver row.
 
     The index is REBUILT from the parquet on every invocation
-    (overwrite semantics, fixed per-sf path): correctness must never
-    depend on a stale artifact surviving a testdata regeneration. A
-    deployment builds once and amortizes — that regime's 5.7× scan
-    win is measured in SCALE.md §7i."""
+    (overwrite semantics): correctness must never depend on a stale
+    artifact surviving a testdata regeneration. A deployment builds
+    once and amortizes — that regime's 5.7× scan win is measured in
+    SCALE.md §7i.
+
+    The artifact path is keyed by (sf_dir, applicationId): two
+    concurrent processes over the same sf_dir (bench alongside a
+    correctness sweep, parallel CI) each build to their OWN path, so
+    an in-flight partitioned read can never race another process's
+    mode('overwrite') (ADVICE r4). Scratch dir overridable via
+    $SPARK_GRAFT_SCRATCH; stale artifacts from DEAD sessions under
+    the same prefix are best-effort reaped at build time, age-gated
+    (>6h untouched) so a concurrently-live session's artifact is
+    never pulled out from under its reads."""
     import hashlib
+    import os
+    import shutil
+    import time
 
     from ..operators.ann_index import build_ivfsq_index, search_ivfsq_index
 
     e = load_table(spark, sf_dir, "embeddings")
     token = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"/tmp/mergers_acquisitions_spark_ivfsq_{token}"
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
+    app = spark.sparkContext.applicationId
+    prefix = f"mergers_acquisitions_spark_ivfsq_{token}"
+    path = os.path.join(scratch, f"{prefix}_{app}")
+    try:  # reap long-dead sessions' artifacts (best-effort)
+        cutoff = time.time() - 6 * 3600
+        for name in os.listdir(scratch):
+            full = os.path.join(scratch, name)
+            if (
+                name.startswith(prefix)
+                and name != f"{prefix}_{app}"
+                and os.path.getmtime(full) < cutoff
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+    except OSError:
+        pass
     build_ivfsq_index(e, path, n_cells=None)
     return search_ivfsq_index(
         spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
@@ -497,8 +525,11 @@ def s12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared design); its correctness evidence is the sequential
     pure-Python reference equivalence + diversity-property tests in
     tests/test_similarity_mmr.py. Scale shape: every stage is now
-    bucketed or shortlist-sized — the LSH overfetch is the 10⁸-vector
-    plan, and the Python work is per-QUERY over shortlist-sized
+    bucketed or shortlist-sized — the LSH overfetch runs the same
+    bucket-equi-join shape as s03 (the registered k_max=12 config
+    auto-sizes planes up to ~10⁶ vectors; past that `lsh_tables`
+    raises, the signal to raise k_max and regenerate the oracle
+    constants — an explicit config decision, not silent degradation), and the Python work is per-QUERY over shortlist-sized
     groups (applyInPandas — the legitimate case), never
     corpus-sized."""
     from ..operators.similarity import auto_planes, mmr_rerank
@@ -516,7 +547,7 @@ def s12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
         multiprobe=True,
-        k_max=8,
+        k_max=12,
         corpus_cache_key=(sf_dir, "embeddings"),
         queries_cache_key=(sf_dir, "embeddings", "vec_id<5"),
     ).join(
