@@ -206,3 +206,7 @@ def append_to_ivfsq_index(
         sq_encode(_unit(F.col("__vec"), F.col("__norm")), mns, rngs).alias("sq"),
     )
     coded.write.mode("append").partitionBy("cell_id").parquet(f"{path}/codes")
+    # Same file-listing-staleness guard as build: a session that
+    # already searched this path must not serve a cached listing
+    # missing the new shard's files.
+    spark.catalog.refreshByPath(f"{path}/codes")

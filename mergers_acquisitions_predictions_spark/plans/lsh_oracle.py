@@ -147,7 +147,7 @@ def ivf_cent_cte_sql(n_cells: int) -> str:
         FROM embeddings ORDER BY vec_id LIMIT {n_cells}"""
 
 
-def auto_ivf_cent_ctes_sql(floor: int = 16) -> str:
+def auto_ivf_cent_ctes_sql(floor: int = 16, build_filter: str = "") -> str:
     """CTE pair ``ncells`` + ``cent`` for AUTO-SIZED IVF oracles — the
     `auto_buckets_cte_sql` recipe applied to the cell count: ``ncells``
     recomputes `similarity.auto_cells` (greatest(floor, ⌊√n⌋)) from
@@ -159,18 +159,23 @@ def auto_ivf_cent_ctes_sql(floor: int = 16) -> str:
 
     floor(sqrt(n)) vs Python's isqrt: exact for every n here — double
     sqrt is correctly rounded, and below ~2^52 the k²−1 boundary cases
-    where floor(sqrt) could round up cannot occur."""
+    where floor(sqrt) could round up cannot occur.
+
+    ``build_filter`` (e.g. "WHERE vec_id % 2 = 0") restricts the
+    BUILD-time corpus the sizing and centroids are learned from —
+    the oracle mirror of building an index on one split and
+    appending the rest (s14)."""
     return f"""ncells AS (
         SELECT greatest({floor},
                         CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INTEGER)) AS c
-        FROM embeddings
+        FROM embeddings {build_filter}
     ),
     cent AS (
         SELECT cell_id, cvec, cnorm FROM (
             SELECT vec_id AS cell_id, embedding AS cvec,
                    sqrt({SQL_SQNORM.format(v='embedding')}) AS cnorm,
                    row_number() OVER (ORDER BY vec_id) AS __rn
-            FROM embeddings
+            FROM embeddings {build_filter}
         ) WHERE __rn <= (SELECT c FROM ncells)
     )"""
 
@@ -315,6 +320,7 @@ def ivfsq_topk_sql(
     n_probe: int = 2,
     k: int = 5,
     query_filter: str = "WHERE vec_id < 5",
+    build_filter: str = "",
 ) -> str:
     """DuckDB mirror of `operators/sq.ivfsq_topk` (IVF + 8-bit scalar
     quantization): the oracle regenerates the per-dimension min/range
@@ -324,10 +330,18 @@ def ivfsq_topk_sql(
     dot product with the same left-to-right `list_sum` fold the
     engine's `aggregate` uses. One static string, exact at every SF.
     ``n_cells="auto"`` emits the √n-sizing CTE pair
-    (`auto_ivf_cent_ctes_sql`) instead of a pinned centroid LIMIT."""
+    (`auto_ivf_cent_ctes_sql`) instead of a pinned centroid LIMIT.
+
+    ``build_filter`` (e.g. "WHERE vec_id % 2 = 0") restricts the
+    BUILD corpus: quantizer stats, cell sizing, and centroids are
+    learned from the filtered split only, while codes/assignment/
+    search still cover every vector — the exact semantics of
+    `ann_index.build_ivfsq_index` on a split followed by
+    `append_to_ivfsq_index` of the remainder (s14: the persisted
+    geometry is frozen; appended shards are encoded with it)."""
     D = dim
     cent_block = (
-        auto_ivf_cent_ctes_sql()
+        auto_ivf_cent_ctes_sql(build_filter=build_filter)
         if n_cells == "auto"
         else f"cent AS ({ivf_cent_cte_sql(n_cells)}\n    )"
     )
@@ -346,7 +360,8 @@ def ivfsq_topk_sql(
         SELECT CAST(t.i AS INTEGER) AS dim,
                min(u[CAST(t.i AS INTEGER)]) AS mn,
                max(u[CAST(t.i AS INTEGER)]) - min(u[CAST(t.i AS INTEGER)]) AS rng
-        FROM unit CROSS JOIN range(1, {D} + 1) t(i)
+        FROM (SELECT * FROM unit {build_filter}) bu
+        CROSS JOIN range(1, {D} + 1) t(i)
         GROUP BY 1
     ),
     statarr AS (

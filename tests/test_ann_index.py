@@ -116,14 +116,20 @@ def test_streaming_queries_served_from_persisted_index(spark, tmp_path):
 
     got = []
 
-    def serve(batch_df, _bid):
-        res = search_ivfsq_index(spark, path, batch_df, k=5, n_probe=2)
-        got.extend(map(tuple, res.collect()))
+    from mergers_acquisitions_predictions_spark.streaming.serving import (
+        serve_query_stream,
+    )
 
     stream = (
-        spark.readStream.schema("vec_id long, embedding array<float>")
-        .json(str(qdir))
-        .writeStream.foreachBatch(serve)
+        serve_query_stream(
+            path,
+            spark.readStream.schema("vec_id long, embedding array<float>").json(
+                str(qdir)
+            ),
+            lambda res, _bid: got.extend(map(tuple, res.collect())),
+            k=5,
+            n_probe=2,
+        )
         .trigger(availableNow=True)
         .start()
     )
