@@ -13,10 +13,10 @@ from pyspark.sql import functions as F
 from ..sources.readers import load_table
 from .registry import query
 
-# Rows-only queries defined in their home modules but REGISTERED here
-# so their no-oracle rows sit past the checked window: m05 (iterative
-# Lloyd fitting), u03 (fake multimodal payload bytes aren't SQL).
-from .ml_queries import m05_kmeans_clusters  # noqa: E402
+# Queries defined in their home modules but REGISTERED here: u03's
+# fake multimodal payload bytes aren't SQL (rows-only); m05 carries
+# its materialized-assignments oracle since round 5 (M05_ORACLE).
+from .ml_queries import M05_ORACLE, m05_kmeans_clusters  # noqa: E402
 from .text_queries import T01_ORACLE, t01_token_stats  # noqa: E402
 from .text_queries import T02_ORACLE, t02_clean_text  # noqa: E402
 from .text_queries import T14_ORACLE, t14_token_chunks  # noqa: E402
@@ -24,7 +24,7 @@ from .udf_queries import U01_ORACLE, u01_pandas_udf_charge  # noqa: E402
 from .udf_queries import U02_ORACLE, u02_grouped_minmax_scale  # noqa: E402
 from .udf_queries import u03_multimodal_features  # noqa: E402
 
-query("m05_kmeans_clusters")(m05_kmeans_clusters)
+query("m05_kmeans_clusters", oracle=M05_ORACLE)(m05_kmeans_clusters)
 query("u03_multimodal_features")(u03_multimodal_features)
 # u01 rotated out of the window in favor of t21_source_mixture: the
 # scalar-pandas_udf mechanism keeps in-window driver evidence via

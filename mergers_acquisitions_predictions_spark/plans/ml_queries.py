@@ -100,12 +100,44 @@ def m01_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m02_lr_confusion")  # rows-only: model training isn't SQL
+#: m02's prediction artifact: a FIXED path because the oracle string
+#: is static (no per-session token can reach it). The artifact is an
+#: evaluation HANDSHAKE — the query overwrites it, then its paired
+#: oracle re-aggregates the same files — not served state like s13's
+#: index, so the single-evaluator assumption is the harness's own
+#: (queries and oracles run sequentially per check). Two concurrent
+#: evaluator PROCESSES could interleave a write between a query and
+#: its oracle read; that produces a visible mismatch, never a false
+#: pass.
+_M02_PREDS_PATH = "/tmp/mergers_acquisitions_spark_m02_preds"
+
+
+@query(
+    "m02_lr_confusion",
+    oracle=f"""
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(prediction AS INTEGER) AS prediction,
+           CAST(count(*) AS BIGINT) AS n
+    FROM read_parquet('{_M02_PREDS_PATH}/*.parquet')
+    GROUP BY 1, 2
+    """,
+)
 def m02_lr_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted LR (M5/M7/M9) + confusion matrix (M10) replayed on the
     embeddings table: label = (label >= 5), features = the embedding
-    vector. Mirrors `lr.scala` end-to-end with seed 42."""
+    vector. Mirrors `lr.scala` end-to-end with seed 42.
+
+    VALUE-CHECKED since round 5 (VERDICT r4 #7): the fit itself is
+    iterative MLlib and stays Spark-side, but its OUTPUTS are
+    SQL-expressible once materialized — the per-row predictions are
+    written to a parquet artifact, the returned matrix is computed
+    FROM that artifact, and the oracle re-aggregates the very same
+    files in DuckDB. The check certifies the M10 aggregation and the
+    artifact round-trip cross-engine; fit quality remains covered by
+    the AUC/golden-label tests in tests/test_ma_pipeline.py."""
     from pyspark.ml.functions import array_to_vector
+
+    from ..operators.aggregates import confusion_matrix
 
     e = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id"),
@@ -115,7 +147,14 @@ def m02_lr_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, train, test = train_weighted_lr(
         e, features_col="features", label_col="y", threshold=0.5
     )
-    return confusion(model, test, label_col="y").orderBy("label", "prediction")
+    model.transform(test).select(
+        "vec_id", F.col("y").alias("label"), F.col("prediction")
+    ).write.mode("overwrite").parquet(_M02_PREDS_PATH)
+    spark.catalog.refreshByPath(_M02_PREDS_PATH)
+    preds = spark.read.parquet(_M02_PREDS_PATH)
+    return confusion_matrix(preds, "label", "prediction").orderBy(
+        "label", "prediction"
+    )
 
 
 @query("m03_lda_topics")  # rows-only: EM-LDA isn't SQL
@@ -134,14 +173,40 @@ def m03_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topics_as_rows(model, cv.vocabulary, top_n=5)
 
 
-# Registered LATE (plans/extra_queries.py): rows-only — a no-oracle row
-# inside the driver's 50-entry window would displace a value-parity one.
+#: m05's assignment artifact — same handshake contract as
+#: _M02_PREDS_PATH (see that comment for the fixed-path rationale).
+_M05_PREDS_PATH = "/tmp/mergers_acquisitions_spark_m05_preds"
+
+#: Oracle for m05 (attached at its late registration site in
+#: plans/extra_queries.py): re-aggregates the materialized cluster
+#: assignments cross-engine — the fit stays Spark-side, the M-family
+#: aggregation downstream of it is value-checked (the m02 recipe).
+M05_ORACLE = f"""
+    WITH per AS (
+        SELECT prediction, label, count(*) AS n
+        FROM read_parquet('{_M05_PREDS_PATH}/*.parquet')
+        GROUP BY 1, 2
+    )
+    SELECT CAST(prediction AS BIGINT) AS cluster,
+           CAST(sum(n) AS BIGINT) AS n_points,
+           CAST(max(n) AS BIGINT) AS majority_label_n
+    FROM per
+    GROUP BY 1
+"""
+
+
+# Registered LATE (plans/extra_queries.py) with M05_ORACLE attached.
 def m05_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans over the embeddings table (k = 10, seed 42) — the
     iterative-algorithm surface (driver-coordinated Lloyd iterations,
     each a distributed job over the cached frame). Output: cluster
     sizes + how concentrated each cluster is on its majority label
-    (quality signal; asserted > random in tests)."""
+    (quality signal; asserted > random in tests).
+
+    VALUE-CHECKED since round 5 via the m02 recipe: per-row cluster
+    assignments are materialized to parquet, the returned stats are
+    computed FROM the artifact, and the oracle re-aggregates the same
+    files in DuckDB."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -150,16 +215,23 @@ def m05_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Cached because BOTH the fit's Lloyd iterations and the post-fit
     # transform read it; fit_released sees the caller-owned handle and
-    # leaves it alone, own_caches releases it with the result.
+    # leaves it alone; released before return (the artifact write is
+    # this query's terminal consumer of the lineage).
     e = e.cache()
-    from ..operators.util import fit_released, own_caches
+    from ..operators.util import fit_released
 
     model = fit_released(KMeans(k=10, seed=42, featuresCol="features"), e)
-    scored = model.transform(e)
-    per_label = scored.groupBy("prediction", "label").agg(
-        F.count(F.lit(1)).alias("n")
+    model.transform(e).select("vec_id", "label", "prediction").write.mode(
+        "overwrite"
+    ).parquet(_M05_PREDS_PATH)
+    e.unpersist(blocking=False)
+    spark.catalog.refreshByPath(_M05_PREDS_PATH)
+    per_label = (
+        spark.read.parquet(_M05_PREDS_PATH)
+        .groupBy("prediction", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    out = (
+    return (
         per_label.groupBy(F.col("prediction").cast("long").alias("cluster"))
         .agg(
             F.sum("n").cast("long").alias("n_points"),
@@ -167,7 +239,6 @@ def m05_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
-    return own_caches(out, e)
 
 
 @query(
