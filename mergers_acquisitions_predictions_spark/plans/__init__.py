@@ -33,67 +33,71 @@ from . import extra_queries  # noqa: E402,F401
 #: value-guarded by tests/test_oracle_parity.py, which sweeps EVERY
 #: oracle regardless of position.
 #:
-#: Round 4: changed/new set = s13 (new: persisted-index serving),
-#: s04/s08/s10/s11 (auto_cells rewire — s04 also closes the r3
-#: "stale row" finding), s12 (bucketed shortlist + typed MMR schema),
-#: d03 (max_df cap registered + oracle), d15 (self-join-free capped
-#: plan), d19 (oracle zero-overlap symmetry). The other 41 slots
-#: refresh r1-green rows (q01–q43 family). Seven r1-stale queries
-#: did not fit (q44, q45, t01, t02, u01, u02, u03) — they are first
-#: in line for round 5's fill.
+#: Round 5: (a) new = s14 (index append), s15 (stream-serve replay);
+#: (b) changed since last row = d03 (adaptive capped plan), d07/s03/
+#: s12 (k_max 8→12, regenerated oracle constants), s04/s05 (ivf_topk
+#: memoization restructure), s06/s07/s11 (compose the changed s03/
+#: s04 paths), s13 (applicationId-keyed artifact path), m02/m05
+#: (materialized-output oracles — rows-only → value-checked);
+#: (c) fill = the seven r1-era stragglers queued by the r4 note
+#: (q44, q45, t01, t02, u01–u03), then r2-era rows oldest-first by
+#: name. Four r2 rows did not fit (t19, t20, t27, u04) — first in
+#: line for round 6, along with the r3-era family.
 DRIVER_WINDOW = [
-    # (a)+(b): new or changed since their last driver row
-    "s13_persisted_index_topk",
+    # (a): registered this round
+    "s14_index_append_topk",
+    "s15_stream_serve_replay",
+    # (b): implementation or oracle changed since their last row
+    "d03_jaccard_pairs",
+    "d07_lsh_embedding_neardups",
+    "s03_lsh_ann_topk",
     "s04_ivf_ann_topk",
-    "s08_ivfpq_topk",
-    "s10_ivfsq_topk",
+    "s05_ivf_kmeans_topk",
+    "s06_hard_negatives",
+    "s07_ann_recall",
     "s11_rrf_fusion",
     "s12_mmr_rerank",
-    "d03_jaccard_pairs",
-    "d15_winnow_containment",
-    "d19_minhash_estimate",
-    # (c): stalest driver rows (all r1), oldest-first by name
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_top_revenue_orders",
-    "q04_revenue_by_region",
-    "q05_theta_pairs_per_nation",
-    "q06_label_within_year",
-    "q07_distinct_flags",
-    "q08_topk_orders_per_customer",
-    "q09_rollup_lineitem",
-    "q10_nation_setops",
-    "q11_semi_anti_customers",
-    "q12_priority_order_stats",
-    "q13_orders_near_events",
-    "q14_scalar_functions",
-    "q15_size_buckets",
-    "q16_running_customer_spend",
-    "q18_session_windows",
-    "q19_sliding_windows",
-    "q20_user_activity_gaps",
-    "q21_pivot_status_by_priority",
-    "q22_exists_subquery",
-    "q23_scalar_subquery",
-    "q24_having",
-    "q25_monthly_orders",
-    "q26_null_handling",
-    "q27_string_functions2",
-    "q28_union_dedup",
-    "q29_window_lead_lag",
-    "q30_cube",
-    "q31_json_extract",
-    "q32_collect_sorted",
-    "q33_quantiles",
-    "q34_full_outer_join",
-    "q35_cross_join_grid",
-    "q36_stats_aggregates",
-    "q37_any_all_semantics",
-    "q39_asof_attribution",
-    "q40_range_frame_window",
-    "q41_rank_functions",
-    "q42_grouping_sets",
-    "q43_datetime_functions",
+    "s13_persisted_index_topk",
+    "m02_lr_confusion",
+    "m05_kmeans_clusters",
+    # (c): stalest driver rows — the seven r1-era stragglers first
+    "q44_null_ordering",
+    "q45_except_all_multiplicity",
+    "t01_token_stats",
+    "t02_clean_text",
+    "u01_pandas_udf_charge",
+    "u02_grouped_minmax_scale",
+    "u03_multimodal_features",
+    # (c) cont.: r2-era rows, oldest-first by name
+    "d01_minhash_signatures",
+    "d02_minhash_lsh_pairs",
+    "d04_simhash",
+    "d05_embedding_neardups",
+    "d06_lsh_verified_neardups",
+    "d10_contamination",
+    "j02_deal_name_linkage",
+    "j03_fuzzy_name_match",
+    "m04_pair_ranking",
+    "m06_split_assignment",
+    "q17_tumbling_windows",
+    "q38_deterministic_sample",
+    "s01_embedding_norms",
+    "s02_cosine_topk",
+    "t03_ngram_stats",
+    "t04_stopword_filter",
+    "t05_lang_source_stats",
+    "t06_doc_fingerprints",
+    "t07_exact_dedup_summary",
+    "t08_vocabulary",
+    "t09_tfidf_top_terms",
+    "t10_language_id",
+    "t11_quality_scores",
+    "t12_bpe_token_count",
+    "t13_training_prep_funnel",
+    "t15_pii_redaction",
+    "t16_repetition_stats",
+    "t17_winnow_fingerprints",
+    "t18_sequence_packing",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -65,7 +65,54 @@ def test_driver_window_rotation_rule_r4():
         "d15_winnow_containment",  # self-join-free capped plan
         "d19_minhash_estimate",  # oracle zero-overlap symmetry
     }
-    assert changed_or_new_in_r4 <= set(DRIVER_WINDOW)
+    # r5 note: s08/s10/d15/d19 have r4-green rows and rotated out; the
+    # set below supersedes this one for the current window.
+    assert changed_or_new_in_r4 & set(DRIVER_WINDOW) >= {
+        "s04_ivf_ann_topk",
+        "s11_rrf_fusion",
+        "s12_mmr_rerank",
+        "s13_persisted_index_topk",
+        "d03_jaccard_pairs",
+    }
+
+
+def test_driver_window_rotation_rule_r5():
+    """Round-5 window under the postdate rule: every query REGISTERED
+    this round (s14, s15) and every query whose implementation or
+    oracle CHANGED since its last driver row must be in the window —
+    the k_max 8→12 raise (d07/s03/s12 + composers s06/s07/s11), the
+    ivf_topk memoization restructure (s04/s05), d03's adaptive capped
+    plan, s13's artifact-path keying, and the m02/m05
+    materialized-output oracles. The seven r1-era stragglers queued by
+    the r4 note (plans/__init__ r4 comment) must all have slots."""
+    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
+
+    changed_or_new_in_r5 = {
+        "s14_index_append_topk",  # new: frozen-geometry append
+        "s15_stream_serve_replay",  # new: foreachBatch body replay
+        "d03_jaccard_pairs",  # adaptive capped plan
+        "d07_lsh_embedding_neardups",  # k_max 12 constants
+        "s03_lsh_ann_topk",  # k_max 12 + shared bucket frame
+        "s04_ivf_ann_topk",  # ivf_topk memoization restructure
+        "s05_ivf_kmeans_topk",  # ivf_topk signature/restructure
+        "s06_hard_negatives",  # composes changed lsh_topk
+        "s07_ann_recall",  # composes changed s03
+        "s11_rrf_fusion",  # composes changed s03+s04
+        "s12_mmr_rerank",  # k_max 12 + shared shortlist path
+        "s13_persisted_index_topk",  # applicationId-keyed path
+        "m02_lr_confusion",  # materialized-predictions oracle
+        "m05_kmeans_clusters",  # materialized-assignments oracle
+    }
+    stale_r1 = {
+        "q44_null_ordering",
+        "q45_except_all_multiplicity",
+        "t01_token_stats",
+        "t02_clean_text",
+        "u01_pandas_udf_charge",
+        "u02_grouped_minmax_scale",
+        "u03_multimodal_features",
+    }
+    assert (changed_or_new_in_r5 | stale_r1) <= set(DRIVER_WINDOW)
 
 
 def test_missing_sf_dir_fails_cleanly(spark):
