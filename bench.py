@@ -88,6 +88,8 @@ def main() -> None:
         # build-to-disk + partition-pruned serve, measured end to end
         # (a deployment amortizes the build; SCALE.md §7i)
         "s13_persisted_index_topk",
+        "s14_index_append_topk",  # split build + frozen-geometry append
+        "s15_stream_serve_replay",  # one micro-batch of the serving sink
         "m04_pair_ranking",
         "q25_monthly_orders",
         "q50_join_key_skew",
