@@ -40,20 +40,50 @@ def build_ivfsq_index(
     n_cells: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_cache_key: tuple | None = None,
 ) -> None:
     """Build + persist an IVF-SQ8 index: learn per-dimension stats
     and centroids from the corpus (one pass + driver-sized collects),
     encode every vector (map-side), write codes partitioned by cell.
     Overwrites ``path``. This is the amortized-regime artifact —
-    SCALE.md §7i measures the 5.7× scan win it buys at 4k queries."""
+    SCALE.md §7i measures the 5.7× scan win it buys at 4k queries.
+
+    ``corpus_cache_key``: opt-in session memoization of the learned
+    quantizer stats / centroid rows / corpus count (the usual
+    index-artifact contract — the key must identify corpus content).
+    Independently, the build always PRIMES the in-session meta cache
+    for ``path`` (`util.prime_memoized_literal` — overwrite, so a
+    rebuild never leaves the old sidecar cached): a same-session
+    search/append skips one disk-read job; other sessions read the
+    sidecar from disk as before."""
     from .similarity import auto_cells, collect_centroid_rows, ivf_centroids
     from .sq import _unit, sq_encode, sq_stats
-    from .util import repartition_for_compute
+    from .util import memoized_literal, prime_memoized_literal, repartition_for_compute
 
     if n_cells is None:
-        n_cells = auto_cells(corpus.count())
-    mns, rngs = sq_stats(corpus, vec_col)
-    cent_rows = collect_centroid_rows(ivf_centroids(corpus, n_cells, id_col, vec_col))
+        n = (
+            memoized_literal(
+                ("count", corpus_cache_key, id_col), lambda: corpus.count()
+            )
+            if corpus_cache_key is not None
+            else corpus.count()
+        )
+        n_cells = auto_cells(n)
+    if corpus_cache_key is not None:
+        mns, rngs = memoized_literal(
+            ("sq_stats", corpus_cache_key, vec_col), lambda: sq_stats(corpus, vec_col)
+        )
+        cent_rows = memoized_literal(
+            ("ivf_cent_rows", corpus_cache_key, n_cells, id_col, vec_col),
+            lambda: collect_centroid_rows(
+                ivf_centroids(corpus, n_cells, id_col, vec_col)
+            ),
+        )
+    else:
+        mns, rngs = sq_stats(corpus, vec_col)
+        cent_rows = collect_centroid_rows(
+            ivf_centroids(corpus, n_cells, id_col, vec_col)
+        )
 
     from .similarity import ivf_assign_literal
 
@@ -101,6 +131,31 @@ def build_ivfsq_index(
         1
     ).write.mode("overwrite").text(f"{path}/meta")
     spark.catalog.refreshByPath(f"{path}/meta")
+    prime_memoized_literal(
+        ("ivfsq_meta", path), (mns, rngs, cent_rows, len(mns), n_cells)
+    )
+
+
+def _read_index_meta(spark: SparkSession, path: str):
+    """(mns, rngs, cent_rows, dim, n_cells) for the index at ``path``:
+    the value primed by a SAME-SESSION build if there is one (it IS
+    what that build just wrote), else parsed from the sidecar on disk
+    — never cached here, the disk stays the source of truth for
+    artifacts this session didn't build."""
+    from .util import peek_memoized_literal
+
+    primed = peek_memoized_literal(("ivfsq_meta", path))
+    if primed is not None:
+        return primed
+    meta = spark.read.json(f"{path}/meta").first()
+    mns = json.loads(meta["mns"])
+    rngs = json.loads(meta["rngs"])
+    cent_rows = [
+        (int(c), [float(x) for x in v], float(n))
+        for c, v, n in json.loads(meta["centroids"])
+    ]
+    dim = int(meta["dim"]) if "dim" in meta.__fields__ else len(mns)
+    return mns, rngs, cent_rows, dim, int(meta["n_cells"])
 
 
 def search_ivfsq_index(
@@ -123,13 +178,7 @@ def search_ivfsq_index(
     from .similarity import ivf_assign_literal
     from .sq import _unit, sq_score
 
-    meta = spark.read.json(f"{path}/meta").first()
-    mns = json.loads(meta["mns"])
-    rngs = json.loads(meta["rngs"])
-    cent_rows = [
-        (int(c), [float(x) for x in v], float(n))
-        for c, v, n in json.loads(meta["centroids"])
-    ]
+    mns, rngs, cent_rows, _dim, _nc = _read_index_meta(spark, path)
 
     q = ivf_assign_literal(
         queries, cent_rows, "query_id", n_probe, id_col, vec_col
@@ -175,19 +224,12 @@ def append_to_ivfsq_index(
     comparable). The write appends into the same cell partitions;
     searches immediately see the new vectors."""
     spark = new_vectors.sparkSession
-    meta = spark.read.json(f"{path}/meta").first()
-    mns = json.loads(meta["mns"])
-    rngs = json.loads(meta["rngs"])
-    cent_rows = [
-        (int(c), [float(x) for x in v], float(n))
-        for c, v, n in json.loads(meta["centroids"])
-    ]
+    mns, rngs, cent_rows, dim, _nc = _read_index_meta(spark, path)
 
     # Fail FAST on dimensionality mismatch: encoding a wrong-dim
     # vector would silently write NULL code elements (element_at past
     # the stats arrays returns NULL), corrupting the index for every
     # future search. limit(1) short-circuits the probe scan.
-    dim = int(meta["dim"]) if "dim" in meta.__fields__ else len(mns)
     bad = new_vectors.filter(F.size(F.col(vec_col)) != dim).limit(1).count()
     if bad:
         raise ValueError(

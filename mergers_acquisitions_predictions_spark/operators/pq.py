@@ -193,6 +193,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     codebooks: list[list[list[float]]] | None = None,
     rerank: int | None = None,
+    corpus_cache_key: tuple | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF-PQ: cosine IVF cells prune the
     candidate space (equi-join on cell_id — corpus × query never
@@ -220,33 +221,81 @@ def ivfpq_topk(
 
     Returns (query_id, candidate_id, adc_dist, rank); adc_dist is the
     6-dp-rounded quantized distance (≈ 2−2·cos), rank ties broken by
-    candidate_id — deterministic, DuckDB-replayable end to end."""
-    from .similarity import auto_cells, ivf_assign_literal, ivf_centroids
+    candidate_id — deterministic, DuckDB-replayable end to end.
 
+    ``corpus_cache_key``: opt-in session memoization of the index
+    artifacts (count, centroid rows, the PQ-coded corpus frame) per
+    (corpus, config) — the usual contract: the key identifies corpus
+    content, results are identical either way. Only applies to the
+    coded frame when ``codebooks`` is None (caller-supplied books
+    have content the key cannot see)."""
+    from .similarity import auto_cells, ivf_assign_literal, ivf_centroids
+    from .util import memoized_frame, memoized_literal
+
+    memoize = corpus_cache_key is not None
     if n_cells is None:  # √n sizing policy — see similarity.auto_cells
-        n_cells = auto_cells(corpus.count())
+        n = (
+            memoized_literal(
+                ("count", corpus_cache_key, id_col), lambda: corpus.count()
+            )
+            if memoize
+            else corpus.count()
+        )
+        n_cells = auto_cells(n)
     cbs = (
         codebooks
         if codebooks is not None
         else pq_anchor_codebooks(corpus, n_subspaces, n_codes, id_col, vec_col)
     )
     n_sub = len(cbs)
+
     # centroids as driver constants (n_cells rows — the same class of
     # collect as the codebooks above): assignment then needs NO
     # broadcast fan-out join and NO per-vector argmax window over the
     # corpus — the whole index build is one map-side pass.
-    cent_rows = [
-        (r["cell_id"], [float(x) for x in r["cent_vec"]], float(r["cent_norm"]))
-        for r in ivf_centroids(corpus, n_cells, id_col, vec_col).collect()
-    ]
+    def collect_cents():
+        return [
+            (r["cell_id"], [float(x) for x in r["cent_vec"]], float(r["cent_norm"]))
+            for r in ivf_centroids(corpus, n_cells, id_col, vec_col).collect()
+        ]
 
-    c = ivf_assign_literal(
-        repartition_for_compute(corpus), cent_rows, "candidate_id", 1, id_col, vec_col
-    ).select(
-        "candidate_id",
-        "cell_id",
-        pq_encode(_unit(F.col("__vec"), F.col("__norm")), cbs).alias("pq"),
-    )
+    if memoize:
+        cent_rows = memoized_literal(
+            ("ivf_cent_rows", corpus_cache_key, n_cells, id_col, vec_col),
+            collect_cents,
+        )
+    else:
+        cent_rows = collect_cents()
+
+    def corpus_codes() -> DataFrame:
+        return ivf_assign_literal(
+            repartition_for_compute(corpus),
+            cent_rows,
+            "candidate_id",
+            1,
+            id_col,
+            vec_col,
+        ).select(
+            "candidate_id",
+            "cell_id",
+            pq_encode(_unit(F.col("__vec"), F.col("__norm")), cbs).alias("pq"),
+        )
+
+    if memoize and codebooks is None:
+        c = memoized_frame(
+            (
+                "ivfpq_codes",
+                corpus_cache_key,
+                n_cells,
+                n_subspaces,
+                n_codes,
+                id_col,
+                vec_col,
+            ),
+            corpus_codes,
+        )
+    else:
+        c = corpus_codes()
     q = ivf_assign_literal(
         queries, cent_rows, "query_id", n_probe, id_col, vec_col
     ).select(

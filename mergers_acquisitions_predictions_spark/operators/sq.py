@@ -158,6 +158,7 @@ def ivfsq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     stats: tuple[list[float], list[float]] | None = None,
+    corpus_cache_key: tuple | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF-SQ8: cosine IVF cells prune the
     candidate space (equi-join on cell_id), then the scan ranks each
@@ -171,28 +172,72 @@ def ivfsq_topk(
     needed at 8 bits/dimension — recall vs the exact baseline sits at
     the IVF ceiling (asserted in tests/test_sq.py), which is the
     practical argument for SQ8 when index memory, not scan FLOPs, is
-    the binding constraint."""
+    the binding constraint.
+
+    ``corpus_cache_key``: opt-in session memoization of the index
+    artifacts — count, quantizer stats, centroid rows, and the
+    ENCODED-corpus frame (the in-memory codes) — per (corpus,
+    config); the usual contract (key identifies corpus content,
+    results identical either way). Ignored for stats when ``stats``
+    is caller-supplied."""
     from .similarity import (
         auto_cells,
         collect_centroid_rows,
         ivf_assign_literal,
         ivf_centroids,
     )
+    from .util import memoized_frame, memoized_literal
 
+    memoize = corpus_cache_key is not None
     if n_cells is None:  # √n sizing policy — see similarity.auto_cells
-        n_cells = auto_cells(corpus.count())
-    mns, rngs = stats if stats is not None else sq_stats(corpus, vec_col)
-    cent_rows = collect_centroid_rows(
-        ivf_centroids(corpus, n_cells, id_col, vec_col)
-    )
+        n = (
+            memoized_literal(
+                ("count", corpus_cache_key, id_col), lambda: corpus.count()
+            )
+            if memoize
+            else corpus.count()
+        )
+        n_cells = auto_cells(n)
+    if stats is not None:
+        mns, rngs = stats
+    elif memoize:
+        mns, rngs = memoized_literal(
+            ("sq_stats", corpus_cache_key, vec_col), lambda: sq_stats(corpus, vec_col)
+        )
+    else:
+        mns, rngs = sq_stats(corpus, vec_col)
+    if memoize:
+        cent_rows = memoized_literal(
+            ("ivf_cent_rows", corpus_cache_key, n_cells, id_col, vec_col),
+            lambda: collect_centroid_rows(
+                ivf_centroids(corpus, n_cells, id_col, vec_col)
+            ),
+        )
+    else:
+        cent_rows = collect_centroid_rows(
+            ivf_centroids(corpus, n_cells, id_col, vec_col)
+        )
 
-    c = ivf_assign_literal(
-        repartition_for_compute(corpus), cent_rows, "candidate_id", 1, id_col, vec_col
-    ).select(
-        "candidate_id",
-        "cell_id",
-        sq_encode(_unit(F.col("__vec"), F.col("__norm")), mns, rngs).alias("sq"),
-    )
+    def corpus_codes() -> DataFrame:
+        return ivf_assign_literal(
+            repartition_for_compute(corpus),
+            cent_rows,
+            "candidate_id",
+            1,
+            id_col,
+            vec_col,
+        ).select(
+            "candidate_id",
+            "cell_id",
+            sq_encode(_unit(F.col("__vec"), F.col("__norm")), mns, rngs).alias("sq"),
+        )
+
+    if memoize and stats is None:
+        c = memoized_frame(
+            ("ivfsq_codes", corpus_cache_key, n_cells, id_col, vec_col), corpus_codes
+        )
+    else:
+        c = corpus_codes()
     q = ivf_assign_literal(
         queries, cent_rows, "query_id", n_probe, id_col, vec_col
     ).select(

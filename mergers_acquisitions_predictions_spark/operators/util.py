@@ -269,6 +269,30 @@ def memoized_frame(key: tuple, build) -> DataFrame:
     return hit
 
 
+def prime_memoized_literal(key: tuple, value) -> None:
+    """OVERWRITE the (live session, ``key``) memo entry with a value
+    the caller just computed/wrote — unlike `memoized_literal`'s
+    miss-populate, priming replaces any stale entry (an index REBUILD
+    at the same path must not leave the old sidecar cached)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else None
+    _LITERAL_MEMO[(app, key)] = value
+
+
+def peek_memoized_literal(key: tuple):
+    """The (live session, ``key``) memo entry, or None — no build, no
+    populate. For read paths that may consult a primed artifact but
+    must NOT cache a disk read themselves (the disk is the source of
+    truth when nothing primed it this session)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else None
+    return _LITERAL_MEMO.get((app, key))
+
+
 def release_memoized_frames() -> None:
     """Unpersist and drop every memoized frame (all sessions). Tests
     that assert an empty RDD-storage map call this first; a long-lived

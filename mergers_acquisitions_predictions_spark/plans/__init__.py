@@ -36,13 +36,14 @@ from . import extra_queries  # noqa: E402,F401
 #: Round 5: (a) new = s14 (index append), s15 (stream-serve replay);
 #: (b) changed since last row = d03 (adaptive capped plan), d07/s03/
 #: s12 (k_max 8→12, regenerated oracle constants), s04/s05 (ivf_topk
-#: memoization restructure), s06/s07/s11 (compose the changed s03/
-#: s04 paths), s13 (applicationId-keyed artifact path), m02/m05
+#: memoization restructure), s08/s10 (coded-corpus memoization in
+#: pq/sq), s06/s07/s11 (compose the changed s03/s04 paths), s13
+#: (applicationId-keyed path + primed meta), m02/m05
 #: (materialized-output oracles — rows-only → value-checked);
 #: (c) fill = the seven r1-era stragglers queued by the r4 note
 #: (q44, q45, t01, t02, u01–u03), then r2-era rows oldest-first by
-#: name. Four r2 rows did not fit (t19, t20, t27, u04) — first in
-#: line for round 6, along with the r3-era family.
+#: name. Six r2 rows did not fit (t17, t18, t19, t20, t27, u04) —
+#: first in line for round 6, along with the r3-era family.
 DRIVER_WINDOW = [
     # (a): registered this round
     "s14_index_append_topk",
@@ -55,6 +56,8 @@ DRIVER_WINDOW = [
     "s05_ivf_kmeans_topk",
     "s06_hard_negatives",
     "s07_ann_recall",
+    "s08_ivfpq_topk",
+    "s10_ivfsq_topk",
     "s11_rrf_fusion",
     "s12_mmr_rerank",
     "s13_persisted_index_topk",
@@ -96,8 +99,6 @@ DRIVER_WINDOW = [
     "t13_training_prep_funnel",
     "t15_pii_redaction",
     "t16_repetition_stats",
-    "t17_winnow_fingerprints",
-    "t18_sequence_packing",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

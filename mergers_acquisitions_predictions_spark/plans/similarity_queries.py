@@ -243,6 +243,7 @@ def s08_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_subspaces=8,
         n_codes=16,
         rerank=40,
+        corpus_cache_key=(sf_dir, "embeddings"),
     )
 
 
@@ -395,7 +396,12 @@ def s10_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return ivfsq_topk(
-        e.filter(F.col("vec_id") < 5), e, k=5, n_cells=None, n_probe=2
+        e.filter(F.col("vec_id") < 5),
+        e,
+        k=5,
+        n_cells=None,
+        n_probe=2,
+        corpus_cache_key=(sf_dir, "embeddings"),
     )
 
 
@@ -483,7 +489,9 @@ def s13_persisted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     path = _scratch_index_path(spark, sf_dir, "ivfsq")
-    build_ivfsq_index(e, path, n_cells=None)
+    build_ivfsq_index(
+        e, path, n_cells=None, corpus_cache_key=(sf_dir, "embeddings")
+    )
     return search_ivfsq_index(
         spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
     )
@@ -544,7 +552,12 @@ def s14_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     path = _scratch_index_path(spark, sf_dir, "ivfsq_append")
-    build_ivfsq_index(e.filter(F.col("vec_id") % 2 == 0), path, n_cells=None)
+    build_ivfsq_index(
+        e.filter(F.col("vec_id") % 2 == 0),
+        path,
+        n_cells=None,
+        corpus_cache_key=(sf_dir, "embeddings", "vec_id%2=0"),
+    )
     append_to_ivfsq_index(e.filter(F.col("vec_id") % 2 == 1), path)
     return search_ivfsq_index(
         spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
@@ -578,7 +591,9 @@ def s15_stream_serve_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     path = _scratch_index_path(spark, sf_dir, "ivfsq_serve")
-    build_ivfsq_index(e, path, n_cells=None)
+    build_ivfsq_index(
+        e, path, n_cells=None, corpus_cache_key=(sf_dir, "embeddings")
+    )
     # Materialize the micro-batch in the stream source's wire format.
     # The collect is the QUERY batch (5 rows) — bounded by the ANN
     # serving contract, never corpus-sized.

@@ -97,6 +97,8 @@ def test_driver_window_rotation_rule_r5():
         "s05_ivf_kmeans_topk",  # ivf_topk signature/restructure
         "s06_hard_negatives",  # composes changed lsh_topk
         "s07_ann_recall",  # composes changed s03
+        "s08_ivfpq_topk",  # coded-corpus memoization (pq)
+        "s10_ivfsq_topk",  # coded-corpus memoization (sq)
         "s11_rrf_fusion",  # composes changed s03+s04
         "s12_mmr_rerank",  # k_max 12 + shared shortlist path
         "s13_persisted_index_topk",  # applicationId-keyed path
