@@ -80,6 +80,22 @@ def pca_whiten(
     projection is k literal-array dot products — map-side, no
     shuffle, no Python."""
     weights, offsets, _ = pca_whiten_weights(df, k, vec_col)
+    return project_whitened(df, weights, offsets, id_col, vec_col, decimals)
+
+
+def project_whitened(
+    df: DataFrame,
+    weights: list[list[float]],
+    offsets: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """The projection stage alone: pc_j = round(dot(v, w_j) − o_j,
+    ``decimals``) from caller-supplied (already-fitted) constants —
+    lets a persisted weights artifact drive the projection (m08's
+    value-check materializes the fit and replays THIS stage in the
+    oracle)."""
     cols = [F.col(id_col)]
     for j, (wj, oj) in enumerate(zip(weights, offsets), start=1):
         arr = F.array(*[F.lit(x) for x in wj])

@@ -39,10 +39,12 @@ from . import extra_queries  # noqa: E402,F401
 #: memoization restructure), s08/s10 (coded-corpus memoization in
 #: pq/sq), s06/s07/s11 (compose the changed s03/s04 paths), s13
 #: (applicationId-keyed path + primed meta), m02/m05
-#: (materialized-output oracles — rows-only → value-checked);
+#: (materialized-output oracles — rows-only → value-checked), s05/
+#: m08 (centroid/weights artifact oracles — rows-only →
+#: value-checked);
 #: (c) fill = the seven r1-era stragglers queued by the r4 note
 #: (q44, q45, t01, t02, u01–u03), then r2-era rows oldest-first by
-#: name. Six r2 rows did not fit (t17, t18, t19, t20, t27, u04) —
+#: name. Seven r2 rows did not fit (t16, t17, t18, t19, t20, t27, u04) —
 #: first in line for round 6, along with the r3-era family.
 DRIVER_WINDOW = [
     # (a): registered this round
@@ -63,6 +65,7 @@ DRIVER_WINDOW = [
     "s13_persisted_index_topk",
     "m02_lr_confusion",
     "m05_kmeans_clusters",
+    "m08_pca_whiten",
     # (c): stalest driver rows — the seven r1-era stragglers first
     "q44_null_ordering",
     "q45_except_all_multiplicity",
@@ -98,7 +101,6 @@ DRIVER_WINDOW = [
     "t12_bpe_token_count",
     "t13_training_prep_funnel",
     "t15_pii_redaction",
-    "t16_repetition_stats",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -65,7 +65,50 @@ def t25_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges_as_df(spark, merges)
 
 
-@query("s05_ivf_kmeans_topk")  # rows-only: k-means fit is not SQL-expressible
+#: s05's centroid artifact — same fixed-path handshake contract as
+#: plans/ml_queries._M02_PREDS_PATH (a static oracle string cannot
+#: carry a session token; query overwrites, paired oracle re-reads).
+_S05_CENT_PATH = "/tmp/mergers_acquisitions_spark_s05_cent"
+
+from .lsh_oracle import SQL_DOT as _SQL_DOT  # noqa: E402
+from .lsh_oracle import ivf_assign_sql as _ivf_assign  # noqa: E402
+
+#: The k-means FIT stays Spark-side; everything downstream of it —
+#: cosine cell assignment (rounded argmax, cell-id tiebreak), the
+#: nprobe-4 equi-join, scoring, ranking — is replayed by DuckDB from
+#: the materialized centroid table (the m02 recipe applied to an
+#: index artifact: the oracle's `cent` CTE reads the parquet the
+#: query just wrote, exact doubles).
+_S05_ORACLE = f"""
+    WITH cent AS (
+        SELECT CAST(cell_id AS BIGINT) AS cell_id,
+               cent_vec AS cvec, cent_norm AS cnorm
+        FROM read_parquet('{_S05_CENT_PATH}/*.parquet')
+    ),
+    c_assign AS ({_ivf_assign("", "candidate_id", 1)}
+    ),
+    q_assign AS ({_ivf_assign("WHERE vec_id < 5", "query_id", 4)}
+    ),
+    scored AS (
+        SELECT query_id, candidate_id,
+               round({_SQL_DOT.format(a='q.vec', b='c.vec')}
+                     / (q.nrm * c.nrm), 6) AS cos_sim
+        FROM q_assign q JOIN c_assign c USING (cell_id)
+        WHERE query_id <> candidate_id
+    )
+    SELECT query_id, candidate_id, cos_sim, rank
+    FROM (
+        SELECT query_id, candidate_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, candidate_id
+               ) AS BIGINT) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+"""
+
+
+@query("s05_ivf_kmeans_topk", oracle=_S05_ORACLE)
 def s05_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION configuration of the IVF index (s04 with learned
     cells): k-means-fitted centroids (fixed seed → reproducible)
@@ -80,11 +123,20 @@ def s05_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (s04's anchor centroids look better locally only because its test
     queries ARE anchors, i.e. every query sits at its own cell
     center.) On corpora with real cluster structure the learned index
-    dominates; k and n_probe are the standard IVF recall knobs."""
+    dominates; k and n_probe are the standard IVF recall knobs.
+
+    VALUE-CHECKED since round 5: the fitted centroid table is
+    materialized to parquet (the index-build artifact a deployment
+    persists anyway), the query consumes the ARTIFACT (not the
+    in-memory fit), and the oracle replays assignment + probe join +
+    scoring + ranking from the same files — everything downstream of
+    the k-means fit is hash-checked cross-engine."""
     from ..operators.similarity import ivf_topk, kmeans_centroids
 
     e = load_table(spark, sf_dir, "embeddings")
-    cent = kmeans_centroids(e, n_cells=8)
+    kmeans_centroids(e, n_cells=8).write.mode("overwrite").parquet(_S05_CENT_PATH)
+    spark.catalog.refreshByPath(_S05_CENT_PATH)
+    cent = spark.read.parquet(_S05_CENT_PATH)
     return ivf_topk(
         e.filter(F.col("vec_id") < 5), e, k=5, n_probe=4, centroids=cent
     )
@@ -340,20 +392,65 @@ from .similarity_queries import S06_ORACLE, s06_hard_negatives  # noqa: E402
 query("s06_hard_negatives", oracle=S06_ORACLE)(s06_hard_negatives)
 
 
-@query("m08_pca_whiten")  # rows-only: eigendecomposition fit
+#: m08's weights artifact — fixed-path handshake (see _S05_CENT_PATH).
+_M08_W_PATH = "/tmp/mergers_acquisitions_spark_m08_weights"
+
+_M08_PCS = ",\n           ".join(
+    f"""round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * w{j}.w[i])) - w{j}.o,
+                 6) AS pc{j}"""
+    for j in range(1, 5)
+)
+_M08_JOINS = "\n    ".join(
+    f"CROSS JOIN (SELECT w, o FROM read_parquet('{_M08_W_PATH}/*.parquet')"
+    f" WHERE j = {j}) w{j}"
+    for j in range(1, 5)
+)
+
+
+@query(
+    "m08_pca_whiten",
+    oracle=f"""
+    SELECT e.vec_id,
+           {_M08_PCS}
+    FROM embeddings e
+    {_M08_JOINS}
+    """,
+)
 def m08_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA whitening of the embeddings table (ml/pca.pca_whiten):
-    MLlib covariance-eigendecomposition fit, then the projection as k
+    """PCA whitening of the embeddings table (ml/pca): MLlib
+    covariance-eigendecomposition fit, then the projection as k
     literal-array dot products with centering and whitening folded
     into driver-side constants — map-side, no ml.Vector round-trip.
     Eigen signs fixed by the largest-|loading|>0 convention so output
-    is a function of the data. Rows-only (the fit isn't SQL);
-    whitened-variance≈1, near-orthogonality, and sign-stability are
-    asserted in tests/test_ml_extra.py."""
-    from ..ml.pca import pca_whiten
+    is a function of the data. Whitened-variance≈1,
+    near-orthogonality, and sign-stability are asserted in
+    tests/test_ml_extra.py.
+
+    VALUE-CHECKED since round 5 (the m02/s05 recipe): the fitted
+    whitening weights + offsets are materialized to parquet (exact
+    doubles), the query projects FROM the artifact
+    (`ml/pca.project_whitened`), and the oracle replays the same
+    k dot-products from the same files — everything downstream of
+    the eigendecomposition is hash-checked cross-engine."""
+    from ..ml.pca import pca_whiten_weights, project_whitened
+    from ..operators.util import local_rows_df
 
     e = load_table(spark, sf_dir, "embeddings")
-    return pca_whiten(e, k=4)
+    weights, offsets, _ = pca_whiten_weights(e, k=4)
+    rows = [(j + 1, weights[j], offsets[j]) for j in range(4)]
+    local_rows_df(
+        spark, rows, "j BIGINT, w ARRAY<DOUBLE>, o DOUBLE"
+    ).write.mode("overwrite").parquet(_M08_W_PATH)
+    spark.catalog.refreshByPath(_M08_W_PATH)
+    art = sorted(
+        spark.read.parquet(_M08_W_PATH).collect(), key=lambda r: r["j"]
+    )
+    return project_whitened(
+        e,
+        [[float(x) for x in r["w"]] for r in art],
+        [float(r["o"]) for r in art],
+    )
 
 
 # j04 composes j03's fuzzy_join via the multi-pass recall scheme; j03

@@ -104,6 +104,7 @@ def test_driver_window_rotation_rule_r5():
         "s13_persisted_index_topk",  # applicationId-keyed path
         "m02_lr_confusion",  # materialized-predictions oracle
         "m05_kmeans_clusters",  # materialized-assignments oracle
+        "m08_pca_whiten",  # materialized-weights oracle
     }
     stale_r1 = {
         "q44_null_ordering",
