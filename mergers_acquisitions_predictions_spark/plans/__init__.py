@@ -40,11 +40,11 @@ from . import extra_queries  # noqa: E402,F401
 #: pq/sq), s06/s07/s11 (compose the changed s03/s04 paths), s13
 #: (applicationId-keyed path + primed meta), m02/m05
 #: (materialized-output oracles — rows-only → value-checked), s05/
-#: m08 (centroid/weights artifact oracles — rows-only →
-#: value-checked);
+#: s09/m08 (centroid/codebook/weights artifact oracles — rows-only
+#: → value-checked);
 #: (c) fill = the seven r1-era stragglers queued by the r4 note
 #: (q44, q45, t01, t02, u01–u03), then r2-era rows oldest-first by
-#: name. Seven r2 rows did not fit (t16, t17, t18, t19, t20, t27, u04) —
+#: name. Eight r2 rows did not fit (t15, t16, t17, t18, t19, t20, t27, u04) —
 #: first in line for round 6, along with the r3-era family.
 DRIVER_WINDOW = [
     # (a): registered this round
@@ -59,6 +59,7 @@ DRIVER_WINDOW = [
     "s06_hard_negatives",
     "s07_ann_recall",
     "s08_ivfpq_topk",
+    "s09_ivfpq_kmeans_topk",
     "s10_ivfsq_topk",
     "s11_rrf_fusion",
     "s12_mmr_rerank",
@@ -100,7 +101,6 @@ DRIVER_WINDOW = [
     "t11_quality_scores",
     "t12_bpe_token_count",
     "t13_training_prep_funnel",
-    "t15_pii_redaction",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -928,28 +928,64 @@ def t32_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return own_caches(out, ranked)
 
 
-@query("s09_ivfpq_kmeans_topk")  # rows-only: per-subspace k-means fits
+#: s09's codebook artifact — fixed-path handshake (see _S05_CENT_PATH).
+_S09_CB_PATH = "/tmp/mergers_acquisitions_spark_s09_codebooks"
+
+from .lsh_oracle import ivfpq_topk_sql as _ivfpq_sql  # noqa: E402
+
+
+@query(
+    "s09_ivfpq_kmeans_topk",
+    oracle=f"""WITH {_ivfpq_sql(n_subspaces=8, sub_dim=8, n_codes=16,
+                                n_cells=16, n_probe=2, k=5, rerank=40,
+                                codebook_parquet=_S09_CB_PATH)}\n""",
+)
 def s09_ivfpq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION configuration of the IVF-PQ index (s08 with
     LEARNED codebooks): per-subspace k-means centroids (fixed seeds →
     reproducible) replace the anchor slices, cutting quantization
     error where the data actually lives — exactly the s05-vs-s04
     relationship, one level down the index. Every join shape is
-    identical to s08 (the codebooks= parameter is the only change),
-    so the hash-checked s08 row carries the plan correctness and this
-    row carries the learned-fit configuration. Determinism and a
-    recall floor are asserted in tests/test_pq.py."""
+    identical to s08 (the codebooks= parameter is the only change).
+    Determinism and a recall floor are asserted in tests/test_pq.py.
+
+    VALUE-CHECKED since round 5 (the s05 recipe one level down): the
+    learned codebooks are materialized to parquet, the query encodes
+    from the ARTIFACT, and the oracle replays encode + ADC scan +
+    exact re-rank from the same files
+    (`lsh_oracle.ivfpq_topk_sql(codebook_parquet=...)`) — everything
+    downstream of the per-subspace fits is hash-checked
+    cross-engine."""
     from ..operators.pq import ivfpq_topk, pq_kmeans_codebooks
+    from ..operators.util import local_rows_df
 
     e = load_table(spark, sf_dir, "embeddings")
     cbs = pq_kmeans_codebooks(e, n_subspaces=8, n_codes=16)
+    rows = [
+        (m + 1, c, [float(x) for x in cbs[m][c]])
+        for m in range(len(cbs))
+        for c in range(len(cbs[m]))
+    ]
+    local_rows_df(
+        spark, rows, "m BIGINT, code BIGINT, vec ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(_S09_CB_PATH)
+    spark.catalog.refreshByPath(_S09_CB_PATH)
+    art = spark.read.parquet(_S09_CB_PATH).collect()
+    nested: dict = {}
+    for r in art:
+        nested.setdefault(int(r["m"]), {})[int(r["code"])] = [
+            float(x) for x in r["vec"]
+        ]
+    cbs_art = [
+        [nested[m][c] for c in sorted(nested[m])] for m in sorted(nested)
+    ]
     return ivfpq_topk(
         e.filter(F.col("vec_id") < 5),
         e,
         k=5,
         n_cells=16,
         n_probe=2,
-        codebooks=cbs,
+        codebooks=cbs_art,
         rerank=40,
     )
 

@@ -208,6 +208,7 @@ def ivfpq_topk_sql(
     k: int = 5,
     query_filter: str = "WHERE vec_id < 5",
     rerank: int | None = None,
+    codebook_parquet: str | None = None,
 ) -> str:
     """DuckDB mirror of `operators/pq.ivfpq_topk` — and the proof that
     even a compressed approximate index can be value-checked: the
@@ -220,7 +221,15 @@ def ivfpq_topk_sql(
     ``n_codes`` lowest-id unit vectors, adc = Σ_m ‖u_q[m] −
     cb[m][code_m]‖², rounded to 6 dp with candidate-id tiebreak.
     ``n_cells="auto"`` emits the √n-sizing CTE pair
-    (`auto_ivf_cent_ctes_sql`) instead of a pinned centroid LIMIT."""
+    (`auto_ivf_cent_ctes_sql`) instead of a pinned centroid LIMIT.
+
+    ``codebook_parquet``: read the codebooks from a materialized
+    artifact (rows ``(m, code, vec)``, 1-based m / 0-based code)
+    instead of regenerating anchor slices — the s09 value-check:
+    LEARNED codebooks are fitted-model parameters a static oracle
+    cannot regenerate, but once materialized the entire encode + ADC
+    + re-rank plan replays from the artifact. Every other CTE is
+    unchanged."""
     M, SUB, K = n_subspaces, sub_dim, n_codes
     cent_block = (
         auto_ivf_cent_ctes_sql()
@@ -231,6 +240,22 @@ def ivfpq_topk_sql(
         f"(u[(m - 1) * {SUB} + i] - cbs[m][c][i])"
         f" * (u[(m - 1) * {SUB} + i] - cbs[m][c][i])"
     )
+    if codebook_parquet is None:
+        cb_block = f"""cb_nested AS (
+        SELECT list_transform(range(1, {M} + 1), m ->
+                   list_transform(anchors, a ->
+                       list_transform(range(1, {SUB} + 1),
+                                      i -> a[(m - 1) * {SUB} + i]))) AS cbs
+        FROM (SELECT list(u ORDER BY vec_id) AS anchors
+              FROM (SELECT vec_id, u FROM unit ORDER BY vec_id LIMIT {K}))
+    )"""
+    else:
+        cb_block = f"""cb_nested AS (
+        SELECT list(cbm ORDER BY m) AS cbs FROM (
+            SELECT m, list(vec ORDER BY code) AS cbm
+            FROM read_parquet('{codebook_parquet}/*.parquet')
+            GROUP BY m)
+    )"""
     dists_m = f"""list_transform(range(1, {K} + 1), c ->
                        round(list_sum(list_transform(range(1, {SUB} + 1),
                            i -> {sq})), 6))"""
@@ -241,14 +266,7 @@ def ivfpq_topk_sql(
                    / sqrt({SQL_SQNORM.format(v='embedding')})) AS u
         FROM embeddings
     ),
-    cb_nested AS (
-        SELECT list_transform(range(1, {M} + 1), m ->
-                   list_transform(anchors, a ->
-                       list_transform(range(1, {SUB} + 1),
-                                      i -> a[(m - 1) * {SUB} + i]))) AS cbs
-        FROM (SELECT list(u ORDER BY vec_id) AS anchors
-              FROM (SELECT vec_id, u FROM unit ORDER BY vec_id LIMIT {K}))
-    ),
+    {cb_block},
     codes AS (
         SELECT vec_id,
                list_transform(range(1, {M} + 1), m ->

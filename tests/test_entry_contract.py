@@ -105,6 +105,7 @@ def test_driver_window_rotation_rule_r5():
         "m02_lr_confusion",  # materialized-predictions oracle
         "m05_kmeans_clusters",  # materialized-assignments oracle
         "m08_pca_whiten",  # materialized-weights oracle
+        "s09_ivfpq_kmeans_topk",  # materialized-codebooks oracle
     }
     stale_r1 = {
         "q44_null_ordering",
