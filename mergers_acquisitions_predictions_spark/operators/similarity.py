@@ -415,6 +415,7 @@ def lsh_neardup_pairs(
     seed: int = 42,
     use_arrow: bool = True,
     k_max: int | None = None,
+    corpus_cache_key: tuple | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold) via
     sign-LSH prefilter + EXACT verification of collisions only — the
@@ -445,11 +446,19 @@ def lsh_neardup_pairs(
     ``n_planes=auto_planes(n)`` with ``k_max`` set (prefix-stable
     plane chunks, see `lsh_tables`) so the registered oracle replays
     the same auto-sized buckets; the default 4 fits the ≤4k-vector
-    test corpora."""
+    test corpora.
+
+    ``corpus_cache_key``: opt-in session reuse of the bucket index
+    frame (`util.memoized_frame` — the same contract as `lsh_topk`'s
+    corpus cache: key identifies corpus content, operator appends
+    the plane config, results identical either way). The memoized
+    frame outlives any one result, so it is NOT tied to the result's
+    own_caches lifetime."""
     tables = lsh_tables(dim, n_planes, n_tables, seed, k_max)
     src = repartition_for_compute(df)
-    idx = (
-        src.select(
+
+    def bucket_index() -> DataFrame:
+        return src.select(
             F.col(id_col).alias("id"),
             F.explode(
                 F.array(
@@ -462,10 +471,29 @@ def lsh_neardup_pairs(
                     ]
                 )
             ).alias("tb"),
+        ).select(
+            "id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
         )
-        .select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
-        .persist()
-    )
+
+    if corpus_cache_key is not None:
+        from .util import memoized_frame
+
+        idx = memoized_frame(
+            (
+                "lsh_neardup_idx",
+                corpus_cache_key,
+                id_col,
+                vec_col,
+                dim,
+                n_planes,
+                n_tables,
+                seed,
+                k_max,
+            ),
+            bucket_index,
+        )
+    else:
+        idx = bucket_index().persist()
     a = idx.select(F.col("id").alias("a_id"), "table", "bucket")
     b = idx.select(F.col("id").alias("b_id"), "table", "bucket")
     cand = (
@@ -497,6 +525,8 @@ def lsh_neardup_pairs(
         scored.select("a_id", "b_id", F.round(F.col("cos_sim"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+    if corpus_cache_key is not None:
+        return out  # the memoized index frame outlives this result
     return own_caches(out, idx)
 
 

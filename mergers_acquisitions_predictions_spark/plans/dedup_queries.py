@@ -408,11 +408,22 @@ def d07_lsh_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same k from count(*) (plans/lsh_oracle.auto_buckets_cte_sql),
     so DuckDB reproduces the identical candidate set at every SF."""
     from ..operators.similarity import auto_planes
+    from ..operators.util import memoized_literal
 
     e = load_table(spark, sf_dir, "embeddings")
-    k = auto_planes(e.count())
+    k = auto_planes(
+        memoized_literal(
+            ("count", (sf_dir, "embeddings"), "vec_id"), lambda: e.count()
+        )
+    )
     return lsh_neardup_pairs(
-        e, threshold=0.4, dim=64, n_planes=k, n_tables=8, k_max=12
+        e,
+        threshold=0.4,
+        dim=64,
+        n_planes=k,
+        n_tables=8,
+        k_max=12,
+        corpus_cache_key=(sf_dir, "embeddings"),
     )
 
 
