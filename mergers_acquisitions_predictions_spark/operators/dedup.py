@@ -109,6 +109,7 @@ def banded_frame(
     n_bands: int = DEFAULT_BANDS,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     shingle_n: int = 3,
+    corpus_cache_key: tuple | None = None,
 ) -> DataFrame:
     """(id, band, band_key) LSH banding rows, PERSISTED for batch
     inputs — the shared index structure behind self-join dedup
@@ -118,42 +119,76 @@ def banded_frame(
     array-mins over the corpus — is the expensive part; callers
     transfer the cache to their result via own_caches. STREAMING
     inputs band identically but skip the persist (caching a streaming
-    frame is illegal; each micro-batch is read once anyway)."""
-    sigs = with_minhash_signatures(
-        df, text_col, id_col, n_bands * rows_per_band, shingle_n
-    )
-    # F.concat (NOT concat_ws): NULL sigs (shingle-less docs) must
-    # poison the band key so those docs drop out, matching SQL `||`.
-    band_cols = [
-        F.concat(
-            *_intersperse(
-                [F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)],
-                F.lit("|"),
-            )
-        ).alias(f"band{b}")
-        for b in range(n_bands)
-    ]
-    banded = (
-        sigs.select(id_col, *band_cols)
-        .select(
-            id_col,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"), F.col(f"band{b}").alias("band_key")
-                        )
-                        for b in range(n_bands)
-                    ]
+    frame is illegal; each micro-batch is read once anyway).
+
+    ``corpus_cache_key``: opt-in SESSION-scoped reuse via
+    `util.memoized_frame` — the frame is exactly what its own
+    docstring calls it, a shared index structure, and five registered
+    queries (d02/d06/d09/d14/d19) band the same corpus per
+    invocation. The memoized frame outlives any one result (callers
+    must NOT own it); key must identify corpus content, the operator
+    appends the banding config."""
+
+    def build() -> DataFrame:
+        sigs = with_minhash_signatures(
+            df, text_col, id_col, n_bands * rows_per_band, shingle_n
+        )
+        # F.concat (NOT concat_ws): NULL sigs (shingle-less docs) must
+        # poison the band key so those docs drop out, matching SQL `||`.
+        band_cols = [
+            F.concat(
+                *_intersperse(
+                    [
+                        F.col(f"sig{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                    F.lit("|"),
                 )
-            ).alias("bk"),
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ]
+        return (
+            sigs.select(id_col, *band_cols)
+            .select(
+                id_col,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.col(f"band{b}").alias("band_key"),
+                            )
+                            for b in range(n_bands)
+                        ]
+                    )
+                ).alias("bk"),
+            )
+            .select(
+                id_col,
+                F.col("bk.band").alias("band"),
+                F.col("bk.band_key").alias("band_key"),
+            )
+            .filter(F.col("band_key").isNotNull())
         )
-        .select(
-            id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+
+    if df.isStreaming:
+        return build()
+    if corpus_cache_key is not None:
+        from .util import memoized_frame
+
+        return memoized_frame(
+            (
+                "minhash_banded",
+                corpus_cache_key,
+                text_col,
+                id_col,
+                n_bands,
+                rows_per_band,
+                shingle_n,
+            ),
+            build,
         )
-        .filter(F.col("band_key").isNotNull())
-    )
-    return banded if banded.isStreaming else banded.persist()
+    return build().persist()
 
 
 def incremental_neardup_candidates(
@@ -204,6 +239,7 @@ def lsh_candidate_pairs(
     n_bands: int = DEFAULT_BANDS,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     shingle_n: int = 3,
+    corpus_cache_key: tuple | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash LSH banding.
 
@@ -216,8 +252,12 @@ def lsh_candidate_pairs(
     (n_docs × n_bands short rows) while its lineage — tokenize →
     shingle → n_hashes md5 array-mins over the full corpus — is the
     expensive part; without the persist both join sides recompute it
-    (measured 53 s vs 0.7 s at sf0.1)."""
-    banded = banded_frame(df, text_col, id_col, n_bands, rows_per_band, shingle_n)
+    (measured 53 s vs 0.7 s at sf0.1). ``corpus_cache_key`` upgrades
+    the persist to the session-scoped shared index (see
+    `banded_frame`); the memoized frame then outlives this result."""
+    banded = banded_frame(
+        df, text_col, id_col, n_bands, rows_per_band, shingle_n, corpus_cache_key
+    )
     a = banded.select(F.col(id_col).alias("a_id"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("b_id"), "band", "band_key")
     pairs = (
@@ -226,6 +266,8 @@ def lsh_candidate_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
+    if corpus_cache_key is not None:
+        return pairs
     # The banded cache lives exactly as long as the returned plan.
     return own_caches(pairs, banded)
 

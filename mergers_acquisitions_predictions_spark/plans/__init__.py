@@ -41,10 +41,11 @@ from . import extra_queries  # noqa: E402,F401
 #: (applicationId-keyed path + primed meta), m02/m05
 #: (materialized-output oracles — rows-only → value-checked), s05/
 #: s09/m08 (centroid/codebook/weights artifact oracles — rows-only
-#: → value-checked);
+#: → value-checked), d02/d06/d09/d14/d17/d19 (shared memoized banded
+#: frame);
 #: (c) fill = the seven r1-era stragglers queued by the r4 note
 #: (q44, q45, t01, t02, u01–u03), then r2-era rows oldest-first by
-#: name. Eight r2 rows did not fit (t15, t16, t17, t18, t19, t20, t27, u04) —
+#: name. Twelve r2 rows did not fit (t10–t13, t15–t20, t27, u04) —
 #: first in line for round 6, along with the r3-era family.
 DRIVER_WINDOW = [
     # (a): registered this round
@@ -53,6 +54,10 @@ DRIVER_WINDOW = [
     # (b): implementation or oracle changed since their last row
     "d03_jaccard_pairs",
     "d07_lsh_embedding_neardups",
+    "d09_dup_clusters",
+    "d14_cluster_canonicals",
+    "d17_components_star",
+    "d19_minhash_estimate",
     "s03_lsh_ann_topk",
     "s04_ivf_ann_topk",
     "s05_ivf_kmeans_topk",
@@ -97,10 +102,6 @@ DRIVER_WINDOW = [
     "t07_exact_dedup_summary",
     "t08_vocabulary",
     "t09_tfidf_top_terms",
-    "t10_language_id",
-    "t11_quality_scores",
-    "t12_bpe_token_count",
-    "t13_training_prep_funnel",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -86,7 +86,14 @@ def d02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join on (band, band_key). This is THE scalable near-dup
     plan for 100 TB corpora."""
     d = load_table(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(d, "text", "doc_id", n_bands=4, rows_per_band=2)
+    return lsh_candidate_pairs(
+        d,
+        "text",
+        "doc_id",
+        n_bands=4,
+        rows_per_band=2,
+        corpus_cache_key=(sf_dir, "documents"),
+    )
 
 
 @query(
@@ -220,7 +227,14 @@ def d06_lsh_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.util import own_caches, repartition_for_compute
 
     d = load_table(spark, sf_dir, "documents")
-    cand = lsh_candidate_pairs(d, "text", "doc_id", n_bands=4, rows_per_band=2)
+    cand = lsh_candidate_pairs(
+        d,
+        "text",
+        "doc_id",
+        n_bands=4,
+        rows_per_band=2,
+        corpus_cache_key=(sf_dir, "documents"),
+    )
     sh = (
         repartition_for_compute(d)
         .select("doc_id", tokenize(F.col("text")).alias("__tok"))
@@ -318,7 +332,14 @@ def d09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components via a recursive transitive-closure CTE. Downstream
     "keep one per cluster" is `WHERE doc_id = cluster_id`."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(d, "text", "doc_id", n_bands=4, rows_per_band=2)
+    pairs = lsh_candidate_pairs(
+        d,
+        "text",
+        "doc_id",
+        n_bands=4,
+        rows_per_band=2,
+        corpus_cache_key=(sf_dir, "documents"),
+    )
     return dup_clusters(d, pairs, "doc_id")
 
 
@@ -606,7 +627,14 @@ def d14_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import select_canonicals
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(d, "text", "doc_id", n_bands=4, rows_per_band=2)
+    pairs = lsh_candidate_pairs(
+        d,
+        "text",
+        "doc_id",
+        n_bands=4,
+        rows_per_band=2,
+        corpus_cache_key=(sf_dir, "documents"),
+    )
     clusters = dup_clusters(d, pairs, "doc_id")
     tok = d.select("doc_id", tokenize("text").alias("tok"))
     scored = tok.select(
@@ -692,7 +720,14 @@ def d17_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components_star
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(d, "text", "doc_id", n_bands=4, rows_per_band=2)
+    pairs = lsh_candidate_pairs(
+        d,
+        "text",
+        "doc_id",
+        n_bands=4,
+        rows_per_band=2,
+        corpus_cache_key=(sf_dir, "documents"),
+    )
     return connected_components_star(d, pairs, "doc_id")
 
 
@@ -852,7 +887,14 @@ def d19_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.util import own_caches, repartition_for_compute
 
     d = load_table(spark, sf_dir, "documents")
-    cand = lsh_candidate_pairs(d, "text", "doc_id", n_bands=4, rows_per_band=2)
+    cand = lsh_candidate_pairs(
+        d,
+        "text",
+        "doc_id",
+        n_bands=4,
+        rows_per_band=2,
+        corpus_cache_key=(sf_dir, "documents"),
+    )
     sh = (
         repartition_for_compute(d)
         .select("doc_id", tokenize(F.col("text")).alias("__tok"))

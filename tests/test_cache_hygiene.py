@@ -45,8 +45,11 @@ def _quiescent_cached_rdds(spark, timeout_s: float = 5.0) -> int:
 
 
 def test_dedup_sweep_releases_caches(spark):
-    """Run every persist-using dedup query, drop the results, and
-    assert the persistent-RDD map returns to its starting size."""
+    """Run every persist-using dedup query, drop the results, release
+    the deliberate session-index cache (the memoized banded frame
+    d02/d06 now share), and assert the persistent-RDD map returns to
+    its starting size — i.e. nothing UNOWNED leaked."""
+    release_memoized_frames()
     before = _quiescent_cached_rdds(spark)
     # d09 exercises the localCheckpoint-per-round release in
     # dup_clusters (one leaked RDD per propagation round otherwise).
@@ -63,14 +66,24 @@ def test_dedup_sweep_releases_caches(spark):
         df = QUERIES[name](spark, SF_SMOKE)
         assert df.count() >= 0
         del df
+    release_memoized_frames()
     assert _quiescent_cached_rdds(spark) == before
 
 
 def test_cache_alive_while_result_referenced(spark):
-    """The cache must NOT be released while the returned plan is still
-    referenced (the whole point of persisting the banded frame)."""
+    """The own_caches mechanism itself, on an UNKEYED operator call
+    (registered queries now use the session cache instead): the cache
+    must NOT be released while the returned plan is still referenced
+    (the whole point of persisting the banded frame), and must be
+    released when it dies."""
+    from mergers_acquisitions_predictions_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
     before = _quiescent_cached_rdds(spark)
-    df = QUERIES["d02_minhash_lsh_pairs"](spark, SF_SMOKE)
+    d = load_table(spark, SF_SMOKE, "documents")
+    df = lsh_candidate_pairs(d, "text", "doc_id", n_bands=4, rows_per_band=2)
     assert df.count() >= 0
     gc.collect()
     assert _n_cached_rdds(spark) > before  # banded frame still cached
@@ -79,14 +92,38 @@ def test_cache_alive_while_result_referenced(spark):
 
 
 def test_ownership_transfers_through_composition(spark):
-    """d06 composes lsh_candidate_pairs internally; the intermediate
-    candidate frame dies inside the query function — its caches must
-    survive until the FINAL result is dropped (else the verify join
-    recomputes the banded lineage from scratch)."""
+    """Composing operators must transfer cache ownership to the final
+    result: the intermediate candidate frame dies inside the
+    composition — its caches must survive until the FINAL result is
+    dropped (else the verify join recomputes the banded lineage from
+    scratch). Exercised on UNKEYED calls (the registered d06 now
+    routes the banded frame through the session cache instead)."""
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.functions.text import (
+        shingles,
+        tokenize,
+    )
+    from mergers_acquisitions_predictions_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        lsh_candidate_pairs,
+    )
+    from mergers_acquisitions_predictions_spark.operators.util import own_caches
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
     gc.collect()
-    df = QUERIES["d06_lsh_verified_neardups"](spark, SF_SMOKE)
+    d = load_table(spark, SF_SMOKE, "documents")
+    cand = lsh_candidate_pairs(d, "text", "doc_id", n_bands=4, rows_per_band=2)
+    sh = (
+        d.select("doc_id", tokenize(F.col("text")).alias("__tok"))
+        .select(F.col("doc_id").alias("doc"), shingles(F.col("__tok"), 3).alias("sh"))
+        .persist()
+    )
+    df = own_caches(jaccard_verify_pairs(cand, sh, threshold=0.1), cand, sh)
+    del cand, sh  # die inside the composition — ownership must have moved
+    gc.collect()
     # Two caches owned: the banded frame (from lsh_candidate_pairs,
-    # transferred through `cand`) and the shingles frame.
+    # transferred through the candidate frame) and the shingles frame.
     assert len(df._owned_caches) == 2
     for cached in df._owned_caches:
         lvl = cached.storageLevel

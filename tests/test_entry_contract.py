@@ -106,6 +106,12 @@ def test_driver_window_rotation_rule_r5():
         "m05_kmeans_clusters",  # materialized-assignments oracle
         "m08_pca_whiten",  # materialized-weights oracle
         "s09_ivfpq_kmeans_topk",  # materialized-codebooks oracle
+        "d02_minhash_lsh_pairs",  # shared memoized banded frame
+        "d06_lsh_verified_neardups",  # shared memoized banded frame
+        "d09_dup_clusters",  # shared memoized banded frame
+        "d14_cluster_canonicals",  # shared memoized banded frame
+        "d17_components_star",  # shared memoized banded frame
+        "d19_minhash_estimate",  # shared memoized banded frame
     }
     stale_r1 = {
         "q44_null_ordering",
