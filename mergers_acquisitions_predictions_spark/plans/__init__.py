@@ -33,7 +33,8 @@ from . import extra_queries  # noqa: E402,F401
 #: value-guarded by tests/test_oracle_parity.py, which sweeps EVERY
 #: oracle regardless of position.
 #:
-#: Round 5: (a) new = s14 (index append), s15 (stream-serve replay);
+#: Round 5: (a) new = s14 (index append), s15 (stream-serve
+#: replay), s16 (append-vs-rebuild drift);
 #: (b) changed since last row = d03 (adaptive capped plan), d07/s03/
 #: s12 (k_max 8→12, regenerated oracle constants), s04/s05 (ivf_topk
 #: memoization restructure), s08/s10 (coded-corpus memoization in
@@ -45,12 +46,13 @@ from . import extra_queries  # noqa: E402,F401
 #: frame);
 #: (c) fill = the seven r1-era stragglers queued by the r4 note
 #: (q44, q45, t01, t02, u01–u03), then r2-era rows oldest-first by
-#: name. Twelve r2 rows did not fit (t10–t13, t15–t20, t27, u04) —
+#: name. Thirteen r2 rows did not fit (t09–t13, t15–t20, t27, u04) —
 #: first in line for round 6, along with the r3-era family.
 DRIVER_WINDOW = [
     # (a): registered this round
     "s14_index_append_topk",
     "s15_stream_serve_replay",
+    "s16_index_append_drift",
     # (b): implementation or oracle changed since their last row
     "d03_jaccard_pairs",
     "d07_lsh_embedding_neardups",
@@ -101,7 +103,6 @@ DRIVER_WINDOW = [
     "t06_doc_fingerprints",
     "t07_exact_dedup_summary",
     "t08_vocabulary",
-    "t09_tfidf_top_terms",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

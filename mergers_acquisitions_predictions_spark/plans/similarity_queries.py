@@ -662,3 +662,35 @@ def s12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candidate_id",
     )
     return mmr_rerank(short, k=5, lam=0.7)
+
+from .registry import ORACLES as _ORACLES2  # noqa: E402
+
+
+@query(
+    "s16_index_append_drift",
+    oracle=f"""
+    SELECT f.query_id,
+           CAST(count(a.candidate_id) AS BIGINT) AS n_hits,
+           round(count(a.candidate_id) / 5.0, 4) AS recall
+    FROM ({_ORACLES2["s13_persisted_index_topk"]}) f
+    LEFT JOIN ({_ORACLES2["s14_index_append_topk"]}) a
+      ON f.query_id = a.query_id AND f.candidate_id = a.candidate_id
+    GROUP BY f.query_id
+    """,
+)
+def s16_index_append_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-vs-rebuild DRIFT of the persisted index — the monitoring
+    query a nightly-ingest deployment runs to decide when frozen
+    geometry has decayed enough to warrant a full rebuild: per query,
+    overlap@5 between the full-corpus-built index (s13) and the
+    split-built + frozen-geometry-appended index (s14). Low drift ⇒
+    keep appending; falling overlap ⇒ schedule the rebuild. Composes
+    `operators/similarity.topk_recall` over the two certified index
+    flows; the oracle literally composes their oracles, so the drift
+    metric itself is value-checked cross-engine. Sample-sized on top
+    of its two input plans (both k-rows-per-query)."""
+    from ..operators.similarity import topk_recall
+
+    full = s13_persisted_index_topk(spark, sf_dir)
+    appended = s14_index_append_topk(spark, sf_dir)
+    return topk_recall(full, appended, k=5)

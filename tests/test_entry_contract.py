@@ -90,6 +90,7 @@ def test_driver_window_rotation_rule_r5():
     changed_or_new_in_r5 = {
         "s14_index_append_topk",  # new: frozen-geometry append
         "s15_stream_serve_replay",  # new: foreachBatch body replay
+        "s16_index_append_drift",  # new: drift monitoring
         "d03_jaccard_pairs",  # adaptive capped plan
         "d07_lsh_embedding_neardups",  # k_max 12 constants
         "s03_lsh_ann_topk",  # k_max 12 + shared bucket frame
