@@ -90,6 +90,9 @@ def main() -> None:
         "s13_persisted_index_topk",
         "s14_index_append_topk",  # split build + frozen-geometry append
         "s15_stream_serve_replay",  # one micro-batch of the serving sink
+        # s16 (append-vs-rebuild drift) is correctness-window only: it
+        # composes s13+s14, so benching it would double-count their
+        # index builds already measured above.
         "m04_pair_ranking",
         "q25_monthly_orders",
         "q50_join_key_skew",
