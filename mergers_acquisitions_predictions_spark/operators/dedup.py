@@ -322,7 +322,7 @@ def jaccard_pairs(
     moderate cap values — the anti-join, the hot-common recovery, and
     the pair-frame persist are all dropped from the plan, leaving one
     cached frame and three shuffles. Both branches produce identical
-    results when hot is empty (measured ~1.5× faster at sf0.1).
+    results when hot is empty (measured ×1.7 faster at sf0.1).
     """
     toks = repartition_for_compute(df).select(
         F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("__tok")

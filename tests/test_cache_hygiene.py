@@ -182,3 +182,35 @@ def test_memoized_bucket_frame_is_transparent(spark):
     pd.testing.assert_frame_equal(first, frame())  # post-clearCache rebuild
     release_memoized_frames()
     assert _quiescent_cached_rdds(spark) == before
+
+
+def test_memoized_frame_eviction_bound(spark):
+    """The session frame cache is BOUNDED: past _FRAME_MEMO_MAX live
+    entries the oldest is unpersisted and dropped, and a re-request
+    transparently rebuilds it (perf knob, never correctness)."""
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators import util as U
+
+    release_memoized_frames()
+    base = spark.range(100)
+
+    def build(i):
+        return lambda: base.select(
+            F.col("id"), (F.col("id") * i).alias("v")
+        )
+
+    frames = [
+        U.memoized_frame(("evict-test", i), build(i))
+        for i in range(U._FRAME_MEMO_MAX + 2)
+    ]
+    live = [k for k in U._FRAME_MEMO if k[1][:1] == ("evict-test",)]
+    assert len(live) <= U._FRAME_MEMO_MAX
+    # the two oldest were evicted AND unpersisted
+    evicted_lvl = frames[0].storageLevel
+    assert not (evicted_lvl.useMemory or evicted_lvl.useDisk)
+    # a re-request rebuilds with correct content
+    again = U.memoized_frame(("evict-test", 0), build(0))
+    assert again.count() == 100
+    assert [r.v for r in again.orderBy("id").limit(3).collect()] == [0, 0, 0]
+    release_memoized_frames()
