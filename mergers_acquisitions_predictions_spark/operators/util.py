@@ -231,8 +231,13 @@ _FRAME_MEMO: dict = {}
 #: Live-session entry bound: one entry per (corpus, index config);
 #: past this the oldest live entry is unpersisted and rebuilt on
 #: demand (a perf knob, never correctness — a dropped frame silently
-#: recomputes).
-_FRAME_MEMO_MAX = 8
+#: recomputes). Sized to hold the full registered index family for
+#: one corpus directory (LSH buckets + query probes, IVF assign +
+#: query side, SQ/PQ codes, MinHash banded, neardup bucket index,
+#: unigram LM ≈ 9 keys) with headroom — every frame is narrow
+#: (ids + short keys/codes), never document bodies or raw vectors
+#: beyond the ivf assignment's.
+_FRAME_MEMO_MAX = 16
 
 
 def memoized_frame(key: tuple, build) -> DataFrame:

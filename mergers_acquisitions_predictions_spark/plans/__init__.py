@@ -46,7 +46,7 @@ from . import extra_queries  # noqa: E402,F401
 #: frame);
 #: (c) fill = the seven r1-era stragglers queued by the r4 note
 #: (q44, q45, t01, t02, u01–u03), then r2-era rows oldest-first by
-#: name. Thirteen r2 rows did not fit (t09–t13, t15–t20, t27, u04) —
+#: name. Sixteen r2 rows did not fit (t06–t13, t15–t20, t27, u04) —
 #: first in line for round 6, along with the r3-era family.
 DRIVER_WINDOW = [
     # (a): registered this round
@@ -74,6 +74,9 @@ DRIVER_WINDOW = [
     "m02_lr_confusion",
     "m05_kmeans_clusters",
     "m08_pca_whiten",
+    "t28_unigram_logprob_quality",
+    "t32_vocab_coverage",
+    "t34_ccnet_buckets",
     # (c): stalest driver rows — the seven r1-era stragglers first
     "q44_null_ordering",
     "q45_except_all_multiplicity",
@@ -100,9 +103,6 @@ DRIVER_WINDOW = [
     "t03_ngram_stats",
     "t04_stopword_filter",
     "t05_lang_source_stats",
-    "t06_doc_fingerprints",
-    "t07_exact_dedup_summary",
-    "t08_vocabulary",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -885,14 +885,14 @@ def t32_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     10⁸; the curve itself is one conditional aggregation over the
     vocab-sized frame. The oracle's plain OVER (ORDER BY) is the
     same math DuckDB-side."""
-    from ..functions.text import tokenize
     from ..operators.ordered import global_row_number
+    from .text_queries import _unigram_model
 
-    d = load_table(spark, sf_dir, "documents")
-    counts = (
-        d.select(F.explode(tokenize(F.col("text"))).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("freq"))
+    # The Zipf counts ARE t28/t34's unigram model table (same
+    # tokenize, full corpus) — renamed from the shared session frame.
+    freq_frame, _n, _v = _unigram_model(spark, sf_dir)
+    counts = freq_frame.select(
+        F.col("tok").alias("term"), F.col("c").alias("freq")
     )
     ranked = global_row_number(
         counts.withColumn("__neg", -F.col("freq")), ["__neg", "term"], "rnk"

@@ -38,6 +38,34 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repartition_for_compute(load_table(spark, sf_dir, "documents"))
 
 
+def _unigram_model(spark: SparkSession, sf_dir: str):
+    """Session-memoized full-corpus unigram LM artifacts: the (tok, c)
+    frequency frame and the (n_total, n_vocab) scalars — the model
+    constants behind t28/t34 (and t32's Zipf counts, renamed). One
+    token-keyed shuffle per session instead of one per scoring query;
+    the scalars ride `memoized_literal` so the driver-side `.first()`
+    job also runs once. t29 deliberately does NOT share: its model is
+    fit on the non-src0 slice (held-out scoring), a different frame."""
+    from ..operators.util import memoized_frame, memoized_literal
+
+    def build() -> DataFrame:
+        return (
+            _docs(spark, sf_dir)
+            .select(F.explode(tokenize("text")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    freq = memoized_frame(("unigram_freq", sf_dir, "documents"), build)
+    n_total, n_vocab = memoized_literal(
+        ("unigram_scalars", sf_dir, "documents"),
+        lambda: tuple(
+            freq.agg(F.sum("c").cast("long"), F.count(F.lit(1))).first()
+        ),
+    )
+    return freq, int(n_total), int(n_vocab)
+
+
 # Registered late (plans/extra_queries.py): rotated out of the driver
 # window in round 2 to admit t26_bpe_encode — t01 was driver-green in
 # round 1 and token counting keeps in-window evidence via t12/t16;
@@ -894,10 +922,7 @@ def t28_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", F.explode(tokenize("text")).alias("tok")
     )
-    freq = d.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n_total, n_vocab = freq.agg(
-        F.sum("c").cast("long"), F.count(F.lit(1))
-    ).first()
+    freq, n_total, n_vocab = _unigram_model(spark, sf_dir)
     logp = F.log((F.col("c") + 1) / F.lit(float(n_total) + float(n_vocab)))
     scored = d.join(freq.select("tok", logp.alias("logp")), "tok")
     return scored.groupBy("doc_id").agg(
@@ -956,10 +981,7 @@ def t34_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", "lang", F.explode(tokenize("text")).alias("tok")
     )
-    freq = d.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n_total, n_vocab = freq.agg(
-        F.sum("c").cast("long"), F.count(F.lit(1))
-    ).first()
+    freq, n_total, n_vocab = _unigram_model(spark, sf_dir)
     logp = F.log((F.col("c") + 1) / F.lit(float(n_total) + float(n_vocab)))
     scored = (
         d.join(freq.select("tok", logp.alias("logp")), "tok")

@@ -113,6 +113,9 @@ def test_driver_window_rotation_rule_r5():
         "d14_cluster_canonicals",  # shared memoized banded frame
         "d17_components_star",  # shared memoized banded frame
         "d19_minhash_estimate",  # shared memoized banded frame
+        "t28_unigram_logprob_quality",  # shared memoized unigram LM
+        "t32_vocab_coverage",  # shared memoized unigram LM
+        "t34_ccnet_buckets",  # shared memoized unigram LM
     }
     stale_r1 = {
         "q44_null_ordering",
