@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+import threading
 import weakref
 
 from pyspark.sql import DataFrame
@@ -174,13 +176,68 @@ def local_rows_df(spark, rows: list, schema: str) -> DataFrame:
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 
+#: One lock for both memo maps. Concurrent-query drivers (thread-pool
+#: schedulers over one SparkSession) can miss on the same key at once;
+#: without the lock the loser's persisted frame was silently
+#: overwritten in the dict and its blocks leaked until
+#: release_memoized_frames() (ADVICE r5). build() runs OUTSIDE the
+#: lock (it is py4j-heavy, seconds for index frames); the insert
+#: re-checks under the lock and the loser unpersists its own frame.
+_MEMO_LOCK = threading.Lock()
+
+
+def _source_fingerprint(key: tuple):
+    """Cheap content identity for every ABSOLUTE path element of a
+    memo ``key``: per path, (file count, total bytes, max mtime_ns)
+    from a recursive walk (missing path → a "absent" marker, so a
+    path that appears later invalidates too). Folded into every memo
+    hit/insert so an in-session overwrite of a corpus or index
+    directory is SEEN — the memo serves stale frames on path identity
+    alone otherwise (VERDICT r5 #5 / ADVICE r5). Driver-side stat
+    calls only, ~100 µs for a testdata SF directory; on an object
+    store swap the walk for one listing call — the contract (identity
+    = path + content fingerprint) is unchanged."""
+
+    def fp_of(p: str):
+        if not os.path.exists(p):
+            return ("absent",)
+        if os.path.isfile(p):
+            st = os.stat(p)
+            return (1, st.st_size, st.st_mtime_ns)
+        n = size = mt = 0
+        for dp, _, fs in os.walk(p):
+            for f in fs:
+                try:
+                    st = os.stat(os.path.join(dp, f))
+                except OSError:  # racing a writer's rename
+                    continue
+                n += 1
+                size += st.st_size
+                mt = max(mt, st.st_mtime_ns)
+        return (n, size, mt)
+
+    out = []
+
+    def scan(obj) -> None:
+        if isinstance(obj, str) and os.path.isabs(obj):
+            out.append(fp_of(obj))
+        elif isinstance(obj, tuple):
+            for el in obj:
+                scan(el)
+
+    scan(key)
+    return tuple(out)
+
+
 #: Session-scoped memo for expensive literal-Column construction.
 #: Building a literal array column costs one py4j round trip PER
 #: ELEMENT; index-artifact literals (hyperplanes, centroids, PQ
 #: codebooks, SQ stats) are ~1-4k elements and were being rebuilt on
 #: every query invocation — measured as SECONDS of driver-side
 #: DataFrame construction (PERF.md, s03 breakdown). Keyed by
-#: applicationId so a Column from a stopped session is never reused.
+#: applicationId so a Column from a stopped session is never reused;
+#: values stored as (source_fingerprint, value) so a mutated source
+#: path invalidates (see _source_fingerprint).
 _LITERAL_MEMO: dict = {}
 
 
@@ -192,27 +249,41 @@ _LITERAL_MEMO_MAX = 256
 
 
 def memoized_literal(key: tuple, build):
-    """Return ``build()``, memoized per (live session, ``key``).
-    ``key`` must fully determine the constructed expression (include
-    every value folded into the literal). Eviction is precise: on a
-    miss, entries from OTHER applicationIds are dropped (their
-    JVM-backed Column handles belong to stopped sessions), never the
-    live session's; the live session is separately bounded at
-    ``_LITERAL_MEMO_MAX`` entries so a long-lived driver running many
-    corpora cannot accumulate Column handles unboundedly."""
+    """Return ``build()``, memoized per (live session, ``key``,
+    source content). ``key`` must fully determine the constructed
+    expression (include every value folded into the literal); any
+    ABSOLUTE path element additionally contributes a content
+    fingerprint, so regenerating testdata or rebuilding an index
+    in-session invalidates rather than serving a stale constant.
+    Eviction is precise: on a miss, entries from OTHER applicationIds
+    are dropped (their JVM-backed Column handles belong to stopped
+    sessions), never the live session's; the live session is
+    separately bounded at ``_LITERAL_MEMO_MAX`` entries so a
+    long-lived driver running many corpora cannot accumulate Column
+    handles unboundedly. Thread-safe; build() runs outside the lock
+    (first concurrent caller to insert wins)."""
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
     app = sc.applicationId if sc is not None else None
     k = (app, key)
-    hit = _LITERAL_MEMO.get(k)
-    if hit is None:
+    fp = _source_fingerprint(key)
+    with _MEMO_LOCK:
+        ent = _LITERAL_MEMO.get(k)
+        if ent is not None and ent[0] == fp:
+            return ent[1]
+        if ent is not None:
+            del _LITERAL_MEMO[k]  # source mutated: stale constant
         for kk in [kk for kk in _LITERAL_MEMO if kk[0] != app]:
             del _LITERAL_MEMO[kk]  # dead-session handles only
         if sum(1 for kk in _LITERAL_MEMO if kk[0] == app) >= _LITERAL_MEMO_MAX:
             _LITERAL_MEMO.clear()
-        hit = build()
-        _LITERAL_MEMO[k] = hit
+    hit = build()
+    with _MEMO_LOCK:
+        ent = _LITERAL_MEMO.get(k)
+        if ent is not None and ent[0] == fp:
+            return ent[1]  # a concurrent builder won the insert
+        _LITERAL_MEMO[k] = (fp, hit)
     return hit
 
 
@@ -242,68 +313,102 @@ _FRAME_MEMO_MAX = 16
 
 def memoized_frame(key: tuple, build) -> DataFrame:
     """Return ``build()`` persisted, memoized per (live session,
-    ``key``). ``key`` must fully determine the frame's CONTENT —
-    include the corpus identity (source path + filter fingerprint)
-    and every config folded into the plan. An external
+    ``key``, source content). ``key`` must fully determine the
+    frame's CONTENT — include the corpus identity (source path +
+    filter fingerprint) and every config folded into the plan; any
+    ABSOLUTE path element additionally contributes a content
+    fingerprint (`_source_fingerprint`), so overwriting a corpus
+    parquet mid-session is SEEN: the stale frame is unpersisted and
+    rebuilt from the new files (VERDICT r5 #5). An external
     ``spark.catalog.clearCache()`` (the bench harness does this
     between passes) drops the cached blocks but not the memo entry;
     the next hit re-registers the persist and the first consumer pays
     one honest rebuild. Results are identical with or without the
-    memo (asserted in tests/test_cache_hygiene.py)."""
+    memo (asserted in tests/test_cache_hygiene.py). Thread-safe:
+    build() runs outside the lock; a losing concurrent builder
+    unpersists its own frame and returns the winner's (ADVICE r5)."""
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
     app = sc.applicationId if sc is not None else None
     k = (app, key)
-    hit = _FRAME_MEMO.get(k)
-    if hit is None:
+    fp = _source_fingerprint(key)
+    with _MEMO_LOCK:
+        ent = _FRAME_MEMO.get(k)
+        if ent is not None:
+            fp0, hit = ent
+            if fp0 == fp:
+                lvl = hit.storageLevel
+                if not (lvl.useMemory or lvl.useDisk):
+                    hit.persist()  # clearCache() dropped it — re-register
+                return hit
+            _FRAME_MEMO.pop(k)  # source mutated: stale frame
+            try:
+                hit.unpersist(blocking=False)
+            except Exception:
+                pass
         for kk in [kk for kk in _FRAME_MEMO if kk[0] != app]:
             _FRAME_MEMO.pop(kk)  # dead-session handles only
+    built = build().persist()
+    with _MEMO_LOCK:
+        ent = _FRAME_MEMO.get(k)
+        if ent is not None and ent[0] == fp:
+            try:  # a concurrent builder won — release ours
+                built.unpersist(blocking=False)
+            except Exception:
+                pass
+            return ent[1]
         live = [kk for kk in _FRAME_MEMO if kk[0] == app]
         if len(live) >= _FRAME_MEMO_MAX:
             try:
-                _FRAME_MEMO.pop(live[0]).unpersist(blocking=False)
+                _FRAME_MEMO.pop(live[0])[1].unpersist(blocking=False)
             except Exception:
                 pass
-        hit = build().persist()
-        _FRAME_MEMO[k] = hit
-    else:
-        lvl = hit.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
-            hit.persist()  # clearCache() dropped it — re-register
-    return hit
+        _FRAME_MEMO[k] = (fp, built)
+    return built
 
 
 def prime_memoized_literal(key: tuple, value) -> None:
     """OVERWRITE the (live session, ``key``) memo entry with a value
     the caller just computed/wrote — unlike `memoized_literal`'s
     miss-populate, priming replaces any stale entry (an index REBUILD
-    at the same path must not leave the old sidecar cached)."""
+    at the same path must not leave the old sidecar cached). The
+    source fingerprint is taken NOW (the caller just finished
+    writing), so a later foreign overwrite of the same path makes
+    `peek_memoized_literal` miss and the reader falls back to disk."""
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
     app = sc.applicationId if sc is not None else None
-    _LITERAL_MEMO[(app, key)] = value
+    with _MEMO_LOCK:
+        _LITERAL_MEMO[(app, key)] = (_source_fingerprint(key), value)
 
 
 def peek_memoized_literal(key: tuple):
     """The (live session, ``key``) memo entry, or None — no build, no
     populate. For read paths that may consult a primed artifact but
     must NOT cache a disk read themselves (the disk is the source of
-    truth when nothing primed it this session)."""
+    truth when nothing primed it this session, or when the path's
+    content changed since priming)."""
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
     app = sc.applicationId if sc is not None else None
-    return _LITERAL_MEMO.get((app, key))
+    with _MEMO_LOCK:
+        ent = _LITERAL_MEMO.get((app, key))
+    if ent is None or ent[0] != _source_fingerprint(key):
+        return None
+    return ent[1]
 
 
 def release_memoized_frames() -> None:
     """Unpersist and drop every memoized frame (all sessions). Tests
     that assert an empty RDD-storage map call this first; a long-lived
     driver may call it to return to a zero-cache baseline."""
-    for kk in list(_FRAME_MEMO):
+    with _MEMO_LOCK:
+        entries = [_FRAME_MEMO.pop(kk) for kk in list(_FRAME_MEMO)]
+    for _, frame in entries:
         try:
-            _FRAME_MEMO.pop(kk).unpersist(blocking=False)
+            frame.unpersist(blocking=False)
         except Exception:
             pass

@@ -214,3 +214,112 @@ def test_memoized_frame_eviction_bound(spark):
     assert again.count() == 100
     assert [r.v for r in again.orderBy("id").limit(3).collect()] == [0, 0, 0]
     release_memoized_frames()
+
+
+def test_memoized_frame_sees_source_mutation(spark, tmp_path):
+    """VERDICT r5 #5 / ADVICE r5: overwriting a corpus parquet
+    mid-session must invalidate the memo — the key's absolute-path
+    elements contribute a content fingerprint, so the stale persisted
+    frame is unpersisted and the next call rebuilds from the NEW
+    files. (Engine contract: corpus identity = path + content, not
+    path alone.)"""
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators import util as U
+
+    release_memoized_frames()
+    before = _quiescent_cached_rdds(spark)
+    src = str(tmp_path / "corpus.parquet")
+    spark.range(10).withColumn("v", F.col("id") * 2).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def build():
+        return spark.read.parquet(src).groupBy().agg(
+            F.sum("v").alias("total")
+        )
+
+    key = ("mutation-test", src)
+    first = U.memoized_frame(key, build)
+    assert first.collect()[0]["total"] == 90
+    # Overwrite the source in-session: the engine must NOT serve the
+    # stale frame.
+    spark.range(10).withColumn("v", F.col("id") * 10).write.mode(
+        "overwrite"
+    ).parquet(src)
+    second = U.memoized_frame(key, build)
+    assert second is not first
+    assert second.collect()[0]["total"] == 450
+    # the displaced stale frame was unpersisted, not leaked: exactly
+    # one persisted RDD remains (the fresh one). NOTE storageLevel on
+    # the stale HANDLE is not probative — Spark resolves it by
+    # canonicalized plan, which aliases to the fresh cache entry.
+    assert _quiescent_cached_rdds(spark) == before + 1
+    # unchanged source: still a cache hit
+    assert U.memoized_frame(key, build) is second
+    release_memoized_frames()
+    assert _quiescent_cached_rdds(spark) == before
+
+
+def test_memoized_frame_concurrent_misses_no_leak(spark):
+    """ADVICE r5: two driver threads missing on the same key must not
+    leak the loser's persisted frame — both get the same (winner's)
+    handle, and after release the RDD-storage map is clean."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators import util as U
+
+    release_memoized_frames()
+    before = _quiescent_cached_rdds(spark)
+    barrier = threading.Barrier(4)
+    results = []
+
+    def build():
+        return spark.range(1000).withColumn("v", F.col("id") % 7)
+
+    def worker():
+        barrier.wait()
+        f = U.memoized_frame(("concurrent-test",), build)
+        results.append((f, f.count()))
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert [n for _, n in results] == [1000] * 4
+    # exactly one memo entry survives the race (losers unpersisted
+    # their own builds; same-plan cache registrations coalesce in the
+    # CacheManager, so at most one persisted RDD exists for the key)
+    live = [k for k in U._FRAME_MEMO if k[1] == ("concurrent-test",)]
+    assert len(live) == 1
+    assert _quiescent_cached_rdds(spark) <= before + 1
+    release_memoized_frames()
+    del results
+    assert _quiescent_cached_rdds(spark) == before
+
+
+def test_primed_literal_peek_misses_on_foreign_overwrite(spark, tmp_path):
+    """prime/peek honor the same content contract: a foreign process
+    overwriting the primed path makes peek return None (reader falls
+    back to the on-disk source of truth) instead of serving the stale
+    sidecar."""
+    from mergers_acquisitions_predictions_spark.operators import util as U
+
+    p = str(tmp_path / "meta")
+    import os
+
+    os.makedirs(p)
+    with open(os.path.join(p, "meta.json"), "w") as f:
+        f.write("{}")
+    U.prime_memoized_literal(("peek-test", p), {"v": 1})
+    assert U.peek_memoized_literal(("peek-test", p)) == {"v": 1}
+    # foreign overwrite: content fingerprint changes
+    import time
+
+    time.sleep(0.01)
+    with open(os.path.join(p, "meta.json"), "w") as f:
+        f.write('{"other": 1}')
+    assert U.peek_memoized_literal(("peek-test", p)) is None
