@@ -67,8 +67,11 @@ def t25_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: s05's centroid artifact — same fixed-path handshake contract as
 #: plans/ml_queries._M02_PREDS_PATH (a static oracle string cannot
-#: carry a session token; query overwrites, paired oracle re-reads).
-_S05_CENT_PATH = "/tmp/mergers_acquisitions_spark_s05_cent"
+#: carry a session token; query overwrites atomically, paired oracle
+#: re-reads; $SPARK_GRAFT_SCRATCH-rooted — plans/handshake.py).
+from .handshake import handshake_path as _handshake_path  # noqa: E402
+
+_S05_CENT_PATH = _handshake_path("s05_cent")
 
 from .lsh_oracle import SQL_DOT as _SQL_DOT  # noqa: E402
 from .lsh_oracle import ivf_assign_sql as _ivf_assign  # noqa: E402
@@ -134,8 +137,9 @@ def s05_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk, kmeans_centroids
 
     e = load_table(spark, sf_dir, "embeddings")
-    kmeans_centroids(e, n_cells=8).write.mode("overwrite").parquet(_S05_CENT_PATH)
-    spark.catalog.refreshByPath(_S05_CENT_PATH)
+    from ..sources.writers import publish_parquet_atomic
+
+    publish_parquet_atomic(kmeans_centroids(e, n_cells=8), _S05_CENT_PATH)
     cent = spark.read.parquet(_S05_CENT_PATH)
     return ivf_topk(
         e.filter(F.col("vec_id") < 5), e, k=5, n_probe=4, centroids=cent
@@ -393,7 +397,7 @@ query("s06_hard_negatives", oracle=S06_ORACLE)(s06_hard_negatives)
 
 
 #: m08's weights artifact — fixed-path handshake (see _S05_CENT_PATH).
-_M08_W_PATH = "/tmp/mergers_acquisitions_spark_m08_weights"
+_M08_W_PATH = _handshake_path("m08_weights")
 
 _M08_PCS = ",\n           ".join(
     f"""round(list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -439,10 +443,12 @@ def m08_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     weights, offsets, _ = pca_whiten_weights(e, k=4)
     rows = [(j + 1, weights[j], offsets[j]) for j in range(4)]
-    local_rows_df(
-        spark, rows, "j BIGINT, w ARRAY<DOUBLE>, o DOUBLE"
-    ).write.mode("overwrite").parquet(_M08_W_PATH)
-    spark.catalog.refreshByPath(_M08_W_PATH)
+    from ..sources.writers import publish_parquet_atomic
+
+    publish_parquet_atomic(
+        local_rows_df(spark, rows, "j BIGINT, w ARRAY<DOUBLE>, o DOUBLE"),
+        _M08_W_PATH,
+    )
     art = sorted(
         spark.read.parquet(_M08_W_PATH).collect(), key=lambda r: r["j"]
     )
@@ -929,7 +935,7 @@ def t32_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: s09's codebook artifact — fixed-path handshake (see _S05_CENT_PATH).
-_S09_CB_PATH = "/tmp/mergers_acquisitions_spark_s09_codebooks"
+_S09_CB_PATH = _handshake_path("s09_codebooks")
 
 from .lsh_oracle import ivfpq_topk_sql as _ivfpq_sql  # noqa: E402
 
@@ -966,10 +972,12 @@ def s09_ivfpq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in range(len(cbs))
         for c in range(len(cbs[m]))
     ]
-    local_rows_df(
-        spark, rows, "m BIGINT, code BIGINT, vec ARRAY<DOUBLE>"
-    ).write.mode("overwrite").parquet(_S09_CB_PATH)
-    spark.catalog.refreshByPath(_S09_CB_PATH)
+    from ..sources.writers import publish_parquet_atomic
+
+    publish_parquet_atomic(
+        local_rows_df(spark, rows, "m BIGINT, code BIGINT, vec ARRAY<DOUBLE>"),
+        _S09_CB_PATH,
+    )
     art = spark.read.parquet(_S09_CB_PATH).collect()
     nested: dict = {}
     for r in art:

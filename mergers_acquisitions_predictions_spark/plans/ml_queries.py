@@ -100,16 +100,14 @@ def m01_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: m02's prediction artifact: a FIXED path because the oracle string
-#: is static (no per-session token can reach it). The artifact is an
-#: evaluation HANDSHAKE — the query overwrites it, then its paired
-#: oracle re-aggregates the same files — not served state like s13's
-#: index, so the single-evaluator assumption is the harness's own
-#: (queries and oracles run sequentially per check). Two concurrent
-#: evaluator PROCESSES could interleave a write between a query and
-#: its oracle read; that produces a visible mismatch, never a false
-#: pass.
-_M02_PREDS_PATH = "/tmp/mergers_acquisitions_spark_m02_preds"
+#: m02's prediction artifact: a FIXED (per-process) path because the
+#: oracle string is static — see plans/handshake.py for the full
+#: handshake contract ($SPARK_GRAFT_SCRATCH-rooted, atomic publish,
+#: sequential per check; cross-process interleave yields a visible
+#: mismatch, never a false pass).
+from .handshake import handshake_path as _handshake_path  # noqa: E402
+
+_M02_PREDS_PATH = _handshake_path("m02_preds")
 
 
 @query(
@@ -147,10 +145,14 @@ def m02_lr_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, train, test = train_weighted_lr(
         e, features_col="features", label_col="y", threshold=0.5
     )
-    model.transform(test).select(
-        "vec_id", F.col("y").alias("label"), F.col("prediction")
-    ).write.mode("overwrite").parquet(_M02_PREDS_PATH)
-    spark.catalog.refreshByPath(_M02_PREDS_PATH)
+    from ..sources.writers import publish_parquet_atomic
+
+    publish_parquet_atomic(
+        model.transform(test).select(
+            "vec_id", F.col("y").alias("label"), F.col("prediction")
+        ),
+        _M02_PREDS_PATH,
+    )
     preds = spark.read.parquet(_M02_PREDS_PATH)
     return confusion_matrix(preds, "label", "prediction").orderBy(
         "label", "prediction"
@@ -174,8 +176,8 @@ def m03_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: m05's assignment artifact — same handshake contract as
-#: _M02_PREDS_PATH (see that comment for the fixed-path rationale).
-_M05_PREDS_PATH = "/tmp/mergers_acquisitions_spark_m05_preds"
+#: _M02_PREDS_PATH (see plans/handshake.py).
+_M05_PREDS_PATH = _handshake_path("m05_preds")
 
 #: Oracle for m05 (attached at its late registration site in
 #: plans/extra_queries.py): re-aggregates the materialized cluster
@@ -221,11 +223,13 @@ def m05_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.util import fit_released
 
     model = fit_released(KMeans(k=10, seed=42, featuresCol="features"), e)
-    model.transform(e).select("vec_id", "label", "prediction").write.mode(
-        "overwrite"
-    ).parquet(_M05_PREDS_PATH)
+    from ..sources.writers import publish_parquet_atomic
+
+    publish_parquet_atomic(
+        model.transform(e).select("vec_id", "label", "prediction"),
+        _M05_PREDS_PATH,
+    )
     e.unpersist(blocking=False)
-    spark.catalog.refreshByPath(_M05_PREDS_PATH)
     per_label = (
         spark.read.parquet(_M05_PREDS_PATH)
         .groupBy("prediction", "label")

@@ -515,7 +515,11 @@ def _scratch_index_path(spark: SparkSession, sf_dir: str, kind: str) -> str:
             full = os.path.join(scratch, name)
             if (
                 name.startswith(prefix)
-                and name != f"{prefix}_{app}"
+                # the LIVE session's whole family is protected — the
+                # bare index dir AND suffixed siblings (_qbatch): a
+                # >6h-lived session's own artifacts must never be
+                # pulled out from under its reads (ADVICE r5)
+                and not name.startswith(f"{prefix}_{app}")
                 and os.path.getmtime(full) < cutoff
             ):
                 shutil.rmtree(full, ignore_errors=True)
@@ -599,6 +603,11 @@ def s15_stream_serve_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serving contract, never corpus-sized.
     qdir = f"{path}_qbatch"
     os.makedirs(qdir, exist_ok=True)
+    # Refresh the DIR mtime on every batch write: rewriting the file
+    # in place doesn't touch the directory, and a sibling session's
+    # age-gated reaper keys on the dir (ADVICE r5). Belt-and-braces —
+    # the reaper also skips the live session's whole prefix family.
+    os.utime(qdir)
     with open(os.path.join(qdir, "batch0.jsonl"), "w") as f:
         for r in e.filter(F.col("vec_id") < 5).collect():
             f.write(

@@ -48,6 +48,41 @@ def write_parquet(
                 conf.set(key, prev)
 
 
+def publish_parquet_atomic(df: DataFrame, path: str) -> None:
+    """Overwrite a parquet artifact at ``path`` with a NEAR-ATOMIC
+    swap: write to a process-unique staging twin, then promote via two
+    directory renames. A plain ``mode('overwrite')`` deletes the old
+    files before writing new ones, so a concurrent reader can see a
+    partially-written directory for the whole write duration; here the
+    reader-visible window is the two renames (ADVICE r5 — the
+    artifact-handshake oracles re-read the path their query just
+    wrote, and a concurrent evaluator at another SF could otherwise
+    catch a partial ``read_parquet``). A torn read is still POSSIBLE
+    in the rename gap and across interleaved processes — it yields a
+    visible mismatch, never a false pass; the handshake contract is
+    single-evaluator-sequential (see plans/handshake.py).
+
+    Local-filesystem renames; on an object store swap the two renames
+    for the committer's atomic-promote primitive — the plan (staged
+    write → promote → reap old) is unchanged."""
+    import os
+    import shutil
+    import uuid
+
+    tok = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    staging = f"{path}.staging_{tok}"
+    df.write.mode("overwrite").parquet(staging)
+    old = f"{path}.old_{tok}"
+    try:
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+    finally:
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+    df.sparkSession.catalog.refreshByPath(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """CSV sink (S7, `join_acquirers.scala:37`)."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
