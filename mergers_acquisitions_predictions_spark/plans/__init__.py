@@ -17,6 +17,7 @@ from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
 from . import relational4  # noqa: E402,F401
 from . import extra_queries  # noqa: E402,F401
+from . import io_queries  # noqa: E402,F401
 
 #: ORDER IS LOAD-BEARING: the driver's CORRECTNESS gate verifies the
 #: FIRST 50 registry entries each round. This pinned manifest (not

@@ -1,0 +1,250 @@
+"""Source/sink roundtrip queries (SURVEY §2.1): driver rows for the
+reader/sink family — S1 (whole-file corpus scan + path metadata), S2
+(line text scan), S3 (CSV header read), S4 (CSV headerless → named),
+S7 (CSV sink), S8 (single-file sink).
+
+These are the artifact-handshake recipe (plans/handshake.py) applied
+to SOURCES: the query WRITES real files through the engine's sinks,
+reads them back through the engine's readers, and the oracle reads
+the very same files with DuckDB's native ``read_csv``/``read_text`` —
+so the hash certifies the sink's encoding and the reader's parsing
+cross-engine, not a relational twin. (VERDICT r5 #1: the parquet sink
+S6 was certified this way in round 5 via m02/s13; this closes the
+rest of the family.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table, read_corpus_dir, read_csv, read_lines
+from ..sources.writers import write_csv, write_single_csv
+from .handshake import handshake_path
+from .registry import query
+
+_IO01_DETAIL = handshake_path("io01_detail")
+_IO01_SUMMARY = handshake_path("io01_summary")
+
+#: DuckDB column specs for the two CSV artifacts (doubled braces: the
+#: oracle is an f-string).
+_IO01_DETAIL_COLS = (
+    "{'o_orderkey': 'BIGINT', 'o_custkey': 'BIGINT', "
+    "'o_orderstatus': 'VARCHAR', 'o_orderdate': 'DATE', "
+    "'o_orderpriority': 'VARCHAR'}"
+)
+_IO01_SUMMARY_COLS = (
+    "{'o_orderstatus': 'VARCHAR', 'n_direct': 'BIGINT', "
+    "'n_prio_direct': 'BIGINT', 'first_direct': 'DATE', "
+    "'last_direct': 'DATE'}"
+)
+
+
+@query(
+    "io01_csv_roundtrip",
+    oracle=f"""
+    WITH d AS (
+        SELECT * FROM read_csv('{_IO01_DETAIL}/*.csv', header = true,
+                               columns = {_IO01_DETAIL_COLS})
+    ),
+    s AS (
+        SELECT * FROM read_csv('{_IO01_SUMMARY}/*.csv', header = false,
+                               columns = {_IO01_SUMMARY_COLS})
+    ),
+    agg AS (
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_rt,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio_rt,
+               strftime(min(o_orderdate), '%Y-%m-%d') AS first_rt,
+               strftime(max(o_orderdate), '%Y-%m-%d') AS last_rt
+        FROM d GROUP BY 1
+    )
+    SELECT o_orderstatus, n_rt, n_prio_rt, first_rt, last_rt,
+           n_direct, n_prio_direct,
+           strftime(first_direct, '%Y-%m-%d') AS first_str,
+           strftime(last_direct, '%Y-%m-%d') AS last_str
+    FROM agg JOIN s USING (o_orderstatus)
+    """,
+)
+def io01_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink→source roundtrip certifying S3/S4/S7/S8 in one loop
+    (reference: headered acquirer CSVs `join_acquirers.scala:15-16,37`
+    and the headerless single-file export `predictions.scala:39-41`):
+
+    - S7: the orders projection is written DISTRIBUTED with headers
+      (`writers.write_csv`, one header per part file);
+    - S8: the per-status summary is written as a SINGLE headerless
+      file (`writers.write_single_csv` — driver-sized finals only);
+    - S3: the detail comes back through `readers.read_csv` with an
+      explicit schema, header consumed per part file;
+    - S4: the summary comes back headerless with POSITIONAL columns
+      bound to names by the declared schema (the reference's `_cN`
+      access, typed).
+
+    The returned frame joins the re-aggregated roundtripped detail
+    against the directly-written summary (they must agree row for
+    row), and the oracle recomputes BOTH sides from the same files
+    with DuckDB's CSV reader — so the hash certifies Spark's CSV
+    encoding (dates, strings, bigints) and parsing cross-engine.
+    Fixed artifact paths per the handshake contract
+    (plans/handshake.py); these sinks ARE the certified operators, so
+    the write intentionally goes through them unmodified rather than
+    the atomic-publish wrapper."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_custkey").cast("long"),
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    write_csv(o, _IO01_DETAIL, header=True)
+    summary = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_direct"),
+        F.countDistinct("o_orderpriority").cast("long").alias("n_prio_direct"),
+        F.min("o_orderdate").alias("first_direct"),
+        F.max("o_orderdate").alias("last_direct"),
+    )
+    write_single_csv(
+        summary.select(
+            "o_orderstatus", "n_direct", "n_prio_direct",
+            "first_direct", "last_direct",
+        ),
+        _IO01_SUMMARY,
+        header=False,
+    )
+    detail_rt = read_csv(
+        spark,
+        _IO01_DETAIL,
+        schema=(
+            "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+            "o_orderdate DATE, o_orderpriority STRING"
+        ),
+        header=True,
+    )
+    summary_rt = read_csv(
+        spark,
+        _IO01_SUMMARY,
+        schema=(
+            "o_orderstatus STRING, n_direct BIGINT, n_prio_direct BIGINT, "
+            "first_direct DATE, last_direct DATE"
+        ),
+        header=False,
+    )
+    agg = detail_rt.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rt"),
+        F.countDistinct("o_orderpriority").cast("long").alias("n_prio_rt"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_rt"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_rt"),
+    )
+    # Dates stay typed through the roundtrip (written as DATE, parsed
+    # back as DATE on both engines); the OUTPUT rows export them as
+    # ISO strings — the repo's date-column convention for the
+    # value-hash gate (pandas date-vs-datetime64 dtype aliasing).
+    return agg.join(summary_rt, "o_orderstatus").select(
+        "o_orderstatus", "n_rt", "n_prio_rt", "first_rt", "last_rt",
+        "n_direct", "n_prio_direct",
+        F.date_format("first_direct", "yyyy-MM-dd").alias("first_str"),
+        F.date_format("last_direct", "yyyy-MM-dd").alias("last_str"),
+    )
+
+
+_IO02_CORPUS = handshake_path("io02_corpus")
+
+#: Fixture bound: io02 materializes files for doc_id < _IO02_N_DOCS
+#: only — the collect is fixture-sized by construction, never
+#: corpus-sized (the engine operators under test are the READERS).
+_IO02_N_DOCS = 60
+_IO02_DOCS_PER_FILE = 10
+
+
+@query(
+    "io02_corpus_dir_scan",
+    oracle=f"""
+    WITH files AS (
+        SELECT str_split_regex(filename, '/|_') AS seg, content
+        FROM read_text('{_IO02_CORPUS}/*.txt')
+    )
+    SELECT CAST(seg[-3] AS BIGINT) AS cik,
+           strftime(CAST(seg[-2] AS DATE), '%Y-%m-%d') AS report_date,
+           CAST(length(content) AS BIGINT) AS n_chars,
+           CAST(len(string_split(content, chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(regexp_extract_all(lower(content), '[a-z0-9_]+'))
+                AS BIGINT) AS n_tokens
+    FROM files
+    """,
+)
+def io02_corpus_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file + line-oriented text scans certifying S1/S2
+    (reference: `sc.wholeTextFiles` with path-borne report_date/cik,
+    `acq_etl_code.scala:12-16,37-47`): a small corpus directory is
+    materialized with the reference's `_`-delimited path metadata
+    (`<cik>_<date>_part.txt`, one doc per line), then read back TWO
+    ways inside one plan —
+
+    - S1 `readers.read_corpus_dir`: one row per FILE, cik and
+      report_date extracted from `input_file_name` with column
+      expressions (segments addressed from the path END so the layout
+      is scratch-root-independent); contributes n_chars.
+    - S2 `readers.read_lines`: one row per LINE, aggregated per file;
+      contributes n_lines and n_tokens (tokens counted per line and
+      summed — equal to whole-content counting because the join
+      delimiter is the line break).
+
+    The oracle reads the same files with DuckDB `read_text` and
+    replays the path parsing with string ops, so the hash certifies
+    both readers' content fidelity and the path-metadata extraction
+    cross-engine. The fixture write collects `_IO02_N_DOCS` documents
+    (bounded by construction, see the constant) — the operators under
+    test are the readers, the files are their input."""
+    import os
+    import shutil
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _IO02_N_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    groups: dict[int, list] = {}
+    for r in docs:
+        groups.setdefault(int(r["doc_id"]) // _IO02_DOCS_PER_FILE, []).append(r)
+    shutil.rmtree(_IO02_CORPUS, ignore_errors=True)
+    os.makedirs(_IO02_CORPUS)
+    for g, rows in groups.items():
+        cik = 100 + g
+        date = f"2020-01-{g + 1:02d}"
+        body = "\n".join(
+            r["text"] for r in sorted(rows, key=lambda r: r["doc_id"])
+        )
+        with open(
+            os.path.join(_IO02_CORPUS, f"{cik}_{date}_part.txt"), "w"
+        ) as f:
+            f.write(body)
+
+    seg = F.split(F.input_file_name(), r"/|_")
+    tokens_per_line = F.size(
+        F.regexp_extract_all(F.lower(F.col("line")), F.lit("[a-z0-9_]+"), 0)
+    )
+    per_file_lines = (
+        read_lines(spark, _IO02_CORPUS)
+        .select(
+            F.element_at(seg, -3).cast("long").alias("cik"),
+            F.lit(1).alias("one"),
+            tokens_per_line.alias("line_tokens"),
+        )
+        .groupBy("cik")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("line_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    whole = read_corpus_dir(
+        spark, _IO02_CORPUS, date_segment=-2, cik_segment=-3
+    ).select(
+        F.col("cik").cast("long").alias("cik"),
+        F.date_format("report_date", "yyyy-MM-dd").alias("report_date"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return whole.join(per_file_lines, "cik").select(
+        "cik", "report_date", "n_chars", "n_lines", "n_tokens"
+    )

@@ -132,7 +132,18 @@ def m02_lr_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM that artifact, and the oracle re-aggregates the very same
     files in DuckDB. The check certifies the M10 aggregation and the
     artifact round-trip cross-engine; fit quality remains covered by
-    the AUC/golden-label tests in tests/test_ma_pipeline.py."""
+    the AUC/golden-label tests in tests/test_ma_pipeline.py.
+
+    Since round 6 the scoring model takes the PERSISTENCE hop (S9,
+    reference `acq_etl_code.scala:125-126`): the fitted model is
+    saved to an applicationId-keyed scratch path and RELOADED, and
+    the reloaded model produces the hash-checked predictions — so
+    model save/load runs inside the certified loop (VERDICT r5 #1c;
+    a save/load defect now fails the driver row, not just the
+    roundtrip test in tests/test_ma_pipeline.py)."""
+    import os
+
+    from pyspark.ml.classification import LogisticRegressionModel
     from pyspark.ml.functions import array_to_vector
 
     from ..operators.aggregates import confusion_matrix
@@ -145,6 +156,14 @@ def m02_lr_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, train, test = train_weighted_lr(
         e, features_col="features", label_col="y", threshold=0.5
     )
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
+    model_path = os.path.join(
+        scratch,
+        "mergers_acquisitions_spark_m02_model_"
+        + spark.sparkContext.applicationId,
+    )
+    model.write().overwrite().save(model_path)
+    model = LogisticRegressionModel.load(model_path)
     from ..sources.writers import publish_parquet_atomic
 
     publish_parquet_atomic(
@@ -157,6 +176,140 @@ def m02_lr_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confusion_matrix(preds, "label", "prediction").orderBy(
         "label", "prediction"
     )
+
+
+#: m09's score artifact — same handshake contract as _M02_PREDS_PATH.
+_M09_SCORES_PATH = _handshake_path("m09_scores")
+
+#: Exactness argument for the ppm hash: tie-aware average ranks are
+#: halves (k or k+0.5, exactly representable), their sum over an
+#: eval-sized artifact stays below 2^53 (exact double arithmetic on
+#: BOTH engines, any addition order), and the final AUC is a single
+#: IEEE division — so the rounded ppm integer is bit-deterministic
+#: cross-engine, no float-order caveats (the t28 integer-ppm recipe).
+_M09_ORACLE = f"""
+    WITH s AS (
+        SELECT label, p1 FROM read_parquet('{_M09_SCORES_PATH}/*.parquet')
+    ),
+    g AS (
+        SELECT p1,
+               CAST(count(*) AS BIGINT) AS n_tot,
+               CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos
+        FROM s GROUP BY p1
+    ),
+    r AS (
+        SELECT n_pos, n_tot,
+               coalesce(sum(n_tot) OVER (
+                   ORDER BY p1
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM g
+    ),
+    a AS (
+        SELECT sum(n_pos * (cum_before + (n_tot + 1) / 2.0)) AS rank_sum,
+               sum(n_pos) AS n1,
+               sum(n_tot - n_pos) AS n0
+        FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos,
+           CAST(n0 AS BIGINT) AS n_neg,
+           CAST(round((rank_sum - n1 * (n1 + 1) / 2.0) / (n1 * n0) * 1000000)
+                AS BIGINT) AS auc_ppm
+    FROM a
+"""
+
+
+@query("m09_auc_rank_sum", oracle=_M09_ORACLE)
+def m09_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC-ROC, cross-engine (M6, `lr.scala:46-48`; VERDICT r5 #6):
+    the weighted-LR test scores (P(y=1), from the same seed-42 fit as
+    m02) are materialized to a parquet artifact, and AUC is computed
+    FROM the artifact via the tie-aware Mann-Whitney rank-sum
+    identity — AUC = (Σ avgrank⁺ − n₁(n₁+1)/2) / (n₁n₀), with
+    average ranks from a cumulative count over DISTINCT scores (so
+    no row-order dependence, and the window is distinct-score-sized).
+    The oracle replays the identical formulation in DuckDB over the
+    same files; see _M09_ORACLE for why the ppm integer is exact.
+
+    M6's MLlib code path (`ml.classify.evaluate_auc`,
+    BinaryClassificationEvaluator) runs INSIDE this query and is
+    asserted against the rank-sum value before returning — a
+    divergence beyond the evaluator's binning tolerance fails the
+    driver row, not just a local test. (The evaluator bins the curve
+    at numBins=1000, so it is exact only below 1000 distinct scores;
+    the assertion tolerance covers the binned regime.)
+
+    Scale note: the global ordering lives over distinct probability
+    values of an EVAL artifact (test-split-sized by design). For a
+    corpus-scale score table, swap the single window for the
+    two-phase per-partition prefix-sum used by t19 — the rank-sum
+    math is unchanged."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window
+
+    from ..ml.classify import evaluate_auc
+    from ..sources.writers import publish_parquet_atomic
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        array_to_vector(F.col("embedding")).alias("features"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    model, train, test = train_weighted_lr(
+        e, features_col="features", label_col="y", threshold=0.5
+    )
+    scored = model.transform(test)
+    publish_parquet_atomic(
+        scored.select(
+            "vec_id",
+            F.col("y").alias("label"),
+            vector_to_array(F.col("probability"))[1].alias("p1"),
+        ),
+        _M09_SCORES_PATH,
+    )
+    s = spark.read.parquet(_M09_SCORES_PATH)
+    g = s.groupBy("p1").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    w = Window.orderBy("p1").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "n_pos",
+        "n_tot",
+        F.coalesce(F.sum("n_tot").over(w), F.lit(0)).alias("cum_before"),
+    )
+    a = r.agg(
+        F.sum(
+            F.col("n_pos") * (F.col("cum_before") + (F.col("n_tot") + 1) / 2.0)
+        ).alias("rank_sum"),
+        F.sum("n_pos").alias("n1"),
+        F.sum(F.col("n_tot") - F.col("n_pos")).alias("n0"),
+    )
+    out = a.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("rank_sum") - F.col("n1") * (F.col("n1") + 1) / 2.0)
+            / (F.col("n1") * F.col("n0"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )
+    # M6 certification: the MLlib evaluator must agree with the exact
+    # rank-sum AUC (they are the same statistic; the evaluator's only
+    # slack is its 1000-bin curve discretization).
+    row = out.first()
+    exact_auc = row["auc_ppm"] / 1e6
+    mllib_auc = evaluate_auc(model, test, label_col="y")
+    if abs(mllib_auc - exact_auc) > 5e-3:
+        raise AssertionError(
+            f"MLlib AUC {mllib_auc} diverges from rank-sum AUC {exact_auc}"
+        )
+    return out
 
 
 @query("m03_lda_topics")  # rows-only: EM-LDA isn't SQL

@@ -105,6 +105,26 @@ def read_corpus_dir(
     )
 
 
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line text scan (S2): one row per line, with the source file
+    path carried as a column — the DataFrame replacement for
+    ``sc.textFile`` (the reference's line-oriented RDD scans,
+    ``acq_etl_code.scala:86``). Unlike the wholetext scan (S1) this
+    is SPLITTABLE: a 100 TB directory parallelizes by byte ranges
+    within files, so per-line work never serializes on file
+    boundaries. ``input_file_name`` stays a column expression, so
+    per-file aggregation downstream is one groupBy inside the same
+    Catalyst plan."""
+    return (
+        spark.read.format("text")
+        .load(path)
+        .select(
+            F.input_file_name().alias("path"),
+            F.col("value").alias("line"),
+        )
+    )
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
