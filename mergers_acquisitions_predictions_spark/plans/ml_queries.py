@@ -1,8 +1,12 @@
 """ML-surface queries (SURVEY §2.8). MLlib fit() results aren't
-SQL-expressible, so m01–m03 are rows-only checks (the driver records
-the weaker gate; deterministic-seed property tests live in
-tests/test_ml.py). m04 replays the reference's final pairing stage
-with a deterministic score so it IS oracle-checkable.
+SQL-expressible directly, but every query here is now VALUE-CHECKED:
+the fits' outputs or parameters are materialized to artifact parquet
+(measured bit-deterministic — PERF.md rounds 5-6) and the oracle
+replays the post-fit plan from the same files (the artifact-handshake
+recipe, plans/handshake.py). m04 replays the reference's final
+pairing stage with a deterministic score so it is oracle-checkable
+without an artifact. Deterministic-seed property tests live in
+tests/test_ml.py.
 """
 
 from __future__ import annotations
@@ -11,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ml.classify import confusion, train_weighted_lr
-from ..ml.lda import fit_lda, topics_as_rows
+from ..ml.lda import fit_lda
 from ..ml.pairs import rank_pairs
 from ..ml.tfidf import build_tfidf_pipeline
 from ..sources.readers import load_table
@@ -312,11 +316,51 @@ def m09_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("m03_lda_topics")  # rows-only: EM-LDA isn't SQL
+#: m03's topic-weight artifact — same handshake contract as
+#: _M02_PREDS_PATH (plans/handshake.py).
+_M03_TOPICS_PATH = _handshake_path("m03_topics")
+
+_M03_ORACLE = f"""
+    WITH t AS (
+        SELECT topic, term, w,
+               CAST(row_number() OVER (
+                   PARTITION BY topic ORDER BY w DESC, term
+               ) AS BIGINT) AS rk
+        FROM read_parquet('{_M03_TOPICS_PATH}/*.parquet')
+    )
+    SELECT CAST(topic AS BIGINT) AS topic, term,
+           round(w, 6) AS weight
+    FROM t WHERE rk <= 5
+"""
+
+
+@query("m03_lda_topics", oracle=_M03_ORACLE)
 def m03_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LDA (M8, reference config scaled to k=5) + describeTopics(5)
-    flattened via the in-plan vocabulary lookup (no driver loop)."""
+    semantics: top-5 terms per topic from the column-normalized
+    topics matrix.
+
+    VALUE-CHECKED since round 6 (VERDICT r5 #4): the online-LDA fit
+    was MEASURED bit-deterministic at sf0.01 — same process repeat,
+    cross-process, AND cross-partitioning local[8] vs local[32]
+    (PERF.md round 6, full k×vocab topicsMatrix compared as hex
+    doubles) — so the artifact recipe applies: the normalized
+    per-(topic, term) weights are materialized to parquet ONCE
+    (normalization done driver-side in numpy so both engines rank
+    identical doubles — no cross-engine float-sum in the loop), the
+    returned top-5-per-topic is computed FROM the artifact with a
+    rank window (weight desc, term asc tiebreak), and the oracle
+    replays the identical plan in DuckDB. The fit itself remains
+    certified by the determinism measurement + tests/test_ml.py;
+    equivalence of this relational top-k with MLlib's
+    describeTopics(5) is asserted in tests/test_ml_extra.py. The
+    topicsMatrix is driver-sized by construction (k × CountVectorizer
+    vocab cap) — a model-parameter collect, never data-sized."""
     from pyspark.ml.feature import CountVectorizer, RegexTokenizer
+    from pyspark.sql import Window
+
+    from ..operators.util import local_rows_df
+    from ..sources.writers import publish_parquet_atomic
 
     docs = load_table(spark, sf_dir, "documents")
     tok = RegexTokenizer(
@@ -325,7 +369,30 @@ def m03_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = CountVectorizer(inputCol="tokens", outputCol="tf", minDF=2.0).fit(tok)
     tf = cv.transform(tok)
     model = fit_lda(tf, "tf", k=5, max_iter=10, seed=42)
-    return topics_as_rows(model, cv.vocabulary, top_n=5)
+    m = model.topicsMatrix().toArray()  # vocab × k, driver-sized
+    totals = m.sum(axis=0)
+    rows = [
+        (t, cv.vocabulary[j], float(m[j, t] / totals[t]))
+        for t in range(m.shape[1])
+        for j in range(m.shape[0])
+    ]
+    publish_parquet_atomic(
+        local_rows_df(spark, rows, "topic BIGINT, term STRING, w DOUBLE"),
+        _M03_TOPICS_PATH,
+    )
+    art = spark.read.parquet(_M03_TOPICS_PATH)
+    w = Window.partitionBy("topic").orderBy(
+        F.col("w").desc(), F.col("term").asc()
+    )
+    return (
+        art.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("topic").cast("long").alias("topic"),
+            "term",
+            F.round("w", 6).alias("weight"),
+        )
+    )
 
 
 #: m05's assignment artifact — same handshake contract as

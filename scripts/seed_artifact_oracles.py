@@ -1,14 +1,18 @@
 """Pre-seed the artifact-handshake oracle artifacts at the driver's
 correctness SF (sf0.01).
 
-The m02/m05/s05/s09/m08 oracles re-read a fixed /tmp parquet artifact
-their paired query writes. Whichever order an evaluator runs a
-(query, oracle) pair in, the check is correct as long as the artifact
-on disk holds sf0.01 content from SOME run: the five fits are
-measured cross-process AND partitioning (local[8] vs local[32])
-bit-deterministic at sf0.01 (PERF.md round 5), so a pre-seeded
-artifact is bit-identical to what the evaluator's own query run
-writes. Run this LAST after any sweep that touched other SFs.
+The m02/m03/m05/m09/s05/s09/m08 oracles re-read a fixed parquet
+artifact their paired query writes (io01/io02 the same for CSV/text —
+plans/handshake.py). Whichever order an evaluator runs a (query,
+oracle) pair in, the check is correct as long as the artifact on disk
+holds sf0.01 content from SOME run: the fits are measured
+cross-process AND partitioning (local[8] vs local[32])
+bit-deterministic at sf0.01 (PERF.md rounds 5-6 — round 6 added the
+online-LDA measurement for m03), so a pre-seeded artifact is
+bit-identical to what the evaluator's own query run writes. The
+io/m09 artifacts are deterministic projections/scores of the same
+seeded fits and inputs. Run this LAST after any sweep that touched
+other SFs.
 """
 
 from __future__ import annotations
@@ -20,10 +24,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SEED_QUERIES = (
     "m02_lr_confusion",
+    "m03_lda_topics",
     "m05_kmeans_clusters",
+    "m09_auc_rank_sum",
+    "m08_pca_whiten",
     "s05_ivf_kmeans_topk",
     "s09_ivfpq_kmeans_topk",
-    "m08_pca_whiten",
+    "io01_csv_roundtrip",
+    "io02_corpus_dir_scan",
 )
 
 

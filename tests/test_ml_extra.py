@@ -102,3 +102,35 @@ def test_pca_whiten_properties(spark):
     b = sorted(tuple(x) for x in again.collect())
     assert a == b
     assert n == len(a)
+
+
+def test_m03_relational_topk_equals_describe_topics(spark):
+    """m03's artifact-replayed top-5-per-topic (rank window over the
+    normalized topics matrix) must be EXACTLY MLlib's
+    describeTopics(5) — the oracle certifies the relational plan
+    cross-engine; this pins that plan to the MLlib semantics it
+    stands in for."""
+    from pyspark.ml.feature import CountVectorizer, RegexTokenizer
+
+    from mergers_acquisitions_predictions_spark.ml.lda import (
+        fit_lda,
+        topics_as_rows,
+    )
+    from mergers_acquisitions_predictions_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    tok = RegexTokenizer(
+        inputCol="text", outputCol="tokens", pattern="\\W+", toLowercase=True
+    ).transform(docs)
+    cv = CountVectorizer(inputCol="tokens", outputCol="tf", minDF=2.0).fit(tok)
+    model = fit_lda(cv.transform(tok), "tf", k=5, max_iter=10, seed=42)
+    want = sorted(
+        (r.topic, r.term, r.weight)
+        for r in topics_as_rows(model, cv.vocabulary, top_n=5).collect()
+    )
+    got = sorted(
+        (r.topic, r.term, r.weight)
+        for r in QUERIES["m03_lda_topics"](spark, sf).collect()
+    )
+    assert got == want
