@@ -34,33 +34,32 @@ from . import io_queries  # noqa: E402,F401
 #: value-guarded by tests/test_oracle_parity.py, which sweeps EVERY
 #: oracle regardless of position.
 #:
-#: Round 5: (a) new = s14 (index append), s15 (stream-serve
-#: replay), s16 (append-vs-rebuild drift);
-#: (b) changed since last row = d03 (adaptive capped plan), d07/s03/
-#: s12 (k_max 8→12, regenerated oracle constants), s04/s05 (ivf_topk
-#: memoization restructure), s08/s10 (coded-corpus memoization in
-#: pq/sq), s06/s07/s11 (compose the changed s03/s04 paths), s13
-#: (applicationId-keyed path + primed meta), m02/m05
-#: (materialized-output oracles — rows-only → value-checked), s05/
-#: s09/m08 (centroid/codebook/weights artifact oracles — rows-only
-#: → value-checked), d02/d06/d09/d14/d17/d19 (shared memoized banded
-#: frame);
-#: (c) fill = the seven r1-era stragglers queued by the r4 note
-#: (q44, q45, t01, t02, u01–u03), then r2-era rows oldest-first by
-#: name. Sixteen r2 rows did not fit (t06–t13, t15–t20, t27, u04) —
-#: first in line for round 6, along with the r3-era family.
+#: Round 6: (a) new = io01/io02 (source/sink roundtrips — VERDICT r5
+#: #1), m09 (cross-engine AUC — VERDICT r5 #6);
+#: (b) changed since last row = m02 (S9 save/load hop inside the
+#: certified loop + atomic artifact publish), m03 (rows-only →
+#: value-checked via the measured-deterministic LDA artifact), m05/
+#: m08/s05/s09 (atomic publish + $SPARK_GRAFT_SCRATCH-rooted
+#: handshake paths), s13/s14/s15/s16 (scratch-reaper live-family
+#: exclusion + qbatch mtime + peek fingerprint fallback), and every
+#: consumer of the hardened util.memoized_frame/memoized_literal
+#: (content fingerprints + thread lock execute inside their plans):
+#: d02/d05/d06/d07/d09/d11/d14/d17/d19, s03/s04/s06/s07/s08/s10/s11/
+#: s12, t28/t32/t34;
+#: (c) fill = the sixteen r2-era rows queued by the r5 note (t06–t13,
+#: t15–t20, t27, u04), then r3-era oldest-first by name (d08; the
+#: rest of the r3 family — d12, d13, j04, j05, m01, q49, t26, t30,
+#: t33 — queues for round 7).
 DRIVER_WINDOW = [
     # (a): registered this round
-    "s14_index_append_topk",
-    "s15_stream_serve_replay",
-    "s16_index_append_drift",
+    "io01_csv_roundtrip",
+    "io02_corpus_dir_scan",
+    "m09_auc_rank_sum",
     # (b): implementation or oracle changed since their last row
-    "d03_jaccard_pairs",
-    "d07_lsh_embedding_neardups",
-    "d09_dup_clusters",
-    "d14_cluster_canonicals",
-    "d17_components_star",
-    "d19_minhash_estimate",
+    "m02_lr_confusion",
+    "m03_lda_topics",
+    "m05_kmeans_clusters",
+    "m08_pca_whiten",
     "s03_lsh_ann_topk",
     "s04_ivf_ann_topk",
     "s05_ivf_kmeans_topk",
@@ -72,38 +71,40 @@ DRIVER_WINDOW = [
     "s11_rrf_fusion",
     "s12_mmr_rerank",
     "s13_persisted_index_topk",
-    "m02_lr_confusion",
-    "m05_kmeans_clusters",
-    "m08_pca_whiten",
+    "s14_index_append_topk",
+    "s15_stream_serve_replay",
+    "s16_index_append_drift",
+    "d02_minhash_lsh_pairs",
+    "d05_embedding_neardups",
+    "d06_lsh_verified_neardups",
+    "d07_lsh_embedding_neardups",
+    "d09_dup_clusters",
+    "d11_semantic_dedup",
+    "d14_cluster_canonicals",
+    "d17_components_star",
+    "d19_minhash_estimate",
     "t28_unigram_logprob_quality",
     "t32_vocab_coverage",
     "t34_ccnet_buckets",
-    # (c): stalest driver rows — the seven r1-era stragglers first
-    "q44_null_ordering",
-    "q45_except_all_multiplicity",
-    "t01_token_stats",
-    "t02_clean_text",
-    "u01_pandas_udf_charge",
-    "u02_grouped_minmax_scale",
-    "u03_multimodal_features",
-    # (c) cont.: r2-era rows, oldest-first by name
-    "d01_minhash_signatures",
-    "d02_minhash_lsh_pairs",
-    "d04_simhash",
-    "d05_embedding_neardups",
-    "d06_lsh_verified_neardups",
-    "d10_contamination",
-    "j02_deal_name_linkage",
-    "j03_fuzzy_name_match",
-    "m04_pair_ranking",
-    "m06_split_assignment",
-    "q17_tumbling_windows",
-    "q38_deterministic_sample",
-    "s01_embedding_norms",
-    "s02_cosine_topk",
-    "t03_ngram_stats",
-    "t04_stopword_filter",
-    "t05_lang_source_stats",
+    # (c): stalest driver rows — the sixteen r2-era from the r5 queue
+    "t06_doc_fingerprints",
+    "t07_exact_dedup_summary",
+    "t08_vocabulary",
+    "t09_tfidf_top_terms",
+    "t10_language_id",
+    "t11_quality_scores",
+    "t12_bpe_token_count",
+    "t13_training_prep_funnel",
+    "t15_pii_redaction",
+    "t16_repetition_stats",
+    "t17_winnow_fingerprints",
+    "t18_sequence_packing",
+    "t19_quality_rank_filter",
+    "t20_pack_manifest",
+    "t27_snapshot_diff",
+    "u04_lemmatize_pandas_udf",
+    # (c) cont.: r3-era, oldest-first by name
+    "d08_prefix_jaccard_pairs",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

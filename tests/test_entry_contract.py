@@ -51,8 +51,18 @@ def test_driver_window_rotation_rule_r4():
     driver row — a driver row must postdate the code it certifies.
     This round that set is s13 (new) + the auto_cells/shortlist/cap/
     oracle changes; s04 is the r3 carry-over whose row predated its
-    ivf_assign_literal rewrite."""
-    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
+    ivf_assign_literal rewrite.
+
+    HISTORICAL round: asserted against the round-4 driver record
+    (immutable), not the current window — the invariant is "those
+    queries GOT their postdating driver rows in round 4", which stays
+    true forever; pinning old sets to the live window made the test
+    rot as later rounds rotated them out (observed round 6)."""
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    r4_rows = set(json.load(open(os.path.join(root, "CORRECTNESS_r04.json"))))
 
     changed_or_new_in_r4 = {
         "s13_persisted_index_topk",  # new: persisted-index serving
@@ -65,15 +75,7 @@ def test_driver_window_rotation_rule_r4():
         "d15_winnow_containment",  # self-join-free capped plan
         "d19_minhash_estimate",  # oracle zero-overlap symmetry
     }
-    # r5 note: s08/s10/d15/d19 have r4-green rows and rotated out; the
-    # set below supersedes this one for the current window.
-    assert changed_or_new_in_r4 & set(DRIVER_WINDOW) >= {
-        "s04_ivf_ann_topk",
-        "s11_rrf_fusion",
-        "s12_mmr_rerank",
-        "s13_persisted_index_topk",
-        "d03_jaccard_pairs",
-    }
+    assert changed_or_new_in_r4 <= r4_rows
 
 
 def test_driver_window_rotation_rule_r5():
@@ -84,8 +86,15 @@ def test_driver_window_rotation_rule_r5():
     ivf_topk memoization restructure (s04/s05), d03's adaptive capped
     plan, s13's artifact-path keying, and the m02/m05
     materialized-output oracles. The seven r1-era stragglers queued by
-    the r4 note (plans/__init__ r4 comment) must all have slots."""
-    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
+    the r4 note (plans/__init__ r4 comment) must all have slots.
+
+    HISTORICAL round: asserted against the round-5 driver record —
+    see the r4 test's note."""
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    r5_rows = set(json.load(open(os.path.join(root, "CORRECTNESS_r05.json"))))
 
     changed_or_new_in_r5 = {
         "s14_index_append_topk",  # new: frozen-geometry append
@@ -126,7 +135,75 @@ def test_driver_window_rotation_rule_r5():
         "u02_grouped_minmax_scale",
         "u03_multimodal_features",
     }
-    assert (changed_or_new_in_r5 | stale_r1) <= set(DRIVER_WINDOW)
+    assert (changed_or_new_in_r5 | stale_r1) <= r5_rows
+
+
+def test_driver_window_rotation_rule_r6():
+    """Round-6 window under the postdate rule: the three new queries
+    (io01/io02 source-sink roundtrips, m09 AUC), every query changed
+    since its last row — m02 (S9 hop), m03 (rows-only →
+    value-checked), the atomic-publish/scratch-path handshake family
+    (m05/m08/s05/s09), the scratch-reaper family (s13-s16), and every
+    consumer of the hardened memoized_frame/memoized_literal (content
+    fingerprints + thread lock run inside their plans) — plus the
+    sixteen r2-era stale rows queued by the r5 note."""
+    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
+
+    changed_or_new_in_r6 = {
+        "io01_csv_roundtrip",  # new: S3/S4/S7/S8 roundtrip
+        "io02_corpus_dir_scan",  # new: S1/S2 corpus scan
+        "m09_auc_rank_sum",  # new: M6 cross-engine
+        "m02_lr_confusion",  # S9 save/load hop + atomic publish
+        "m03_lda_topics",  # artifact oracle (rows-only -> value)
+        "m05_kmeans_clusters",  # atomic publish + scratch root
+        "m08_pca_whiten",  # atomic publish + scratch root
+        "s05_ivf_kmeans_topk",  # atomic publish + scratch root
+        "s09_ivfpq_kmeans_topk",  # atomic publish + scratch root
+        "s13_persisted_index_topk",  # reaper + peek fingerprint
+        "s14_index_append_topk",  # reaper + peek fingerprint
+        "s15_stream_serve_replay",  # reaper + qbatch mtime
+        "s16_index_append_drift",  # composes s13+s14
+        # hardened memo (util.py) consumers
+        "d02_minhash_lsh_pairs",
+        "d05_embedding_neardups",
+        "d06_lsh_verified_neardups",
+        "d07_lsh_embedding_neardups",
+        "d09_dup_clusters",
+        "d11_semantic_dedup",
+        "d14_cluster_canonicals",
+        "d17_components_star",
+        "d19_minhash_estimate",
+        "s03_lsh_ann_topk",
+        "s04_ivf_ann_topk",
+        "s06_hard_negatives",
+        "s07_ann_recall",
+        "s08_ivfpq_topk",
+        "s10_ivfsq_topk",
+        "s11_rrf_fusion",
+        "s12_mmr_rerank",
+        "t28_unigram_logprob_quality",
+        "t32_vocab_coverage",
+        "t34_ccnet_buckets",
+    }
+    stale_r2 = {
+        "t06_doc_fingerprints",
+        "t07_exact_dedup_summary",
+        "t08_vocabulary",
+        "t09_tfidf_top_terms",
+        "t10_language_id",
+        "t11_quality_scores",
+        "t12_bpe_token_count",
+        "t13_training_prep_funnel",
+        "t15_pii_redaction",
+        "t16_repetition_stats",
+        "t17_winnow_fingerprints",
+        "t18_sequence_packing",
+        "t19_quality_rank_filter",
+        "t20_pack_manifest",
+        "t27_snapshot_diff",
+        "u04_lemmatize_pandas_udf",
+    }
+    assert (changed_or_new_in_r6 | stale_r2) <= set(DRIVER_WINDOW)
 
 
 def test_missing_sf_dir_fails_cleanly(spark):
