@@ -93,6 +93,11 @@ def main() -> None:
         # s16 (append-vs-rebuild drift) is correctness-window only: it
         # composes s13+s14, so benching it would double-count their
         # index builds already measured above.
+        # CSV sink→source roundtrip (S3/S4/S7/S8), end to end at SF.
+        # io02/m09 are correctness-window only: io02 measures a
+        # 60-doc fixture write, m09 an MLlib fit (excluded by the
+        # same policy as m01-m03).
+        "io01_csv_roundtrip",
         "m04_pair_ranking",
         "q25_monthly_orders",
         "q50_join_key_skew",
@@ -114,12 +119,18 @@ def main() -> None:
     # postings) so the timed pass starts from a clean cache.
     spark.catalog.clearCache()
 
-    # Two timed passes, per-query MIN: the host is a shared VM and
-    # single-shot timings carry 30-50% neighbor noise; the minimum of
-    # two steady-state runs is the repeatable throughput number.
+    # Two timed passes in OPPOSITE orders (A→Z then Z→A), per-query
+    # MIN: the host is a shared VM and single-shot timings carry
+    # 30-50% neighbor noise; the minimum of two steady-state runs is
+    # the repeatable throughput number, and the order reversal kills
+    # the late-position noise band (queries near the end of a 60+
+    # query pass systematically read slow — d15 in rounds 4-5,
+    # PERF.md) because every query is early in one of the two passes
+    # (VERDICT r5 #7).
     timings: dict[str, float] = {}
     for _pass in range(2):
-        for name in headline:
+        ordered = headline if _pass == 0 else list(reversed(headline))
+        for name in ordered:
             t0 = time.perf_counter()
             run(name)
             dt = round(time.perf_counter() - t0, 3)

@@ -3,9 +3,10 @@
 Usage: python scripts/bench_subset.py d03_jaccard_pairs d15_winnow_containment
 
 Replicates the harness precisely — warm pass, clearCache, two timed
-passes with per-query MIN, gc.collect between queries — so numbers
-recorded here are directly comparable to BENCH_r{N}.json rows.
-Prints one JSON line per invocation.
+passes in opposite orders (bench.py's r6 interleave) with per-query
+MIN, gc.collect between queries — so numbers recorded here are
+directly comparable to BENCH_r{N}.json rows. Prints one JSON line per
+invocation.
 """
 
 from __future__ import annotations
@@ -38,7 +39,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for _pass in range(2):
-        for name in names:
+        ordered = names if _pass == 0 else list(reversed(names))
+        for name in ordered:
             t0 = time.perf_counter()
             run(name)
             dt = round(time.perf_counter() - t0, 3)
