@@ -252,3 +252,16 @@ def append_to_ivfsq_index(
     # already searched this path must not serve a cached listing
     # missing the new shard's files.
     spark.catalog.refreshByPath(f"{path}/codes")
+    # RE-prime the meta sidecar cache: the append changed the path's
+    # content fingerprint (new code files), which correctly makes the
+    # old primed entry unreachable (util.peek_memoized_literal) — but
+    # the META is frozen by the append contract (geometry never
+    # changes between rebuilds), so priming the same value under the
+    # POST-append fingerprint is exact, and the next search skips the
+    # sidecar re-read job (measured ~1 s of spark.read.json per serve
+    # otherwise — PERF.md round 6).
+    from .util import prime_memoized_literal
+
+    prime_memoized_literal(
+        ("ivfsq_meta", path), (mns, rngs, cent_rows, dim, _nc)
+    )
