@@ -93,11 +93,12 @@ def main() -> None:
         # s16 (append-vs-rebuild drift) is correctness-window only: it
         # composes s13+s14, so benching it would double-count their
         # index builds already measured above.
-        # CSV sink→source roundtrip (S3/S4/S7/S8), end to end at SF.
-        # io02/m09 are correctness-window only: io02 measures a
-        # 60-doc fixture write, m09 an MLlib fit (excluded by the
-        # same policy as m01-m03).
+        # sink→source roundtrips (CSV S3/S4/S7/S8; JSONL interchange),
+        # end to end at SF. io02/m09 are correctness-window only: io02
+        # measures a 60-doc fixture write, m09 an MLlib fit (excluded
+        # by the same policy as m01-m03).
         "io01_csv_roundtrip",
+        "io03_jsonl_roundtrip",
         "m04_pair_ranking",
         "q25_monthly_orders",
         "q50_join_key_skew",

@@ -34,8 +34,9 @@ from . import io_queries  # noqa: E402,F401
 #: value-guarded by tests/test_oracle_parity.py, which sweeps EVERY
 #: oracle regardless of position.
 #:
-#: Round 6: (a) new = io01/io02 (source/sink roundtrips — VERDICT r5
-#: #1), m09 (cross-engine AUC — VERDICT r5 #6);
+#: Round 6: (a) new = io01/io02/io03 (source/sink roundtrips —
+#: VERDICT r5 #1; io03 adds the JSONL interchange path with corrupt
+#: routing), m09 (cross-engine AUC — VERDICT r5 #6);
 #: (b) changed since last row = m02 (S9 save/load hop inside the
 #: certified loop + atomic artifact publish), m03 (rows-only →
 #: value-checked via the measured-deterministic LDA artifact), m05/
@@ -47,13 +48,14 @@ from . import io_queries  # noqa: E402,F401
 #: d02/d05/d06/d07/d09/d11/d14/d17/d19, s03/s04/s06/s07/s08/s10/s11/
 #: s12, t28/t32/t34;
 #: (c) fill = the sixteen r2-era rows queued by the r5 note (t06–t13,
-#: t15–t20, t27, u04), then r3-era oldest-first by name (d08; the
-#: rest of the r3 family — d12, d13, j04, j05, m01, q49, t26, t30,
-#: t33 — queues for round 7).
+#: t15–t20, t27, u04). The r3-era family (d08, d12, d13, j04, j05,
+#: m01, q49, t26, t30, t33) did not fit and queues for round 7,
+#: oldest-first by name.
 DRIVER_WINDOW = [
     # (a): registered this round
     "io01_csv_roundtrip",
     "io02_corpus_dir_scan",
+    "io03_jsonl_roundtrip",
     "m09_auc_rank_sum",
     # (b): implementation or oracle changed since their last row
     "m02_lr_confusion",
@@ -103,8 +105,6 @@ DRIVER_WINDOW = [
     "t20_pack_manifest",
     "t27_snapshot_diff",
     "u04_lemmatize_pandas_udf",
-    # (c) cont.: r3-era, oldest-first by name
-    "d08_prefix_jaccard_pairs",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

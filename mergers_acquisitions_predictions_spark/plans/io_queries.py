@@ -248,3 +248,86 @@ def io02_corpus_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return whole.join(per_file_lines, "cik").select(
         "cik", "report_date", "n_chars", "n_lines", "n_tokens"
     )
+
+
+_IO03_DOCS = handshake_path("io03_jsonl")
+
+#: One deliberately-malformed line, exercising PERMISSIVE
+#: corrupt-record routing end to end (the 100 TB-pipeline contract:
+#: dirty lines are routed, never fatal — readers.read_jsonl).
+_IO03_CORRUPT_LINE = '{"doc_id": 17, "text": "trunca'
+
+
+@query(
+    "io03_jsonl_roundtrip",
+    oracle=f"""
+    WITH l AS (
+        SELECT line FROM read_csv('{_IO03_DOCS}/*.json', header = false,
+            columns = {{'line': 'VARCHAR'}}, delim = '', quote = '',
+            escape = '')
+    ),
+    p AS (
+        SELECT CASE WHEN json_valid(line)
+                    THEN CAST(json_extract(line, '$.doc_id') AS BIGINT) % 5
+                    ELSE -1 END AS bucket,
+               CASE WHEN json_valid(line)
+                    THEN length(json_extract_string(line, '$.text'))
+                    END AS chars_line
+        FROM l
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(chars_line) AS BIGINT) AS sum_chars
+    FROM p GROUP BY 1
+    """,
+)
+def io03_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Lines sink→source roundtrip WITH corrupt-record routing —
+    the interchange format large text corpora actually ship in
+    (SURVEY §2.1 engine extras; `writers.write_jsonl` /
+    `readers.read_jsonl`): the documents projection is written as
+    JSONL through the engine's sink, one malformed line is planted in
+    the directory, and the read comes back through `read_jsonl` in
+    PERMISSIVE mode with an explicit schema — valid rows parse typed,
+    the malformed line lands in `_corrupt_record` instead of failing
+    the scan (the declared 100 TB contract: a dirty line five hours
+    into a job is routed, not fatal).
+
+    The returned frame buckets rows by doc_id%5 with the corrupt row
+    under bucket -1; the oracle reads the SAME files line-wise in
+    DuckDB (read_csv with delimiting disabled), splits on
+    `json_valid`, and replays the aggregation — so the hash certifies
+    the sink's JSON string escaping, the reader's typed parsing, AND
+    the corrupt-routing split cross-engine. (ORC has no DuckDB-side
+    reader, so the ORC roundtrip stays pytest-certified —
+    test_sources::orc_roundtrip.)"""
+    import os
+
+    from ..sources.readers import read_jsonl
+    from ..sources.writers import write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    write_jsonl(docs, _IO03_DOCS)
+    with open(os.path.join(_IO03_DOCS, "zz-corrupt.json"), "w") as f:
+        f.write(_IO03_CORRUPT_LINE + "\n")
+    rt = read_jsonl(
+        spark,
+        _IO03_DOCS,
+        "doc_id BIGINT, text STRING",
+        mode="PERMISSIVE",
+        corrupt_col="_corrupt_record",
+    )
+    good = F.col("_corrupt_record").isNull()
+    return (
+        rt.select(
+            F.when(good, F.col("doc_id") % 5).otherwise(-1).alias("bucket"),
+            F.when(good, F.length("text")).alias("chars_line"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("chars_line").cast("long").alias("sum_chars"),
+        )
+    )

@@ -32,6 +32,7 @@ SEED_QUERIES = (
     "s09_ivfpq_kmeans_topk",
     "io01_csv_roundtrip",
     "io02_corpus_dir_scan",
+    "io03_jsonl_roundtrip",
 )
 
 

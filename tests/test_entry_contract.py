@@ -152,6 +152,7 @@ def test_driver_window_rotation_rule_r6():
     changed_or_new_in_r6 = {
         "io01_csv_roundtrip",  # new: S3/S4/S7/S8 roundtrip
         "io02_corpus_dir_scan",  # new: S1/S2 corpus scan
+        "io03_jsonl_roundtrip",  # new: JSONL + corrupt routing
         "m09_auc_rank_sum",  # new: M6 cross-engine
         "m02_lr_confusion",  # S9 save/load hop + atomic publish
         "m03_lda_topics",  # artifact oracle (rows-only -> value)
