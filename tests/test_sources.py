@@ -243,3 +243,42 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert not os.path.exists(p + ".old") and not os.path.exists(p + ".compacting")
     n_in2, n_out2 = compact_parquet(spark, p, target_file_bytes=64 * 1024 * 1024)
     assert n_in2 == 1 and n_out2 == 1
+
+
+def test_read_lines_splittable_scan(spark, tmp_path):
+    """S2: one row per line with the source path as a column; line
+    counts per file match what was written (no phantom empty line
+    from a trailing newline, none invented for empty files)."""
+    from mergers_acquisitions_predictions_spark.sources.readers import read_lines
+
+    d = tmp_path / "lines"
+    d.mkdir()
+    (d / "a.txt").write_text("one\ntwo\nthree")
+    (d / "b.txt").write_text("solo")
+    rows = read_lines(spark, str(d)).collect()
+    assert len(rows) == 4
+    per_file = {}
+    for r in rows:
+        per_file.setdefault(r.path.rsplit("/", 1)[-1], []).append(r.line)
+    assert sorted(per_file["a.txt"]) == ["one", "three", "two"]
+    assert per_file["b.txt"] == ["solo"]
+
+
+def test_publish_parquet_atomic_overwrites_and_refreshes(spark, tmp_path):
+    """The staged-rename publisher: replaces prior content, leaves no
+    staging/old twins behind, and same-session readers see the new
+    files immediately (listing cache refreshed)."""
+    import os
+
+    from mergers_acquisitions_predictions_spark.sources.writers import (
+        publish_parquet_atomic,
+    )
+
+    path = str(tmp_path / "artifact")
+    publish_parquet_atomic(spark.range(10).withColumn("v", F.lit(1)), path)
+    assert spark.read.parquet(path).count() == 10
+    publish_parquet_atomic(spark.range(3).withColumn("v", F.lit(2)), path)
+    got = spark.read.parquet(path).collect()
+    assert len(got) == 3 and all(r.v == 2 for r in got)
+    siblings = [n for n in os.listdir(tmp_path) if n != "artifact"]
+    assert not [n for n in siblings if n.startswith("artifact.")]
