@@ -13,19 +13,21 @@ from pyspark.sql import functions as F
 from ..sources.readers import load_table
 from .registry import query
 
-# Queries defined in their home modules but REGISTERED here: u03's
-# fake multimodal payload bytes aren't SQL (rows-only); m05 carries
-# its materialized-assignments oracle since round 5 (M05_ORACLE).
+# Queries defined in their home modules but REGISTERED here; m05
+# carries its materialized-assignments oracle since round 5
+# (M05_ORACLE), u03 its byte-math replay oracle since round 6
+# (U03_ORACLE — the mapInPandas reductions recomputed over the raw
+# bytes in DuckDB).
 from .ml_queries import M05_ORACLE, m05_kmeans_clusters  # noqa: E402
 from .text_queries import T01_ORACLE, t01_token_stats  # noqa: E402
 from .text_queries import T02_ORACLE, t02_clean_text  # noqa: E402
 from .text_queries import T14_ORACLE, t14_token_chunks  # noqa: E402
 from .udf_queries import U01_ORACLE, u01_pandas_udf_charge  # noqa: E402
 from .udf_queries import U02_ORACLE, u02_grouped_minmax_scale  # noqa: E402
-from .udf_queries import u03_multimodal_features  # noqa: E402
+from .udf_queries import U03_ORACLE, u03_multimodal_features  # noqa: E402
 
 query("m05_kmeans_clusters", oracle=M05_ORACLE)(m05_kmeans_clusters)
-query("u03_multimodal_features")(u03_multimodal_features)
+query("u03_multimodal_features", oracle=U03_ORACLE)(u03_multimodal_features)
 # u01 rotated out of the window in favor of t21_source_mixture: the
 # scalar-pandas_udf mechanism keeps in-window driver evidence via
 # u04's lemmatizer; u01 stays value-checked by the local parity sweep.

@@ -221,13 +221,45 @@ def u05_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Registered LATE (plans/extra_queries.py): rows-only — a no-oracle row
-# inside the driver's 50-entry window would displace a value-parity one.
+#: u03's oracle (attached at its late registration site in
+#: plans/extra_queries.py): the Arrow featurizer's byte math is
+#: replayed OVER THE RAW BYTES in DuckDB — hex-decode the UTF-8
+#: payload and fold the byte values — so the mapInPandas path
+#: (attach payload → Arrow batches → per-payload reduction) is
+#: value-checked end to end, with no reliance on the text being
+#: ASCII. byte_mean stays unrounded: both engines divide the exact
+#: integer byte sum by the exact length, one IEEE division each —
+#: bit-identical by construction (no aggregation-order exposure).
+U03_ORACLE = """
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(range(1, n + 1),
+                     i -> CAST('0x' || substr(h, 2*i - 1, 2) AS INTEGER)))
+                     AS DOUBLE) / n
+           END AS byte_mean
+    FROM b
+"""
+
+
+# Registered LATE (plans/extra_queries.py) with U03_ORACLE attached.
 def u03_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas over binary payloads (multimodal/binary.py): the
-    Arrow-batched per-partition iterator surface, driven through the
-    driver gate as a rows-only check (byte-level invariants are
-    asserted in tests/test_multimodal.py)."""
+    Arrow-batched per-partition iterator surface.
+
+    VALUE-CHECKED since round 6: the returned per-payload reductions
+    (n_bytes, byte_mean) are deterministic byte math, and the oracle
+    replays them over the same bytes in DuckDB (hex-decode + fold) —
+    so the binary column's Arrow round-trip and the mapInPandas
+    batching are hash-certified, not just row-counted. The dropped
+    `feature` histogram column stays covered by byte-level invariants
+    in tests/test_multimodal.py (a 2-decimal projection of it would
+    add no coverage the mean does not)."""
     from ..multimodal.binary import attach_fake_payload, extract_features
 
     docs = load_table(spark, sf_dir, "documents")

@@ -185,7 +185,10 @@ def test_driver_window_rotation_rule_r6():
         "t28_unigram_logprob_quality",
         "t32_vocab_coverage",
         "t34_ccnet_buckets",
+        "u03_multimodal_features",  # byte-math oracle added
     }
+    # u04 (the 16th r2-era fill) was displaced by u03's (b)-priority
+    # upgrade and queues first for round 7.
     stale_r2 = {
         "t06_doc_fingerprints",
         "t07_exact_dedup_summary",
@@ -202,7 +205,6 @@ def test_driver_window_rotation_rule_r6():
         "t19_quality_rank_filter",
         "t20_pack_manifest",
         "t27_snapshot_diff",
-        "u04_lemmatize_pandas_udf",
     }
     assert (changed_or_new_in_r6 | stale_r2) <= set(DRIVER_WINDOW)
 
