@@ -46,8 +46,9 @@ from . import io_queries  # noqa: E402,F401
 #: consumer of the hardened util.memoized_frame/memoized_literal
 #: (content fingerprints + thread lock execute inside their plans):
 #: d02/d05/d06/d07/d09/d11/d14/d17/d19, s03/s04/s06/s07/s08/s10/s11/
-#: s12, t28/t32/t34; u03 (byte-math oracle added — rows-only →
-#: value-checked);
+#: s12, t28/t32/t34; u03 (byte-math oracle added) and s12
+#: (recursive-CTE oracle over its materialized shortlist) — both
+#: rows-only → value-checked;
 #: (c) fill = the r2-era rows queued by the r5 note (t06–t13,
 #: t15–t20, t27); u04 — the last of the sixteen under oldest-first-
 #: by-name — was displaced by u03's (b)-priority upgrade and queues

@@ -623,7 +623,80 @@ def s15_stream_serve_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve_batch(spark, path, batch, k=5, n_probe=2)
 
 
-@query("s12_mmr_rerank")  # rows-only: greedy selection is iterative,
+#: s12's shortlist artifact — the handshake contract of
+#: plans/handshake.py applied to the MMR input: the query materializes
+#: the overfetched shortlist (ids, relevance, candidate vectors), and
+#: the oracle replays the ENTIRE greedy selection from the same bits.
+from .handshake import handshake_path as _handshake_path  # noqa: E402
+
+_S12_SHORT_PATH = _handshake_path("s12_shortlist")
+
+#: Greedy MMR as a RECURSIVE CTE: one selection step per recursion
+#: level — per level, score every free candidate against the chosen
+#: set (λ·rel − (1−λ)·max dot) and keep the per-query argmax
+#: (QUALIFY row_number, tiebroken by the (−rel, candidate) sort
+#: position, numpy-argmax's first-max rule). Float discipline that
+#: makes this hash-exact against the Arrow path: vectors/rel come
+#: from the SAME parquet artifact; the λ complement is written
+#: (1.0 - 0.7) so SQL folds the identical double the Python operator
+#: computes (a 0.3 literal is a DIFFERENT double); dots and norms are
+#: sequential list_sum folds, which reproduce the operator's
+#: BLAS-free numpy reductions on real shortlists (equality asserted
+#: at sf0.001/0.01/0.1 in tests/test_similarity_mmr.py — numpy's
+#: pairwise sums and a sequential fold agree far inside the 1e-6
+#: rounding quantum on unit-vector dots).
+_S12_ORACLE = f"""
+    WITH RECURSIVE
+    c0 AS (
+        SELECT query_id, candidate_id, cos_sim AS rel,
+               list_transform(c_vec, x -> CAST(x AS DOUBLE)) AS v
+        FROM read_parquet('{_S12_SHORT_PATH}/*.parquet')
+    ),
+    n0 AS (
+        SELECT *, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM c0
+    ),
+    base AS (
+        SELECT query_id, candidate_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, candidate_id) AS pos,
+               list_transform(
+                   v, x -> x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)
+               ) AS u
+        FROM n0
+    ),
+    sel(query_id, step, candidate_id, mmr_score,
+        chosen_units, chosen_ids) AS (
+        (SELECT query_id, 1 AS step, candidate_id, 0.7 * rel AS mmr_score,
+                [u] AS chosen_units, [candidate_id] AS chosen_ids
+         FROM base
+         QUALIFY row_number() OVER (PARTITION BY query_id
+                                    ORDER BY 0.7 * rel DESC, pos) = 1)
+      UNION ALL
+        (SELECT query_id, step + 1, candidate_id, mmr,
+                chosen_units || [u], chosen_ids || [candidate_id]
+         FROM (
+            SELECT b.query_id, s.step, b.candidate_id, b.u, b.pos,
+                   s.chosen_units, s.chosen_ids,
+                   0.7 * b.rel - (1.0 - 0.7) * list_max(list_transform(
+                       s.chosen_units,
+                       cu -> list_sum(list_transform(
+                           range(1, len(b.u) + 1), i -> b.u[i] * cu[i]))
+                   )) AS mmr
+            FROM sel s JOIN base b USING (query_id)
+            WHERE s.step < 5
+              AND NOT list_contains(s.chosen_ids, b.candidate_id)
+         )
+         QUALIFY row_number() OVER (PARTITION BY query_id
+                                    ORDER BY mmr DESC, pos) = 1)
+    )
+    SELECT query_id, candidate_id, round(mmr_score, 6) AS mmr_score,
+           CAST(step AS BIGINT) AS rank
+    FROM sel
+"""
+
+
+@query("s12_mmr_rerank", oracle=_S12_ORACLE)  # greedy selection, replayed:
 def s12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware re-ranking of an ANN shortlist via Maximal
     Marginal Relevance (operators/similarity.mmr_rerank): overfetch
@@ -633,11 +706,18 @@ def s12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     then greedily re-rank to top-5 trading relevance against
     redundancy (λ=0.7) — the standard fix for a shortlist full of
     near-duplicates, which is precisely what a dedup-focused corpus's
-    raw top-k returns. Greedy sequential selection depends on every
-    prior pick, so it is not SQL-expressible (rows-only driver row by
-    declared design); its correctness evidence is the sequential
-    pure-Python reference equivalence + diversity-property tests in
-    tests/test_similarity_mmr.py. Scale shape: every stage is now
+    raw top-k returns.
+
+    VALUE-CHECKED since round 6 (was the last declared-iterative
+    rows-only row): the shortlist is materialized to a handshake
+    artifact, the greedy selection runs over the artifact read, and
+    the oracle replays the ENTIRE selection as a RECURSIVE CTE (one
+    recursion level per pick — see _S12_ORACLE's float discipline:
+    identical artifact bits, the (1.0 - 0.7) complement, sequential
+    folds, first-max tiebreak). Verified hash-equal at
+    sf0.001/0.01/0.1; the sequential pure-Python reference
+    equivalence + diversity-property tests in
+    tests/test_similarity_mmr.py remain the operator-level evidence. Scale shape: every stage is now
     bucketed or shortlist-sized — the LSH overfetch runs the same
     bucket-equi-join shape as s03 (the registered k_max=12 config
     auto-sizes planes up to ~10⁶ vectors; past that `lsh_tables`
@@ -670,7 +750,15 @@ def s12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "candidate_id",
     )
-    return mmr_rerank(short, k=5, lam=0.7)
+    from ..sources.writers import publish_parquet_atomic
+
+    publish_parquet_atomic(
+        short.select("query_id", "candidate_id", "cos_sim", "c_vec"),
+        _S12_SHORT_PATH,
+    )
+    return mmr_rerank(
+        spark.read.parquet(_S12_SHORT_PATH), k=5, lam=0.7
+    )
 
 from .registry import ORACLES as _ORACLES2  # noqa: E402
 

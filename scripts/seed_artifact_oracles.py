@@ -33,6 +33,7 @@ SEED_QUERIES = (
     "io01_csv_roundtrip",
     "io02_corpus_dir_scan",
     "io03_jsonl_roundtrip",
+    "s12_mmr_rerank",
 )
 
 

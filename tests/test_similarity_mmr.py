@@ -1,7 +1,9 @@
 """MMR re-ranking: sequential-reference equivalence, the diversity
-property it exists for, and determinism. (Greedy selection is not
-SQL-expressible — s12 is a rows-only registry entry; these tests are
-its correctness evidence.)"""
+property it exists for, and determinism. (Since round 6 s12 is also
+VALUE-checked cross-engine — its oracle replays the greedy selection
+as a recursive CTE over the materialized shortlist; the
+sequential-reference test here is what justifies the oracle's
+sequential folds standing in for numpy's pairwise sums.)"""
 
 from __future__ import annotations
 
