@@ -46,14 +46,17 @@ from . import io_queries  # noqa: E402,F401
 #: consumer of the hardened util.memoized_frame/memoized_literal
 #: (content fingerprints + thread lock execute inside their plans):
 #: d02/d05/d06/d07/d09/d11/d14/d17/d19, s03/s04/s06/s07/s08/s10/s11/
-#: s12, t28/t32/t34; u03 (byte-math oracle added) and s12
-#: (recursive-CTE oracle over its materialized shortlist) — both
-#: rows-only → value-checked;
+#: s12, t28/t32/t34; and the three remaining rows-only upgrades —
+#: u03 (byte-math oracle), s12 (recursive-CTE greedy-MMR replay over
+#: its materialized shortlist), t25 (the BPE FIT itself re-derived in
+#: SQL, plans/bpe_oracle.py) — after which EVERY registered query is
+#: value-checked;
 #: (c) fill = the r2-era rows queued by the r5 note (t06–t13,
-#: t15–t20, t27); u04 — the last of the sixteen under oldest-first-
-#: by-name — was displaced by u03's (b)-priority upgrade and queues
-#: FIRST for round 7, ahead of the r3-era family (d08, d12, d13,
-#: j04, j05, m01, q49, t26, t30, t33).
+#: t15–t20). t27 and u04 — the last two of the sixteen in queue
+#: order — were displaced by the t25/u03 (b)-priority upgrades
+#: (changed code outranks stale-row refresh under the postdate rule)
+#: and queue FIRST for round 7, ahead of the r3-era family (d08,
+#: d12, d13, j04, j05, m01, q49, t26, t30, t33).
 DRIVER_WINDOW = [
     # (a): registered this round
     "io01_csv_roundtrip",
@@ -92,6 +95,7 @@ DRIVER_WINDOW = [
     "t32_vocab_coverage",
     "t34_ccnet_buckets",
     "u03_multimodal_features",
+    "t25_bpe_merges",
     # (c): stalest driver rows — the sixteen r2-era from the r5 queue
     "t06_doc_fingerprints",
     "t07_exact_dedup_summary",
@@ -107,7 +111,6 @@ DRIVER_WINDOW = [
     "t18_sequence_packing",
     "t19_quality_rank_filter",
     "t20_pack_manifest",
-    "t27_snapshot_diff",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -50,16 +50,27 @@ query("u02_grouped_minmax_scale", oracle=U02_ORACLE)(u02_grouped_minmax_scale)
 query("t14_token_chunks", oracle=T14_ORACLE)(t14_token_chunks)
 
 
-@query("t25_bpe_merges")  # rows-only: iterative fit (argmax per round)
+from .bpe_oracle import bpe_merges_sql as _bpe_merges_sql  # noqa: E402
+
+
+@query("t25_bpe_merges", oracle=_bpe_merges_sql(n_merges=12, min_freq=2))
 def t25_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge LEARNING (operators/bpe.learn_bpe_merges): one corpus
     pass builds the word-frequency table, then every iteration runs
     over that vocab-sized frame — adjacent-pair count + argmax +
-    greedy merge fold, localCheckpoint-ed per round. Not
-    SQL-expressible (per-round argmax feeds the next round's
-    rewrite), so driver-checked rows-only; the exact merge sequence
-    is golden-tested against a plain-Python reference implementation
-    (tests/test_bpe.py) at two corpus shapes."""
+    greedy merge fold, localCheckpoint-ed per round.
+
+    VALUE-CHECKED since round 6 — the LAST rows-only registry entry
+    upgraded: the oracle re-derives the whole merge sequence
+    independently in DuckDB (plans/bpe_oracle.py — one unrolled CTE
+    stage per round: overlapping pair count, (freq DESC, left, right)
+    argmax, guarded-string replace rewrite; early-stop falls out
+    structurally). Unlike the artifact recipe this replays the FIT
+    itself cross-engine — possible here because the algorithm's state
+    is discrete (strings and integer counts; no float surface). The
+    exact merge sequence is additionally golden-tested against a
+    plain-Python reference (tests/test_bpe.py) at two corpus
+    shapes."""
     from ..operators.bpe import learn_bpe_merges, merges_as_df
 
     docs = load_table(spark, sf_dir, "documents")

@@ -186,9 +186,11 @@ def test_driver_window_rotation_rule_r6():
         "t32_vocab_coverage",
         "t34_ccnet_buckets",
         "u03_multimodal_features",  # byte-math oracle added
+        "t25_bpe_merges",  # BPE fit re-derived in SQL
     }
-    # u04 (the 16th r2-era fill) was displaced by u03's (b)-priority
-    # upgrade and queues first for round 7.
+    # t27/u04 (the last two r2-era fills in queue order) were
+    # displaced by the t25/u03 (b)-priority upgrades and queue first
+    # for round 7.
     stale_r2 = {
         "t06_doc_fingerprints",
         "t07_exact_dedup_summary",
@@ -204,7 +206,6 @@ def test_driver_window_rotation_rule_r6():
         "t18_sequence_packing",
         "t19_quality_rank_filter",
         "t20_pack_manifest",
-        "t27_snapshot_diff",
     }
     assert (changed_or_new_in_r6 | stale_r2) <= set(DRIVER_WINDOW)
 
