@@ -376,10 +376,12 @@ def pq_kmeans_codebooks(
     distributed MLlib Lloyd run over its slice column, and the
     resulting centers are driver-sized (n_codes × sub_dim floats per
     subspace) by construction — the index-build artifact a deployment
-    persists. Not oracle-replayable (iterative fit), which is why the
-    registered hash-checked query (s08) uses the anchor codebooks;
-    the swap equivalence of every downstream join shape is what the
-    rows-only s09 configuration demonstrates."""
+    persists. The fit itself is iterative MLlib; since round 5 the s09
+    configuration is VALUE-checked anyway via the artifact recipe —
+    the learned codebooks are materialized and the oracle replays
+    encode + ADC + re-rank from the same files — while s08 (anchor
+    codebooks) hash-checks the identical join shapes with fully
+    regenerable constants."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

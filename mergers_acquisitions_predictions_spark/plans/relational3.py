@@ -75,7 +75,8 @@ def q33_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest element with cum_rank >= q*n).
 
     Scale: one shuffle on (group); at extreme cardinality switch to
-    approx_percentile (t-digest) — exposed in aggregates, rows-only."""
+    approx_percentile (t-digest) — exposed in aggregates; a sketch,
+    so not oracle-matchable cross-engine."""
     from pyspark.sql import Window as W
 
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")

@@ -1,8 +1,9 @@
 """UDF-surface queries (SURVEY §2.7): the engine's three Python escape
 hatches — scalar Arrow pandas_udf, grouped-map applyInPandas, and
-mapInPandas — each exercised through the driver gate. Where the
-Python computation is numerically reproducible in SQL the query is
-oracle-checked; the multimodal featurizer is rows-only.
+mapInPandas — each exercised through the driver gate, and ALL
+oracle-checked: every Python computation here is numerically
+reproducible in SQL (the multimodal featurizer's byte math included,
+since round 6 — see U03_ORACLE).
 """
 
 from __future__ import annotations
