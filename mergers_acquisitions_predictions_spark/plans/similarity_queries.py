@@ -752,8 +752,12 @@ def s12_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..sources.writers import publish_parquet_atomic
 
+    # coalesce(1): the shortlist is shortlist-sized by contract
+    # (queries × 15 rows) — one writer task instead of 32 near-empty
+    # part files (measured: the artifact hop cost s12 ~0.45 s at 32
+    # parts, ~0.2 s coalesced; PERF.md round 6).
     publish_parquet_atomic(
-        short.select("query_id", "candidate_id", "cos_sim", "c_vec"),
+        short.select("query_id", "candidate_id", "cos_sim", "c_vec").coalesce(1),
         _S12_SHORT_PATH,
     )
     return mmr_rerank(
