@@ -42,6 +42,12 @@ def test_driver_window_is_the_pinned_manifest():
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50
     assert list(QUERIES)[:50] == DRIVER_WINDOW
+    # Since round 6 every registered query carries an oracle — the
+    # window (and in fact the whole registry) must never regress to
+    # the weaker rows-only check.
+    from mergers_acquisitions_predictions_spark.plans import ORACLES
+
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_driver_window_rotation_rule_r4():
