@@ -368,7 +368,9 @@ class Engine:
     ) -> DataFrame:
         """Top-k from a persisted IVF-SQ8 index; reads only the
         probed cells' partitions. Bit-identical to the in-memory
-        ivfsq path."""
+        ivfsq path. Pass ``allowed=`` (a frame of permitted candidate
+        ids) for filtered search — the vector-DB metadata predicate,
+        applied pre-ranking as a semi join on the pruned scan."""
         from .operators.ann_index import search_ivfsq_index
 
         return search_ivfsq_index(self.spark, path, queries, k, **kw)

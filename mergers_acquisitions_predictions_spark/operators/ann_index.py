@@ -166,6 +166,7 @@ def search_ivfsq_index(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from a persisted IVF-SQ8 index. The query batch is
     assigned to its ``n_probe`` cells with the PERSISTED centroids;
@@ -174,7 +175,19 @@ def search_ivfsq_index(
     partition filter, so only those cells' files are read. Scoring,
     rounding, and ranking are the exact expressions of
     `sq.ivfsq_topk` — results are bit-identical to the in-memory
-    path."""
+    path.
+
+    ``allowed``: optional FILTERED search (the vector-DB metadata
+    predicate: "top-k among candidates matching WHERE ..."): a frame
+    whose ``id_col`` column lists the permitted candidate ids. The
+    restriction is applied as a left-semi join on the pruned codes
+    scan BEFORE scoring — pre-filter semantics, so the returned ranks
+    are dense over matching candidates only (never post-filtered
+    holes), and non-matching vectors in probed cells are never
+    dequantized. Partition pruning is unchanged: the semi join runs
+    over only the probed cells' files, and AQE broadcasts a
+    dim-table-sized allowed set; a corpus-sized allowed set shuffles
+    just the probed partitions, never the whole index."""
     from .similarity import ivf_assign_literal
     from .sq import _unit, sq_score
 
@@ -192,6 +205,12 @@ def search_ivfsq_index(
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("cell_id").isin([int(c) for c in probed])
     )
+    if allowed is not None:
+        codes = codes.join(
+            allowed.select(F.col(id_col).alias("candidate_id")),
+            "candidate_id",
+            "left_semi",
+        )
     joined = codes.join(F.broadcast(q), "cell_id").filter(
         F.col("query_id") != F.col("candidate_id")
     )

@@ -339,6 +339,7 @@ def ivfsq_topk_sql(
     k: int = 5,
     query_filter: str = "WHERE vec_id < 5",
     build_filter: str = "",
+    candidate_filter: str = "",
 ) -> str:
     """DuckDB mirror of `operators/sq.ivfsq_topk` (IVF + 8-bit scalar
     quantization): the oracle regenerates the per-dimension min/range
@@ -356,7 +357,14 @@ def ivfsq_topk_sql(
     search still cover every vector — the exact semantics of
     `ann_index.build_ivfsq_index` on a split followed by
     `append_to_ivfsq_index` of the remainder (s14: the persisted
-    geometry is frozen; appended shards are encoded with it)."""
+    geometry is frozen; appended shards are encoded with it).
+
+    ``candidate_filter`` (e.g. "AND c.candidate_id IN (SELECT vec_id
+    FROM embeddings WHERE label % 2 = 1)") restricts the CANDIDATE
+    side of the scored pairs — the pre-filter semantics of
+    `ann_index.search_ivfsq_index(allowed=...)`: ranks are dense over
+    matching candidates only, and the index geometry (stats, cells,
+    codes) is untouched by the predicate."""
     D = dim
     cent_block = (
         auto_ivf_cent_ctes_sql(build_filter=build_filter)
@@ -408,6 +416,7 @@ def ivfsq_topk_sql(
         JOIN unit qu ON qu.vec_id = q.query_id
         CROSS JOIN statarr sa
         WHERE q.query_id <> c.candidate_id
+        {candidate_filter}
     )
     SELECT query_id, candidate_id, sq_sim, rank
     FROM (

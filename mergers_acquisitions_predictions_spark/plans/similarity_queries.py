@@ -795,3 +795,48 @@ def s16_index_append_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = s13_persisted_index_topk(spark, sf_dir)
     appended = s14_index_append_topk(spark, sf_dir)
     return topk_recall(full, appended, k=5)
+
+
+@query(
+    "s17_filtered_index_topk",
+    oracle=f"""WITH {_ivfsq_topk_sql(
+        dim=64, n_cells='auto', n_probe=2, k=5,
+        candidate_filter=(
+            "AND c.candidate_id IN "
+            "(SELECT vec_id FROM embeddings WHERE label % 2 = 1)"
+        ))}\n""",
+)
+def s17_filtered_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search over the persisted index — the standard
+    vector-DB metadata-predicate feature ("top-k among candidates
+    WHERE label is odd"), served from the same IVF-SQ8 artifact as
+    s13: the query batch's probed cells still prune the codes scan to
+    O(probed) files, and the predicate's allowed-id set is applied as
+    a left-semi join on that pruned scan BEFORE any dequantized dot is
+    computed (pre-filter semantics — ranks are dense over matching
+    candidates, never post-filter holes that silently return < k
+    usable rows). At 100 TB the predicate side is a metadata scan
+    pushed down to parquet (here `label % 2 = 1` on the embeddings
+    table itself); AQE broadcasts it when dim-table-sized, and a
+    corpus-sized allowed set shuffles only the probed partitions.
+    The oracle replays the identical geometry with the candidate
+    restriction injected into the scored CTE
+    (`lsh_oracle.ivfsq_topk_sql(candidate_filter=...)`), so the
+    filtered ranking is hash-checked cross-engine. Reference scope:
+    the reference has no ANN surface at all (SURVEY §2.8) — this is
+    part of the LLM-pipeline mandate's similarity-search family."""
+    from ..operators.ann_index import build_ivfsq_index, search_ivfsq_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_path(spark, sf_dir, "ivfsq_filt")
+    build_ivfsq_index(
+        e, path, n_cells=None, corpus_cache_key=(sf_dir, "embeddings")
+    )
+    return search_ivfsq_index(
+        spark,
+        path,
+        e.filter(F.col("vec_id") < 5),
+        k=5,
+        n_probe=2,
+        allowed=e.filter(F.col("label") % 2 == 1),
+    )

@@ -144,3 +144,61 @@ def test_streaming_queries_served_from_persisted_index(spark, tmp_path):
         )
     )
     assert sorted(got) == want and len(want) == 15
+
+
+def test_filtered_search_prefilter_semantics(spark, tmp_path):
+    """`allowed=` restricts candidates BEFORE ranking (pre-filter):
+    every hit satisfies the predicate, ranks are dense 1..k over the
+    matching candidates, and the result equals the in-memory path run
+    against a corpus restricted to the allowed set (plus the query
+    vectors themselves, which never self-match) — the filter must not
+    perturb the index geometry, only the candidate pool."""
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    allowed = e.filter(F.col("label") % 2 == 1)
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e, path, n_cells=16)
+    got = search_ivfsq_index(spark, path, q, k=5, n_probe=2, allowed=allowed)
+    rows = got.collect()
+    odd_ids = {r["vec_id"] for r in allowed.select("vec_id").collect()}
+    assert rows and all(r.candidate_id in odd_ids for r in rows)
+    for qid in {r.query_id for r in rows}:
+        ranks = sorted(r.rank for r in rows if r.query_id == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
+    # stricter-filter consistency: shrinking the allowed set can only
+    # remove candidates, and survivors keep their relative order
+    tight = search_ivfsq_index(
+        spark, path, q, k=5, n_probe=2,
+        allowed=e.filter(F.col("label") == 1),
+    ).collect()
+    lab1 = {r["vec_id"] for r in e.filter(F.col("label") == 1).select("vec_id").collect()}
+    assert all(r.candidate_id in lab1 for r in tight)
+    loose_order = {
+        qid: [r.candidate_id for r in sorted(rows, key=lambda x: x.rank)
+              if r.query_id == qid and r.candidate_id in lab1]
+        for qid in {r.query_id for r in rows}
+    }
+    tight_order = {
+        qid: [r.candidate_id for r in sorted(tight, key=lambda x: x.rank)
+              if r.query_id == qid]
+        for qid in {r.query_id for r in tight}
+    }
+    for qid, seq in tight_order.items():
+        # the tight top-k's head must be a supersequence-consistent
+        # refinement of the loose ranking restricted to label==1
+        assert seq[: len(loose_order.get(qid, []))] == loose_order.get(qid, [])[: len(seq)]
+
+
+def test_filtered_search_keeps_partition_pruning(spark, tmp_path):
+    """The semi join with the allowed set must not defeat the probed-
+    cells PartitionFilter on the codes scan."""
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e, path, n_cells=16)
+    out = search_ivfsq_index(
+        spark, path, e.filter(F.col("vec_id") < 2), k=5, n_probe=2,
+        allowed=e.filter(F.col("label") % 2 == 1),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell_id" in ln and "IN" in ln.upper() for ln in scan_lines), plan
