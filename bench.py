@@ -75,6 +75,7 @@ def main() -> None:
         "t35_source_overlap_matrix",
         "t30_gopher_rules",
         "t31_importance_sample",
+        "t36_stratified_split",
         "t32_vocab_coverage",
         "t33_token_entropy",
         "t29_bigram_backoff_quality",

@@ -407,6 +407,22 @@ class Engine:
 
         return importance_sample(df, weight_col, key_col, **kw)
 
+    def stratified_split(
+        self,
+        df: DataFrame,
+        strata_cols: list[str],
+        fractions: list[tuple[str, float]],
+        key_col: str,
+        **kw,
+    ) -> DataFrame:
+        """Exact-proportion stratified split (adds a `split` column):
+        per-stratum seeded-hash order + cumulative quota cutoffs —
+        replayable membership, ±0.5-row-exact fractions per stratum
+        (randomSplit's binomial noise is the thing this avoids)."""
+        from .operators.curation import stratified_split
+
+        return stratified_split(df, strata_cols, fractions, key_col, **kw)
+
     def compact(self, path: str, **kw) -> tuple[int, int]:
         """Small-file compaction of a parquet table (crash-safe swap);
         returns (files_before, files_after)."""

@@ -382,3 +382,60 @@ def importance_sample(
         F.col(weight_col) * F.lit(float(boost)) * F.lit(buckets), 0
     ).cast("long")
     return df.filter(hash_bucket(F.col(key_col), buckets) < thresh)
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: list[str],
+    fractions: list[tuple[str, float]],
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT-proportion stratified train/val/test split: within each
+    stratum, rows are ordered by the seeded key hash
+    (md5(f"{seed}|{key}") — deterministic, engine-portable, uniform)
+    and assigned to splits by cumulative-quota cutoffs on that rank,
+    so every stratum lands within ±0.5 rows of its target fraction.
+    This is the exact-quota complement of `randomSplit` (M7): MLlib's
+    split is per-row Bernoulli — fine for one big corpus, but at
+    per-language / per-source stratum sizes the binomial noise moves
+    small-stratum eval sets by whole percents, and reruns reshuffle
+    membership. Here membership is a pure function of
+    (seed, key, stratum population), replayable across reruns,
+    partitionings, cluster sizes, and engines.
+
+    ``fractions``: ordered (name, fraction) pairs; fractions must sum
+    to 1, and the LAST split absorbs the remainder rows so coverage
+    is total regardless of float dust. Cutoff k for cumulative
+    fraction c is floor(n·c + 0.5) — pure IEEE, identical in any
+    engine.
+
+    Scale shape: one hash-partitioned shuffle on the strata columns +
+    a per-stratum sort (the price of exact quotas — any exact method
+    needs a dense per-stratum order; when approximate is acceptable
+    use `hash_bucket(key) < frac·buckets` / `importance_sample`,
+    which is map-side only). Strata are typically language×source —
+    thousands of groups, so the sort parallelizes; a single
+    mega-stratum is the skew case and AQE splits its sort spill, or
+    pre-salt by hash_bucket(key, k) and re-aggregate quotas."""
+    from pyspark.sql import Window as W
+
+    if abs(sum(f for _, f in fractions) - 1.0) > 1e-9:
+        raise ValueError("stratified_split: fractions must sum to 1")
+    order = F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string")))
+    strata = [F.col(c) for c in strata_cols]
+    rn = F.row_number().over(
+        W.partitionBy(*strata).orderBy(order, F.col(key_col))
+    )
+    cnt = F.count(F.lit(1)).over(W.partitionBy(*strata))
+    out = df.withColumn("__rn", rn).withColumn("__cnt", cnt)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions[:-1]:
+        cum += frac
+        cutoff = F.floor(F.col("__cnt") * F.lit(cum) + F.lit(0.5))
+        cond = F.col("__rn") <= cutoff
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = fractions[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return out.withColumn("split", split).drop("__rn", "__cnt")

@@ -520,3 +520,69 @@ def t31_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_sample(
         scored, "quality", "doc_id", boost=_IS_BOOST, buckets=_IS_BUCKETS
     )
+
+
+#: t36 split geometry. The oracle embeds the EXACT cumulative-fraction
+#: doubles the engine computes (0.8 + 0.1 is 0.9000000000000001 in
+#: IEEE — repr() both sides, never a re-typed "0.9"), so the quota
+#: cutoff floor(n·c + 0.5) compares bit-identical doubles in both
+#: engines.
+_T36_FRACS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+_T36_SEED = 42
+
+
+def _t36_oracle() -> str:
+    cuts, cum = [], 0.0
+    for name, frac in _T36_FRACS[:-1]:
+        cum += frac
+        cuts.append(
+            f"WHEN rn <= floor(cnt * {cum!r} + 0.5) THEN '{name}'"
+        )
+    case = "CASE " + " ".join(cuts) + f" ELSE '{_T36_FRACS[-1][0]}' END"
+    return f"""
+    WITH ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(concat('{_T36_SEED}|', CAST(doc_id AS VARCHAR))),
+                            doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS cnt
+        FROM documents
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM (SELECT lang, doc_id, {case} AS split FROM ranked)
+    GROUP BY lang, split
+    ORDER BY lang, split
+"""
+
+
+@query("t36_stratified_split", oracle=_t36_oracle())
+def t36_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-proportion stratified 80/10/10 split of the corpus by
+    language (`operators/curation.stratified_split`) — the
+    training-pipeline complement of M7's `randomSplit`: within each
+    language, documents are ordered by a seeded key hash and cut at
+    cumulative quotas, so every language's eval slice is exact to
+    ±0.5 rows and membership is a replayable pure function of
+    (seed, doc_id) — reruns, repartitioning, and engine choice cannot
+    move a document between splits (per-row Bernoulli splitting has
+    binomial noise that moves small-language eval sets by whole
+    percents, and `rand()` reseeds per task attempt). Returns the
+    per-(lang, split) audit aggregate — counts AND an id checksum, so
+    the oracle certifies the ASSIGNMENT, not just the sizes. One
+    shuffle on the strata key + per-stratum sort (the price of exact
+    quotas; SCALE note in the operator docstring)."""
+    from ..operators.curation import stratified_split
+
+    d = load_table(spark, sf_dir, "documents")
+    s = stratified_split(d, ["lang"], _T36_FRACS, "doc_id", seed=_T36_SEED)
+    return (
+        s.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("lang", "split")
+    )

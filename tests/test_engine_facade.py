@@ -320,3 +320,29 @@ def test_facade_quality_and_sampling_surfaces(spark):
     )
     assert out.columns == ["query_id", "candidate_id", "cos_sim", "rank"]
     assert out.count() == 6
+
+
+def test_facade_stratified_split_and_filtered_ann(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from mergers_acquisitions_predictions_spark.engine import Engine
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+    eng = Engine(spark)
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    s = eng.stratified_split(d, ["lang"], [("train", 0.9), ("test", 0.1)], "doc_id")
+    assert set(s.select("split").distinct().toPandas()["split"]) <= {"train", "test"}
+    assert s.count() == d.count()
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "idx")
+    eng.build_ann_index(e, path, n_cells=4)
+    hits = eng.search_ann_index(
+        path,
+        e.filter(F.col("vec_id") < 2),
+        k=3,
+        n_probe=2,
+        allowed=e.filter(F.col("label") % 2 == 1),
+    ).collect()
+    odd = {r["vec_id"] for r in e.filter(F.col("label") % 2 == 1).select("vec_id").collect()}
+    assert hits and all(r.candidate_id in odd for r in hits)

@@ -604,3 +604,61 @@ def test_memoized_literal_session_scoped(spark):
     assert a is b and len(calls) == 2 and c is not a
     app = spark.sparkContext.applicationId
     assert (app, ("t_memo", 1)) in _LITERAL_MEMO
+
+
+def test_stratified_split_exact_quotas_and_determinism(spark):
+    """Exact-proportion contract: per stratum, each split's size is
+    the quota-cutoff arithmetic exactly (so within ±1 row of frac·n);
+    assignment is a pure function of (seed, key) — invariant under
+    repartitioning — and changing the seed moves members."""
+    import math
+
+    from mergers_acquisitions_predictions_spark.operators.curation import (
+        stratified_split,
+    )
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    fr = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    s = stratified_split(d, ["lang"], fr, "doc_id", seed=7)
+    rows = s.groupBy("lang", "split").count().collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["lang"], {})[r["split"]] = r["count"]
+    for lang, m in per.items():
+        n = sum(m.values())
+        cum = 0.0
+        prev = 0
+        for name, frac in fr[:-1]:
+            cum += frac
+            cutoff = math.floor(n * cum + 0.5)
+            assert m.get(name, 0) == cutoff - prev, (lang, name, m)
+            prev = cutoff
+        assert m.get(fr[-1][0], 0) == n - prev
+        for name, frac in fr:
+            assert abs(m.get(name, 0) - frac * n) <= 1
+    # repartition-invariance: membership identical under a different
+    # physical layout
+    a = {(r["doc_id"], r["split"]) for r in s.select("doc_id", "split").collect()}
+    s2 = stratified_split(d.repartition(13, "doc_id"), ["lang"], fr, "doc_id", seed=7)
+    b = {(r["doc_id"], r["split"]) for r in s2.select("doc_id", "split").collect()}
+    assert a == b
+    # a different seed must actually reshuffle membership
+    s3 = stratified_split(d, ["lang"], fr, "doc_id", seed=8)
+    c = {(r["doc_id"], r["split"]) for r in s3.select("doc_id", "split").collect()}
+    assert a != c
+    # coverage is total and single-valued
+    assert len(a) == d.count()
+
+
+def test_stratified_split_rejects_bad_fractions(spark):
+    import pytest as _pytest
+
+    from mergers_acquisitions_predictions_spark.operators.curation import (
+        stratified_split,
+    )
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with _pytest.raises(ValueError):
+        stratified_split(d, ["lang"], [("a", 0.5), ("b", 0.4)], "doc_id")
