@@ -76,6 +76,7 @@ def main() -> None:
         "t30_gopher_rules",
         "t31_importance_sample",
         "t36_stratified_split",
+        "t37_epoch_shuffle_shards",
         "t32_vocab_coverage",
         "t33_token_entropy",
         "t29_bigram_backoff_quality",

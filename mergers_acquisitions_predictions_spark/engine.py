@@ -423,6 +423,17 @@ class Engine:
 
         return stratified_split(df, strata_cols, fractions, key_col, **kw)
 
+    def shuffle_shards(
+        self, df: DataFrame, key_col: str, n_shards: int, **kw
+    ) -> DataFrame:
+        """Seeded global epoch shuffle + balanced round-robin shard
+        deal (adds `position` and `shard`): deterministic write-order
+        randomization before materializing training shards, via the
+        distributed two-phase global row number."""
+        from .operators.curation import shuffle_shards
+
+        return shuffle_shards(df, key_col, n_shards, **kw)
+
     def compact(self, path: str, **kw) -> tuple[int, int]:
         """Small-file compaction of a parquet table (crash-safe swap);
         returns (files_before, files_after)."""

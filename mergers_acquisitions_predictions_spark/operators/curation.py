@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..functions.sampling import hash_bucket
 from ..functions.text import shingles, tokenize
-from .ordered import global_running_sum
+from .ordered import global_row_number, global_running_sum
 from .util import own_caches, repartition_for_compute
 
 
@@ -439,3 +439,43 @@ def stratified_split(
     last = fractions[-1][0]
     split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return out.withColumn("split", split).drop("__rn", "__cnt")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 42,
+    out_col: str = "shard",
+    pos_col: str = "position",
+) -> DataFrame:
+    """Seeded GLOBAL shuffle + balanced shard assignment — the
+    write-order randomization step before materializing training
+    shards: rows are placed in a deterministic pseudo-random global
+    order (md5(f"{seed}|{key}"), tiebroken by the key) and dealt
+    round-robin to ``n_shards`` shards (sizes balanced to ±1), so a
+    sequential reader of any shard sees an unbiased sample and the
+    epoch order is a replayable pure function of (seed, key) —
+    reshuffling an epoch is just a new seed, and task retries /
+    repartitioning cannot perturb it (the `rand()` trap again).
+
+    Adds ``pos_col`` (1-based global shuffle position) and
+    ``out_col`` (shard id). The global rank comes from
+    `ordered.global_row_number` — range partition on the hash +
+    per-partition scan + broadcast prefix offsets, never a one-task
+    global window; the hash key makes the range partitioning
+    uniform by construction (no skew salt needed). At 100 TB this is
+    two data shuffles, then the shard writer partitions by
+    ``out_col``."""
+    if n_shards < 1:
+        raise ValueError("shuffle_shards: n_shards must be >= 1")
+    shuf = df.withColumn(
+        "__shuf",
+        F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string"))),
+    )
+    rn = global_row_number(shuf, ["__shuf", key_col], out_col=pos_col)
+    out = rn.withColumn(
+        out_col, F.pmod(F.col(pos_col) - 1, F.lit(n_shards)).cast("int")
+    ).drop("__shuf")
+    # rn owns the prefix checkpoint (ordered.py contract)
+    return own_caches(out, rn)

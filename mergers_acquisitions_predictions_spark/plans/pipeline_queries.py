@@ -586,3 +586,59 @@ def t36_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+_T37_SHARDS = 8
+
+T37_ORACLE = f"""
+    WITH shuffled AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY md5(concat('42|', CAST(doc_id AS VARCHAR))),
+                            doc_id) AS position
+        FROM documents
+    )
+    SELECT CAST((position - 1) % {_T37_SHARDS} AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM shuffled
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+@query("t37_epoch_shuffle_shards", oracle=T37_ORACLE)
+def t37_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded epoch shuffle + balanced shard deal
+    (`operators/curation.shuffle_shards`) — the global write-order
+    randomization a training-data materializer runs before writing
+    shards: every document gets a deterministic pseudo-random global
+    position (seeded key hash, `ordered.global_row_number`'s
+    two-phase range-partition + broadcast-offset plan — never a
+    one-task global window) and shards are dealt round-robin from
+    that order, balanced to ±1. Returns the per-shard audit
+    aggregate (count + id checksum): the checksum pins WHICH
+    documents landed in each shard, so the oracle certifies the
+    global shuffle order assignment itself, not just balance. The
+    oracle's single-window row_number is the semantic spec; the
+    engine's distributed two-phase plan must (and does) match it
+    bit-for-bit."""
+    from ..operators.curation import shuffle_shards
+
+    from ..operators.util import own_caches
+
+    d = load_table(spark, sf_dir, "documents")
+    s = shuffle_shards(
+        repartition_for_compute(d), "doc_id", _T37_SHARDS, seed=42
+    )
+    out = (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("shard")
+    )
+    # s owns the prefix checkpoint (ordered.py); the derived aggregate
+    # must inherit it or the blocks release while the plan is alive.
+    return own_caches(out, s)

@@ -662,3 +662,29 @@ def test_stratified_split_rejects_bad_fractions(spark):
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
     with _pytest.raises(ValueError):
         stratified_split(d, ["lang"], [("a", 0.5), ("b", 0.4)], "doc_id")
+
+
+def test_shuffle_shards_balance_and_replayability(spark):
+    """Epoch-shuffle contract: shard sizes balanced to ±1, positions
+    are a permutation of 1..n, membership is repartition-invariant,
+    and a new seed is a genuinely different epoch order."""
+    from mergers_acquisitions_predictions_spark.operators.curation import (
+        shuffle_shards,
+    )
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    n = d.count()
+    s = shuffle_shards(d, "doc_id", 8, seed=1)
+    rows = s.select("doc_id", "position", "shard").collect()
+    assert sorted(r["position"] for r in rows) == list(range(1, n + 1))
+    sizes = {}
+    for r in rows:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+        assert r["shard"] == (r["position"] - 1) % 8
+    assert max(sizes.values()) - min(sizes.values()) <= 1 and len(sizes) == 8
+    a = {(r["doc_id"], r["position"]) for r in rows}
+    s2 = shuffle_shards(d.repartition(17, "doc_id"), "doc_id", 8, seed=1)
+    assert {(r["doc_id"], r["position"]) for r in s2.select("doc_id", "position").collect()} == a
+    s3 = shuffle_shards(d, "doc_id", 8, seed=2)
+    assert {(r["doc_id"], r["position"]) for r in s3.select("doc_id", "position").collect()} != a
