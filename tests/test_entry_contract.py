@@ -160,6 +160,9 @@ def test_driver_window_rotation_rule_r6():
         "io02_corpus_dir_scan",  # new: S1/S2 corpus scan
         "io03_jsonl_roundtrip",  # new: JSONL + corrupt routing
         "m09_auc_rank_sum",  # new: M6 cross-engine
+        "s17_filtered_index_topk",  # new: filtered (predicate) ANN
+        "t36_stratified_split",  # new: exact-quota stratified split
+        "t37_epoch_shuffle_shards",  # new: epoch shuffle + shard deal
         "m02_lr_confusion",  # S9 save/load hop + atomic publish
         "m03_lda_topics",  # artifact oracle (rows-only -> value)
         "m05_kmeans_clusters",  # atomic publish + scratch root
@@ -194,9 +197,11 @@ def test_driver_window_rotation_rule_r6():
         "u03_multimodal_features",  # byte-math oracle added
         "t25_bpe_merges",  # BPE fit re-derived in SQL
     }
-    # t27/u04 (the last two r2-era fills in queue order) were
-    # displaced by the t25/u03 (b)-priority upgrades and queue first
-    # for round 7.
+    # Five r2-era fills were displaced and queue first for round 7:
+    # t27/u04 by the t25/u03 (b)-priority upgrades, t18/t19/t20 by
+    # the late-round (a) registrations s17/t36/t37 (new
+    # registrations outrank stale-row refresh under the postdate
+    # rule).
     stale_r2 = {
         "t06_doc_fingerprints",
         "t07_exact_dedup_summary",
@@ -209,9 +214,6 @@ def test_driver_window_rotation_rule_r6():
         "t15_pii_redaction",
         "t16_repetition_stats",
         "t17_winnow_fingerprints",
-        "t18_sequence_packing",
-        "t19_quality_rank_filter",
-        "t20_pack_manifest",
     }
     assert (changed_or_new_in_r6 | stale_r2) <= set(DRIVER_WINDOW)
 
