@@ -93,6 +93,7 @@ def main() -> None:
         "s14_index_append_topk",  # split build + frozen-geometry append
         "s15_stream_serve_replay",  # one micro-batch of the serving sink
         "s17_filtered_index_topk",  # metadata-predicate (pre-filter) serve
+        "s18_index_compact_serve",  # build + 2 appends + compact + serve
         # s16 (append-vs-rebuild drift) is correctness-window only: it
         # composes s13+s14, so benching it would double-count their
         # index builds already measured above.

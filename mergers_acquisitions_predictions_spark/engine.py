@@ -423,6 +423,15 @@ class Engine:
 
         return stratified_split(df, strata_cols, fractions, key_col, **kw)
 
+    def compact_ann_index(self, path: str) -> tuple[int, int]:
+        """Merge append-accreted small files in a persisted index's
+        codes (per-cell clustered rewrite, staged + rename-swapped);
+        layout-only — search results are bit-identical. Returns
+        (files_before, files_after)."""
+        from .operators.ann_index import compact_ivfsq_index
+
+        return compact_ivfsq_index(self.spark, path)
+
     def shuffle_shards(
         self, df: DataFrame, key_col: str, n_shards: int, **kw
     ) -> DataFrame:

@@ -284,3 +284,59 @@ def append_to_ivfsq_index(
     prime_memoized_literal(
         ("ivfsq_meta", path), (mns, rngs, cent_rows, dim, _nc)
     )
+
+
+def compact_ivfsq_index(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Compact a persisted IVF-SQ8 index's codes — the maintenance
+    pass the append path (`append_to_ivfsq_index`) makes necessary:
+    every nightly shard adds one file per touched cell partition, and
+    after enough appends the probed-cell scan cost is dominated by
+    file-open overhead, not bytes (the same accretion economics as
+    `sources/writers.compact_parquet`, per partition). Rewrites the
+    codes clustered by cell (`repartition("cell_id")` then
+    partitionBy — files per cell bounded by the repartition width,
+    contiguous row groups per cell) into a staging dir, then swaps by
+    rename so a complete codes table exists at every instant; on
+    HDFS/S3 swap the two renames for the FileSystem API, the plan is
+    unchanged. Layout-only by construction: search results are
+    bit-identical before/after (asserted in test_ann_index), and the
+    meta sidecar is untouched — frozen geometry — so the primed meta
+    is re-primed under the post-compaction fingerprint exactly as the
+    append does. Returns (files_before, files_after)."""
+    import os
+    import shutil
+
+    from .util import prime_memoized_literal
+
+    codes_path = f"{path}/codes"
+
+    def _count_files(p: str) -> int:
+        return sum(
+            1
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = _count_files(codes_path)
+    if before == 0:
+        raise ValueError(f"no codes parquet under {codes_path}")
+    # Read through the partitioned layout so cell_id survives as a
+    # column, cluster by cell, rewrite partitioned.
+    codes = spark.read.parquet(codes_path)
+    staging = codes_path + ".compacting"
+    codes.repartition("cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(staging)
+    old = codes_path + ".old"
+    os.rename(codes_path, old)
+    os.rename(staging, codes_path)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(codes_path)
+    # Frozen geometry: compaction moved bytes, not meaning. Re-prime
+    # the unchanged meta under the new content fingerprint so the
+    # next serve skips the sidecar re-read job (append's lesson,
+    # PERF.md round 6).
+    meta = _read_index_meta(spark, path)
+    prime_memoized_literal(("ivfsq_meta", path), meta)
+    return before, _count_files(codes_path)

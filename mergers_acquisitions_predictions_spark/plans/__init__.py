@@ -52,15 +52,15 @@ from . import io_queries  # noqa: E402,F401
 #: SQL, plans/bpe_oracle.py) — after which EVERY registered query is
 #: value-checked;
 #: (c) fill = the r2-era rows queued by the r5 note (t06–t13,
-#: t15–t20). Five of the sixteen — t27/u04 (displaced by the
-#: t25/u03 (b)-priority upgrades) and t18/t19/t20 (displaced by the
-#: late-round (a) registrations s17/t36/t37: filtered ANN search,
-#: exact-proportion stratified split, epoch shuffle+shard — new
-#: registrations and changed code outrank stale-row refresh under
-#: the postdate rule) — queue FIRST for round 7, ahead of the
-#: r3-era family (d08, d12, d13, j04, j05, m01, q49, t26, t30,
-#: t33). All five stay value-guarded by the every-oracle local
-#: sweep in the meantime.
+#: t15–t20). Six of the sixteen — t27/u04 (displaced by the
+#: t25/u03 (b)-priority upgrades) and t17/t18/t19/t20 (displaced by
+#: the late-round (a) registrations s17/s18/t36/t37: filtered ANN
+#: search, index compaction lifecycle, exact-proportion stratified
+#: split, epoch shuffle+shard — new registrations and changed code
+#: outrank stale-row refresh under the postdate rule) — queue FIRST
+#: for round 7, ahead of the r3-era family (d08, d12, d13, j04,
+#: j05, m01, q49, t26, t30, t33). All six stay value-guarded by the
+#: every-oracle local sweep in the meantime.
 DRIVER_WINDOW = [
     # (a): registered this round
     "io01_csv_roundtrip",
@@ -68,6 +68,7 @@ DRIVER_WINDOW = [
     "io03_jsonl_roundtrip",
     "m09_auc_rank_sum",
     "s17_filtered_index_topk",
+    "s18_index_compact_serve",
     "t36_stratified_split",
     "t37_epoch_shuffle_shards",
     # (b): implementation or oracle changed since their last row
@@ -114,7 +115,6 @@ DRIVER_WINDOW = [
     "t13_training_prep_funnel",
     "t15_pii_redaction",
     "t16_repetition_stats",
-    "t17_winnow_fingerprints",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

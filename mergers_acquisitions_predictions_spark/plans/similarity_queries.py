@@ -840,3 +840,47 @@ def s17_filtered_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=2,
         allowed=e.filter(F.col("label") % 2 == 1),
     )
+
+
+@query(
+    "s18_index_compact_serve",
+    oracle=f"""WITH {_ivfsq_topk_sql(dim=64, n_cells='auto', n_probe=2, k=5,
+                                     build_filter='WHERE vec_id % 2 = 0')}\n""",
+)
+def s18_index_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full index MAINTENANCE lifecycle, driver-certified: build
+    the persisted IVF-SQ8 index from half the corpus, append the
+    other half as TWO nightly shards (each append adds one file per
+    touched cell — the accretion that degrades probed-cell scans into
+    file-open overhead at 100 TB), COMPACT the codes
+    (`ann_index.compact_ivfsq_index` — per-cell clustered rewrite,
+    staged + rename-swapped so a complete codes table exists at
+    every instant), then serve top-k from the compacted artifact.
+    Compaction is layout-only and the geometry is frozen throughout,
+    so the oracle is s14's frozen-geometry replay VERBATIM — the
+    driver hash proves compaction moved bytes, not meaning (the
+    equality is also asserted file-count-wise and result-wise in
+    tests/test_ann_index). Completes the deployment story:
+    build (s13) → append (s14) → compact (s18) → serve / stream-serve
+    (s15) / drift-monitor (s16)."""
+    from ..operators.ann_index import (
+        append_to_ivfsq_index,
+        build_ivfsq_index,
+        compact_ivfsq_index,
+        search_ivfsq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_path(spark, sf_dir, "ivfsq_compact")
+    build_ivfsq_index(
+        e.filter(F.col("vec_id") % 2 == 0),
+        path,
+        n_cells=None,
+        corpus_cache_key=(sf_dir, "embeddings", "vec_id%2=0"),
+    )
+    append_to_ivfsq_index(e.filter(F.col("vec_id") % 4 == 1), path)
+    append_to_ivfsq_index(e.filter(F.col("vec_id") % 4 == 3), path)
+    compact_ivfsq_index(spark, path)
+    return search_ivfsq_index(
+        spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
+    )

@@ -202,3 +202,38 @@ def test_filtered_search_keeps_partition_pruning(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("cell_id" in ln and "IN" in ln.upper() for ln in scan_lines), plan
+
+
+def test_compaction_is_layout_only_and_merges_files(spark, tmp_path):
+    """compact_ivfsq_index: after two append shards the codes carry
+    extra per-cell files; compaction must reduce the file count,
+    keep search results BIT-identical, keep partition pruning, and
+    keep the same-session primed meta serving (no sidecar re-read
+    regression — the append lesson)."""
+    import os
+
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        append_to_ivfsq_index,
+        compact_ivfsq_index,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e.filter(F.col("vec_id") % 2 == 0), path, n_cells=8)
+    append_to_ivfsq_index(e.filter(F.col("vec_id") % 4 == 1), path)
+    append_to_ivfsq_index(e.filter(F.col("vec_id") % 4 == 3), path)
+    q = e.filter(F.col("vec_id") < 5)
+    pre = sorted(map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect()))
+    n_codes_pre = spark.read.parquet(f"{path}/codes").count()
+    before, after = compact_ivfsq_index(spark, path)
+    assert after < before, (before, after)
+    # complete table at every instant: no staging/old leftovers
+    assert not os.path.exists(f"{path}/codes.compacting")
+    assert not os.path.exists(f"{path}/codes.old")
+    assert spark.read.parquet(f"{path}/codes").count() == n_codes_pre
+    post_df = search_ivfsq_index(spark, path, q, k=5, n_probe=2)
+    post = sorted(map(tuple, post_df.collect()))
+    assert pre == post  # layout-only: bytes moved, meaning identical
+    plan = post_df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell_id" in ln and "IN" in ln.upper() for ln in scan_lines), plan

@@ -161,6 +161,7 @@ def test_driver_window_rotation_rule_r6():
         "io03_jsonl_roundtrip",  # new: JSONL + corrupt routing
         "m09_auc_rank_sum",  # new: M6 cross-engine
         "s17_filtered_index_topk",  # new: filtered (predicate) ANN
+        "s18_index_compact_serve",  # new: append-accretion compaction
         "t36_stratified_split",  # new: exact-quota stratified split
         "t37_epoch_shuffle_shards",  # new: epoch shuffle + shard deal
         "m02_lr_confusion",  # S9 save/load hop + atomic publish
@@ -197,9 +198,9 @@ def test_driver_window_rotation_rule_r6():
         "u03_multimodal_features",  # byte-math oracle added
         "t25_bpe_merges",  # BPE fit re-derived in SQL
     }
-    # Five r2-era fills were displaced and queue first for round 7:
-    # t27/u04 by the t25/u03 (b)-priority upgrades, t18/t19/t20 by
-    # the late-round (a) registrations s17/t36/t37 (new
+    # Six r2-era fills were displaced and queue first for round 7:
+    # t27/u04 by the t25/u03 (b)-priority upgrades, t17/t18/t19/t20
+    # by the late-round (a) registrations s17/s18/t36/t37 (new
     # registrations outrank stale-row refresh under the postdate
     # rule).
     stale_r2 = {
@@ -213,7 +214,6 @@ def test_driver_window_rotation_rule_r6():
         "t13_training_prep_funnel",
         "t15_pii_redaction",
         "t16_repetition_stats",
-        "t17_winnow_fingerprints",
     }
     assert (changed_or_new_in_r6 | stale_r2) <= set(DRIVER_WINDOW)
 
