@@ -237,3 +237,23 @@ def test_compaction_is_layout_only_and_merges_files(spark, tmp_path):
     plan = post_df._jdf.queryExecution().executedPlan().toString()
     scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("cell_id" in ln and "IN" in ln.upper() for ln in scan_lines), plan
+
+
+def test_compaction_idempotent_on_fresh_build(spark, tmp_path):
+    """Compacting a never-appended index must be safe (layout already
+    clustered; results unchanged; second compaction a no-op-shaped
+    rewrite)."""
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        compact_ivfsq_index,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e, path, n_cells=8)
+    q = e.filter(F.col("vec_id") < 3)
+    pre = sorted(map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect()))
+    b1, a1 = compact_ivfsq_index(spark, path)
+    b2, a2 = compact_ivfsq_index(spark, path)
+    assert b2 == a1  # second pass sees the first's layout
+    post = sorted(map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect()))
+    assert pre == post

@@ -688,3 +688,36 @@ def test_shuffle_shards_balance_and_replayability(spark):
     assert {(r["doc_id"], r["position"]) for r in s2.select("doc_id", "position").collect()} == a
     s3 = shuffle_shards(d, "doc_id", 8, seed=2)
     assert {(r["doc_id"], r["position"]) for r in s3.select("doc_id", "position").collect()} != a
+
+
+def test_stratified_split_tiny_strata_and_shuffle_shards_excess_shards(spark):
+    """Degenerate shapes: a 1-row stratum goes entirely to the first
+    split whose cumulative quota reaches 1 (never lost, never
+    double-assigned); n_shards > n rows leaves high shards empty
+    while filled shards still hold exactly one row each; n_shards=1
+    is the identity deal; n_shards=0 rejects."""
+    import pytest as _pytest
+
+    from mergers_acquisitions_predictions_spark.operators.curation import (
+        shuffle_shards,
+        stratified_split,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, "c"), (5, "c"), (6, "c")],
+        "doc_id long, lang string",
+    )
+    fr = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    rows = stratified_split(d, ["lang"], fr, "doc_id").collect()
+    assert len(rows) == 6 and all(r["split"] in {"train", "val", "test"} for r in rows)
+    # the 1-row stratum: floor(1*0.8+0.5)=1 -> train
+    assert [r["split"] for r in rows if r["lang"] == "a"] == ["train"]
+
+    s = shuffle_shards(d, "doc_id", 50)
+    got = s.collect()
+    assert sorted(r["position"] for r in got) == list(range(1, 7))
+    assert all(r["shard"] == (r["position"] - 1) % 50 for r in got)
+    one = shuffle_shards(d, "doc_id", 1).collect()
+    assert {r["shard"] for r in one} == {0}
+    with _pytest.raises(ValueError):
+        shuffle_shards(d, "doc_id", 0)
