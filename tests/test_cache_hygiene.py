@@ -32,13 +32,19 @@ def _quiescent_cached_rdds(spark, timeout_s: float = 5.0) -> int:
     gc.collect()
     deadline = time.monotonic() + timeout_s
     prev = _n_cached_rdds(spark)
+    stable = 0
     while time.monotonic() < deadline:
         # Nudge the ContextCleaner: localCheckpoint RDDs (dup_clusters'
         # final round) unregister only after JVM GC notices them.
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.25)
         cur = _n_cached_rdds(spark)
-        if cur == prev:
+        # Require THREE consecutive equal reads: a queued
+        # unpersist(blocking=False) behind a busy scheduler can hold
+        # the old count across one 0.25 s poll, and a baseline read
+        # that lands mid-drain poisons every later equality assert.
+        stable = stable + 1 if cur == prev else 0
+        if stable >= 2:
             return cur
         prev = cur
     return prev
