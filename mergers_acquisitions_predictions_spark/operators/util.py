@@ -311,6 +311,20 @@ _FRAME_MEMO: dict = {}
 _FRAME_MEMO_MAX = 16
 
 
+#: Per-key build-in-progress events: concurrent MISSES on the same
+#: key serialize on the first thread's build instead of racing
+#: duplicate builds. The round-6 hardening replaced the earlier
+#: build-then-loser-unpersists design after it intermittently leaked
+#: a cache entry under a 4-thread race: Spark's CacheManager keys
+#: entries by ANALYZED PLAN, so a loser's unpersist could silently
+#: drop the WINNER's entry (shared plan), and hit-path re-persists
+#: interleaved with loser unpersists could create entries no handle
+#: tracked. With one builder per key, persist/unpersist calls for a
+#: plan strictly alternate and nothing races — and concurrent missers
+#: no longer burn a duplicate build.
+_KEY_BUILDING: dict = {}
+
+
 def memoized_frame(key: tuple, build) -> DataFrame:
     """Return ``build()`` persisted, memoized per (live session,
     ``key``, source content). ``key`` must fully determine the
@@ -325,47 +339,58 @@ def memoized_frame(key: tuple, build) -> DataFrame:
     the next hit re-registers the persist and the first consumer pays
     one honest rebuild. Results are identical with or without the
     memo (asserted in tests/test_cache_hygiene.py). Thread-safe:
-    build() runs outside the lock; a losing concurrent builder
-    unpersists its own frame and returns the winner's (ADVICE r5)."""
+    build() runs outside the lock; concurrent misses on the same key
+    WAIT for the first builder (one build, one persist — see
+    _KEY_BUILDING) instead of racing duplicates (ADVICE r5, hardened
+    round 6)."""
+    import threading
+
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
     app = sc.applicationId if sc is not None else None
     k = (app, key)
     fp = _source_fingerprint(key)
-    with _MEMO_LOCK:
-        ent = _FRAME_MEMO.get(k)
-        if ent is not None:
-            fp0, hit = ent
-            if fp0 == fp:
-                lvl = hit.storageLevel
-                if not (lvl.useMemory or lvl.useDisk):
-                    hit.persist()  # clearCache() dropped it — re-register
-                return hit
-            _FRAME_MEMO.pop(k)  # source mutated: stale frame
-            try:
-                hit.unpersist(blocking=False)
-            except Exception:
-                pass
-        for kk in [kk for kk in _FRAME_MEMO if kk[0] != app]:
-            _FRAME_MEMO.pop(kk)  # dead-session handles only
-    built = build().persist()
-    with _MEMO_LOCK:
-        ent = _FRAME_MEMO.get(k)
-        if ent is not None and ent[0] == fp:
-            try:  # a concurrent builder won — release ours
-                built.unpersist(blocking=False)
-            except Exception:
-                pass
-            return ent[1]
-        live = [kk for kk in _FRAME_MEMO if kk[0] == app]
-        if len(live) >= _FRAME_MEMO_MAX:
-            try:
-                _FRAME_MEMO.pop(live[0])[1].unpersist(blocking=False)
-            except Exception:
-                pass
-        _FRAME_MEMO[k] = (fp, built)
-    return built
+    while True:
+        with _MEMO_LOCK:
+            ent = _FRAME_MEMO.get(k)
+            if ent is not None:
+                fp0, hit = ent
+                if fp0 == fp:
+                    lvl = hit.storageLevel
+                    if not (lvl.useMemory or lvl.useDisk):
+                        hit.persist()  # clearCache() dropped it — re-register
+                    return hit
+                _FRAME_MEMO.pop(k)  # source mutated: stale frame
+                try:
+                    hit.unpersist(blocking=False)
+                except Exception:
+                    pass
+            for kk in [kk for kk in _FRAME_MEMO if kk[0] != app]:
+                _FRAME_MEMO.pop(kk)  # dead-session handles only
+            ev = _KEY_BUILDING.get(k)
+            if ev is None:
+                ev = _KEY_BUILDING[k] = threading.Event()
+                break  # this thread builds
+        # Another thread is building this key: wait for it, then
+        # re-read the memo (hit in the common case; if the builder
+        # failed, the next waiter through the lock becomes builder).
+        ev.wait(timeout=600)
+    try:
+        built = build().persist()
+        with _MEMO_LOCK:
+            live = [kk for kk in _FRAME_MEMO if kk[0] == app]
+            if len(live) >= _FRAME_MEMO_MAX:
+                try:
+                    _FRAME_MEMO.pop(live[0])[1].unpersist(blocking=False)
+                except Exception:
+                    pass
+            _FRAME_MEMO[k] = (fp, built)
+        return built
+    finally:
+        with _MEMO_LOCK:
+            _KEY_BUILDING.pop(k, None)
+        ev.set()
 
 
 def prime_memoized_literal(key: tuple, value) -> None:
