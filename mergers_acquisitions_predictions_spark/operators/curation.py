@@ -424,11 +424,19 @@ def stratified_split(
         raise ValueError("stratified_split: fractions must sum to 1")
     order = F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string")))
     strata = [F.col(c) for c in strata_cols]
+    # Rank a NARROW (strata, key) projection and join the assignment
+    # back by key: document bodies must not ride the per-stratum sort
+    # (measured 2× wide-data movement the other way — SCALE.md §7n,
+    # the round-2 token-balanced-shard lesson). The wide side moves
+    # once, in the join's hash exchange. Inputs that are ALREADY just
+    # the ranking columns skip the join (it would only re-shuffle).
+    already_narrow = set(df.columns) <= set(strata_cols) | {key_col}
+    narrow = df if already_narrow else df.select(*strata_cols, key_col)
     rn = F.row_number().over(
         W.partitionBy(*strata).orderBy(order, F.col(key_col))
     )
     cnt = F.count(F.lit(1)).over(W.partitionBy(*strata))
-    out = df.withColumn("__rn", rn).withColumn("__cnt", cnt)
+    ranked = narrow.withColumn("__rn", rn).withColumn("__cnt", cnt)
     expr = None
     cum = 0.0
     for name, frac in fractions[:-1]:
@@ -438,7 +446,10 @@ def stratified_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = fractions[-1][0]
     split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
-    return out.withColumn("split", split).drop("__rn", "__cnt")
+    assigned = ranked.withColumn("split", split).drop("__rn", "__cnt")
+    if already_narrow:
+        return assigned
+    return df.join(assigned.select(key_col, "split"), key_col)
 
 
 def shuffle_shards(
@@ -469,13 +480,23 @@ def shuffle_shards(
     ``out_col``."""
     if n_shards < 1:
         raise ValueError("shuffle_shards: n_shards must be >= 1")
-    shuf = df.withColumn(
+    # Rank a NARROW key projection and join (position, shard) back:
+    # document bodies must not ride the range exchange + prefix
+    # checkpoint + pid window (measured 2× wide-data movement the
+    # other way — SCALE.md §7n). The wide side moves once, in the
+    # join's hash exchange. Inputs that are ALREADY just the key
+    # skip the join (it would only re-shuffle).
+    already_narrow = set(df.columns) <= {key_col}
+    shuf = (df if already_narrow else df.select(key_col)).withColumn(
         "__shuf",
         F.md5(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string"))),
     )
     rn = global_row_number(shuf, ["__shuf", key_col], out_col=pos_col)
-    out = rn.withColumn(
+    assign = rn.withColumn(
         out_col, F.pmod(F.col(pos_col) - 1, F.lit(n_shards)).cast("int")
-    ).drop("__shuf")
+    ).select(key_col, pos_col, out_col)
+    if already_narrow:
+        return own_caches(assign, rn)
+    out = df.join(assign, key_col)
     # rn owns the prefix checkpoint (ordered.py contract)
     return own_caches(out, rn)
