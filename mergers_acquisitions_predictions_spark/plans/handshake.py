@@ -21,10 +21,42 @@ LAST in any CI ordering that sweeps other SFs.
 from __future__ import annotations
 
 import os
+import tempfile
+
+
+def _default_scratch() -> str:
+    """Per-user 0700 scratch root (ADVICE r6): bare ``/tmp`` names
+    are predictable and world-writable, so on a shared host another
+    user could pre-create/symlink them and hijack or destroy the
+    artifacts the atomic publisher renames into. A uid-suffixed
+    directory created with mode 0700 closes that (pre-existing dir
+    owned by someone else → the chmod/owner check below fails loudly
+    rather than silently sharing)."""
+    root = os.path.join(
+        tempfile.gettempdir(), f"mergers_acquisitions_spark_u{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        raise PermissionError(
+            f"scratch root {root} is owned by uid {st.st_uid}, not us; "
+            "set SPARK_GRAFT_SCRATCH to a private directory"
+        )
+    os.chmod(root, 0o700)
+    return root
+
 
 #: Read once at import: the oracle strings interpolate these paths, so
 #: a mid-session env change must not split query and oracle.
-_SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
+_SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH") or _default_scratch()
+
+
+def scratch_root() -> str:
+    """The process-wide scratch root every artifact family shares
+    ($SPARK_GRAFT_SCRATCH, else the per-user 0700 default) — the
+    session-keyed index scratch and the m02 model path import this
+    instead of re-defaulting to bare /tmp."""
+    return _SCRATCH
 
 
 def handshake_path(name: str) -> str:

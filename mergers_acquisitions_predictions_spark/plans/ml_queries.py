@@ -160,9 +160,10 @@ def m02_lr_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, train, test = train_weighted_lr(
         e, features_col="features", label_col="y", threshold=0.5
     )
-    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
+    from .handshake import scratch_root
+
     model_path = os.path.join(
-        scratch,
+        scratch_root(),
         "mergers_acquisitions_spark_m02_model_"
         + spark.sparkContext.applicationId,
     )

@@ -505,8 +505,10 @@ def _scratch_index_path(spark: SparkSession, sf_dir: str, kind: str) -> str:
     import shutil
     import time
 
+    from .handshake import scratch_root
+
     token = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
+    scratch = scratch_root()
     app = spark.sparkContext.applicationId
     prefix = f"mergers_acquisitions_spark_{kind}_{token}"
     try:  # reap long-dead sessions' artifacts (best-effort)

@@ -109,7 +109,8 @@ def read_lines(spark: SparkSession, path: str) -> DataFrame:
     """Line text scan (S2): one row per line, with the source file
     path carried as a column — the DataFrame replacement for
     ``sc.textFile`` (the reference's line-oriented RDD scans,
-    ``acq_etl_code.scala:86``). Unlike the wholetext scan (S1) this
+    ``acq_etl_code.scala:33``; ``tgt_etl_code.scala:18`` likewise).
+    Unlike the wholetext scan (S1) this
     is SPLITTABLE: a 100 TB directory parallelizes by byte ranges
     within files, so per-line work never serializes on file
     boundaries. ``input_file_name`` stays a column expression, so

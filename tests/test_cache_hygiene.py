@@ -243,16 +243,20 @@ def test_memoized_frame_eviction_bound(spark):
     release_memoized_frames()
 
 
-def test_memoized_frame_sees_source_mutation(spark, tmp_path):
+def test_memoized_frame_sees_source_mutation(spark, tmp_path, monkeypatch):
     """VERDICT r5 #5 / ADVICE r5: overwriting a corpus parquet
     mid-session must invalidate the memo — the key's absolute-path
     elements contribute a content fingerprint, so the stale persisted
     frame is unpersisted and the next call rebuilds from the NEW
     files. (Engine contract: corpus identity = path + content, not
-    path alone.)"""
+    path alone.) The overwrite here is FOREIGN (raw spark.write, not
+    an engine sink), so it is contractually seen after the
+    fingerprint TTL (ADVICE r6); TTL=0 simulates expiry."""
     from pyspark.sql import functions as F
 
     from mergers_acquisitions_predictions_spark.operators import util as U
+
+    monkeypatch.setattr(U, "_FP_TTL_S", 0.0)
 
     release_memoized_frames()
     before = _quiescent_cached_rdds(spark)
@@ -341,12 +345,15 @@ def test_memoized_frame_concurrent_misses_no_leak(spark):
     ]
 
 
-def test_primed_literal_peek_misses_on_foreign_overwrite(spark, tmp_path):
+def test_primed_literal_peek_misses_on_foreign_overwrite(spark, tmp_path, monkeypatch):
     """prime/peek honor the same content contract: a foreign process
     overwriting the primed path makes peek return None (reader falls
     back to the on-disk source of truth) instead of serving the stale
-    sidecar."""
+    sidecar — after the fingerprint TTL for out-of-band writers
+    (ADVICE r6; TTL=0 simulates expiry)."""
     from mergers_acquisitions_predictions_spark.operators import util as U
+
+    monkeypatch.setattr(U, "_FP_TTL_S", 0.0)
 
     p = str(tmp_path / "meta")
     import os
@@ -363,3 +370,67 @@ def test_primed_literal_peek_misses_on_foreign_overwrite(spark, tmp_path):
     with open(os.path.join(p, "meta.json"), "w") as f:
         f.write('{"other": 1}')
     assert U.peek_memoized_literal(("peek-test", p)) is None
+
+
+def test_fingerprint_cache_skips_rewalk_within_ttl(tmp_path, monkeypatch):
+    """ADVICE r6: the per-access recursive walk is memoized per path
+    with a short TTL — a second access inside the TTL must not walk
+    again (on an append-accreted codes dir that walk is hundreds of
+    driver stat calls per serve)."""
+    import os as _os
+
+    from mergers_acquisitions_predictions_spark.operators import util as U
+
+    p = str(tmp_path / "src")
+    _os.makedirs(p)
+    with open(_os.path.join(p, "part-0.parquet"), "wb") as f:
+        f.write(b"x" * 64)
+    U.invalidate_path_fingerprints(p)
+    walks = []
+    real_walk = _os.walk
+
+    def counting_walk(top, *a, **kw):
+        walks.append(top)
+        return real_walk(top, *a, **kw)
+
+    monkeypatch.setattr(U.os, "walk", counting_walk)
+    fp1 = U._source_fingerprint(("k", p))
+    fp2 = U._source_fingerprint(("k", p))
+    assert fp1 == fp2
+    assert walks.count(p) == 1  # second access served from cache
+    # engine-write invalidation bypasses the TTL: next access re-walks
+    U.invalidate_path_fingerprints(p)
+    U._source_fingerprint(("k", p))
+    assert walks.count(p) == 2
+
+
+def test_engine_publish_invalidates_fingerprints_despite_ttl(
+    spark, tmp_path, monkeypatch
+):
+    """The engine's own sinks are seen IMMEDIATELY, TTL or not: a
+    publish_parquet_atomic over a memoized frame's source must make
+    the very next memo access rebuild (the TTL only governs FOREIGN
+    writers)."""
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators import util as U
+    from mergers_acquisitions_predictions_spark.sources.writers import (
+        publish_parquet_atomic,
+    )
+
+    monkeypatch.setattr(U, "_FP_TTL_S", 3600.0)  # TTL can't save us here
+    release_memoized_frames()
+    src = str(tmp_path / "corpus.parquet")
+    publish_parquet_atomic(spark.range(10).withColumn("v", F.col("id") * 2), src)
+
+    def build():
+        return spark.read.parquet(src).groupBy().agg(F.sum("v").alias("t"))
+
+    key = ("ttl-test", src)
+    first = U.memoized_frame(key, build)
+    assert first.collect()[0]["t"] == 90
+    publish_parquet_atomic(spark.range(10).withColumn("v", F.col("id") * 10), src)
+    second = U.memoized_frame(key, build)
+    assert second is not first
+    assert second.collect()[0]["t"] == 450
+    release_memoized_frames()
