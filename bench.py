@@ -148,15 +148,43 @@ def main() -> None:
         spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    record = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full record: printed first for humans AND written to a sidecar,
+    # because the driver's capture keeps only the TAIL of stdout and
+    # BENCH_r06.json lost the first ~3 queries of the one long line
+    # (VERDICT r6 #4: "parsed: null").
+    print(json.dumps(record))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_summary.json"), "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout lines still carry the data
+    # LAST line = the truncation-proof contract record: short query
+    # keys (the unique code before the first underscore) + 2-decimal
+    # seconds keep it well under any tail-capture cap, so it always
+    # parses whole. Full names/precision: previous line or the
+    # sidecar.
+    short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
+    assert len(short) == len(timings), "short query codes must stay unique"
     print(
         json.dumps(
             {
-                "metric": "headline_query_wall_clock_total",
-                "value": round(sum(timings.values()), 3),
+                "metric": record["metric"],
+                "value": record["value"],
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": record["sf"],
+                "key_scheme": "code before first '_'; full map in BENCH_summary.json",
+                "queries": short,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

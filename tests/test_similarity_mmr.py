@@ -106,3 +106,44 @@ def test_mmr_deterministic_and_bounded(spark):
     b = sorted(map(tuple, mmr_rerank(cand, k=5).collect()))
     assert a == b
     assert len(a) == 25  # 5 queries x k=5
+
+
+def test_s12_artifact_hop_skipped_when_current(spark, monkeypatch):
+    """VERDICT r6 #3: within a session, a repeat s12 invocation over
+    unchanged testdata must SKIP the shortlist publish (the priced
+    ~0.3-0.45 s artifact hop) and still return identical rows; a
+    foreign overwrite of the artifact must force a republish."""
+    import pandas as pd
+
+    from mergers_acquisitions_predictions_spark.operators import util as U
+    from mergers_acquisitions_predictions_spark.plans import similarity_queries as SQ
+    from mergers_acquisitions_predictions_spark.sources import writers as W
+
+    monkeypatch.setattr(U, "_FP_TTL_S", 0.0)  # foreign writes seen at once
+    calls = []
+    real_publish = W.publish_parquet_atomic
+
+    def counting_publish(df, path):
+        calls.append(path)
+        return real_publish(df, path)
+
+    monkeypatch.setattr(W, "publish_parquet_atomic", counting_publish)
+    sf = "/root/testdata/sf0.001"
+    first = SQ.s12_mmr_rerank(spark, sf).toPandas().sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    n_after_first = len(calls)
+    assert n_after_first >= 1
+    second = SQ.s12_mmr_rerank(spark, sf).toPandas().sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    assert len(calls) == n_after_first  # hop skipped
+    pd.testing.assert_frame_equal(first, second)
+    # foreign overwrite: marker's artifact fingerprint goes stale
+    spark.range(1).write.mode("overwrite").parquet(SQ._S12_SHORT_PATH)
+    spark.catalog.refreshByPath(SQ._S12_SHORT_PATH)
+    third = SQ.s12_mmr_rerank(spark, sf).toPandas().sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    assert len(calls) == n_after_first + 1  # republished
+    pd.testing.assert_frame_equal(first, third)
