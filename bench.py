@@ -103,6 +103,9 @@ def main() -> None:
         # by the same policy as m01-m03).
         "io01_csv_roundtrip",
         "io03_jsonl_roundtrip",
+        # layout family end to end: Z-order clustered rewrite +
+        # bucketed table write + salted aggregation over lineitem
+        "io04_layout_roundtrip",
         "m04_pair_ranking",
         "q25_monthly_orders",
         "q50_join_key_skew",

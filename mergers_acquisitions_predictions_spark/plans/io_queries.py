@@ -331,3 +331,128 @@ def io03_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars_line").cast("long").alias("sum_chars"),
         )
     )
+
+
+_IO04_Z = handshake_path("io04_zorder")
+
+
+@query(
+    "io04_layout_roundtrip",
+    oracle=f"""
+    WITH z AS (
+        SELECT * FROM read_parquet('{_IO04_Z}/*.parquet')
+    ),
+    box AS (
+        SELECT * FROM z
+        WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 5
+    ),
+    zbox AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_box,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_box,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price
+        FROM box GROUP BY 1
+    ),
+    salted AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_salted,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_salted
+        FROM box GROUP BY 1
+    ),
+    src AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_bucketed,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_bucketed
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n_box, qty_box, min_price, max_price,
+           n_salted, qty_salted, n_bucketed, qty_bucketed
+    FROM zbox
+    JOIN salted USING (l_returnflag)
+    JOIN src USING (l_returnflag)
+    ORDER BY l_returnflag
+    """,
+)
+def io04_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the physical-layout family (§2.10 extras —
+    VERDICT r6 #5: `operators/layout.py` was the last pytest-only
+    family): the s18 recipe applied to LAYOUT — every leg rewrites or
+    re-aggregates the same rows, so the hash proves each layout op is
+    layout-only, while the plan-level claims (footer-stat pruning,
+    Exchange-free bucket joins, salt spread) stay asserted in
+    tests/test_layout.py.
+
+    - **Z-order write** (`layout.write_zordered`, uniform binning —
+      min/max binning + bit-interleave + ONE range shuffle): the
+      lineitem projection is written Z-clustered on
+      (l_partkey, l_suppkey) to a handshake path; the oracle
+      `read_parquet`s THE SAME FILES, so the hash certifies the
+      clustered rewrite preserved every row and value bit-exactly.
+      Both engines then apply the box predicate the Z-curve exists to
+      serve (partkey×suppkey box) and aggregate per return flag.
+    - **Salting** (`layout.salted_group_count`): the same box
+      aggregate computed through the two-phase salted plan; the
+      oracle computes it as a PLAIN group-by, so the hash certifies
+      salted == plain cross-engine (the operator's whole contract).
+    - **Bucketed table** (`layout.write_bucketed`): the projection is
+      persisted as a managed table bucketed by l_partkey and
+      re-aggregated from the TABLE READ-BACK; the oracle aggregates
+      the original lineitem parquet, so the hash certifies the
+      bucketed write is content-preserving end-to-end.
+
+    Exactness discipline: counts and BIGINT-cast quantity sums
+    (l_quantity is integral-valued; integer sums are exact and
+    order-independent), min/max on doubles (bit-picks, no
+    accumulation) — no float-order exposure anywhere (NOTES.md).
+    Scale shape: one range exchange for the Z-write, bucketed write
+    shuffles once into 8 buckets, aggregates are partial+final; the
+    box scan under the Z-layout is the pruned path (file/row-group
+    skipping via footer stats, measured in SCALE.md)."""
+    from ..operators.layout import salted_group_count, write_bucketed, write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+    )
+    write_zordered(
+        li, _IO04_Z, zorder_cols=["l_partkey", "l_suppkey"], bits=6, n_files=8
+    )
+    write_bucketed(li, "io04_bucketed", ["l_partkey"], n_buckets=8)
+
+    box = spark.read.parquet(_IO04_Z).filter(
+        F.col("l_partkey").between(1, 50) & F.col("l_suppkey").between(1, 5)
+    )
+    zbox = box.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_box"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty_box"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    salted = salted_group_count(
+        box.withColumn("qty", F.col("l_quantity").cast("long")),
+        "l_returnflag",
+        n_salts=16,
+        agg_col="qty",
+    ).select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_salted"),
+        F.col("sum_qty").cast("long").alias("qty_salted"),
+    )
+    bucketed = (
+        spark.table("io04_bucketed")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bucketed"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty_bucketed"),
+        )
+    )
+    return (
+        zbox.join(salted, "l_returnflag")
+        .join(bucketed, "l_returnflag")
+        .orderBy("l_returnflag")
+    )

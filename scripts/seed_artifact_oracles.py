@@ -34,6 +34,7 @@ SEED_QUERIES = (
     "io02_corpus_dir_scan",
     "io03_jsonl_roundtrip",
     "s12_mmr_rerank",
+    "io04_layout_roundtrip",
 )
 
 

@@ -152,8 +152,15 @@ def test_driver_window_rotation_rule_r6():
     (m05/m08/s05/s09), the scratch-reaper family (s13-s16), and every
     consumer of the hardened memoized_frame/memoized_literal (content
     fingerprints + thread lock run inside their plans) — plus the
-    sixteen r2-era stale rows queued by the r5 note."""
-    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
+    sixteen r2-era stale rows queued by the r5 note.
+
+    HISTORICAL round: asserted against the round-6 driver record —
+    see the r4 test's note."""
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    r6_rows = set(json.load(open(os.path.join(root, "CORRECTNESS_r06.json"))))
 
     changed_or_new_in_r6 = {
         "io01_csv_roundtrip",  # new: S3/S4/S7/S8 roundtrip
@@ -215,7 +222,81 @@ def test_driver_window_rotation_rule_r6():
         "t15_pii_redaction",
         "t16_repetition_stats",
     }
-    assert (changed_or_new_in_r6 | stale_r2) <= set(DRIVER_WINDOW)
+    assert (changed_or_new_in_r6 | stale_r2) <= r6_rows
+
+
+def test_driver_window_rotation_rule_r7():
+    """Round-7 window under the postdate rule + the r7 shared-layer
+    amendment (plans/__init__.py): (a) io04 (new — layout family
+    driver row, VERDICT r6 #5); (b) s12 (artifact-hop skip), the
+    handshake-artifact family whose oracle strings moved to the
+    per-user scratch root (ADVICE r6), and the persisted-index family
+    whose pathing/compaction commit moved to scratch_root()/the
+    Hadoop FS API (VERDICT r6 #2); (c) ALL remaining pre-r4 staleness
+    — the six r2-era rows and all 26 r3-era rows (VERDICT r6 #1's
+    "no row older than r4" done-condition). LIVE round: asserted
+    against the current window; convert to the CORRECTNESS_r07 record
+    once it exists (the r4 test's note)."""
+    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
+
+    new_in_r7 = {"io04_layout_roundtrip"}
+    changed_in_r7 = {
+        "s12_mmr_rerank",  # publish skipped when artifact current
+        "io01_csv_roundtrip",  # oracle string: scratch root moved
+        "io02_corpus_dir_scan",
+        "io03_jsonl_roundtrip",
+        "m02_lr_confusion",
+        "m03_lda_topics",
+        "m05_kmeans_clusters",
+        "m08_pca_whiten",
+        "m09_auc_rank_sum",
+        "s05_ivf_kmeans_topk",
+        "s09_ivfpq_kmeans_topk",
+        "s13_persisted_index_topk",  # _scratch_index_path root
+        "s14_index_append_topk",
+        "s15_stream_serve_replay",
+        "s16_index_append_drift",
+        "s17_filtered_index_topk",
+        "s18_index_compact_serve",  # Hadoop-FS compaction commit
+    }
+    stale_pre_r4 = {
+        # r2-era (queued first by the r6 note)
+        "t17_winnow_fingerprints",
+        "t18_sequence_packing",
+        "t19_quality_rank_filter",
+        "t20_pack_manifest",
+        "t27_snapshot_diff",
+        "u04_lemmatize_pandas_udf",
+        # complete r3-era family
+        "d08_prefix_jaccard_pairs",
+        "d12_incremental_neardup",
+        "d13_simhash_neardups",
+        "d16_dup_span_coverage",
+        "d18_span_trim",
+        "j04_fuzzy_multipass",
+        "j05_event_window_range_join",
+        "m01_tfidf_features",
+        "m07_stratified_sample",
+        "q46_unpivot_measures",
+        "q47_table_profile",
+        "q48_percentile_cont",
+        "q49_relative_rank",
+        "q50_join_key_skew",
+        "t14_token_chunks",
+        "t21_source_mixture",
+        "t22_funnel_accounting",
+        "t23_interleaved_order",
+        "t24_shingle_diversity",
+        "t26_bpe_encode",
+        "t29_bigram_backoff_quality",
+        "t30_gopher_rules",
+        "t31_importance_sample",
+        "t33_token_entropy",
+        "t35_source_overlap_matrix",
+        "u05_frame_sample_stats",
+    }
+    want = new_in_r7 | changed_in_r7 | stale_pre_r4
+    assert want == set(DRIVER_WINDOW)  # exactly fills the 50 slots
 
 
 def test_missing_sf_dir_fails_cleanly(spark):
