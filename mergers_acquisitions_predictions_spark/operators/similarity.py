@@ -559,6 +559,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    fit_sample_per_cell: int | None = 50,
 ) -> DataFrame:
     """FITTED centroid table for the IVF index — the production
     replacement for `ivf_centroids`' deterministic anchor vectors:
@@ -576,15 +577,39 @@ def kmeans_centroids(
     construction — materializing them into a small DataFrame is the
     index-build step a real deployment persists once and broadcasts
     forever after; training is pyspark.ml's distributed Lloyd
-    iterations over the corpus."""
+    iterations over the corpus.
+
+    SAMPLED FIT (round 7, SCALE.md §7o): Lloyd cost is
+    max_iter × n × n_cells distances — at 1M vectors × √n cells that
+    is 2·10¹⁰ distance evaluations, the dominant index-build term by
+    far and the reason the §7m build curve is n·√n. When the corpus
+    exceeds ``fit_sample_per_cell × n_cells`` rows, the fit runs on a
+    deterministic content-keyed sample of ~that size
+    (``xxhash64(id) % m == 0`` — partitioning-independent, unlike
+    ``DataFrame.sample``) and the learned centroids apply to the FULL
+    corpus through the unchanged one-pass assignment. Measured at
+    100k × 316 cells: recall@5 identical to the full fit at a
+    fraction of the fit time (§7o table). ``None`` disables sampling;
+    an absolute 100k-row floor keeps small corpora on the full fit
+    (below it the full fit is cheap and sampling only adds variance —
+    the registered oracle queries' 2k-vector corpora are untouched)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
+    fit_src = corpus
+    if fit_sample_per_cell is not None:
+        target = fit_sample_per_cell * n_cells
+        n = corpus.count()
+        if n > max(target, 100_000):
+            m = max(2, round(n / target))
+            fit_src = corpus.filter(
+                F.xxhash64(F.col(id_col)) % m == 0
+            )
     unit = F.transform(
         F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
     )
-    feat = corpus.select(array_to_vector(unit).alias("features"))
+    feat = fit_src.select(array_to_vector(unit).alias("features"))
     from .util import fit_released
 
     model = fit_released(KMeans(k=n_cells, seed=seed, maxIter=max_iter), feat)
