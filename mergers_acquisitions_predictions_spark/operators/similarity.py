@@ -552,6 +552,11 @@ def ivf_centroids(
     )
 
 
+#: Below this corpus size the full Lloyd fit is cheap and sampling
+#: only adds variance — `kmeans_centroids` samples only above it.
+_FIT_SAMPLE_FLOOR = 100_000
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_cells: int,
@@ -601,7 +606,7 @@ def kmeans_centroids(
     if fit_sample_per_cell is not None:
         target = fit_sample_per_cell * n_cells
         n = corpus.count()
-        if n > max(target, 100_000):
+        if n > max(target, _FIT_SAMPLE_FLOOR):
             m = max(2, round(n / target))
             fit_src = corpus.filter(
                 F.xxhash64(F.col(id_col)) % m == 0

@@ -285,3 +285,48 @@ def test_topk_recall_counts_hits_per_query(spark):
     out = {r["query_id"]: r.asDict() for r in topk_recall(exact, approx, k=2).collect()}
     assert out[1]["n_hits"] == 1 and abs(out[1]["recall"] - 0.5) < 1e-9
     assert out[2]["n_hits"] == 2 and abs(out[2]["recall"] - 1.0) < 1e-9
+
+
+def test_kmeans_sampled_fit_contract(spark, monkeypatch):
+    """Round 7 (SCALE.md §7o): above the sampling floor the fit runs
+    on a content-keyed sample (xxhash64(id) % m). What is STRUCTURAL
+    and asserted here: (1) sample MEMBERSHIP is a pure function of
+    the id values — identical row set under any repartitioning
+    (unlike DataFrame.sample's per-partition seeding); (2) a repeat
+    fit with the same partitioning is deterministic (seeded); (3) the
+    default floor keeps small corpora on the full fit bit-exactly.
+    Cross-partitioning BIT-equality of the fitted centers is NOT
+    claimed — Lloyd's float updates are aggregation-order-dependent,
+    which is exactly why the registered artifact oracles pin one
+    measured configuration (PERF.md rounds 5-6)."""
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators import similarity as S
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # (1) membership invariance of the content-keyed filter
+    m = 4
+    pick = lambda df: sorted(
+        r.vec_id
+        for r in df.filter(F.xxhash64(F.col("vec_id")) % m == 0)
+        .select("vec_id")
+        .collect()
+    )
+    sel4, sel17 = pick(e.repartition(4)), pick(e.repartition(17))
+    assert sel4 == sel17 and 0 < len(sel4) < e.count()
+    # (2) seeded repeat-determinism of the sampled fit
+    monkeypatch.setattr(S, "_FIT_SAMPLE_FLOOR", 100)
+    a = S.kmeans_centroids(e.repartition(4), n_cells=8, fit_sample_per_cell=5)
+    b = S.kmeans_centroids(e.repartition(4), n_cells=8, fit_sample_per_cell=5)
+    ra = sorted(map(tuple, a.select("cell_id", "cent_vec").collect()))
+    rb = sorted(map(tuple, b.select("cell_id", "cent_vec").collect()))
+    assert all(list(x) == list(y) for (_, x), (_, y) in zip(ra, rb))
+    # (3) default floor: sampling must NOT kick in at 500 rows
+    monkeypatch.setattr(S, "_FIT_SAMPLE_FLOOR", 100_000)
+    full = S.kmeans_centroids(e, n_cells=8, fit_sample_per_cell=None)
+    c = S.kmeans_centroids(e, n_cells=8, fit_sample_per_cell=5)
+    rf = sorted(map(tuple, full.select("cell_id", "cent_vec").collect()))
+    rc = sorted(map(tuple, c.select("cell_id", "cent_vec").collect()))
+    assert all(list(x) == list(y) for (_, x), (_, y) in zip(rf, rc))
