@@ -120,6 +120,12 @@ def test_s12_artifact_hop_skipped_when_current(spark, monkeypatch):
     from mergers_acquisitions_predictions_spark.sources import writers as W
 
     monkeypatch.setattr(U, "_FP_TTL_S", 0.0)  # foreign writes seen at once
+    # An earlier test in the same session may have run s12 at this SF
+    # and legitimately primed the marker (the feature under test!) —
+    # remove the artifact so THIS test starts from a guaranteed miss.
+    import shutil
+
+    shutil.rmtree(SQ._S12_SHORT_PATH, ignore_errors=True)
     calls = []
     real_publish = W.publish_parquet_atomic
 
