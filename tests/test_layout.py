@@ -214,3 +214,37 @@ def test_zorder_nulls_land_in_bucket_zero_both_binnings(spark, tmp_path):
         got = spark.read.parquet(p)
         assert got.count() == 102
         assert got.filter(F.col("v").isNull()).count() == 2
+
+
+def test_io04_box_predicate_reaches_zordered_scan(spark):
+    """io04's docstring claims the box scan over the Z-ordered files
+    is the pruned path — bind that to the REGISTERED query: run io04
+    (which writes the Z-ordered artifact), then assert the box
+    predicate appears as PushedFilters on the parquet scan of those
+    files (footer-stat row-group skipping is what the Z-layout buys;
+    the generic effectiveness measurement lives in
+    test_zorder_write_prunes_box_queries)."""
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.plans.io_queries import (
+        _IO04_Z,
+        io04_layout_roundtrip,
+    )
+
+    io04_layout_roundtrip(spark, "/root/testdata/sf0.001").collect()
+    box = spark.read.parquet(_IO04_Z).filter(
+        F.col("l_partkey").between(1, 50) & F.col("l_suppkey").between(1, 5)
+    )
+    plan = box._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    # The toString elides long filter lists ("LessThanOrEqual(l_p...")
+    # — assert the untruncated head plus the range shape on BOTH
+    # columns via the DataFilters clause, which renders first.
+    assert "GreaterThanOrEqual(l_partkey,1)" in pushed, pushed
+    for frag in (
+        "(l_partkey", ">= 1)", "l_suppkey",
+    ):
+        assert frag in pushed or frag in plan, f"{frag} missing: {pushed}"
+    datafilters = [ln for ln in plan.splitlines() if "DataFilters" in ln][0]
+    assert "(l_partkey" in datafilters and "l_suppkey" in datafilters
