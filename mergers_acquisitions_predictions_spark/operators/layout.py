@@ -33,23 +33,56 @@ def write_bucketed(
     with the SAME bucket count read bucket-to-bucket — no Exchange in
     the plan (asserted in tests/test_layout.py).
 
+    UNQUALIFIED table names only: a qualified ``db.tbl`` lives at
+    ``{warehouse}/{db}.db/{tbl}``, not ``{warehouse}/{db.tbl}``, so
+    the orphan handling below would compute the wrong location and
+    silently do nothing (ADVICE r7) — rejected explicitly; callers
+    use ``spark.catalog.setCurrentDatabase`` for non-default DBs.
+
     Overwrite is made robust across PROCESSES: a managed table's
     warehouse location can outlive the in-memory catalog entry (a
     previous driver wrote it, this session never registered it), and
-    `saveAsTable` then fails with LOCATION_ALREADY_EXISTS — so a
-    registered table is dropped and an orphaned location is reaped
-    (through the Hadoop FS API; the warehouse may be remote) before
-    the write."""
+    `saveAsTable` then fails with LOCATION_ALREADY_EXISTS. After the
+    DROP, a still-existing location has no catalog entry in this
+    session — it is moved ASIDE (never blind-deleted: a concurrent
+    process's live table is preserved, ADVICE r7) through the Hadoop
+    FS API (the warehouse may be remote), reaped only after the new
+    write SUCCEEDS, and restored if the write fails — so a failed
+    overwrite leaves the previous data at the location, never
+    nothing."""
     spark = df.sparkSession
+    if "." in table:
+        raise ValueError(
+            f"write_bucketed takes an unqualified table name, got {table!r} "
+            "(a qualified name's warehouse location differs; select the "
+            "database with spark.catalog.setCurrentDatabase first)"
+        )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    from ..sources.fs import fs_delete
+    from ..sources.fs import fs_delete, fs_exists, fs_rename
 
     wh = spark.conf.get("spark.sql.warehouse.dir")
-    fs_delete(spark, f"{wh.rstrip('/')}/{table.lower()}")
-    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
-    if sort_cols:
-        w = w.sortBy(*sort_cols)
-    w.saveAsTable(table)
+    loc = f"{wh.rstrip('/')}/{table.lower()}"
+    orphan = None
+    if fs_exists(spark, loc):
+        import os as _os
+        import uuid as _uuid
+
+        orphan = f"{loc}.orphan_{_os.getpid()}_{_uuid.uuid4().hex[:8]}"
+        fs_rename(spark, loc, orphan)
+    try:
+        w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.saveAsTable(table)
+    except BaseException:
+        if orphan is not None and not fs_exists(spark, loc):
+            try:
+                fs_rename(spark, orphan, loc)  # restore the previous data
+            except OSError:
+                pass  # leave the orphan twin for manual recovery
+        raise
+    if orphan is not None:
+        fs_delete(spark, orphan)
 
 
 def zorder_value(

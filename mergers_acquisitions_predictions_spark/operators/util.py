@@ -199,9 +199,15 @@ _MEMO_LOCK = threading.Lock()
 #: (another process regenerating testdata) is seen after at most
 #: ``_FP_TTL_S``. Bounded; cleared wholesale past the cap (a perf
 #: knob, never correctness — a dropped entry just re-walks).
+#: The TTL is tunable via $SPARK_GRAFT_FP_TTL_S (ADVICE r7): a
+#: deployment whose corpus directories are overwritten by a FOREIGN
+#: process mid-session (bench alongside a testdata regenerator) can
+#: shrink the staleness window toward 0 (every memo access re-walks),
+#: or raise it when sources are immutable. Read once at import — the
+#: window is a process-wide contract, not a per-call knob.
 _FP_CACHE: dict = {}
 _FP_LOCK = threading.Lock()
-_FP_TTL_S = 2.0
+_FP_TTL_S = float(os.environ.get("SPARK_GRAFT_FP_TTL_S", "2.0"))
 _FP_CACHE_MAX = 512
 
 

@@ -32,11 +32,37 @@ def _default_scratch() -> str:
     directory created with mode 0700 closes that (pre-existing dir
     owned by someone else → the chmod/owner check below fails loudly
     rather than silently sharing)."""
+    import stat as _stat
+
     root = os.path.join(
         tempfile.gettempdir(), f"mergers_acquisitions_spark_u{os.getuid()}"
     )
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    st = os.stat(root)
+    try:
+        os.makedirs(root, mode=0o700, exist_ok=True)
+    except FileExistsError:
+        # the name exists but is not a directory (a planted file or a
+        # dangling symlink) — same refusal as the checks below
+        raise PermissionError(
+            f"scratch root {root} exists but is not a directory; "
+            "set SPARK_GRAFT_SCRATCH to a private directory"
+        )
+    # Symlink hardening (ADVICE r7): makedirs(exist_ok=True) and
+    # os.stat both FOLLOW symlinks, so an attacker pre-creating the
+    # predictable name as a symlink to a directory the victim owns
+    # would pass the uid check while the chmod and every artifact
+    # write land through the attacker-chosen link. lstat + an explicit
+    # is-a-real-directory check close that (mkdtemp-style).
+    if os.path.islink(root):
+        raise PermissionError(
+            f"scratch root {root} is a symlink; refusing to follow it — "
+            "set SPARK_GRAFT_SCRATCH to a private directory"
+        )
+    st = os.lstat(root)
+    if not _stat.S_ISDIR(st.st_mode):
+        raise PermissionError(
+            f"scratch root {root} exists but is not a directory; "
+            "set SPARK_GRAFT_SCRATCH to a private directory"
+        )
     if st.st_uid != os.getuid():
         raise PermissionError(
             f"scratch root {root} is owned by uid {st.st_uid}, not us; "

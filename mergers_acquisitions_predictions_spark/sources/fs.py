@@ -74,8 +74,14 @@ def fs_list_files(spark, path: str, suffix: str = ".parquet") -> list[tuple[str,
     ``[(path_str, size_bytes), ...]``. One listing call (HDFS serves
     it from the NameNode; S3A from a LIST page walk) — replaces the
     driver-side ``os.walk`` the compaction sizing used, which only
-    worked on the local FS."""
+    worked on the local FS. A MISSING path yields ``[]`` (matching
+    the old os.walk behavior, ADVICE r7) so callers keep their
+    documented empty-handling (`compact_parquet`'s clean 'no parquet
+    files under ...' error) instead of an opaque Py4J
+    FileNotFoundException."""
     fs = _fs_for(spark, path)
+    if not fs.exists(_jpath(spark, path)):
+        return []
     it = fs.listFiles(_jpath(spark, path), True)
     out = []
     while it.hasNext():

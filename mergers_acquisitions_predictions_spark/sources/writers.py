@@ -234,7 +234,18 @@ def compact_parquet(
     try:
         fs_rename(spark, staging, path)
     except BaseException:
-        fs_rename(spark, old, path)  # restore: a complete table stays served
+        # Restore so a complete table stays served. On S3A the promote
+        # "rename" is copy+delete, so a mid-copy failure can leave a
+        # PARTIAL destination — which the strict no-overwrite restore
+        # rename would refuse, masking the original error and
+        # stranding the table at .old (ADVICE r7): clear any partial
+        # dst first, and if even the restore fails, let the ORIGINAL
+        # exception propagate (the .old twin still holds the table).
+        try:
+            fs_delete(spark, path)
+            fs_rename(spark, old, path)
+        except OSError:
+            pass  # .old keeps the complete table for manual recovery
         raise
     fs_delete(spark, old)
     spark.catalog.refreshByPath(path)

@@ -434,3 +434,49 @@ def test_engine_publish_invalidates_fingerprints_despite_ttl(
     assert second is not first
     assert second.collect()[0]["t"] == 450
     release_memoized_frames()
+
+
+def test_fingerprint_real_ttl_window_and_expiry(tmp_path, monkeypatch):
+    """ADVICE r7 (low): exercise the REAL nonzero-TTL semantics (other
+    tests pin TTL=0): inside the window a foreign overwrite is served
+    the cached fingerprint (the documented staleness trade); past the
+    window the new content is seen. No Spark needed — _fp_of_path is
+    the unit under test."""
+    import time as _time
+
+    from mergers_acquisitions_predictions_spark.operators import util as U
+
+    p = str(tmp_path / "corpus.bin")
+    with open(p, "wb") as f:
+        f.write(b"a")
+
+    # 1) inside a generous window: the cached fp is served even after
+    #    a foreign overwrite (documents the trade, can't flake)
+    monkeypatch.setattr(U, "_FP_TTL_S", 30.0)
+    U.invalidate_path_fingerprints()
+    fp1 = U._fp_of_path(p)
+    assert fp1[1] == 1
+    with open(p, "wb") as f:
+        f.write(b"bbbb")
+    assert U._fp_of_path(p) == fp1  # within TTL: stale by contract
+
+    # 2) past a short REAL window: the overwrite is seen without any
+    #    explicit invalidation
+    monkeypatch.setattr(U, "_FP_TTL_S", 0.05)
+    U.invalidate_path_fingerprints()
+    fp2 = U._fp_of_path(p)
+    assert fp2[1] == 4
+    with open(p, "wb") as f:
+        f.write(b"cccccccc")
+    _time.sleep(0.08)
+    fp3 = U._fp_of_path(p)
+    assert fp3 != fp2 and fp3[1] == 8
+
+    # 3) engine-write eager invalidation bypasses even a long window
+    monkeypatch.setattr(U, "_FP_TTL_S", 30.0)
+    U.invalidate_path_fingerprints()
+    fp4 = U._fp_of_path(p)
+    with open(p, "wb") as f:
+        f.write(b"d")
+    U.invalidate_path_fingerprints(p)
+    assert U._fp_of_path(p)[1] == 1 and U._fp_of_path(p) != fp4

@@ -117,3 +117,50 @@ def test_compact_parquet_roundtrip_hadoop_listing(spark, tmp_path):
     assert n_in == 16 and n_out == 1
     assert len(FS.fs_list_files(spark, path, ".parquet")) == 1
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_fs_list_files_missing_path_yields_empty(spark, tmp_path):
+    """ADVICE r7 (low): a missing path lists as [] (the old os.walk
+    behavior) so compact_parquet keeps its clean ValueError instead of
+    an opaque Py4J FileNotFoundException."""
+    missing = str(tmp_path / "never_written")
+    assert FS.fs_list_files(spark, missing, ".parquet") == []
+    with pytest.raises(ValueError, match="no parquet files under"):
+        W.compact_parquet(spark, missing)
+
+
+def test_compact_parquet_restore_clears_partial_destination(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r7 (low): on S3A a promote 'rename' is copy+delete, so a
+    mid-copy failure can leave a PARTIAL destination. The restore
+    branch must clear it and put the .old table back — and the
+    ORIGINAL error must propagate, not the restore rename's
+    'destination exists'."""
+    path = str(tmp_path / "tbl")
+    spark.range(100).repartition(8).write.parquet(path)
+    total0 = spark.read.parquet(path).agg(F.sum("id")).collect()[0][0]
+
+    real_rename = FS.fs_rename
+
+    def failing_promote(spark_, src, dst):
+        if dst == path and src.endswith(".compacting"):
+            # simulate the S3A mid-copy crash: a partial dst exists
+            import os
+
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, "part-partial.parquet"), "wb") as f:
+                f.write(b"torn")
+            raise OSError("injected mid-copy failure")
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(FS, "fs_rename", failing_promote)
+    with pytest.raises(OSError, match="injected mid-copy"):
+        W.compact_parquet(spark, path, target_file_bytes=1 << 30)
+    # the COMPLETE pre-compaction table is back at path (not the torn
+    # partial, not stranded at .old)
+    spark.catalog.refreshByPath(path)
+    assert spark.read.parquet(path).agg(F.sum("id")).collect()[0][0] == total0
+    import os
+
+    assert not os.path.exists(path + ".old")

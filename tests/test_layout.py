@@ -248,3 +248,61 @@ def test_io04_box_predicate_reaches_zordered_scan(spark):
         assert frag in pushed or frag in plan, f"{frag} missing: {pushed}"
     datafilters = [ln for ln in plan.splitlines() if "DataFilters" in ln][0]
     assert "(l_partkey" in datafilters and "l_suppkey" in datafilters
+
+
+def test_write_bucketed_rejects_qualified_names(spark):
+    """ADVICE r7 (medium): db.tbl lives at {wh}/{db}.db/{tbl}, so the
+    orphan handling would compute the wrong location — rejected."""
+    import pytest
+
+    from mergers_acquisitions_predictions_spark.operators.layout import (
+        write_bucketed,
+    )
+
+    with pytest.raises(ValueError, match="unqualified"):
+        write_bucketed(spark.range(3), "db.tbl", ["id"], n_buckets=2)
+
+
+def test_write_bucketed_orphan_preserved_until_success(spark, tmp_path):
+    """ADVICE r7 (medium): a warehouse location with no catalog entry
+    (dead-driver leftover — or a concurrent process's table) is moved
+    ASIDE, reaped only after the new write succeeds; a FAILED write
+    restores it (never blind-deleted mid-flight)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators.layout import (
+        write_bucketed,
+    )
+
+    table = "layout_orphan_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    loc = os.path.join(wh, table.lower())
+    os.makedirs(loc, exist_ok=True)
+    marker = os.path.join(loc, "previous_data.parquet")
+    with open(marker, "wb") as f:
+        f.write(b"previous process's table")
+
+    # failed write (sortBy on a nonexistent column) → orphan restored
+    with pytest.raises(Exception):
+        write_bucketed(
+            spark.range(10), table, ["id"], n_buckets=2,
+            sort_cols=["no_such_column"],
+        )
+    assert os.path.exists(marker), "failed write must restore the orphan"
+    leftovers = [d for d in os.listdir(wh) if ".orphan_" in d]
+    assert leftovers == []
+
+    # successful write → table replaced, orphan reaped
+    write_bucketed(
+        spark.range(10).withColumn("v", F.col("id") * 2), table, ["id"],
+        n_buckets=2,
+    )
+    assert spark.table(table).count() == 10
+    assert not os.path.exists(marker)
+    leftovers = [d for d in os.listdir(wh) if ".orphan_" in d]
+    assert leftovers == []
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
