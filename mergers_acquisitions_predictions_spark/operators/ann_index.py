@@ -5,11 +5,32 @@ serve every later query batch as a partition-pruned scan + equi-join.
 
 Layout on disk (any Hadoop-compatible filesystem):
 
-    <path>/meta/    one-row JSON: quantizer stats, centroid table,
-                    config (the driver-sized artifacts the operators
-                    otherwise collect per invocation)
-    <path>/codes/   parquet, partitionBy(cell_id):
-                    (candidate_id, sq: array<int>)
+    <path>/meta/      one-row JSON: quantizer stats, centroid table,
+                      config (the driver-sized artifacts the operators
+                      otherwise collect per invocation)
+    <path>/codes/     parquet, partitionBy(cell_id):
+                      (candidate_id, sq: array<int>) — the build's
+                      generation-0 codes directory
+    <path>/codes_gN/  later generations, written by compaction
+    <path>/CURRENT    one-line pointer file naming the LIVE codes
+                      directory ("codes" or "codes_gN")
+
+POINTER-FILE COMMIT (round 8, VERDICT r7 #4): readers resolve
+``CURRENT`` and scan the directory it names; maintenance writes a
+complete NEW directory first and swaps the pointer LAST (one
+small-file atomic replace — `sources/fs.fs_replace_file`: rename(2)
+on POSIX, atomic rename on HDFS, single-object copy on S3). A reader
+therefore NEVER sees a missing or partial codes directory — the
+previous design's move-aside/promote rename pair had a brief
+no-codes-dir window and a restore path; both are retired. The
+REPLACED generation is retained until the next compaction
+(retention = 1, ≤2 generations on disk), so even a reader that
+resolved the pointer just before a swap finishes its scan against
+intact files; only a reader idling across TWO compactions can lose
+its directory — the standard snapshot-expiry contract. An index
+written by the pre-pointer layout (no ``CURRENT``) still serves:
+resolution falls back to the newest promoted generation, then the
+legacy ``codes/``.
 
 Why partitionBy(cell_id) is the point at 100 TB: a query batch
 probes n_probe cells each; the probe cell set is collected from the
@@ -32,6 +53,54 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+
+_CURRENT = "CURRENT"
+_GEN_PREFIX = "codes_g"
+
+
+def _gen_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Promoted generation directory names under ``path``, sorted.
+    Staging twins (``codes_gN.staging_<tok>``) never match: only an
+    all-digit suffix is a promoted generation."""
+    from ..sources.fs import fs_list_dirs
+
+    return [
+        d
+        for d in fs_list_dirs(spark, path)
+        if d.startswith(_GEN_PREFIX) and d[len(_GEN_PREFIX):].isdigit()
+    ]
+
+
+def _resolve_codes_name(spark: SparkSession, path: str) -> str:
+    """Name of the LIVE codes directory under ``path``: the session-
+    primed value if the index was built/appended/compacted this
+    session (`util.peek_memoized_literal` — content-fingerprinted, so
+    a foreign writer invalidates it), else the ``CURRENT`` pointer
+    file, else — for robustness while a non-atomic pointer swap is in
+    flight, and for pre-pointer-layout indexes — the newest promoted
+    generation, else the legacy ``codes``. Every candidate this
+    returns is a COMPLETE index directory by the commit protocol
+    (generations are staged and renamed into place before the pointer
+    moves; compaction is layout-only, so old-vs-new generation is a
+    freshness difference, never a correctness one)."""
+    from .util import peek_memoized_literal
+
+    primed = peek_memoized_literal(("ivfsq_codes_dir", path))
+    if primed is not None:
+        return primed
+    from ..sources.fs import fs_read_text
+
+    cur = fs_read_text(spark, f"{path}/{_CURRENT}")
+    if cur and cur.strip():
+        return cur.strip()
+    gens = _gen_dirs(spark, path)
+    if gens:
+        return gens[-1]
+    return "codes"
+
+
+def _codes_path(spark: SparkSession, path: str) -> str:
+    return f"{path}/{_resolve_codes_name(spark, path)}"
 
 
 def build_ivfsq_index(
@@ -131,6 +200,17 @@ def build_ivfsq_index(
         1
     ).write.mode("overwrite").text(f"{path}/meta")
     spark.catalog.refreshByPath(f"{path}/meta")
+    # Commit: point CURRENT at the fresh generation-0 directory (an
+    # atomic small-file replace), then reap generations left by an
+    # earlier lifecycle at this path — a rebuild resets the pointer
+    # chain. Reaps happen BEFORE priming so the stored fingerprints
+    # are post-reap (prime's own invariant).
+    from ..sources.fs import fs_delete, fs_replace_file
+
+    fs_replace_file(spark, f"{path}/{_CURRENT}", "codes")
+    for stale in _gen_dirs(spark, path):
+        fs_delete(spark, f"{path}/{stale}")
+    prime_memoized_literal(("ivfsq_codes_dir", path), "codes")
     prime_memoized_literal(
         ("ivfsq_meta", path), (mns, rngs, cent_rows, len(mns), n_cells)
     )
@@ -168,11 +248,14 @@ def search_ivfsq_index(
     vec_col: str = "embedding",
     allowed: DataFrame | None = None,
 ) -> DataFrame:
-    """Serve top-k from a persisted IVF-SQ8 index. The query batch is
-    assigned to its ``n_probe`` cells with the PERSISTED centroids;
-    the probed cell ids are collected (query-batch-sized — tiny by
-    the ANN contract) and pushed into the codes scan as an `isin`
-    partition filter, so only those cells' files are read. Scoring,
+    """Serve top-k from a persisted IVF-SQ8 index. The live codes
+    directory is resolved through the ``CURRENT`` pointer (see the
+    module docstring — one small read, primed away within a session),
+    the query batch is assigned to its ``n_probe`` cells with the
+    PERSISTED centroids, and the probed cell ids are collected
+    (query-batch-sized — tiny by the ANN contract) and pushed into
+    the codes scan as an `isin` partition filter, so only those
+    cells' files are read. Scoring,
     rounding, and ranking are the exact expressions of
     `sq.ivfsq_topk` — results are bit-identical to the in-memory
     path.
@@ -202,7 +285,7 @@ def search_ivfsq_index(
     )
     probed = sorted({r["cell_id"] for r in q.select("cell_id").distinct().collect()})
 
-    codes = spark.read.parquet(f"{path}/codes").filter(
+    codes = spark.read.parquet(_codes_path(spark, path)).filter(
         F.col("cell_id").isin([int(c) for c in probed])
     )
     if allowed is not None:
@@ -266,11 +349,14 @@ def append_to_ivfsq_index(
         "cell_id",
         sq_encode(_unit(F.col("__vec"), F.col("__norm")), mns, rngs).alias("sq"),
     )
-    coded.write.mode("append").partitionBy("cell_id").parquet(f"{path}/codes")
+    live_name = _resolve_codes_name(spark, path)
+    coded.write.mode("append").partitionBy("cell_id").parquet(
+        f"{path}/{live_name}"
+    )
     # Same file-listing-staleness guard as build: a session that
     # already searched this path must not serve a cached listing
     # missing the new shard's files.
-    spark.catalog.refreshByPath(f"{path}/codes")
+    spark.catalog.refreshByPath(f"{path}/{live_name}")
     # RE-prime the meta sidecar cache: the append changed the path's
     # content fingerprint (new code files), which correctly makes the
     # old primed entry unreachable (util.peek_memoized_literal) — but
@@ -278,9 +364,11 @@ def append_to_ivfsq_index(
     # changes between rebuilds), so priming the same value under the
     # POST-append fingerprint is exact, and the next search skips the
     # sidecar re-read job (measured ~1 s of spark.read.json per serve
-    # otherwise — PERF.md round 6).
+    # otherwise — PERF.md round 6). The live codes-dir name is equally
+    # unchanged by an append — re-primed on the same grounds.
     from .util import prime_memoized_literal
 
+    prime_memoized_literal(("ivfsq_codes_dir", path), live_name)
     prime_memoized_literal(
         ("ivfsq_meta", path), (mns, rngs, cent_rows, dim, _nc)
     )
@@ -295,50 +383,73 @@ def compact_ivfsq_index(spark: SparkSession, path: str) -> tuple[int, int]:
     `sources/writers.compact_parquet`, per partition). Rewrites the
     codes clustered by cell (`repartition("cell_id")` then
     partitionBy — files per cell bounded by the repartition width,
-    contiguous row groups per cell) into a staging dir, then swaps by
-    two renames through the Hadoop FileSystem API (`sources/fs.py` —
-    the index lives on HDFS/S3 at the 100 TB target, VERDICT r6 #2).
-    The swap is two renames, not one atomic commit: between move-aside
-    and promote there is a brief window with no codes directory; a
-    promote failure triggers a restore rename (``.old`` → codes), so
-    a FAILED compaction leaves the pre-compaction index serving —
-    only a crash inside the gap itself needs the manual ``.old``
-    recovery (ADVICE r6). Layout-only by construction: search results
-    are bit-identical before/after (asserted in test_ann_index), and
-    the meta sidecar is untouched — frozen geometry — so the primed
-    meta is re-primed under the post-compaction fingerprint exactly
-    as the append does. Returns (files_before, files_after)."""
-    from ..sources.fs import fs_delete, fs_list_files, fs_rename
-    from .util import prime_memoized_literal
+    contiguous row groups per cell).
 
-    codes_path = f"{path}/codes"
+    POINTER-FILE COMMIT (VERDICT r7 #4 — retires the old two-rename
+    swap's no-codes-dir window AND its move-aside/restore machinery):
+    the compacted codes are staged, renamed into place as the NEXT
+    GENERATION directory (``codes_gN`` — complete the instant the
+    name exists), and only then does ``CURRENT`` atomically flip to
+    name it (`fs_replace_file` — rename(2)/HDFS-atomic; one
+    small-object PUT on S3, where the old two-rename swap was a
+    non-atomic directory copy+delete). Failure at ANY step leaves the
+    pre-compaction index serving untouched: a failed stage write or
+    promote reaps the staging twin; a failed pointer swap reaps the
+    promoted-but-unreferenced generation. No restore rename exists
+    because nothing is ever moved aside. The REPLACED generation is
+    retained until the next compaction (readers mid-scan keep their
+    files); older generations are reaped here. Layout-only by
+    construction: search results are bit-identical before/after
+    (asserted in test_ann_index), and the meta sidecar is untouched —
+    frozen geometry — so the primed meta is re-primed under the
+    post-compaction fingerprint exactly as the append does. Returns
+    (files_before, files_after)."""
+    import os
+    import uuid
+
+    from ..sources.fs import fs_delete, fs_list_files, fs_rename, fs_replace_file
+    from .util import prime_memoized_literal
 
     def _count_files(p: str) -> int:
         return len(fs_list_files(spark, p, ".parquet"))
 
-    before = _count_files(codes_path)
+    live_name = _resolve_codes_name(spark, path)
+    live = f"{path}/{live_name}"
+    before = _count_files(live)
     if before == 0:
-        raise ValueError(f"no codes parquet under {codes_path}")
+        raise ValueError(f"no codes parquet under {live}")
     # Read through the partitioned layout so cell_id survives as a
     # column, cluster by cell, rewrite partitioned.
-    codes = spark.read.parquet(codes_path)
-    staging = codes_path + ".compacting"
-    codes.repartition("cell_id").write.mode("overwrite").partitionBy(
-        "cell_id"
-    ).parquet(staging)
-    old = codes_path + ".old"
-    fs_rename(spark, codes_path, old)
+    codes = spark.read.parquet(live)
+    gens = _gen_dirs(spark, path)
+    next_gen = (int(gens[-1][len(_GEN_PREFIX):]) if gens else 0) + 1
+    new_name = f"{_GEN_PREFIX}{next_gen:06d}"
+    staging = f"{path}/{new_name}.staging_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     try:
-        fs_rename(spark, staging, codes_path)
+        codes.repartition("cell_id").write.mode("overwrite").partitionBy(
+            "cell_id"
+        ).parquet(staging)
+        fs_rename(spark, staging, f"{path}/{new_name}")
     except BaseException:
-        fs_rename(spark, old, codes_path)  # restore the serving index
+        fs_delete(spark, staging)  # serving index untouched
         raise
-    fs_delete(spark, old)
-    spark.catalog.refreshByPath(codes_path)
+    try:
+        fs_replace_file(spark, f"{path}/{_CURRENT}", new_name)
+    except BaseException:
+        fs_delete(spark, f"{path}/{new_name}")  # unreferenced — reap
+        raise
+    spark.catalog.refreshByPath(f"{path}/{new_name}")
+    # Retention = 1: keep the generation just replaced (live_name) for
+    # readers that resolved the pointer before the swap; reap anything
+    # older (including the legacy codes/ once a generation supersedes
+    # its successor).
+    for d in {*_gen_dirs(spark, path), "codes"} - {new_name, live_name}:
+        fs_delete(spark, f"{path}/{d}")
     # Frozen geometry: compaction moved bytes, not meaning. Re-prime
     # the unchanged meta under the new content fingerprint so the
     # next serve skips the sidecar re-read job (append's lesson,
     # PERF.md round 6).
+    prime_memoized_literal(("ivfsq_codes_dir", path), new_name)
     meta = _read_index_meta(spark, path)
     prime_memoized_literal(("ivfsq_meta", path), meta)
-    return before, _count_files(codes_path)
+    return before, _count_files(f"{path}/{new_name}")

@@ -871,9 +871,12 @@ def s18_index_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     other half as TWO nightly shards (each append adds one file per
     touched cell — the accretion that degrades probed-cell scans into
     file-open overhead at 100 TB), COMPACT the codes
-    (`ann_index.compact_ivfsq_index` — per-cell clustered rewrite,
-    staged + rename-swapped so a complete codes table exists at
-    every instant), then serve top-k from the compacted artifact.
+    (`ann_index.compact_ivfsq_index` — per-cell clustered rewrite
+    committed by the POINTER-FILE protocol since round 8, VERDICT r7
+    #4: the new generation directory is staged + renamed into place,
+    then the ``CURRENT`` manifest atomically flips to name it, so a
+    reader never sees a missing or partial codes directory on any
+    filesystem), then serve top-k from the compacted artifact.
     Compaction is layout-only and the geometry is frozen throughout,
     so the oracle is s14's frozen-geometry replay VERBATIM — the
     driver hash proves compaction moved bytes, not meaning (the

@@ -227,10 +227,18 @@ def test_compaction_is_layout_only_and_merges_files(spark, tmp_path):
     n_codes_pre = spark.read.parquet(f"{path}/codes").count()
     before, after = compact_ivfsq_index(spark, path)
     assert after < before, (before, after)
-    # complete table at every instant: no staging/old leftovers
-    assert not os.path.exists(f"{path}/codes.compacting")
-    assert not os.path.exists(f"{path}/codes.old")
-    assert spark.read.parquet(f"{path}/codes").count() == n_codes_pre
+    # pointer-file commit: CURRENT names the new generation; no
+    # staging leftovers; the REPLACED generation (legacy codes/) is
+    # retained for in-flight readers (retention = 1)
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        _codes_path,
+        _resolve_codes_name,
+    )
+
+    assert _resolve_codes_name(spark, path) == "codes_g000001"
+    assert not [d for d in os.listdir(path) if ".staging_" in d]
+    assert os.path.isdir(f"{path}/codes")  # retained previous gen
+    assert spark.read.parquet(_codes_path(spark, path)).count() == n_codes_pre
     post_df = search_ivfsq_index(spark, path, q, k=5, n_probe=2)
     post = sorted(map(tuple, post_df.collect()))
     assert pre == post  # layout-only: bytes moved, meaning identical
@@ -257,3 +265,164 @@ def test_compaction_idempotent_on_fresh_build(spark, tmp_path):
     assert b2 == a1  # second pass sees the first's layout
     post = sorted(map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect()))
     assert pre == post
+    # generation chain: g2 live, g1 retained, g0 (codes) reaped
+    import os
+
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        _resolve_codes_name,
+    )
+
+    assert _resolve_codes_name(spark, path) == "codes_g000002"
+    assert os.path.isdir(f"{path}/codes_g000001")
+    assert not os.path.isdir(f"{path}/codes")
+
+
+def test_reader_never_sees_missing_codes_dir_mid_compaction(spark, tmp_path):
+    """THE pointer-commit guarantee (VERDICT r7 #4): at every commit
+    boundary of a compaction — before/after the generation promote,
+    before/after the pointer swap, and after the old-gen reap — a
+    concurrent reader that resolves the pointer finds a COMPLETE,
+    readable codes directory with the full row count. The old
+    two-rename design had a no-codes-dir window between move-aside
+    and promote; this probe would have caught it."""
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        _codes_path,
+        append_to_ivfsq_index,
+        compact_ivfsq_index,
+    )
+    from mergers_acquisitions_predictions_spark.operators import util as U
+    from mergers_acquisitions_predictions_spark.sources import fs as FS
+
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e.filter(F.col("vec_id") % 2 == 0), path, n_cells=8)
+    append_to_ivfsq_index(e.filter(F.col("vec_id") % 2 == 1), path)
+    n_total = spark.read.parquet(_codes_path(spark, path)).count()
+
+    probes: list[int] = []
+
+    def probe() -> None:
+        # a CONCURRENT reader has no primed session state — drop the
+        # primes so resolution exercises the on-disk pointer/fallback
+        U._LITERAL_MEMO.clear()
+        live = _codes_path(spark, path)
+        spark.catalog.refreshByPath(live)
+        probes.append(spark.read.parquet(live).count())
+
+    real_rename, real_replace = FS.fs_rename, FS.fs_replace_file
+
+    def probing_rename(spark_, src, dst):
+        probe()
+        real_rename(spark_, src, dst)
+        probe()
+
+    def probing_replace(spark_, p, text):
+        probe()
+        real_replace(spark_, p, text)
+        probe()
+
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(FS, "fs_rename", probing_rename)
+        mp.setattr(FS, "fs_replace_file", probing_replace)
+        compact_ivfsq_index(spark, path)
+    finally:
+        mp.undo()
+    probe()
+    assert len(probes) >= 5
+    assert all(n == n_total for n in probes), probes
+
+
+def test_compaction_pointer_swap_failure_leaves_old_index_serving(
+    spark, tmp_path, monkeypatch
+):
+    """A failed pointer swap must reap the promoted-but-unreferenced
+    generation and leave the pre-compaction index serving — no
+    restore rename exists because nothing was moved aside."""
+    import os
+
+    import pytest
+
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        _resolve_codes_name,
+        compact_ivfsq_index,
+    )
+    from mergers_acquisitions_predictions_spark.sources import fs as FS
+
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e, path, n_cells=8)
+    q = e.filter(F.col("vec_id") < 3)
+    pre = sorted(map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect()))
+
+    def failing_swap(spark_, p, text):
+        raise OSError("injected pointer-swap failure")
+
+    monkeypatch.setattr(FS, "fs_replace_file", failing_swap)
+    with pytest.raises(OSError, match="injected pointer-swap"):
+        compact_ivfsq_index(spark, path)
+    monkeypatch.undo()
+    assert _resolve_codes_name(spark, path) == "codes"
+    assert not [d for d in os.listdir(path) if d.startswith("codes_g")]
+    post = sorted(map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect()))
+    assert pre == post
+
+
+def test_legacy_layout_without_pointer_still_serves(spark, tmp_path):
+    """A pre-pointer index (no CURRENT file) resolves to the legacy
+    codes/ dir; after a compaction created generations, a lost
+    pointer resolves to the NEWEST promoted generation — both
+    complete indexes by the commit protocol."""
+    import os
+
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        _resolve_codes_name,
+        compact_ivfsq_index,
+    )
+    from mergers_acquisitions_predictions_spark.operators import util as U
+
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e, path, n_cells=8)
+    q = e.filter(F.col("vec_id") < 3)
+    want = sorted(map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect()))
+
+    os.remove(f"{path}/CURRENT")  # simulate the pre-pointer layout
+    U._LITERAL_MEMO.clear()  # and a session with no primed state
+    assert _resolve_codes_name(spark, path) == "codes"
+    got = sorted(map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect()))
+    assert got == want
+
+    compact_ivfsq_index(spark, path)
+    os.remove(f"{path}/CURRENT")
+    U._LITERAL_MEMO.clear()
+    assert _resolve_codes_name(spark, path) == "codes_g000001"
+    got2 = sorted(map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect()))
+    assert got2 == want
+
+
+def test_rebuild_resets_generation_chain(spark, tmp_path):
+    """A full rebuild at a compacted path flips the pointer back to
+    the fresh codes/ and reaps stale generations — the pointer chain
+    restarts."""
+    import os
+
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        _resolve_codes_name,
+        compact_ivfsq_index,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e, path, n_cells=8)
+    compact_ivfsq_index(spark, path)
+    assert _resolve_codes_name(spark, path) == "codes_g000001"
+    build_ivfsq_index(e, path, n_cells=8)
+    assert _resolve_codes_name(spark, path) == "codes"
+    assert not [d for d in os.listdir(path) if d.startswith("codes_g")]
+    got = search_ivfsq_index(
+        spark, path, e.filter(F.col("vec_id") < 3), k=5, n_probe=2
+    )
+    assert got.count() == 15
