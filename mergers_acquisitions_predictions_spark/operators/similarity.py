@@ -565,6 +565,7 @@ def kmeans_centroids(
     seed: int = 42,
     max_iter: int = 20,
     fit_sample_per_cell: int | None = 50,
+    fit_floor: int | None = None,
 ) -> DataFrame:
     """FITTED centroid table for the IVF index — the production
     replacement for `ivf_centroids`' deterministic anchor vectors:
@@ -597,7 +598,11 @@ def kmeans_centroids(
     fraction of the fit time (§7o table). ``None`` disables sampling;
     an absolute 100k-row floor keeps small corpora on the full fit
     (below it the full fit is cheap and sampling only adds variance —
-    the registered oracle queries' 2k-vector corpora are untouched)."""
+    the registered oracle queries' 2k-vector corpora are untouched).
+    ``fit_floor`` overrides that floor (``0`` forces the sampled
+    branch on any corpus above ``target`` — how the s19 driver query
+    exercises the large-corpus default path at oracle scale); None
+    keeps the module default ``_FIT_SAMPLE_FLOOR``."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -605,8 +610,9 @@ def kmeans_centroids(
     fit_src = corpus
     if fit_sample_per_cell is not None:
         target = fit_sample_per_cell * n_cells
+        floor = _FIT_SAMPLE_FLOOR if fit_floor is None else fit_floor
         n = corpus.count()
-        if n > max(target, _FIT_SAMPLE_FLOOR):
+        if n > max(target, floor):
             m = max(2, round(n / target))
             fit_src = corpus.filter(
                 F.xxhash64(F.col(id_col)) % m == 0

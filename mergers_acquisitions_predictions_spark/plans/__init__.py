@@ -43,78 +43,84 @@ from . import io_queries  # noqa: E402,F401
 #: constraint VERDICT r6 #1 names). Queries whose OWN plan or oracle
 #: string changed remain individually (b)-mandatory.
 #:
-#: Round 7: (a) new = io04 (physical-layout family driver row —
-#: Z-order rewrite read back by the oracle, salted==plain, bucketed
-#: roundtrip; VERDICT r6 #5);
-#: (b) changed since last row = s12 (artifact-hop skip via
-#: peek/prime marker — VERDICT r6 #3), the whole handshake-artifact
-#: family whose ORACLE STRINGS moved to the per-user scratch root
-#: (ADVICE r6: io01/io02/io03, m02/m03/m05/m08/m09, s05/s09), and
-#: the persisted-index family whose scratch pathing + compaction
-#: commit moved to scratch_root()/the Hadoop FS API (s13–s18;
-#: VERDICT r6 #2). The fingerprint-TTL memo change is shared-layer:
-#: certified by the in-window representatives (s13–s18 peek primed
-#: meta through it; s05/s09/m02 hit memoized_literal; s12 hits
-#: memoized_frame via lsh_topk) under the r7 amendment — the full
-#: consumer set stays value-guarded by the every-oracle sweep;
-#: (c) fill = ALL remaining pre-r4 staleness, clearing the queue the
-#: r6 note left: the six r2-era rows (t17–t20, t27, u04) and all 26
-#: r3-era rows. After this round no driver row predates round 4.
+#: Round 8: (a) new = s19 (the SAMPLED centroid-fit path — the
+#: engine's adopted large-corpus default, floor-overridden so the
+#: sampled branch runs at oracle scale, certified via the s05
+#: artifact-replay recipe; VERDICT r7 #2);
+#: (b) changed since last row = io04 (`layout.write_bucketed`'s
+#: orphan protocol: move-aside/restore/reap replaces the blind
+#: delete — ADVICE r7), s05 (`kmeans_centroids` gained the
+#: fit_floor gate — its executed lines changed even though its
+#: behavior is bit-identical; s19 is the branch's exerciser), and
+#: the persisted-index family whose serve/commit path moved to the
+#: POINTER-FILE protocol (s13/s14/s15/s17/s18 — every registered
+#: query that executes _resolve_codes_name/build/append/compact;
+#: VERDICT r7 #4). s16 is NOT (b) this round: unlike r7 (when its
+#: oracle string's scratch root moved), its own code and oracle are
+#: untouched — it composes s13+s14, both individually in-window, and
+#: its own row is r7-fresh. The handshake scratch-root symlink check,
+#: the fs_list_files missing-path guard, the compact_parquet restore
+#: fix, and the TTL env knob are shared-layer/validation-only changes
+#: (identical oracle strings, identical plans) certified by the
+#: in-window representatives under the r7 amendment;
+#: (c) fill = the ENTIRE r4-era staleness frontier (42 rows — the
+#: oldest cohort after r7 cleared everything pre-r4; VERDICT r7 #1).
+#: After this round no driver row predates round 5. The r5 cohort
+#: (21 rows incl. streaming q17) becomes round 9's frontier.
 DRIVER_WINDOW = [
     # (a): registered this round
-    "io04_layout_roundtrip",
+    "s19_sampled_kmeans_topk",
     # (b): implementation or oracle changed since their last row
-    "s12_mmr_rerank",
-    "io01_csv_roundtrip",
-    "io02_corpus_dir_scan",
-    "io03_jsonl_roundtrip",
-    "m02_lr_confusion",
-    "m03_lda_topics",
-    "m05_kmeans_clusters",
-    "m08_pca_whiten",
-    "m09_auc_rank_sum",
+    "io04_layout_roundtrip",
     "s05_ivf_kmeans_topk",
-    "s09_ivfpq_kmeans_topk",
     "s13_persisted_index_topk",
     "s14_index_append_topk",
     "s15_stream_serve_replay",
-    "s16_index_append_drift",
     "s17_filtered_index_topk",
     "s18_index_compact_serve",
-    # (c): the six r2-era rows queued first by the r6 note
-    "t17_winnow_fingerprints",
-    "t18_sequence_packing",
-    "t19_quality_rank_filter",
-    "t20_pack_manifest",
-    "t27_snapshot_diff",
-    "u04_lemmatize_pandas_udf",
-    # (c): the complete r3-era family
-    "d08_prefix_jaccard_pairs",
-    "d12_incremental_neardup",
-    "d13_simhash_neardups",
-    "d16_dup_span_coverage",
-    "d18_span_trim",
-    "j04_fuzzy_multipass",
-    "j05_event_window_range_join",
-    "m01_tfidf_features",
-    "m07_stratified_sample",
-    "q46_unpivot_measures",
-    "q47_table_profile",
-    "q48_percentile_cont",
-    "q49_relative_rank",
-    "q50_join_key_skew",
-    "t14_token_chunks",
-    "t21_source_mixture",
-    "t22_funnel_accounting",
-    "t23_interleaved_order",
-    "t24_shingle_diversity",
-    "t26_bpe_encode",
-    "t29_bigram_backoff_quality",
-    "t30_gopher_rules",
-    "t31_importance_sample",
-    "t33_token_entropy",
-    "t35_source_overlap_matrix",
-    "u05_frame_sample_stats",
+    # (c): the complete r4-era cohort (stalest rows after round 7)
+    "d15_winnow_containment",
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q04_revenue_by_region",
+    "q05_theta_pairs_per_nation",
+    "q06_label_within_year",
+    "q07_distinct_flags",
+    "q08_topk_orders_per_customer",
+    "q09_rollup_lineitem",
+    "q10_nation_setops",
+    "q11_semi_anti_customers",
+    "q12_priority_order_stats",
+    "q13_orders_near_events",
+    "q14_scalar_functions",
+    "q15_size_buckets",
+    "q16_running_customer_spend",
+    "q18_session_windows",
+    "q19_sliding_windows",
+    "q20_user_activity_gaps",
+    "q21_pivot_status_by_priority",
+    "q22_exists_subquery",
+    "q23_scalar_subquery",
+    "q24_having",
+    "q25_monthly_orders",
+    "q26_null_handling",
+    "q27_string_functions2",
+    "q28_union_dedup",
+    "q29_window_lead_lag",
+    "q30_cube",
+    "q31_json_extract",
+    "q32_collect_sorted",
+    "q33_quantiles",
+    "q34_full_outer_join",
+    "q35_cross_join_grid",
+    "q36_stats_aggregates",
+    "q37_any_all_semantics",
+    "q39_asof_attribution",
+    "q40_range_frame_window",
+    "q41_rank_functions",
+    "q42_grouping_sets",
+    "q43_datetime_functions",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -29,6 +29,7 @@ SEED_QUERIES = (
     "m09_auc_rank_sum",
     "m08_pca_whiten",
     "s05_ivf_kmeans_topk",
+    "s19_sampled_kmeans_topk",
     "s09_ivfpq_kmeans_topk",
     "io01_csv_roundtrip",
     "io02_corpus_dir_scan",

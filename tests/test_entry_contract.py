@@ -234,10 +234,16 @@ def test_driver_window_rotation_rule_r7():
     whose pathing/compaction commit moved to scratch_root()/the
     Hadoop FS API (VERDICT r6 #2); (c) ALL remaining pre-r4 staleness
     — the six r2-era rows and all 26 r3-era rows (VERDICT r6 #1's
-    "no row older than r4" done-condition). LIVE round: asserted
-    against the current window; convert to the CORRECTNESS_r07 record
-    once it exists (the r4 test's note)."""
-    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
+    "no row older than r4" done-condition).
+
+    HISTORICAL round: asserted against the round-7 driver record —
+    see the r4 test's note (converted from the live-window form once
+    CORRECTNESS_r07 landed, per the r7 rotation amendment note)."""
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    r7_rows = set(json.load(open(os.path.join(root, "CORRECTNESS_r07.json"))))
 
     new_in_r7 = {"io04_layout_roundtrip"}
     changed_in_r7 = {
@@ -296,6 +302,50 @@ def test_driver_window_rotation_rule_r7():
         "u05_frame_sample_stats",
     }
     want = new_in_r7 | changed_in_r7 | stale_pre_r4
+    assert want == r7_rows  # exactly filled the 50 slots
+
+
+def test_driver_window_rotation_rule_r8():
+    """Round-8 window under the postdate rule + the r7 shared-layer
+    amendment: (a) s19 (new — the sampled centroid-fit path,
+    floor-overridden, artifact-replay oracle; VERDICT r7 #2);
+    (b) io04 (write_bucketed's orphan move-aside protocol — ADVICE
+    r7), s05 (kmeans_centroids gained the fit_floor gate), and the
+    persisted-index family on the new pointer-file commit
+    (s13/s14/s15/s17/s18 — VERDICT r7 #4; s16's own code and oracle
+    are untouched this round, it composes the two in-window members
+    and keeps its r7-fresh row);
+    (c) the ENTIRE r4-era cohort — 42 rows, the post-r7 staleness
+    frontier (VERDICT r7 #1: after this round no driver row predates
+    round 5). LIVE round: asserted against the current window;
+    convert to the CORRECTNESS_r08 record once it exists."""
+    import json
+    import os
+
+    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
+
+    new_in_r8 = {"s19_sampled_kmeans_topk"}
+    changed_in_r8 = {
+        "io04_layout_roundtrip",  # write_bucketed orphan protocol
+        "s05_ivf_kmeans_topk",  # kmeans_centroids fit_floor gate
+        "s13_persisted_index_topk",  # pointer-file serve resolution
+        "s14_index_append_topk",  # append through the live pointer
+        "s15_stream_serve_replay",  # serve_batch → pointer resolution
+        "s17_filtered_index_topk",  # filtered serve → pointer
+        "s18_index_compact_serve",  # pointer-file compaction commit
+    }
+    # the r4-era cohort = exactly the queries whose LATEST driver row
+    # is round 4 — derived from the immutable records, not hardcoded
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int] = {}
+    for rnd in range(1, 8):
+        for name in json.load(
+            open(os.path.join(root, f"CORRECTNESS_r0{rnd}.json"))
+        ):
+            latest[name] = rnd
+    stale_r4 = {name for name, rnd in latest.items() if rnd == 4}
+    assert len(stale_r4) == 42
+    want = new_in_r8 | changed_in_r8 | stale_r4
     assert want == set(DRIVER_WINDOW)  # exactly fills the 50 slots
 
 

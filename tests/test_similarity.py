@@ -330,3 +330,34 @@ def test_kmeans_sampled_fit_contract(spark, monkeypatch):
     rf = sorted(map(tuple, full.select("cell_id", "cent_vec").collect()))
     rc = sorted(map(tuple, c.select("cell_id", "cent_vec").collect()))
     assert all(list(x) == list(y) for (_, x), (_, y) in zip(rf, rc))
+
+
+def test_fit_floor_override_forces_sampled_branch(spark, monkeypatch):
+    """s19's registered config (fit_sample_per_cell=10, fit_floor=0)
+    must actually take the SAMPLED branch at oracle scale — captured
+    from the fit input's row count, so a future floor change cannot
+    silently revert the driver row to the full fit. fit_floor=None
+    keeps the module default (full fit at 500 rows)."""
+    from mergers_acquisitions_predictions_spark.operators import (
+        similarity as S,
+    )
+    from mergers_acquisitions_predictions_spark.operators import util as U
+    from mergers_acquisitions_predictions_spark.sources.readers import (
+        load_table,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = e.count()
+
+    fit_rows = []
+    real_fit = U.fit_released
+
+    def capturing_fit(est, dataset):
+        fit_rows.append(dataset.count())
+        return real_fit(est, dataset)
+
+    monkeypatch.setattr(U, "fit_released", capturing_fit)
+    S.kmeans_centroids(e, n_cells=8, fit_sample_per_cell=10, fit_floor=0)
+    assert 8 <= fit_rows[-1] < n  # sampled: strict subset, >= k rows
+    S.kmeans_centroids(e, n_cells=8, fit_sample_per_cell=10)
+    assert fit_rows[-1] == n  # default floor: full fit at 500 rows
