@@ -87,6 +87,9 @@ def main() -> None:
         "s10_ivfsq_topk",
         "s11_rrf_fusion",
         "s12_mmr_rerank",
+        # the large-corpus default centroid fit (sampled branch,
+        # floor-overridden) + artifact publish + IVF serve
+        "s19_sampled_kmeans_topk",
         # build-to-disk + partition-pruned serve, measured end to end
         # (a deployment amortizes the build; SCALE.md §7i)
         "s13_persisted_index_topk",
@@ -115,8 +118,55 @@ def main() -> None:
         "u02_grouped_minmax_scale",
     ]
 
-    def run(name: str) -> None:
+    # ---- Per-stage attribution for multi-stage lifecycle queries
+    # (VERDICT r7 #3): s18's build+append+append+compact+serve and the
+    # io roundtrips' write+read legs were single totals, so every
+    # host-drift episode cost an A/B worktree run to attribute. The
+    # EAGER stage functions are wrapped here — in the bench harness
+    # only, at module level (query bodies import them at call time),
+    # so correctness runs execute byte-identical product code. The
+    # lazily-executed remainder (the serve/read legs, which run inside
+    # the noop write) lands in the derived "rest" entry.
+    import mergers_acquisitions_predictions_spark.operators.ann_index as AI
+    import mergers_acquisitions_predictions_spark.operators.layout as LAY
+    import mergers_acquisitions_predictions_spark.operators.similarity as SIM
+    import mergers_acquisitions_predictions_spark.plans.io_queries as IOQ
+    import mergers_acquisitions_predictions_spark.sources.writers as WR
+
+    current_stages: dict[str, float] = {}
+
+    def _staged(mod, fname: str, label: str) -> None:
+        orig = getattr(mod, fname)
+
+        def wrapper(*a, **kw):
+            t0 = time.perf_counter()
+            try:
+                return orig(*a, **kw)
+            finally:
+                current_stages[label] = round(
+                    current_stages.get(label, 0.0)
+                    + (time.perf_counter() - t0),
+                    3,
+                )
+
+        setattr(mod, fname, wrapper)
+
+    _staged(AI, "build_ivfsq_index", "build")
+    _staged(AI, "append_to_ivfsq_index", "append")  # s18: 2 appends, summed
+    _staged(AI, "compact_ivfsq_index", "compact")
+    _staged(SIM, "kmeans_centroids", "fit")
+    _staged(WR, "publish_parquet_atomic", "publish")
+    _staged(WR, "write_jsonl", "write_jsonl")
+    _staged(LAY, "write_zordered", "write_zordered")
+    _staged(LAY, "write_bucketed", "write_bucketed")
+    # io01 binds these names at io_queries import time — patch there
+    _staged(IOQ, "write_csv", "write_csv")
+    _staged(IOQ, "write_single_csv", "write_single_csv")
+
+    def run(name: str) -> dict[str, float]:
+        current_stages.clear()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return dict(current_stages)
 
     # Warm pass (untimed): JIT/codegen warmup amortizes to zero at real
     # scale, so steady-state is the honest throughput number.
@@ -136,14 +186,18 @@ def main() -> None:
     # PERF.md) because every query is early in one of the two passes
     # (VERDICT r5 #7).
     timings: dict[str, float] = {}
+    stages: dict[str, dict[str, float]] = {}
     for _pass in range(2):
         ordered = headline if _pass == 0 else list(reversed(headline))
         for name in ordered:
             t0 = time.perf_counter()
-            run(name)
+            st = run(name)
             dt = round(time.perf_counter() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
+                if st:  # stages of the MIN-total invocation
+                    st["rest"] = round(max(0.0, dt - sum(st.values())), 3)
+                    stages[name] = st
             # Operator-owned caches (own_caches) release on Python GC;
             # collect between queries so a dead plan's cached
             # partitions never linger into the next measurement.
@@ -156,6 +210,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # per-stage wall-times of each multi-stage query's MIN-total
+        # invocation (VERDICT r7 #3); "rest" = total − eager stages =
+        # plan construction + the lazily-executed serve/read legs
+        "stages": stages,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full record: printed first for humans AND written to a sidecar,
