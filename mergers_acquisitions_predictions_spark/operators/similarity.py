@@ -885,17 +885,25 @@ def ivf_topk(
     sizing), the collected centroid rows, and the assigned-corpus
     frame (`util.memoized_frame`) — the in-memory analogue of the
     persisted index (s13): a deployment assigns cells once per
-    corpus, not once per query. Only applies when ``centroids`` is
-    None (the deterministic lowest-id centroids are a pure function
-    of the corpus; a caller-supplied table has content the key cannot
-    see). ``queries_cache_key``: same contract for the query-side
+    corpus, not once per query. With ``centroids=None`` the
+    deterministic lowest-id centroids are a pure function of the
+    corpus, so the key alone identifies the assignment; with a
+    CALLER-SUPPLIED centroid table (round 8) a digest of the
+    collected centroid rows — driver-sized by construction — is
+    folded into the memo key, so the assignment memo stays exact:
+    a different fit (or a refit over changed data) can never serve
+    another table's cached assignment. That closes the gap that made
+    every learned-centroid serve recompute the full corpus
+    assignment (the n × n_cells map-side cost — THE build term at
+    1M×1000 cells, SCALE.md §7o). ``queries_cache_key``: same
+    contract for the query-side
     assignment frame — `ivf_assign_literal` folds n_cells × dim
     literals into the expression tree, a driver-side construction
     cost the memoized plan object pays once per session. Results are
     identical with or without the cache."""
     from .util import memoized_frame, memoized_literal
 
-    memoize = corpus_cache_key is not None and centroids is None
+    memoize = corpus_cache_key is not None
     if n_cells is None:
         n = (
             memoized_literal(
@@ -911,12 +919,25 @@ def ivf_topk(
         else ivf_centroids(corpus, n_cells, id_col, vec_col)
     )
 
-    if memoize:
+    if centroids is not None:
+        # driver-sized collect either way; the digest below keys the
+        # assignment memo to THIS table's content
+        cent_rows = collect_centroid_rows(cent)
+        cent_digest = None
+        if memoize or queries_cache_key is not None:
+            import hashlib
+
+            cent_digest = hashlib.md5(
+                repr(cent_rows).encode()
+            ).hexdigest()
+    elif memoize:
+        cent_digest = None
         cent_rows = memoized_literal(
             ("ivf_cent_rows", corpus_cache_key, n_cells, id_col, vec_col),
             lambda: collect_centroid_rows(cent),
         )
     else:
+        cent_digest = None
         cent_rows = collect_centroid_rows(cent)
 
     def assign(df: DataFrame, id_alias: str, probes: int) -> DataFrame:
@@ -932,7 +953,7 @@ def ivf_topk(
 
     if memoize:
         c = memoized_frame(
-            ("ivf_assign", corpus_cache_key, n_cells, id_col, vec_col),
+            ("ivf_assign", corpus_cache_key, n_cells, cent_digest, id_col, vec_col),
             corpus_assigned,
         )
     else:
@@ -946,9 +967,17 @@ def ivf_topk(
             "cell_id",
         )
 
-    if queries_cache_key is not None and centroids is None:
+    if queries_cache_key is not None:
         q = memoized_frame(
-            ("ivf_assign_q", queries_cache_key, n_cells, n_probe, id_col, vec_col),
+            (
+                "ivf_assign_q",
+                queries_cache_key,
+                n_cells,
+                cent_digest,
+                n_probe,
+                id_col,
+                vec_col,
+            ),
             queries_assigned,
         )
     else:

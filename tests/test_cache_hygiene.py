@@ -170,6 +170,7 @@ def test_mllib_fits_leave_no_cached_blocks(spark):
         "m05_kmeans_clusters",
         "m08_pca_whiten",
         "s05_ivf_kmeans_topk",
+        "s19_sampled_kmeans_topk",  # the sampled-fit branch's KMeans
     ):
         QUERIES[name](spark, SF_SMOKE).count()
     # Session-scoped memoized index frames (the LSH bucket cache) are

@@ -361,3 +361,78 @@ def test_fit_floor_override_forces_sampled_branch(spark, monkeypatch):
     assert 8 <= fit_rows[-1] < n  # sampled: strict subset, >= k rows
     S.kmeans_centroids(e, n_cells=8, fit_sample_per_cell=10)
     assert fit_rows[-1] == n  # default floor: full fit at 500 rows
+
+
+def test_ivf_topk_supplied_centroid_memo_is_content_keyed(spark):
+    """Round 8: with a caller-supplied centroid table, ivf_topk's
+    corpus-assignment memo folds a digest of the collected centroid
+    rows into the key — two DIFFERENT tables under the SAME cache key
+    must not alias (the learned-fit serve shape), and repeat serves
+    with the same table must reuse the assignment (results equal the
+    uncached path bit-exactly)."""
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators import util as U
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from mergers_acquisitions_predictions_spark.sources.readers import (
+        load_table,
+    )
+
+    U.release_memoized_frames()
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    key = ("/root/testdata/sf0.001", "embeddings")
+    anchors = ivf_centroids(e, 8).persist()
+    learned = kmeans_centroids(e, n_cells=8).persist()
+    got_anchor = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                q, e, k=5, n_cells=8, n_probe=2, centroids=anchors,
+                corpus_cache_key=key,
+            ).collect(),
+        )
+    )
+    got_learned = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                q, e, k=5, n_cells=8, n_probe=2, centroids=learned,
+                corpus_cache_key=key,
+            ).collect(),
+        )
+    )
+    # no-alias: each equals ITS OWN uncached baseline
+    want_anchor = sorted(
+        map(
+            tuple,
+            ivf_topk(q, e, k=5, n_cells=8, n_probe=2, centroids=anchors).collect(),
+        )
+    )
+    want_learned = sorted(
+        map(
+            tuple,
+            ivf_topk(q, e, k=5, n_cells=8, n_probe=2, centroids=learned).collect(),
+        )
+    )
+    assert got_anchor == want_anchor
+    assert got_learned == want_learned
+    assert got_anchor != got_learned  # the two tables really differ
+    # repeat with the same table: memo hit, identical result
+    again = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                q, e, k=5, n_cells=8, n_probe=2, centroids=anchors,
+                corpus_cache_key=key,
+            ).collect(),
+        )
+    )
+    assert again == got_anchor
+    anchors.unpersist()
+    learned.unpersist()
+    U.release_memoized_frames()
