@@ -96,9 +96,11 @@ def project_whitened(
     lets a persisted weights artifact drive the projection (m08's
     value-check materializes the fit and replays THIS stage in the
     oracle)."""
+    from ..operators.util import double_array_literal
+
     cols = [F.col(id_col)]
     for j, (wj, oj) in enumerate(zip(weights, offsets), start=1):
-        arr = F.array(*[F.lit(x) for x in wj])
+        arr = double_array_literal(wj)
         cols.append(
             F.round(dot(F.col(vec_col), arr) - F.lit(oj), decimals).alias(
                 f"pc{j}"

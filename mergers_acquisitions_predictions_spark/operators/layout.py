@@ -157,7 +157,9 @@ def write_zordered(
             if not bounds:
                 bucketed.append(F.lit(0).cast("long"))
                 continue
-            arr = F.array(*[F.lit(float(b)) for b in bounds])
+            from .util import double_array_literal
+
+            arr = double_array_literal(bounds)
             # bucket = #boundaries <= x  (0..n_buckets-1), null -> 0
             idx = F.size(
                 F.filter(arr, lambda b: b <= F.col(c).cast("double"))

@@ -103,15 +103,15 @@ def _cb_literal(codebooks: list[list[list[float]]]) -> Column:
     construction cost — util.memoized_literal, PERF.md s03 lesson)."""
     from .util import memoized_literal
 
+    from .util import double_matrix_literal
+
     frozen = tuple(tuple(tuple(map(float, code)) for code in book) for book in codebooks)
     return memoized_literal(
         ("pq_codebooks", frozen),
-        lambda: F.array(
-            *[
-                F.array(*[F.array(*[F.lit(float(x)) for x in code]) for code in book])
-                for book in codebooks
-            ]
-        ),
+        # one F.expr parse per subspace book (n_subspaces py4j calls
+        # instead of one per float — util.double_array_literal's
+        # round-8 lesson applied to the 3-level codebook shape)
+        lambda: F.array(*[double_matrix_literal(book) for book in codebooks]),
     )
 
 

@@ -384,9 +384,11 @@ def _plane_lit_arrays(planes: list[list[float]]) -> list:
     safely shared by every LSH consumer in the session."""
     from .util import memoized_literal
 
+    from .util import double_array_literal
+
     return memoized_literal(
         ("planes", tuple(tuple(p) for p in planes)),
-        lambda: [F.array(*[F.lit(v) for v in p]) for p in planes],
+        lambda: [double_array_literal(p) for p in planes],
     )
 
 
@@ -711,13 +713,17 @@ def ivf_assign_literal(
         raise ValueError("ivf_assign_literal needs at least one centroid")
     from .util import memoized_literal
 
+    from .util import double_array_literal, double_matrix_literal
+
     frozen = tuple((int(r[0]), tuple(map(float, r[1])), float(r[2])) for r in cent_rows)
     cvecs, cnorms, cids = memoized_literal(
         ("centroids", frozen),
         lambda: (
-            F.array(*[F.array(*[F.lit(float(x)) for x in r[1]]) for r in cent_rows]),
-            F.array(*[F.lit(float(r[2])) for r in cent_rows]),
-            F.array(*[F.lit(int(r[0])).cast("long") for r in cent_rows]),
+            double_matrix_literal([r[1] for r in cent_rows]),
+            double_array_literal([r[2] for r in cent_rows]),
+            F.expr(
+                "array(" + ",".join(f"{int(r[0])}L" for r in cent_rows) + ")"
+            ),
         ),
     )
     side = df.select(

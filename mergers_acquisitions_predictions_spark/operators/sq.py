@@ -86,11 +86,11 @@ def sq_stats(
 
 
 def _lit_arr(xs: list[float]) -> Column:
-    from .util import memoized_literal
+    from .util import double_array_literal, memoized_literal
 
     return memoized_literal(
         ("sq_stats_arr", tuple(map(float, xs))),
-        lambda: F.array(*[F.lit(float(x)) for x in xs]),
+        lambda: double_array_literal(xs),
     )
 
 

@@ -164,6 +164,50 @@ def fit_released(estimator, dataset: DataFrame):
         dataset.unpersist(blocking=False)
 
 
+def double_array_literal(values):
+    """A double-array literal built with ONE py4j call: the values are
+    rendered as a SQL ``array(...)`` string (``repr`` is the shortest
+    round-trip form, and ``Double.parseDouble`` reads it back to the
+    IDENTICAL IEEE double — measured bit-equal against the
+    ``F.array(F.lit(...))`` tree) and parsed JVM-side by ``F.expr``.
+    The element-wise construction costs one py4j round trip PER
+    LITERAL — at an index-artifact's size that is the cold-process
+    serve latency: a 1000-cell × 64-dim centroid table measured
+    24.3 s element-wise vs 0.15 s as one parse (round 8; the py4j
+    construction-cost lesson, PERF.md round 4, removed at the SOURCE
+    instead of only memoized away — the session memo still sits on
+    top so repeat consumers pay neither). Non-finite values (never
+    produced by the index fits) fall back to the element-wise tree,
+    whose Literal carries them exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    vals = [float(x) for x in values]
+    if all(map(math.isfinite, vals)):
+        return F.expr("array(" + ",".join(f"{x!r}D" for x in vals) + ")")
+    return F.array(*[F.lit(x) for x in vals])
+
+
+def double_matrix_literal(rows):
+    """`double_array_literal` one level up: array<array<double>> in
+    one ``F.expr`` parse (the centroid-table / PCA-weights shape)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    mat = [[float(x) for x in r] for r in rows]
+    if all(math.isfinite(x) for r in mat for x in r):
+        return F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{x!r}D" for x in r) + ")" for r in mat
+            )
+            + ")"
+        )
+    return F.array(*[F.array(*[F.lit(x) for x in r]) for r in mat])
+
+
 def local_rows_df(spark, rows: list, schema: str) -> DataFrame:
     """DataFrame from a small DRIVER-side row list (index artifacts:
     centroid tables, BPE merge lists, vocabularies) as a SINGLE

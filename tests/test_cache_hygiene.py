@@ -481,3 +481,49 @@ def test_fingerprint_real_ttl_window_and_expiry(tmp_path, monkeypatch):
         f.write(b"d")
     U.invalidate_path_fingerprints(p)
     assert U._fp_of_path(p)[1] == 1 and U._fp_of_path(p) != fp4
+
+
+def test_double_literal_helpers_bit_equal_and_fallback(spark):
+    """Round 8: the one-parse SQL literal construction must be
+    BIT-EQUAL to the element-wise F.lit tree (repr is shortest
+    round-trip; Double.parseDouble reads it back exactly), including
+    exponent-form reprs, and must fall back to the F.lit tree for
+    non-finite values."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators.util import (
+        double_array_literal,
+        double_matrix_literal,
+    )
+
+    vals = [0.1, -3.2e16, 1e-05, 2.0, -0.0, 123456.789012345, 5e-324]
+    row = (
+        spark.range(1)
+        .select(
+            double_array_literal(vals).alias("fast"),
+            F.array(*[F.lit(float(x)) for x in vals]).alias("slow"),
+        )
+        .first()
+    )
+    assert list(row["fast"]) == list(row["slow"])
+    mat = [vals, [x * 7.0 for x in vals]]
+    row2 = (
+        spark.range(1)
+        .select(
+            double_matrix_literal(mat).alias("fast"),
+            F.array(
+                *[F.array(*[F.lit(float(x)) for x in r]) for r in mat]
+            ).alias("slow"),
+        )
+        .first()
+    )
+    assert [list(r) for r in row2["fast"]] == [list(r) for r in row2["slow"]]
+    # non-finite: falls back to the Literal tree and still carries NaN
+    got = (
+        spark.range(1)
+        .select(double_array_literal([1.0, float("nan")]).alias("a"))
+        .first()["a"]
+    )
+    assert got[0] == 1.0 and math.isnan(got[1])
