@@ -110,12 +110,25 @@ def build_ivfsq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_cache_key: tuple | None = None,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Build + persist an IVF-SQ8 index: learn per-dimension stats
     and centroids from the corpus (one pass + driver-sized collects),
     encode every vector (map-side), write codes partitioned by cell.
     Overwrites ``path``. This is the amortized-regime artifact —
     SCALE.md §7i measures the 5.7× scan win it buys at 4k queries.
+
+    ``centroids``: optional caller-supplied centroid table
+    (cell_id, cent_vec, cent_norm) — the round-8 completion of the
+    sampled-fit adoption (SCALE.md §7o): a deployment fits
+    `similarity.kmeans_centroids(fit_sample_per_cell=50)` once and
+    builds the PERSISTED index from the learned cells (previously the
+    learned fit was only consumable by the in-memory `ivf_topk`).
+    The table is materialized into the meta sidecar like the default
+    anchors, so search/append/compact need no change — frozen
+    geometry flows from whatever the build persisted. Default None
+    keeps the deterministic lowest-id anchors (oracle-replayable; all
+    registered queries).
 
     ``corpus_cache_key``: opt-in session memoization of the learned
     quantizer stats / centroid rows / corpus count (the usual
@@ -142,6 +155,15 @@ def build_ivfsq_index(
         mns, rngs = memoized_literal(
             ("sq_stats", corpus_cache_key, vec_col), lambda: sq_stats(corpus, vec_col)
         )
+    else:
+        mns, rngs = sq_stats(corpus, vec_col)
+    if centroids is not None:
+        # caller-fitted table: driver-sized collect, no memo (the key
+        # cannot see the table's provenance; the collect is n_cells
+        # rows either way). The table defines the cell count.
+        cent_rows = collect_centroid_rows(centroids)
+        n_cells = len(cent_rows)
+    elif corpus_cache_key is not None:
         cent_rows = memoized_literal(
             ("ivf_cent_rows", corpus_cache_key, n_cells, id_col, vec_col),
             lambda: collect_centroid_rows(
@@ -149,7 +171,6 @@ def build_ivfsq_index(
             ),
         )
     else:
-        mns, rngs = sq_stats(corpus, vec_col)
         cent_rows = collect_centroid_rows(
             ivf_centroids(corpus, n_cells, id_col, vec_col)
         )

@@ -426,3 +426,45 @@ def test_rebuild_resets_generation_chain(spark, tmp_path):
         spark, path, e.filter(F.col("vec_id") < 3), k=5, n_probe=2
     )
     assert got.count() == 15
+
+
+def test_build_with_learned_centroids_roundtrips(spark, tmp_path):
+    """Round 8: the persisted index accepts a caller-fitted centroid
+    table (the sampled-fit large-corpus default, SCALE.md §7o) — the
+    learned cells are materialized into the meta sidecar, and
+    search/append/compact consume the frozen geometry unchanged. The
+    persisted serve must be bit-identical to the in-memory ivf+SQ8
+    path run over the same learned centroids."""
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        compact_ivfsq_index,
+    )
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cent = kmeans_centroids(
+        e, n_cells=8, fit_sample_per_cell=10, fit_floor=0
+    ).persist()
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e, path, centroids=cent)
+    got = search_ivfsq_index(spark, path, q, k=5, n_probe=2)
+    rows = got.collect()
+    assert len(rows) == 25
+    # persisted meta carries the LEARNED cells (count follows table)
+    meta = spark.read.json(f"{path}/meta").first()
+    assert int(meta["n_cells"]) == 8
+    import json as _json
+
+    persisted = {
+        int(c): v for c, v, _n in _json.loads(meta["centroids"])
+    }
+    fitted = {int(r["cell_id"]): [float(x) for x in r["cent_vec"]] for r in cent.collect()}
+    assert persisted == fitted
+    # lifecycle on learned geometry: compaction stays layout-only
+    pre = sorted(map(tuple, rows))
+    compact_ivfsq_index(spark, path)
+    post = sorted(map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect()))
+    assert pre == post
+    cent.unpersist()
