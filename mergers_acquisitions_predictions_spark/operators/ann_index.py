@@ -268,6 +268,8 @@ def search_ivfsq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allowed: DataFrame | None = None,
+    rerank: int | None = None,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from a persisted IVF-SQ8 index. The live codes
     directory is resolved through the ``CURRENT`` pointer (see the
@@ -291,7 +293,21 @@ def search_ivfsq_index(
     dequantized. Partition pruning is unchanged: the semi join runs
     over only the probed cells' files, and AQE broadcasts a
     dim-table-sized allowed set; a corpus-sized allowed set shuffles
-    just the probed partitions, never the whole index."""
+    just the probed partitions, never the whole index.
+
+    ``rerank`` + ``vectors``: EXACT RE-RANK of an overfetched SQ8
+    shortlist (the `pq.ivfpq_topk(rerank=...)` pattern brought to the
+    persisted index — SCALE.md §7o-r8 remedy (b)): on clone-saturated
+    corpora the quantized dot cannot separate near-duplicate cohorts
+    (measured: id-overlap recall 0.24 at 1M stacked for ANY centroid
+    set), so the top-``rerank`` SQ8 candidates per query join back to
+    ``vectors`` (a frame carrying ``id_col``/``vec_col`` — normally
+    the corpus the index was built from) and the final top-k ranks on
+    the exact rounded cosine with candidate-id tiebreak. Cost: one
+    shortlist-sized equi-join (queries × rerank rows) + the exact
+    fold over those pairs — never corpus-shaped; partition pruning on
+    the codes scan is untouched. The returned schema gains the exact
+    score as ``cos_sim`` in place of ``sq_sim``."""
     from .similarity import ivf_assign_literal
     from .sq import _unit, sq_score
 
@@ -324,10 +340,51 @@ def search_ivfsq_index(
         F.round(sq_score(F.col("qu"), F.col("sq"), mns, rngs), 6).alias("sq_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sq_sim"), F.asc("candidate_id"))
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "candidate_id", "sq_sim", "rank")
+        )
+    if vectors is None:
+        raise ValueError(
+            "search_ivfsq_index(rerank=...) needs `vectors` — a frame "
+            f"with ({id_col}, {vec_col}) to score the shortlist exactly "
+            "(the index stores codes, not vectors)"
+        )
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    from ..functions.vectors import l2_norm
+    from .similarity import dot
+
+    shortlist = (
+        scored.withColumn("__sqrk", F.row_number().over(w))
+        .filter(F.col("__sqrk") <= rerank)
+        .select("query_id", "candidate_id")
+    )
+    # q carries one row per probed cell — the shortlist join needs one
+    # unit vector per query
+    qv = q.select("query_id", "qu").dropDuplicates(["query_id"])
+    cand = vectors.select(
+        F.col(id_col).alias("candidate_id"),
+        _unit(F.col(vec_col), l2_norm(F.col(vec_col))).alias("cu"),
+    )
+    exact = (
+        shortlist.join(cand, "candidate_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(dot(F.col("qu"), F.col("cu")), 6).alias("cos_sim"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("candidate_id")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "candidate_id", "sq_sim", "rank")
+        .select("query_id", "candidate_id", "cos_sim", "rank")
     )
 
 

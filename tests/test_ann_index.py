@@ -468,3 +468,60 @@ def test_build_with_learned_centroids_roundtrips(spark, tmp_path):
     post = sorted(map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect()))
     assert pre == post
     cent.unpersist()
+
+
+def test_sq8_rerank_restores_clone_cohort_recall(spark, tmp_path):
+    """SCALE §7o-r8 remedy (b) as a first-class serve option: on a
+    clone-saturated corpus the quantized dot cannot separate
+    near-duplicate cohorts, so plain SQ8 id-overlap recall collapses;
+    an exact re-rank of the overfetched shortlist
+    (search_ivfsq_index(rerank=..., vectors=corpus)) restores it.
+    Also: rerank without vectors, and rerank < k, fail loudly."""
+    import pytest
+
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        brute_force_topk,
+        topk_recall,
+    )
+
+    base = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    # 20 jittered clones per base vector, jitter well below SQ8's
+    # per-dim quantum — the 1M-stacked tie structure at test scale
+    corpus = (
+        base.filter(F.col("vec_id") < 250)
+        .crossJoin(spark.range(20).select(F.col("id").alias("copy")))
+        .select(
+            (F.col("vec_id") + F.col("copy") * 250).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + 0.0005
+                * F.sin(F.col("vec_id") * 131 + F.col("copy") * 17 + i.cast("double")),
+            ).alias("embedding"),
+        )
+        .persist()
+    )
+    q = corpus.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(corpus, path, n_cells=8)
+    exact = brute_force_topk(q, corpus, k=5).select("query_id", "candidate_id")
+    plain = search_ivfsq_index(spark, path, q, k=5, n_probe=2)
+    rer = search_ivfsq_index(
+        spark, path, q, k=5, n_probe=2, rerank=60, vectors=corpus
+    )
+    assert rer.columns == ["query_id", "candidate_id", "cos_sim", "rank"]
+    r_plain = topk_recall(exact, plain.select("query_id", "candidate_id"), k=5)
+    r_rer = topk_recall(exact, rer.select("query_id", "candidate_id"), k=5)
+    import pyspark.sql.functions as SF_
+
+    avg_plain = r_plain.agg(SF_.avg("recall")).first()[0]
+    avg_rer = r_rer.agg(SF_.avg("recall")).first()[0]
+    assert avg_rer > avg_plain, (avg_plain, avg_rer)
+    assert avg_rer == 1.0, avg_rer
+    with pytest.raises(ValueError, match="needs `vectors`"):
+        search_ivfsq_index(spark, path, q, k=5, n_probe=2, rerank=60)
+    with pytest.raises(ValueError, match="must be >= k"):
+        search_ivfsq_index(
+            spark, path, q, k=5, n_probe=2, rerank=3, vectors=corpus
+        )
+    corpus.unpersist()
