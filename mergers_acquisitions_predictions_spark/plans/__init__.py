@@ -53,9 +53,11 @@ from . import io_queries  # noqa: E402,F401
 #: fit_floor gate — its executed lines changed even though its
 #: behavior is bit-identical; s19 is the branch's exerciser), and
 #: the persisted-index family whose serve/commit path moved to the
-#: POINTER-FILE protocol (s13/s14/s15/s17/s18 — every registered
-#: query that executes _resolve_codes_name/build/append/compact;
-#: VERDICT r7 #4). s16 is NOT (b) this round: unlike r7 (when its
+#: POINTER-FILE protocol and whose build/serve signatures grew the
+#: round-8 options (centroids= on build, rerank=/vectors= on search
+#: — both default-None, plans byte-identical; s13/s14/s15/s17/s18 —
+#: every registered query that executes
+#: _resolve_codes_name/build/append/compact; VERDICT r7 #4). s16 is NOT (b) this round: unlike r7 (when its
 #: oracle string's scratch root moved), its own code and oracle are
 #: untouched — it composes s13+s14, both individually in-window, and
 #: its own row is r7-fresh. The handshake scratch-root symlink check,
