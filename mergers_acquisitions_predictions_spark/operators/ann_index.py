@@ -92,7 +92,20 @@ def _resolve_codes_name(spark: SparkSession, path: str) -> str:
 
     cur = fs_read_text(spark, f"{path}/{_CURRENT}")
     if cur and cur.strip():
-        return cur.strip()
+        name = cur.strip()
+        # the pointer must name a SIBLING codes directory — a manifest
+        # naming anything else (truncated write, foreign scribble, a
+        # traversal like "../x") is corruption and must be LOUD, not a
+        # scan of an attacker-chosen path
+        import re
+
+        if not re.fullmatch(r"codes(_g\d{6,})?", name):
+            raise ValueError(
+                f"corrupt index manifest {path}/{_CURRENT}: {name!r} is "
+                "not a codes generation name — restore it to 'codes' or "
+                "'codes_gNNNNNN', or rebuild the index"
+            )
+        return name
     gens = _gen_dirs(spark, path)
     if gens:
         return gens[-1]

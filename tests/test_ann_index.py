@@ -525,3 +525,44 @@ def test_sq8_rerank_restores_clone_cohort_recall(spark, tmp_path):
             spark, path, q, k=5, n_probe=2, rerank=3, vectors=corpus
         )
     corpus.unpersist()
+
+
+def test_corrupt_pointer_manifest_is_loud(spark, tmp_path):
+    """A CURRENT manifest naming anything but a sibling codes
+    generation (truncated write, foreign scribble, path traversal)
+    must raise, never scan an attacker-chosen path; an EMPTY manifest
+    falls back to generation resolution."""
+    import pytest
+
+    from mergers_acquisitions_predictions_spark.operators import util as U
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        _resolve_codes_name,
+    )
+
+    import os
+
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e, path, n_cells=8)
+
+    def scribble(text: str) -> None:
+        # a foreign hand-edit: plain write + drop Hadoop's checksum
+        # sidecar (LocalFileSystem would otherwise fail the READ on
+        # the stale .crc — which is also corruption detection, just
+        # the filesystem's own layer of it)
+        with open(f"{path}/CURRENT", "w") as f:
+            f.write(text)
+        try:
+            os.remove(f"{path}/.CURRENT.crc")
+        except FileNotFoundError:
+            pass
+        U._LITERAL_MEMO.clear()
+
+    for bad in ("../../etc", "codes_gX", "/abs/path", "codes_g1; rm"):
+        scribble(bad)
+        with pytest.raises(ValueError, match="corrupt index manifest"):
+            _resolve_codes_name(spark, path)
+    scribble("")  # truncated-to-empty: fall back, don't die
+    assert _resolve_codes_name(spark, path) == "codes"
+    scribble("codes\n")  # trailing newline tolerated
+    assert _resolve_codes_name(spark, path) == "codes"
