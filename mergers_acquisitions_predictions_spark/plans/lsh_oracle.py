@@ -340,6 +340,7 @@ def ivfsq_topk_sql(
     query_filter: str = "WHERE vec_id < 5",
     build_filter: str = "",
     candidate_filter: str = "",
+    rerank: int | None = None,
 ) -> str:
     """DuckDB mirror of `operators/sq.ivfsq_topk` (IVF + 8-bit scalar
     quantization): the oracle regenerates the per-dimension min/range
@@ -364,7 +365,15 @@ def ivfsq_topk_sql(
     side of the scored pairs — the pre-filter semantics of
     `ann_index.search_ivfsq_index(allowed=...)`: ranks are dense over
     matching candidates only, and the index geometry (stats, cells,
-    codes) is untouched by the predicate."""
+    codes) is untouched by the predicate.
+
+    ``rerank`` (round 8): mirrors
+    `ann_index.search_ivfsq_index(rerank=R, vectors=...)` — the
+    top-R SQ8 candidates per query re-scored on the EXACT rounded
+    unit-vector dot (the `unit` CTE both engines already share), then
+    ranked to k on (cos_sim DESC, candidate_id). The clone-cohort
+    remedy of SCALE.md §7o-r8, oracle-replayable because the
+    shortlist cut and the exact fold are both deterministic."""
     D = dim
     cent_block = (
         auto_ivf_cent_ctes_sql(build_filter=build_filter)
@@ -418,12 +427,46 @@ def ivfsq_topk_sql(
         WHERE q.query_id <> c.candidate_id
         {candidate_filter}
     )
-    SELECT query_id, candidate_id, sq_sim, rank
+    {_ivfsq_final_sql(k, rerank)}"""
+
+
+def _ivfsq_final_sql(k: int, rerank: int | None) -> str:
+    """The final ranking stage of `ivfsq_topk_sql`: plain SQ8 top-k,
+    or — with ``rerank`` — shortlist-then-exact-rescore."""
+    if rerank is None:
+        return f"""SELECT query_id, candidate_id, sq_sim, rank
     FROM (
         SELECT query_id, candidate_id, sq_sim,
                CAST(row_number() OVER (
                    PARTITION BY query_id ORDER BY sq_sim DESC, candidate_id
                ) AS BIGINT) AS rank
         FROM scored
+    )
+    WHERE rank <= {k}"""
+    return f""", shortlist AS (
+        SELECT query_id, candidate_id
+        FROM (
+            SELECT query_id, candidate_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sq_sim DESC, candidate_id
+                   ) AS sqrk
+            FROM scored
+        )
+        WHERE sqrk <= {rerank}
+    ),
+    rescored AS (
+        SELECT s.query_id, s.candidate_id,
+               round({SQL_DOT.format(a='qu.u', b='cu.u')}, 6) AS cos_sim
+        FROM shortlist s
+        JOIN unit qu ON qu.vec_id = s.query_id
+        JOIN unit cu ON cu.vec_id = s.candidate_id
+    )
+    SELECT query_id, candidate_id, cos_sim, rank
+    FROM (
+        SELECT query_id, candidate_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, candidate_id
+               ) AS BIGINT) AS rank
+        FROM rescored
     )
     WHERE rank <= {k}"""

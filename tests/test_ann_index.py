@@ -566,3 +566,37 @@ def test_corrupt_pointer_manifest_is_loud(spark, tmp_path):
     assert _resolve_codes_name(spark, path) == "codes"
     scribble("codes\n")  # trailing newline tolerated
     assert _resolve_codes_name(spark, path) == "codes"
+
+
+def test_rerank_serve_is_oracle_replayable(spark, tmp_path):
+    """Pre-certification of the r9 rerank driver row: the exact
+    re-rank serve hash-matches the extended DuckDB oracle
+    (`ivfsq_topk_sql(rerank=...)` — SQ8 shortlist cut + exact
+    unit-dot rescore, both deterministic) at the driver SF. Window
+    pressure kept this out of the r8 registry; the oracle machinery
+    is proven here so registration is a one-liner."""
+    import pandas as pd
+
+    from mergers_acquisitions_predictions_spark.plans.lsh_oracle import (
+        ivfsq_topk_sql,
+    )
+
+    from .oracle_utils import normalize, run_oracle
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e, path, n_cells=None)  # auto cells, oracle-matched
+    got = normalize(
+        search_ivfsq_index(
+            spark, path, q, k=5, n_probe=2, rerank=15, vectors=e
+        ).toPandas()
+    )
+    want = normalize(
+        run_oracle(
+            "WITH " + ivfsq_topk_sql(n_cells="auto", n_probe=2, k=5, rerank=15),
+            SF,
+        )
+    )
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
