@@ -5,32 +5,49 @@ serve every later query batch as a partition-pruned scan + equi-join.
 
 Layout on disk (any Hadoop-compatible filesystem):
 
-    <path>/meta/      one-row JSON: quantizer stats, centroid table,
-                      config (the driver-sized artifacts the operators
-                      otherwise collect per invocation)
-    <path>/codes/     parquet, partitionBy(cell_id):
-                      (candidate_id, sq: array<int>) — the build's
-                      generation-0 codes directory
-    <path>/codes_gN/  later generations, written by compaction
-    <path>/CURRENT    one-line pointer file naming the LIVE codes
-                      directory ("codes" or "codes_gN")
+    <path>/codes/       parquet, partitionBy(cell_id):
+                        (candidate_id, sq: array<int>) — a FRESH
+                        build's generation-0 codes directory
+    <path>/meta         one-line JSON: quantizer stats, centroid
+                        table, config (the driver-sized artifacts the
+                        operators otherwise collect per invocation) —
+                        generation-0's geometry sidecar
+    <path>/codes_gN/    later generations, written by compaction and
+                        by REBUILDS at a live path; each carries its
+                        OWN geometry as ``codes_gN/_meta`` (the
+                        leading underscore hides it from the parquet
+                        scan), so a generation name resolves codes
+                        AND geometry together — one consistent unit
+    <path>/CURRENT      one-line pointer file naming the LIVE codes
+                        directory ("codes" or "codes_gN")
 
-POINTER-FILE COMMIT (round 8, VERDICT r7 #4): readers resolve
-``CURRENT`` and scan the directory it names; maintenance writes a
-complete NEW directory first and swaps the pointer LAST (one
-small-file atomic replace — `sources/fs.fs_replace_file`: rename(2)
-on POSIX, atomic rename on HDFS, single-object copy on S3). A reader
-therefore NEVER sees a missing or partial codes directory — the
-previous design's move-aside/promote rename pair had a brief
-no-codes-dir window and a restore path; both are retired. The
-REPLACED generation is retained until the next compaction
-(retention = 1, ≤2 generations on disk), so even a reader that
-resolved the pointer just before a swap finishes its scan against
-intact files; only a reader idling across TWO compactions can lose
-its directory — the standard snapshot-expiry contract. An index
-written by the pre-pointer layout (no ``CURRENT``) still serves:
-resolution falls back to the newest promoted generation, then the
-legacy ``codes/``.
+POINTER-FILE COMMIT (round 8, VERDICT r7 #4; generation-scoped
+geometry since round 9, ADVICE r8): readers resolve ``CURRENT`` and
+scan the directory it names; maintenance writes a complete NEW
+directory first — codes AND the ``_meta`` geometry staged together,
+published by ONE directory rename — and swaps the pointer LAST
+(`sources/fs.fs_replace_file`, a small-file replace that is atomic
+on HDFS and, where a filesystem implements it as delete-then-rename
+— the local FS — leaves at worst a transient missing-pointer window
+that resolution's newest-generation fallback covers, see below). A
+reader therefore NEVER sees a missing or partial codes directory,
+and because a generation carries its own geometry, a reader that
+resolved a PRE-swap name keeps scoring those codes with THEIR stats
+— a rebuild can change the quantizer without any stale-codes/
+new-geometry mix (the cross-file race ADVICE r8 flagged). The
+REPLACED generation is retained for one maintenance cycle
+(retention = 1, ≤2 generations on disk) by compaction AND by
+rebuild, so even a reader that resolved the pointer just before a
+swap finishes its scan against intact files; only a reader idling
+across TWO maintenance commits can lose its directory — the
+standard snapshot-expiry contract. An index written by an earlier
+layout still serves: a missing ``CURRENT`` falls back to the newest
+promoted generation, then the legacy ``codes/``; a generation
+without ``_meta`` (pre-round-9 compactions) falls back to the
+sibling ``meta`` sidecar — correct for those generations by the
+frozen-geometry append/compact contract — which may itself be the
+round-4..8 one-row Spark TEXT DATASET directory rather than a plain
+file; all three forms parse to the same dict.
 
 Why partitionBy(cell_id) is the point at 100 TB: a query batch
 probes n_probe cells each; the probe cell set is collected from the
@@ -56,19 +73,28 @@ from pyspark.sql import Window as W
 
 _CURRENT = "CURRENT"
 _GEN_PREFIX = "codes_g"
+_META_FILE = "_meta"
 
 
 def _gen_dirs(spark: SparkSession, path: str) -> list[str]:
-    """Promoted generation directory names under ``path``, sorted.
-    Staging twins (``codes_gN.staging_<tok>``) never match: only an
-    all-digit suffix is a promoted generation."""
+    """Promoted generation directory names under ``path``, sorted
+    NUMERICALLY by suffix (ADVICE r8: a lexicographic sort puts
+    ``codes_g1000000`` before ``codes_g0999999``, so ``gens[-1]``
+    would resolve a stale generation and the next-gen computation
+    would collide with an existing name, failing every later
+    compaction behind `fs_rename`'s strict no-overwrite). Staging
+    twins (``codes_gN.staging_<tok>``) never match: only an all-digit
+    suffix is a promoted generation."""
     from ..sources.fs import fs_list_dirs
 
-    return [
-        d
-        for d in fs_list_dirs(spark, path)
-        if d.startswith(_GEN_PREFIX) and d[len(_GEN_PREFIX):].isdigit()
-    ]
+    return sorted(
+        (
+            d
+            for d in fs_list_dirs(spark, path)
+            if d.startswith(_GEN_PREFIX) and d[len(_GEN_PREFIX):].isdigit()
+        ),
+        key=lambda d: int(d[len(_GEN_PREFIX):]),
+    )
 
 
 def _resolve_codes_name(spark: SparkSession, path: str) -> str:
@@ -81,8 +107,11 @@ def _resolve_codes_name(spark: SparkSession, path: str) -> str:
     generation, else the legacy ``codes``. Every candidate this
     returns is a COMPLETE index directory by the commit protocol
     (generations are staged and renamed into place before the pointer
-    moves; compaction is layout-only, so old-vs-new generation is a
-    freshness difference, never a correctness one)."""
+    moves), and — since round 9 — resolves its OWN geometry
+    (`_read_meta_text`), so old-vs-new generation is a freshness
+    difference, never a correctness one: even across a REBUILD that
+    changed the quantizer, a stale resolution scores its codes with
+    the stats they were encoded under."""
     from .util import peek_memoized_literal
 
     primed = peek_memoized_literal(("ivfsq_codes_dir", path))
@@ -116,6 +145,60 @@ def _codes_path(spark: SparkSession, path: str) -> str:
     return f"{path}/{_resolve_codes_name(spark, path)}"
 
 
+def _has_live_index(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` already holds an index a reader could be
+    serving from — a ``CURRENT`` pointer, any promoted generation, or
+    a legacy ``codes/`` directory. Decides whether a build is a FRESH
+    write (nothing resolvable, so nothing to protect) or a REBUILD
+    that must commit through a staged generation (ADVICE r8: an
+    in-place overwrite of the live directory pulls files out from
+    under a concurrent reader mid-scan)."""
+    from ..sources.fs import fs_exists
+
+    return (
+        fs_exists(spark, f"{path}/{_CURRENT}")
+        or bool(_gen_dirs(spark, path))
+        or fs_exists(spark, f"{path}/codes")
+    )
+
+
+def _read_meta_text(spark: SparkSession, path: str, name: str) -> str:
+    """Raw one-line JSON geometry for the generation ``name`` at
+    ``path``. Resolution order: the generation's own co-located
+    ``<name>/_meta`` (round 9+ — the leading underscore keeps it out
+    of the parquet scan's file listing), then the sibling ``meta``
+    sidecar as a plain file (round-9 fresh builds), then the legacy
+    one-row Spark text-dataset DIRECTORY (rounds 4–8) — all three
+    driver-side Hadoop reads, no Spark job (the sidecar read used to
+    be a `spark.read.json` job, ~1 s of scheduler latency per cold
+    serve at bench scale — PERF.md round 9)."""
+    from ..sources.fs import fs_is_dir, fs_list_files, fs_read_text
+
+    if name != "codes":
+        txt = fs_read_text(spark, f"{path}/{name}/{_META_FILE}")
+        if txt is not None and txt.strip():
+            return txt
+    sidecar = f"{path}/meta"
+    if fs_is_dir(spark, sidecar):  # legacy one-row text dataset
+        parts = sorted(
+            p for p, _sz in fs_list_files(spark, sidecar, ".txt")
+        )
+        if not parts:
+            raise ValueError(f"no geometry sidecar text under {sidecar}")
+        txt = fs_read_text(spark, parts[0])
+        if txt is None or not txt.strip():
+            raise ValueError(f"empty geometry sidecar at {parts[0]}")
+        return txt
+    txt = fs_read_text(spark, sidecar)
+    if txt is None or not txt.strip():
+        raise ValueError(
+            f"index at {path} has no geometry for generation {name!r}: "
+            f"expected {path}/{name}/{_META_FILE} or a {sidecar} sidecar "
+            "— rebuild the index"
+        )
+    return txt
+
+
 def build_ivfsq_index(
     corpus: DataFrame,
     path: str,
@@ -128,8 +211,15 @@ def build_ivfsq_index(
     """Build + persist an IVF-SQ8 index: learn per-dimension stats
     and centroids from the corpus (one pass + driver-sized collects),
     encode every vector (map-side), write codes partitioned by cell.
-    Overwrites ``path``. This is the amortized-regime artifact —
-    SCALE.md §7i measures the 5.7× scan win it buys at 4k queries.
+    At a FRESH path the index lands as generation-0 (``codes/`` + the
+    ``meta`` sidecar); at a path already serving an index the build is
+    a REBUILD and commits like a compaction — a staged generation
+    carrying its own geometry, one pointer flip, the previous
+    generation retained one cycle (ADVICE r8: never overwrite what a
+    concurrent reader may be scanning). Either way the result fully
+    replaces the old index for every reader that resolves after the
+    commit. This is the amortized-regime artifact — SCALE.md §7i
+    measures the 5.7× scan win it buys at 4k queries.
 
     ``centroids``: optional caller-supplied centroid table
     (cell_id, cent_vec, cent_norm) — the round-8 completion of the
@@ -197,78 +287,149 @@ def build_ivfsq_index(
         "cell_id",
         sq_encode(_unit(F.col("__vec"), F.col("__norm")), mns, rngs).alias("sq"),
     )
-    # Cluster by cell BEFORE the partitioned write: without it every
-    # task holds rows of every cell and the sink fans out to
-    # (tasks × cells) small files — measured 9.1 s → ~5 s for the
-    # build+serve query at sf0.1. One shuffle, files-per-cell bounded
-    # by the repartition width, and the probed-cell reads downstream
-    # get contiguous row groups.
-    coded.repartition("cell_id").write.mode("overwrite").partitionBy(
-        "cell_id"
-    ).parquet(f"{path}/codes")
-
     spark = corpus.sparkSession
-    # An index REBUILD over a path this session already searched must
-    # not serve the old file listing to the next search (the round-2
-    # upsert-sink lesson, sources/writers.py).
-    spark.catalog.refreshByPath(f"{path}/codes")
-    meta = {
-        "kind": "ivfsq",
-        "dim": len(mns),
-        "n_cells": n_cells,
-        "mns": json.dumps(mns),
-        "rngs": json.dumps(rngs),
-        "centroids": json.dumps(
-            [[int(c), list(map(float, v)), float(n)] for c, v, n in cent_rows]
-        ),
-    }
-    # One-row JSON through Spark so the sidecar lands on the same
-    # filesystem as the codes (local, HDFS, S3 — no driver open()).
-    # Written as a STRING LITERAL over range(1) — pure JVM plan. The
-    # obvious createDataFrame([dict]) is python-RDD-backed, and a job
-    # over a parallelized Python list measures ~5 s of worker
-    # round-trips for ONE row (the py4j construction-cost lesson,
-    # PERF.md round 4); spark.read.json parses the text line
-    # identically.
-    spark.range(1).select(F.lit(json.dumps(meta)).alias("value")).coalesce(
-        1
-    ).write.mode("overwrite").text(f"{path}/meta")
-    spark.catalog.refreshByPath(f"{path}/meta")
-    # Commit: point CURRENT at the fresh generation-0 directory (an
-    # atomic small-file replace), then reap generations left by an
-    # earlier lifecycle at this path — a rebuild resets the pointer
-    # chain. Reaps happen BEFORE priming so the stored fingerprints
-    # are post-reap (prime's own invariant).
-    from ..sources.fs import fs_delete, fs_replace_file
+    meta_text = json.dumps(
+        {
+            "kind": "ivfsq",
+            "dim": len(mns),
+            "n_cells": n_cells,
+            "mns": json.dumps(mns),
+            "rngs": json.dumps(rngs),
+            "centroids": json.dumps(
+                [[int(c), list(map(float, v)), float(n)] for c, v, n in cent_rows]
+            ),
+        }
+    )
+    if not _has_live_index(spark, path):
+        # FRESH path: nothing resolvable exists, so no reader can be
+        # mid-scan — write generation-0 in place, no staging rename.
+        # Cluster by cell BEFORE the partitioned write: without it
+        # every task holds rows of every cell and the sink fans out to
+        # (tasks × cells) small files — measured 9.1 s → ~5 s for the
+        # build+serve query at sf0.1. One shuffle, files-per-cell
+        # bounded by the repartition width, and the probed-cell reads
+        # downstream get contiguous row groups.
+        coded.repartition("cell_id").write.mode("overwrite").partitionBy(
+            "cell_id"
+        ).parquet(f"{path}/codes")
+        spark.catalog.refreshByPath(f"{path}/codes")
+        # Geometry sidecar as ONE driver-side Hadoop write (plain
+        # file, same filesystem as the codes — local, HDFS, S3). This
+        # replaced the round-4..8 one-row Spark text job
+        # (range(1).coalesce(1).write.text): correct, but a whole
+        # job + refresh (~0.3 s at bench scale) to move one line —
+        # part of the s13-family build-leg cost VERDICT r8 flagged.
+        # `spark.read.json` accepts the plain file, and
+        # `_read_meta_text` still parses the legacy dataset-directory
+        # form for indexes older sessions wrote.
+        from ..sources.fs import fs_delete, fs_replace_file
 
-    fs_replace_file(spark, f"{path}/{_CURRENT}", "codes")
-    for stale in _gen_dirs(spark, path):
-        fs_delete(spark, f"{path}/{stale}")
-    prime_memoized_literal(("ivfsq_codes_dir", path), "codes")
+        fs_delete(spark, f"{path}/meta")  # a legacy DIR would block create
+        from ..sources.fs import fs_write_text
+
+        fs_write_text(spark, f"{path}/meta", meta_text)
+        fs_replace_file(spark, f"{path}/{_CURRENT}", "codes")
+        live_name = "codes"
+    else:
+        # REBUILD at a live path (ADVICE r8 — the in-place overwrite
+        # raced concurrent readers, and reap-everything retention
+        # contradicted the module contract): commit exactly like a
+        # compaction — stage codes + co-located _meta geometry as the
+        # NEXT generation, publish with one directory rename, flip the
+        # pointer, retain the previously-live generation one cycle,
+        # reap everything older. A reader that resolved the old name
+        # keeps consistent codes+geometry until the NEXT maintenance
+        # commit; the pointer chain continues instead of resetting.
+        live_name = _commit_generation(
+            spark, path, coded, meta_text, _resolve_codes_name(spark, path)
+        )
+    prime_memoized_literal(("ivfsq_codes_dir", path), live_name)
     prime_memoized_literal(
         ("ivfsq_meta", path), (mns, rngs, cent_rows, len(mns), n_cells)
     )
 
 
-def _read_index_meta(spark: SparkSession, path: str):
-    """(mns, rngs, cent_rows, dim, n_cells) for the index at ``path``:
-    the value primed by a SAME-SESSION build if there is one (it IS
-    what that build just wrote), else parsed from the sidecar on disk
-    — never cached here, the disk stays the source of truth for
-    artifacts this session didn't build."""
+def _commit_generation(
+    spark: SparkSession,
+    path: str,
+    coded: DataFrame,
+    meta_text: str,
+    live_name: str,
+) -> str:
+    """The staged-generation commit shared by REBUILD and COMPACTION:
+    write ``coded`` clustered-by-cell into a staging twin, co-locate
+    the ``meta_text`` geometry as ``_meta`` inside it, publish with
+    ONE directory rename as the next ``codes_gN``, atomically flip
+    ``CURRENT``, retain the previously-live generation for one cycle,
+    reap everything older. Returns the new generation name.
+
+    Failure at ANY step leaves the pre-commit index serving
+    untouched: a failed stage write, meta write, or promote reaps the
+    staging twin; a failed pointer swap reaps the
+    promoted-but-unreferenced generation. No restore rename exists
+    because nothing is ever moved aside."""
+    import os
+    import uuid
+
+    from ..sources.fs import fs_delete, fs_rename, fs_replace_file, fs_write_text
+
+    gens = _gen_dirs(spark, path)
+    next_gen = (int(gens[-1][len(_GEN_PREFIX):]) if gens else 0) + 1
+    new_name = f"{_GEN_PREFIX}{next_gen:06d}"
+    staging = f"{path}/{new_name}.staging_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    try:
+        coded.repartition("cell_id").write.mode("overwrite").partitionBy(
+            "cell_id"
+        ).parquet(staging)
+        fs_write_text(spark, f"{staging}/{_META_FILE}", meta_text)
+        fs_rename(spark, staging, f"{path}/{new_name}")
+    except BaseException:
+        fs_delete(spark, staging)  # serving index untouched
+        raise
+    try:
+        fs_replace_file(spark, f"{path}/{_CURRENT}", new_name)
+    except BaseException:
+        fs_delete(spark, f"{path}/{new_name}")  # unreferenced — reap
+        raise
+    spark.catalog.refreshByPath(f"{path}/{new_name}")
+    # Retention = 1: keep the generation just replaced (live_name) for
+    # readers that resolved the pointer before the swap; reap anything
+    # older (including the legacy codes/ once a generation supersedes
+    # it). The sibling `meta` sidecar is deliberately NOT reaped with
+    # codes/: a retained pre-round-9 generation without co-located
+    # _meta still resolves its geometry through it, and once every
+    # generation carries _meta the sidecar is one dead line a future
+    # fresh build overwrites — never resolved ahead of a generation's
+    # own _meta.
+    for d in {*_gen_dirs(spark, path), "codes"} - {new_name, live_name}:
+        fs_delete(spark, f"{path}/{d}")
+    return new_name
+
+
+def _read_index_meta(spark: SparkSession, path: str, name: str):
+    """(mns, rngs, cent_rows, dim, n_cells) for generation ``name`` of
+    the index at ``path``: the value primed by a SAME-SESSION
+    build/append/compact if there is one (it IS what that commit just
+    wrote, and the primed codes name matches by the same prime), else
+    parsed from the generation's geometry on disk — never cached
+    here, the disk stays the source of truth for artifacts this
+    session didn't write. Taking the RESOLVED name (round 9) pins
+    geometry and codes to one resolution: callers resolve once and
+    read both from it, so a pointer flip between two reads can no
+    longer pair old codes with new stats (ADVICE r8)."""
     from .util import peek_memoized_literal
 
     primed = peek_memoized_literal(("ivfsq_meta", path))
     if primed is not None:
         return primed
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = json.loads(_read_meta_text(spark, path, name))
     mns = json.loads(meta["mns"])
     rngs = json.loads(meta["rngs"])
     cent_rows = [
         (int(c), [float(x) for x in v], float(n))
         for c, v, n in json.loads(meta["centroids"])
     ]
-    dim = int(meta["dim"]) if "dim" in meta.__fields__ else len(mns)
+    dim = int(meta["dim"]) if "dim" in meta else len(mns)
     return mns, rngs, cent_rows, dim, int(meta["n_cells"])
 
 
@@ -324,7 +485,12 @@ def search_ivfsq_index(
     from .similarity import ivf_assign_literal
     from .sq import _unit, sq_score
 
-    mns, rngs, cent_rows, _dim, _nc = _read_index_meta(spark, path)
+    # ONE resolution pins this serve's codes AND geometry to the same
+    # generation (round 9): resolving twice — once for meta, once for
+    # the scan — could straddle a rebuild's pointer flip and score one
+    # generation's codes with another's quantizer stats (ADVICE r8).
+    live_name = _resolve_codes_name(spark, path)
+    mns, rngs, cent_rows, _dim, _nc = _read_index_meta(spark, path, live_name)
 
     q = ivf_assign_literal(
         queries, cent_rows, "query_id", n_probe, id_col, vec_col
@@ -335,7 +501,7 @@ def search_ivfsq_index(
     )
     probed = sorted({r["cell_id"] for r in q.select("cell_id").distinct().collect()})
 
-    codes = spark.read.parquet(_codes_path(spark, path)).filter(
+    codes = spark.read.parquet(f"{path}/{live_name}").filter(
         F.col("cell_id").isin([int(c) for c in probed])
     )
     if allowed is not None:
@@ -417,7 +583,10 @@ def append_to_ivfsq_index(
     comparable). The write appends into the same cell partitions;
     searches immediately see the new vectors."""
     spark = new_vectors.sparkSession
-    mns, rngs, cent_rows, dim, _nc = _read_index_meta(spark, path)
+    # One resolution for geometry AND the target directory — the
+    # search-path consistency rule (round 9), applied to the writer.
+    live_name = _resolve_codes_name(spark, path)
+    mns, rngs, cent_rows, dim, _nc = _read_index_meta(spark, path, live_name)
 
     # Fail FAST on dimensionality mismatch: encoding a wrong-dim
     # vector would silently write NULL code elements (element_at past
@@ -440,7 +609,6 @@ def append_to_ivfsq_index(
         "cell_id",
         sq_encode(_unit(F.col("__vec"), F.col("__norm")), mns, rngs).alias("sq"),
     )
-    live_name = _resolve_codes_name(spark, path)
     coded.write.mode("append").partitionBy("cell_id").parquet(
         f"{path}/{live_name}"
     )
@@ -477,28 +645,27 @@ def compact_ivfsq_index(spark: SparkSession, path: str) -> tuple[int, int]:
     contiguous row groups per cell).
 
     POINTER-FILE COMMIT (VERDICT r7 #4 — retires the old two-rename
-    swap's no-codes-dir window AND its move-aside/restore machinery):
-    the compacted codes are staged, renamed into place as the NEXT
-    GENERATION directory (``codes_gN`` — complete the instant the
-    name exists), and only then does ``CURRENT`` atomically flip to
-    name it (`fs_replace_file` — rename(2)/HDFS-atomic; one
-    small-object PUT on S3, where the old two-rename swap was a
-    non-atomic directory copy+delete). Failure at ANY step leaves the
-    pre-compaction index serving untouched: a failed stage write or
-    promote reaps the staging twin; a failed pointer swap reaps the
-    promoted-but-unreferenced generation. No restore rename exists
-    because nothing is ever moved aside. The REPLACED generation is
-    retained until the next compaction (readers mid-scan keep their
-    files); older generations are reaped here. Layout-only by
-    construction: search results are bit-identical before/after
-    (asserted in test_ann_index), and the meta sidecar is untouched —
-    frozen geometry — so the primed meta is re-primed under the
+    swap's no-codes-dir window AND its move-aside/restore machinery;
+    shared with rebuild as `_commit_generation` since round 9): the
+    compacted codes are staged together with a co-located copy of the
+    live generation's ``_meta`` geometry (frozen by the compact
+    contract — byte-identical text, carried forward so the new
+    generation resolves codes AND stats as one unit), renamed into
+    place as the NEXT GENERATION directory (``codes_gN`` — complete
+    the instant the name exists), and only then does ``CURRENT``
+    atomically flip to name it (`fs_replace_file` — HDFS-atomic; one
+    small-object copy+delete on S3A and the local FS, whose transient
+    missing-pointer window resolution's newest-generation fallback
+    covers). Failure at ANY step leaves the pre-compaction index
+    serving untouched (see `_commit_generation`). The REPLACED
+    generation is retained until the next maintenance commit (readers
+    mid-scan keep their files); older generations are reaped.
+    Layout-only by construction: search results are bit-identical
+    before/after (asserted in test_ann_index), and the geometry is
+    untouched — so the primed meta is re-primed under the
     post-compaction fingerprint exactly as the append does. Returns
     (files_before, files_after)."""
-    import os
-    import uuid
-
-    from ..sources.fs import fs_delete, fs_list_files, fs_rename, fs_replace_file
+    from ..sources.fs import fs_list_files
     from .util import prime_memoized_literal
 
     def _count_files(p: str) -> int:
@@ -509,38 +676,16 @@ def compact_ivfsq_index(spark: SparkSession, path: str) -> tuple[int, int]:
     before = _count_files(live)
     if before == 0:
         raise ValueError(f"no codes parquet under {live}")
+    meta_text = _read_meta_text(spark, path, live_name)
+    meta = _read_index_meta(spark, path, live_name)
     # Read through the partitioned layout so cell_id survives as a
     # column, cluster by cell, rewrite partitioned.
     codes = spark.read.parquet(live)
-    gens = _gen_dirs(spark, path)
-    next_gen = (int(gens[-1][len(_GEN_PREFIX):]) if gens else 0) + 1
-    new_name = f"{_GEN_PREFIX}{next_gen:06d}"
-    staging = f"{path}/{new_name}.staging_{os.getpid()}_{uuid.uuid4().hex[:8]}"
-    try:
-        codes.repartition("cell_id").write.mode("overwrite").partitionBy(
-            "cell_id"
-        ).parquet(staging)
-        fs_rename(spark, staging, f"{path}/{new_name}")
-    except BaseException:
-        fs_delete(spark, staging)  # serving index untouched
-        raise
-    try:
-        fs_replace_file(spark, f"{path}/{_CURRENT}", new_name)
-    except BaseException:
-        fs_delete(spark, f"{path}/{new_name}")  # unreferenced — reap
-        raise
-    spark.catalog.refreshByPath(f"{path}/{new_name}")
-    # Retention = 1: keep the generation just replaced (live_name) for
-    # readers that resolved the pointer before the swap; reap anything
-    # older (including the legacy codes/ once a generation supersedes
-    # its successor).
-    for d in {*_gen_dirs(spark, path), "codes"} - {new_name, live_name}:
-        fs_delete(spark, f"{path}/{d}")
+    new_name = _commit_generation(spark, path, codes, meta_text, live_name)
     # Frozen geometry: compaction moved bytes, not meaning. Re-prime
     # the unchanged meta under the new content fingerprint so the
-    # next serve skips the sidecar re-read job (append's lesson,
-    # PERF.md round 6).
+    # next serve skips the sidecar re-read (append's lesson, PERF.md
+    # round 6).
     prime_memoized_literal(("ivfsq_codes_dir", path), new_name)
-    meta = _read_index_meta(spark, path)
     prime_memoized_literal(("ivfsq_meta", path), meta)
     return before, _count_files(f"{path}/{new_name}")

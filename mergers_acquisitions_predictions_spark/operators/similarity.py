@@ -676,11 +676,27 @@ def ivf_assign(
 def collect_centroid_rows(cent: DataFrame) -> list[tuple[int, list[float], float]]:
     """Materialize a (cell_id, cent_vec, cent_norm) centroid table as
     driver constants for `ivf_assign_literal` — n_cells rows by
-    construction, the index artifact a deployment holds in memory."""
-    return [
-        (r["cell_id"], [float(x) for x in r["cent_vec"]], float(r["cent_norm"]))
-        for r in cent.collect()
-    ]
+    construction, the index artifact a deployment holds in memory.
+
+    SORTED by cell_id (ADVICE r8): `collect()` order of an unordered
+    DataFrame is not stable across invocations, and two things key off
+    the row LIST downstream — the assignment-memo content digest
+    (`ivf_topk` under caller-supplied centroids hashes
+    ``repr(cent_rows)``) and the literal expression text
+    (`ivf_assign_literal`). Assignment RESULTS were already
+    order-independent (the probe sort breaks ties on (−sim, cell_id)
+    inside the struct array), but an order-unstable digest could
+    silently defeat the memo it exists to serve — recomputing the
+    corpus assignment the cache is there to avoid. Sorting here makes
+    digest, literal text, and plans canonical for a given table
+    CONTENT."""
+    return sorted(
+        (
+            (r["cell_id"], [float(x) for x in r["cent_vec"]], float(r["cent_norm"]))
+            for r in cent.collect()
+        ),
+        key=lambda t: t[0],
+    )
 
 
 def ivf_assign_literal(
@@ -927,7 +943,10 @@ def ivf_topk(
 
     if centroids is not None:
         # driver-sized collect either way; the digest below keys the
-        # assignment memo to THIS table's content
+        # assignment memo to THIS table's content. cent_rows is
+        # cell_id-sorted by collect_centroid_rows, so the digest is a
+        # function of table CONTENT, not of collect() arrival order —
+        # the same fit can never miss its own memo entry (ADVICE r8).
         cent_rows = collect_centroid_rows(cent)
         cent_digest = None
         if memoize or queries_cache_key is not None:

@@ -48,6 +48,16 @@ def fs_exists(spark, path: str) -> bool:
     return _fs_for(spark, path).exists(_jpath(spark, path))
 
 
+def fs_is_dir(spark, path: str) -> bool:
+    """True iff ``path`` exists and is a directory — one status RPC.
+    Lets layout-compat readers (`operators/ann_index._read_meta_text`)
+    tell a plain-file sidecar from a legacy one-row dataset
+    directory without provoking Py4J FileNotFound noise."""
+    fs = _fs_for(spark, path)
+    p = _jpath(spark, path)
+    return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
+
+
 def fs_rename(spark, src: str, dst: str) -> None:
     """Rename ``src`` → ``dst`` with STRICT no-overwrite semantics;
     raises ``OSError`` on failure instead of Hadoop's silent
@@ -118,16 +128,23 @@ def fs_write_text(spark, path: str, text: str) -> None:
 
 
 def fs_replace_file(spark, path: str, text: str) -> None:
-    """ATOMICALLY replace the small text file at ``path`` with
-    ``text``: write a process-unique temp twin, then promote with
+    """Replace the small text file at ``path`` with ``text``: write a
+    process-unique temp twin, then promote with
     ``FileContext.rename(..., Options.Rename.OVERWRITE)`` — the
-    overwrite-capable rename ``FileSystem`` hides. Atomic on HDFS and
-    POSIX (rename(2) replaces files in one step); on S3A it is one
-    small-object copy+delete, and a reader in that window sees the OLD
-    file or the new one, never a truncated one (objects are immutable)
-    — which is exactly the pointer-file commit contract
-    (`operators/ann_index.py`): readers resolve the pointer, writers
-    swap it last."""
+    overwrite-capable rename ``FileSystem`` hides. HOW atomic that is
+    depends on the store (ADVICE r8 — an earlier draft of this
+    docstring overclaimed POSIX atomicity): on HDFS the overwrite
+    rename is a single namespace op, so readers see old-or-new,
+    never absent; on the LOCAL filesystem and S3A the default
+    ``AbstractFileSystem`` path is delete-dst-then-rename (one
+    copy+delete on S3A), so a concurrent reader can transiently
+    observe ``path`` MISSING — never truncated (the twin is complete
+    before the promote, and S3 objects are immutable). Callers must
+    therefore treat a missing pointer as a resolvable state, which is
+    exactly what the pointer-file commit does
+    (`operators/ann_index._resolve_codes_name`): a missing
+    ``CURRENT`` falls back to the newest promoted generation — the
+    very directory a just-finished swap was about to name."""
     import os
     import uuid
 

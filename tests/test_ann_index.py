@@ -403,10 +403,13 @@ def test_legacy_layout_without_pointer_still_serves(spark, tmp_path):
     assert got2 == want
 
 
-def test_rebuild_resets_generation_chain(spark, tmp_path):
-    """A full rebuild at a compacted path flips the pointer back to
-    the fresh codes/ and reaps stale generations — the pointer chain
-    restarts."""
+def test_rebuild_promotes_generation_and_retains_previous(spark, tmp_path):
+    """A rebuild at a LIVE path commits like a compaction (ADVICE r8
+    — the old in-place overwrite raced concurrent readers, and its
+    reap-everything retention contradicted the module contract): the
+    pointer chain CONTINUES to the next generation, the
+    previously-live generation survives one cycle for readers that
+    resolved before the flip, and everything older is reaped."""
     import os
 
     from mergers_acquisitions_predictions_spark.operators.ann_index import (
@@ -420,12 +423,78 @@ def test_rebuild_resets_generation_chain(spark, tmp_path):
     compact_ivfsq_index(spark, path)
     assert _resolve_codes_name(spark, path) == "codes_g000001"
     build_ivfsq_index(e, path, n_cells=8)
-    assert _resolve_codes_name(spark, path) == "codes"
-    assert not [d for d in os.listdir(path) if d.startswith("codes_g")]
+    assert _resolve_codes_name(spark, path) == "codes_g000002"
+    # previously-live g1 retained; pre-compaction codes/ (already one
+    # cycle old at the compact) is reaped now
+    assert os.path.isdir(f"{path}/codes_g000001")
+    assert not os.path.isdir(f"{path}/codes")
     got = search_ivfsq_index(
         spark, path, e.filter(F.col("vec_id") < 3), k=5, n_probe=2
     )
     assert got.count() == 15
+
+
+def test_rebuild_keeps_stale_reader_consistent(spark, tmp_path):
+    """THE race ADVICE r8 named: a reader that resolved the live
+    generation just before a REBUILD's pointer flip must keep scoring
+    those codes with THEIR quantizer stats — never the rebuild's new
+    geometry. Since round 9 every promoted generation co-locates its
+    geometry as `_meta`, so the stale name resolves a consistent
+    (codes, stats) pair even after a rebuild that CHANGED the
+    quantizer (here: a different cell count)."""
+    import json as _json
+
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        _read_index_meta,
+        _read_meta_text,
+        _resolve_codes_name,
+        compact_ivfsq_index,
+    )
+    from mergers_acquisitions_predictions_spark.operators import util as U
+
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e, path, n_cells=8)
+    compact_ivfsq_index(spark, path)  # live = codes_g000001, has _meta
+    stale_name = _resolve_codes_name(spark, path)
+    assert stale_name == "codes_g000001"
+    build_ivfsq_index(e, path, n_cells=4)  # rebuild with NEW geometry
+    U._LITERAL_MEMO.clear()  # the stale reader is another session
+    # the stale generation still exists and resolves ITS OWN geometry
+    old_meta = _json.loads(_read_meta_text(spark, path, stale_name))
+    assert int(old_meta["n_cells"]) == 8
+    assert _read_index_meta(spark, path, stale_name)[4] == 8
+    # while a fresh resolution serves the rebuilt 4-cell index
+    new_name = _resolve_codes_name(spark, path)
+    assert _read_index_meta(spark, path, new_name)[4] == 4
+    got = search_ivfsq_index(
+        spark, path, e.filter(F.col("vec_id") < 3), k=5, n_probe=2
+    )
+    assert got.count() == 15
+
+
+def test_generation_sort_is_numeric(spark, tmp_path):
+    """`_gen_dirs` orders by the INTEGER suffix (ADVICE r8): once a
+    7-digit generation exists, a lexicographic sort would put
+    codes_g1000000 before codes_g0999999, resolving a stale
+    generation and colliding the next-gen name with an existing
+    directory (failing every later compaction behind fs_rename's
+    strict no-overwrite)."""
+    import os
+
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        _gen_dirs,
+    )
+
+    path = str(tmp_path / "idx")
+    for d in ("codes_g1000000", "codes_g0999999", "codes_g000002"):
+        os.makedirs(f"{path}/{d}")
+    os.makedirs(f"{path}/codes_g000003.staging_1_aa")  # never a gen
+    assert _gen_dirs(spark, path) == [
+        "codes_g000002",
+        "codes_g0999999",
+        "codes_g1000000",
+    ]
 
 
 def test_build_with_learned_centroids_roundtrips(spark, tmp_path):
