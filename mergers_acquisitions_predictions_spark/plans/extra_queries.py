@@ -209,10 +209,16 @@ def s19_sampled_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant build term and the fit runs on a deterministic
     content-keyed sample (``xxhash64(id) % m == 0`` — partitioning-
     independent membership) while the learned centroids apply to the
-    FULL corpus through the unchanged one-pass assignment (SCALE.md
-    §7o: at 1M vectors the sampled fit holds recall 1.00 where
-    deterministic anchors crater to 0.24, at a fit cost independent
-    of n).
+    FULL corpus through the unchanged one-pass assignment. Adopted on
+    the CORRECTED §7o grounds (SCALE.md §7o-r8 — the r7 "anchors
+    crater at 1M" table compared different SCORING paths and was a
+    confound): under exact scoring the sampled fit is never worse
+    than deterministic anchors, wins at n_probe=1 on decorrelated
+    corpora, and its fit cost is independent of n; the 0.24 recall
+    measured at 1M stacked was SQ8 quantization noise among 500-deep
+    clone cohorts — it hits ANY centroid set and is remedied by
+    dedup-before-index or the exact re-rank serve
+    (`ann_index.search_ivfsq_index(rerank=...)`), not by the fit.
 
     The production floor (`_FIT_SAMPLE_FLOOR` = 100k, below which the
     full fit is cheap and sampling only adds variance) is OVERRIDDEN
