@@ -180,10 +180,17 @@ def auto_ivf_cent_ctes_sql(floor: int = 16, build_filter: str = "") -> str:
     )"""
 
 
-def ivf_assign_sql(filter_sql: str, id_alias: str, probes: int) -> str:
+def ivf_assign_sql(
+    filter_sql: str, id_alias: str, probes: int, cent_cte: str = "cent"
+) -> str:
     """DuckDB mirror of `operators/similarity.ivf_assign`:
-    argmax-cosine cell assignment over a `cent` CTE (rounded to 6 dp
-    with cell-id tiebreak, same as the Spark window)."""
+    argmax-cosine cell assignment over a centroid CTE (rounded to
+    6 dp with cell-id tiebreak, same as the Spark window).
+    ``cent_cte`` names that CTE — the default ``"cent"`` keeps every
+    pre-round-9 oracle string byte-identical; a composite oracle that
+    runs TWO independent IVF stages in one statement (s21: SemDeDup's
+    8 dedup cells + the index's √n serving cells) renames one side to
+    avoid the CTE collision."""
     return f"""
         SELECT {id_alias}, vec, nrm, cell_id FROM (
             SELECT e.vec_id AS {id_alias}, e.embedding AS vec,
@@ -195,7 +202,7 @@ def ivf_assign_sql(filter_sql: str, id_alias: str, probes: int) -> str:
                                 / (sqrt({SQL_SQNORM.format(v='e.embedding')}) * ct.cnorm),
                                 6) DESC, ct.cell_id
                    ) AS rn
-            FROM (SELECT * FROM embeddings {filter_sql}) e CROSS JOIN cent ct
+            FROM (SELECT * FROM embeddings {filter_sql}) e CROSS JOIN {cent_cte} ct
         ) WHERE rn <= {probes}"""
 
 

@@ -531,6 +531,59 @@ def _scratch_index_path(spark: SparkSession, sf_dir: str, kind: str) -> str:
 
 
 @query(
+    "s20_reranked_index_topk",
+    oracle=f"WITH {_ivfsq_topk_sql(dim=64, n_cells='auto', n_probe=2, k=5, rerank=15)}\n",
+)
+def s20_reranked_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-RERANK serve from the persisted IVF-SQ8 index — the
+    clone-cohort remedy SCALE.md §7o-r8 recommends, driver-certified
+    (VERDICT r8 #2): the SQ8 scan OVERFETCHES a top-15 shortlist per
+    query (cheap — quantized dots over the probed cells only), the
+    shortlist joins back to the raw vectors, and the final top-5
+    ranks on the exact rounded cosine. On clone-saturated corpora the
+    quantized dot's ±0.002 noise cannot separate 500-deep
+    near-duplicate cohorts (recall 0.24 at 1M stacked for ANY
+    centroid set — §7o-r8's tie-density diagnostic); the exact
+    rescore of a shortlist restores recall 1.00 at a cost that is
+    shortlist-shaped (queries × rerank rows), never corpus-shaped,
+    with the codes scan's partition pruning untouched.
+
+    Deliberately serves from the SAME artifact path as s13: when s13
+    ran earlier in the session the build here is a REBUILD at a live
+    path and exercises the staged-generation commit (codes + _meta
+    published by one rename, previous generation retained one cycle
+    — round 9's ADVICE r8 protocol) inside a hash-checked driver
+    row; at a fresh path it is the generation-0 build. Either way the
+    geometry is deterministic, so the serve is bit-identical.
+
+    Oracle: `ivfsq_topk_sql(rerank=15)` replays the same overfetch +
+    exact-rescore pipeline relationally (shortlist cut and exact fold
+    are both deterministic — the machinery pre-certified in
+    tests/test_ann_index.py::test_rerank_serve_is_oracle_replayable).
+    Reference analogue: `predictions.scala:17-38` cuts a coarse
+    candidate set first (prediction == 1) and only then scores the
+    surviving pairs on the exact probability product — the same
+    cheap-prefilter-then-exact-score shape this serve applies to
+    ANN."""
+    from ..operators.ann_index import build_ivfsq_index, search_ivfsq_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_path(spark, sf_dir, "ivfsq")
+    build_ivfsq_index(
+        e, path, n_cells=None, corpus_cache_key=(sf_dir, "embeddings")
+    )
+    return search_ivfsq_index(
+        spark,
+        path,
+        e.filter(F.col("vec_id") < 5),
+        k=5,
+        n_probe=2,
+        rerank=15,
+        vectors=e,
+    )
+
+
+@query(
     "s14_index_append_topk",
     oracle=f"""WITH {_ivfsq_topk_sql(dim=64, n_cells='auto', n_probe=2, k=5,
                                      build_filter='WHERE vec_id % 2 = 0')}\n""",
@@ -902,6 +955,104 @@ def s18_index_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_to_ivfsq_index(e.filter(F.col("vec_id") % 4 == 1), path)
     append_to_ivfsq_index(e.filter(F.col("vec_id") % 4 == 3), path)
     compact_ivfsq_index(spark, path)
+    return search_ivfsq_index(
+        spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
+    )
+
+
+from .lsh_oracle import ivf_cent_cte_sql as _ivf_cent_cte_sql  # noqa: E402
+
+#: s21's oracle: d11's SemDeDup replay (renamed CTEs — the dedup
+#: stage's 8 fixed cells must not collide with the index stage's
+#: `cent`) feeding a `kept` survivor set into the full IVF-SQ8 replay
+#: restricted to it on BOTH sides: `build_filter` fits quantizer
+#: stats, √n sizing, and centroids on survivors only, and
+#: `candidate_filter` drops non-survivors from the scored pairs —
+#: together exactly "the index was built on the deduped corpus".
+_S21_ORACLE = f"""WITH RECURSIVE dcent AS ({_ivf_cent_cte_sql(8)}
+    ),
+    dassign AS ({_ivf_assign_sql("", "vec_id", 1, cent_cte="dcent")}
+    ),
+    dpairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM dassign a JOIN dassign b
+          ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        WHERE round({SQL_DOT.format(a='a.vec', b='b.vec')}
+                    / (a.nrm * b.nrm), 6) >= 0.4
+    ),
+    dedges AS (
+        SELECT a_id AS u, b_id AS v FROM dpairs
+        UNION ALL SELECT b_id, a_id FROM dpairs
+    ),
+    dreach AS (
+        SELECT u, v FROM dedges
+        UNION
+        SELECT r.u, e.v FROM dreach r JOIN dedges e ON r.v = e.u
+    ),
+    kept AS (
+        SELECT e.vec_id
+        FROM embeddings e LEFT JOIN dreach r ON r.u = e.vec_id
+        GROUP BY e.vec_id
+        HAVING e.vec_id = least(e.vec_id, coalesce(min(r.v), e.vec_id))
+    ),
+    {_ivfsq_topk_sql(dim=64, n_cells='auto', n_probe=2, k=5,
+                     build_filter='WHERE vec_id IN (SELECT vec_id FROM kept)',
+                     candidate_filter='AND c.candidate_id IN (SELECT vec_id FROM kept)')}
+"""
+
+
+@query("s21_dedup_index_serve", oracle=_S21_ORACLE)
+def s21_dedup_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-BEFORE-INDEX — the recommended 100 TB ANN ingestion
+    pipeline as ONE driver-certified row (VERDICT r8 #5): SemDeDup
+    the corpus (d11's machinery verbatim — 8 IVF cells, within-cell
+    cosine pairs >= 0.4, connected components, keep the min-id
+    member), BUILD the persisted IVF-SQ8 index on the survivors only,
+    serve top-k from it. SCALE.md §7o-r8 remedy (a): quantized-dot
+    recall collapses on clone-saturated corpora because tie cohorts
+    are deeper than the SQ8 noise floor — removing near-duplicates
+    BEFORE indexing shrinks the cohorts below it at the source, where
+    the rerank serve (s20) pays an exact rescore per query instead.
+    Composition economics at scale: the dedup is Σ|cell|² once per
+    ingest, the index build n·√n once per rebuild, and every serve
+    thereafter scans only probed cells of a SMALLER index — the
+    deduped corpus is also what a training pipeline would feed the
+    sampler anyway (d13/t13 downstream).
+
+    The oracle replays BOTH stages in one statement: d11's
+    recursive-CTE components produce the survivor set, and the
+    IVF-SQ8 replay is restricted to it on the build side (stats, √n
+    sizing, centroids fit on survivors) and the candidate side
+    (non-survivors never scored) — exactly the semantics of building
+    on the deduped frame. Queries deliberately come from the FULL
+    corpus (vec_id < 5): a dropped duplicate remains a valid query
+    against the deduped index and must rank only survivors.
+    Reference analogue: the reference's own dedup-before-downstream
+    hygiene — `acq_etl_code.scala:96-100` distincts the joined frame
+    before everything that consumes it."""
+    from ..operators.ann_index import build_ivfsq_index, search_ivfsq_index
+    from ..operators.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # `dd` OWNS the component loop's localCheckpoint blocks
+    # (util.own_local_checkpoint): it must stay referenced until the
+    # build has MATERIALIZED the survivor-built index — a chained
+    # throwaway would let the finalizer release the truncated-lineage
+    # checkpoint under the derived `kept` plan (a released checkpoint
+    # cannot recompute). The serve afterwards reads only the
+    # persisted artifact, so `dd` may die with this frame's scope.
+    dd = semantic_dedup(e, threshold=0.4, n_cells=8)
+    kept = e.join(
+        dd.filter(F.col("keep")).select("vec_id"), "vec_id", "left_semi"
+    )
+    path = _scratch_index_path(spark, sf_dir, "ivfsq_dedup")
+    build_ivfsq_index(
+        kept,  # survivors only — the deduped corpus
+        path,
+        n_cells=None,
+        corpus_cache_key=(sf_dir, "embeddings", "semdedup0.4x8"),
+    )
+    del dd  # checkpoint blocks released deterministically, post-build
     return search_ivfsq_index(
         spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
     )
