@@ -43,86 +43,85 @@ from . import io_queries  # noqa: E402,F401
 #: constraint VERDICT r6 #1 names). Queries whose OWN plan or oracle
 #: string changed remain individually (b)-mandatory.
 #:
-#: Round 8: (a) new = s19 (the SAMPLED centroid-fit path — the
-#: engine's adopted large-corpus default, floor-overridden so the
-#: sampled branch runs at oracle scale, certified via the s05
-#: artifact-replay recipe; VERDICT r7 #2);
-#: (b) changed since last row = io04 (`layout.write_bucketed`'s
-#: orphan protocol: move-aside/restore/reap replaces the blind
-#: delete — ADVICE r7), s05 (`kmeans_centroids` gained the
-#: fit_floor gate — its executed lines changed even though its
-#: behavior is bit-identical; s19 is the branch's exerciser), and
-#: the persisted-index family whose serve/commit path moved to the
-#: POINTER-FILE protocol and whose build/serve signatures grew the
-#: round-8 options (centroids= on build, rerank=/vectors= on search
-#: — both default-None, plans byte-identical; s13/s14/s15/s17/s18 —
-#: every registered query that executes
-#: _resolve_codes_name/build/append/compact; VERDICT r7 #4). s16 is NOT (b) this round: unlike r7 (when its
-#: oracle string's scratch root moved), its own code and oracle are
-#: untouched — it composes s13+s14, both individually in-window, and
-#: its own row is r7-fresh. The handshake scratch-root symlink check,
-#: the fs_list_files missing-path guard, the compact_parquet restore
-#: fix, and the TTL env knob are shared-layer/validation-only changes
-#: (identical oracle strings, identical plans) certified by the
-#: in-window representatives under the r7 amendment;
-#: (c) fill = the ENTIRE r4-era staleness frontier (42 rows — the
-#: oldest cohort after r7 cleared everything pre-r4; VERDICT r7 #1).
-#: After this round no driver row predates round 5. The r5 cohort
-#: (21 rows incl. streaming q17) becomes round 9's frontier.
+#: Round 9: (a) new = s20 (the exact-rerank serve — §7o-r8 remedy
+#: (b), oracle machinery pre-certified in round 8; VERDICT r8 #2)
+#: and s21 (dedup-before-index composite — SemDeDup survivors feed
+#: the persisted index build; VERDICT r8 #5);
+#: (b) changed since last row = the persisted-index family on the
+#: GENERATION-SCOPED geometry + staged-rebuild commit (codes_gN
+#: co-locates its _meta, rebuild commits like a compaction with
+#: one-cycle retention, numeric generation sort, single resolution
+#: per serve, driver-side sidecar I/O — ADVICE r8, all four items;
+#: s13/s14/s15/s17/s18 — every registered query that executes
+#: build/search/append/compact), plus s05 and s19 as the
+#: supplied-centroid representatives of `collect_centroid_rows`'s
+#: cell_id sort (the digest/literal canonicalization — ADVICE r8;
+#: results bit-identical, the in-memory IVF consumers s03/s04/s08/
+#: s10/s11/d07/d11 all ride the (c) fill anyway). s16 stays out of
+#: (b) on the r8 precedent: its own plan and oracle are untouched,
+#: it composes build+append+search, all certified by the five
+#: in-window family members, and its row is r8-fresh;
+#: (c) fill = the ENTIRE r5-era staleness frontier (21 rows incl.
+#: streaming q17 — VERDICT r8 #1) + the 20 alphabetically-first rows
+#: of the 33-row r6 cohort (equal staleness; the name order makes
+#: the tie-break auditable). After this round no driver row predates
+#: round 6; the 13 remaining r6 rows (t10..u03) are round 10's
+#: frontier.
 DRIVER_WINDOW = [
     # (a): registered this round
-    "s19_sampled_kmeans_topk",
-    # (b): implementation or oracle changed since their last row
-    "io04_layout_roundtrip",
+    "s20_reranked_index_topk",
+    "s21_dedup_index_serve",
+    # (b): implementation changed since their last row
     "s05_ivf_kmeans_topk",
     "s13_persisted_index_topk",
     "s14_index_append_topk",
     "s15_stream_serve_replay",
     "s17_filtered_index_topk",
     "s18_index_compact_serve",
-    # (c): the complete r4-era cohort (stalest rows after round 7)
-    "d15_winnow_containment",
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_top_revenue_orders",
-    "q04_revenue_by_region",
-    "q05_theta_pairs_per_nation",
-    "q06_label_within_year",
-    "q07_distinct_flags",
-    "q08_topk_orders_per_customer",
-    "q09_rollup_lineitem",
-    "q10_nation_setops",
-    "q11_semi_anti_customers",
-    "q12_priority_order_stats",
-    "q13_orders_near_events",
-    "q14_scalar_functions",
-    "q15_size_buckets",
-    "q16_running_customer_spend",
-    "q18_session_windows",
-    "q19_sliding_windows",
-    "q20_user_activity_gaps",
-    "q21_pivot_status_by_priority",
-    "q22_exists_subquery",
-    "q23_scalar_subquery",
-    "q24_having",
-    "q25_monthly_orders",
-    "q26_null_handling",
-    "q27_string_functions2",
-    "q28_union_dedup",
-    "q29_window_lead_lag",
-    "q30_cube",
-    "q31_json_extract",
-    "q32_collect_sorted",
-    "q33_quantiles",
-    "q34_full_outer_join",
-    "q35_cross_join_grid",
-    "q36_stats_aggregates",
-    "q37_any_all_semantics",
-    "q39_asof_attribution",
-    "q40_range_frame_window",
-    "q41_rank_functions",
-    "q42_grouping_sets",
-    "q43_datetime_functions",
+    "s19_sampled_kmeans_topk",
+    # (c): the complete r5-era cohort (stalest rows after round 8)
+    "d01_minhash_signatures",
+    "d03_jaccard_pairs",
+    "d04_simhash",
+    "d10_contamination",
+    "j02_deal_name_linkage",
+    "j03_fuzzy_name_match",
+    "m04_pair_ranking",
+    "m06_split_assignment",
+    "q17_tumbling_windows",
+    "q38_deterministic_sample",
+    "q44_null_ordering",
+    "q45_except_all_multiplicity",
+    "s01_embedding_norms",
+    "s02_cosine_topk",
+    "t01_token_stats",
+    "t02_clean_text",
+    "t03_ngram_stats",
+    "t04_stopword_filter",
+    "t05_lang_source_stats",
+    "u01_pandas_udf_charge",
+    "u02_grouped_minmax_scale",
+    # (c): the 20 alphabetically-first rows of the r6 cohort
+    "d02_minhash_lsh_pairs",
+    "d05_embedding_neardups",
+    "d06_lsh_verified_neardups",
+    "d07_lsh_embedding_neardups",
+    "d09_dup_clusters",
+    "d11_semantic_dedup",
+    "d14_cluster_canonicals",
+    "d17_components_star",
+    "d19_minhash_estimate",
+    "s03_lsh_ann_topk",
+    "s04_ivf_ann_topk",
+    "s06_hard_negatives",
+    "s07_ann_recall",
+    "s08_ivfpq_topk",
+    "s10_ivfsq_topk",
+    "s11_rrf_fusion",
+    "t06_doc_fingerprints",
+    "t07_exact_dedup_summary",
+    "t08_vocabulary",
+    "t09_tfidf_top_terms",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

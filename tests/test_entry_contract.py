@@ -317,12 +317,11 @@ def test_driver_window_rotation_rule_r8():
     and keeps its r7-fresh row);
     (c) the ENTIRE r4-era cohort — 42 rows, the post-r7 staleness
     frontier (VERDICT r7 #1: after this round no driver row predates
-    round 5). LIVE round: asserted against the current window;
-    convert to the CORRECTNESS_r08 record once it exists."""
+    round 5). Asserted against the immutable CORRECTNESS_r08 record
+    (converted from the live-window form once the record landed, the
+    standing pattern)."""
     import json
     import os
-
-    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
 
     new_in_r8 = {"s19_sampled_kmeans_topk"}
     changed_in_r8 = {
@@ -346,6 +345,56 @@ def test_driver_window_rotation_rule_r8():
     stale_r4 = {name for name, rnd in latest.items() if rnd == 4}
     assert len(stale_r4) == 42
     want = new_in_r8 | changed_in_r8 | stale_r4
+    r8_rows = set(
+        json.load(open(os.path.join(root, "CORRECTNESS_r08.json")))
+    )
+    assert want == r8_rows  # exactly filled the 50 slots
+
+
+def test_driver_window_rotation_rule_r9():
+    """Round-9 window under the postdate rule + the r7 shared-layer
+    amendment: (a) s20 (exact-rerank serve, VERDICT r8 #2) and s21
+    (dedup-before-index composite, VERDICT r8 #5); (b) the
+    persisted-index family on the generation-scoped geometry +
+    staged-rebuild commit (ADVICE r8: s13/s14/s15/s17/s18), plus
+    s05/s19 as the supplied-centroid representatives of
+    collect_centroid_rows' content-canonical sort (s16 stays out on
+    the r8 precedent — own plan and oracle untouched, composes
+    in-window members, r8-fresh row); (c) the ENTIRE r5-era cohort
+    (21 rows incl. streaming q17 — VERDICT r8 #1) + the 20
+    alphabetically-first of the 33 equal-staleness r6 rows (the
+    name-order tie-break makes the fill auditable). LIVE round:
+    asserted against the current window; convert to the
+    CORRECTNESS_r09 record once it exists."""
+    import json
+    import os
+
+    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
+
+    new_in_r9 = {"s20_reranked_index_topk", "s21_dedup_index_serve"}
+    changed_in_r9 = {
+        "s05_ivf_kmeans_topk",  # collect_centroid_rows sort (supplied fit)
+        "s13_persisted_index_topk",  # single-resolution serve, file sidecar
+        "s14_index_append_topk",  # append resolves name+meta once
+        "s15_stream_serve_replay",  # serve_batch → new resolution
+        "s17_filtered_index_topk",  # filtered serve → new resolution
+        "s18_index_compact_serve",  # _commit_generation compaction
+        "s19_sampled_kmeans_topk",  # collect_centroid_rows sort (sampled fit)
+    }
+    # staleness cohorts derived from the immutable records
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int] = {}
+    for rnd in range(1, 9):
+        for name in json.load(
+            open(os.path.join(root, f"CORRECTNESS_r0{rnd}.json"))
+        ):
+            latest[name] = rnd
+    stale_r5 = {name for name, rnd in latest.items() if rnd == 5}
+    assert len(stale_r5) == 21
+    r6 = sorted(name for name, rnd in latest.items() if rnd == 6)
+    assert len(r6) == 33
+    fill_r6 = set(r6[: 50 - len(new_in_r9 | changed_in_r9 | stale_r5)])
+    want = new_in_r9 | changed_in_r9 | stale_r5 | fill_r6
     assert want == set(DRIVER_WINDOW)  # exactly fills the 50 slots
 
 
