@@ -97,6 +97,8 @@ def main() -> None:
         "s15_stream_serve_replay",  # one micro-batch of the serving sink
         "s17_filtered_index_topk",  # metadata-predicate (pre-filter) serve
         "s18_index_compact_serve",  # build + 2 appends + compact + serve
+        "s20_reranked_index_topk",  # SQ8 overfetch + exact re-rank serve
+        "s21_dedup_index_serve",  # SemDeDup -> survivor build -> serve
         # s16 (append-vs-rebuild drift) is correctness-window only: it
         # composes s13+s14, so benching it would double-count their
         # index builds already measured above.
