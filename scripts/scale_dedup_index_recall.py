@@ -112,18 +112,24 @@ def main(n: int = 1_000_000) -> None:
     print(json.dumps({k: row[k] for k in ("recall_rerank50", "t_serve_rerank")}), file=sys.stderr, flush=True)
 
     # --- remedy (a), the s21 pipeline: SemDeDup -> build -> serve ---
-    # threshold 0.9: jittered clones sit >=~0.97 cosine, unrelated
-    # base vectors ~|0.1| at 64 dims — the cohort edge set, nothing
-    # else. sqrt-n cells bound the within-cell pair space.
-    dd, row["t_dedup"] = timed(
-        lambda: semantic_dedup(
-            corpus, threshold=0.9, n_cells=row["cells_full"], use_arrow=True
-        )
-        .filter(F.col("keep"))
-        .select("vec_id")
-        .persist()
+    # threshold 0.9: jittered clones sit ~0.87-0.99 cosine pairwise
+    # (components bridge the sub-threshold pairs), unrelated base
+    # vectors ~|0.1| at 64 dims — the cohort edge set, nothing else.
+    # sqrt-n cells bound the within-cell pair space. `sd` OWNS the
+    # component loop's localCheckpoint blocks (the s21 lesson): it
+    # must stay referenced until every derived frame is materialized.
+    t0 = time.perf_counter()
+    sd = semantic_dedup(
+        corpus, threshold=0.9, n_cells=row["cells_full"], use_arrow=True
     )
+    dd = sd.filter(F.col("keep")).select("vec_id").persist()
     row["survivors"] = dd.count()
+    row["t_dedup"] = round(time.perf_counter() - t0, 2)
+    print(
+        json.dumps({k: row[k] for k in ("survivors", "t_dedup")}),
+        file=sys.stderr,
+        flush=True,
+    )
     kept = corpus.join(dd, "vec_id", "left_semi").persist()
     kept.count()
     row["cells_dedup"] = auto_cells(row["survivors"])
@@ -149,6 +155,7 @@ def main(n: int = 1_000_000) -> None:
     print(json.dumps(row))
     for f in (exact_full, exact_dd, dd, kept):
         f.unpersist()
+    del sd  # checkpoint owner released only after all consumers ran
     shutil.rmtree(scratch, ignore_errors=True)
     spark.stop()
 
