@@ -339,6 +339,46 @@ def ivfpq_topk_sql(
     WHERE rank <= {k}'''}"""
 
 
+def semdedup_kept_ctes_sql(n_cells: int = 8, threshold: float = 0.4) -> str:
+    """CTE prelude ``dcent`` → ``kept`` replaying
+    `operators/similarity.semantic_dedup` and reducing it to the
+    SURVIVOR id set: d11's recursive-closure oracle with the stage
+    names ``d``-prefixed so the block composes with `ivfsq_topk_sql`
+    in one statement (whose own ``cent`` must not collide with the
+    dedup stage's centroids). Used by s21's oracle (build+candidate
+    sides restricted to ``kept``) and by the composed dedup+rerank
+    serve pre-certified for round 10
+    (tests/test_ann_index.py::test_dedup_rerank_compose_is_oracle_replayable).
+    Callers must open the statement with ``WITH RECURSIVE`` (the
+    ``dreach`` closure)."""
+    return f"""dcent AS ({ivf_cent_cte_sql(n_cells)}
+    ),
+    dassign AS ({ivf_assign_sql("", "vec_id", 1, cent_cte="dcent")}
+    ),
+    dpairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM dassign a JOIN dassign b
+          ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        WHERE round({SQL_DOT.format(a='a.vec', b='b.vec')}
+                    / (a.nrm * b.nrm), 6) >= {threshold}
+    ),
+    dedges AS (
+        SELECT a_id AS u, b_id AS v FROM dpairs
+        UNION ALL SELECT b_id, a_id FROM dpairs
+    ),
+    dreach AS (
+        SELECT u, v FROM dedges
+        UNION
+        SELECT r.u, e.v FROM dreach r JOIN dedges e ON r.v = e.u
+    ),
+    kept AS (
+        SELECT e.vec_id
+        FROM embeddings e LEFT JOIN dreach r ON r.u = e.vec_id
+        GROUP BY e.vec_id
+        HAVING e.vec_id = least(e.vec_id, coalesce(min(r.v), e.vec_id))
+    )"""
+
+
 def ivfsq_topk_sql(
     dim: int = 64,
     n_cells: int | str = 16,

@@ -960,7 +960,7 @@ def s18_index_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from .lsh_oracle import ivf_cent_cte_sql as _ivf_cent_cte_sql  # noqa: E402
+from .lsh_oracle import semdedup_kept_ctes_sql as _semdedup_kept_ctes  # noqa: E402
 
 #: s21's oracle: d11's SemDeDup replay (renamed CTEs — the dedup
 #: stage's 8 fixed cells must not collide with the index stage's
@@ -969,32 +969,7 @@ from .lsh_oracle import ivf_cent_cte_sql as _ivf_cent_cte_sql  # noqa: E402
 #: stats, √n sizing, and centroids on survivors only, and
 #: `candidate_filter` drops non-survivors from the scored pairs —
 #: together exactly "the index was built on the deduped corpus".
-_S21_ORACLE = f"""WITH RECURSIVE dcent AS ({_ivf_cent_cte_sql(8)}
-    ),
-    dassign AS ({_ivf_assign_sql("", "vec_id", 1, cent_cte="dcent")}
-    ),
-    dpairs AS (
-        SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        FROM dassign a JOIN dassign b
-          ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-        WHERE round({SQL_DOT.format(a='a.vec', b='b.vec')}
-                    / (a.nrm * b.nrm), 6) >= 0.4
-    ),
-    dedges AS (
-        SELECT a_id AS u, b_id AS v FROM dpairs
-        UNION ALL SELECT b_id, a_id FROM dpairs
-    ),
-    dreach AS (
-        SELECT u, v FROM dedges
-        UNION
-        SELECT r.u, e.v FROM dreach r JOIN dedges e ON r.v = e.u
-    ),
-    kept AS (
-        SELECT e.vec_id
-        FROM embeddings e LEFT JOIN dreach r ON r.u = e.vec_id
-        GROUP BY e.vec_id
-        HAVING e.vec_id = least(e.vec_id, coalesce(min(r.v), e.vec_id))
-    ),
+_S21_ORACLE = f"""WITH RECURSIVE {_semdedup_kept_ctes(8, 0.4)},
     {_ivfsq_topk_sql(dim=64, n_cells='auto', n_probe=2, k=5,
                      build_filter='WHERE vec_id IN (SELECT vec_id FROM kept)',
                      candidate_filter='AND c.candidate_id IN (SELECT vec_id FROM kept)')}

@@ -669,3 +669,61 @@ def test_rerank_serve_is_oracle_replayable(spark, tmp_path):
     )
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_dedup_rerank_compose_is_oracle_replayable(spark, tmp_path):
+    """Pre-certification of a CANDIDATE r10 driver row — the full
+    §7o-r9 recommendation (SCALE.md finding 3): SemDeDup the corpus,
+    build the index on the survivors, serve with the exact re-rank.
+    Measured at 1M: dedup alone recovers 0.92 (cell-purity residuals),
+    rerank on top is exact — a deployment runs BOTH. The oracle is
+    s21's prelude (`semdedup_kept_ctes_sql`) + `ivfsq_topk_sql` with
+    build/candidate restriction AND the rerank stage in one statement
+    — proving the three generator features compose before a window
+    slot is spent on the row (the r8 rerank-row pattern)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from mergers_acquisitions_predictions_spark.plans.lsh_oracle import (
+        ivfsq_topk_sql,
+        semdedup_kept_ctes_sql,
+    )
+
+    from .oracle_utils import normalize, run_oracle
+
+    e = load_table(spark, SF, "embeddings")
+    sd = semantic_dedup(e, threshold=0.4, n_cells=8)
+    kept = e.join(
+        sd.filter(F.col("keep")).select("vec_id"), "vec_id", "left_semi"
+    )
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(kept, path, n_cells=None)
+    got = normalize(
+        search_ivfsq_index(
+            spark,
+            path,
+            e.filter(F.col("vec_id") < 5),
+            k=5,
+            n_probe=2,
+            rerank=15,
+            vectors=kept,
+        ).toPandas()
+    )
+    del sd  # checkpoint owner: everything upstream has materialized
+    oracle = (
+        f"WITH RECURSIVE {semdedup_kept_ctes_sql(8, 0.4)},\n"
+        + ivfsq_topk_sql(
+            n_cells="auto",
+            n_probe=2,
+            k=5,
+            rerank=15,
+            build_filter="WHERE vec_id IN (SELECT vec_id FROM kept)",
+            candidate_filter="AND c.candidate_id IN (SELECT vec_id FROM kept)",
+        )
+    )
+    want = normalize(run_oracle(oracle, SF))
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
