@@ -207,6 +207,7 @@ def build_ivfsq_index(
     vec_col: str = "embedding",
     corpus_cache_key: tuple | None = None,
     centroids: DataFrame | None = None,
+    assign_blas: bool = False,
 ) -> None:
     """Build + persist an IVF-SQ8 index: learn per-dimension stats
     and centroids from the corpus (one pass + driver-sized collects),
@@ -278,14 +279,50 @@ def build_ivfsq_index(
             ivf_centroids(corpus, n_cells, id_col, vec_col)
         )
 
-    from .similarity import ivf_assign_literal
+    from .similarity import ivf_assign_blas, ivf_assign_literal
 
-    coded = ivf_assign_literal(
-        repartition_for_compute(corpus), cent_rows, "candidate_id", 1, id_col, vec_col
-    ).select(
-        "candidate_id",
-        "cell_id",
-        sq_encode(_unit(F.col("__vec"), F.col("__norm")), mns, rngs).alias("sq"),
+    # ``assign_blas``: route the n×cells assignment — THE dominant
+    # build term at deployment scale (SCALE.md §7o-r9 addendum) —
+    # through one numpy matmul per Arrow batch instead of codegen'd
+    # folds. Opt-in: codes and scoring stay bit-identical (the BLAS
+    # path only picks the cell; __vec passes through and __norm is
+    # re-derived JVM-side), but a boundary-tie cell choice is not
+    # bit-guaranteed, which the registered oracle rows require — see
+    # ivf_assign_blas' parity-scope docstring.
+    assign = ivf_assign_blas if assign_blas else ivf_assign_literal
+    # TWO-STEP ENCODE AROUND THE CELL SHUFFLE (round 9, found by
+    # thread-dumping a wedged 1M build): higher-order functions run on
+    # the INTERPRETED expression path (no whole-stage codegen), where
+    # a collapsed projection re-evaluates its inputs per lambda
+    # element — `sq_encode(_unit(vec, norm))` re-derives the full unit
+    # TRANSFORM for every one of the d code dimensions (d² work), and
+    # when the norm's fold expression is also inlined (nothing between
+    # the projections to stop CollapseProject — the BLAS assignment
+    # path, which lacks the fold path's explode/Generate barrier) the
+    # l2 fold re-evaluates per divide: d³ per row, a >100× blowup at
+    # 1M×64d. Computing the unit vector BEFORE the cell shuffle and
+    # encoding AFTER it makes the shuffle the materialization barrier:
+    # post-shuffle, `__unit` is a concrete attribute and encode is d
+    # array reads per row. Unit values, codes, and results are
+    # bit-identical — only evaluation count changes. The shuffle
+    # itself was already here (clustering by cell bounds
+    # files-per-cell by the repartition width and gives probed-cell
+    # reads contiguous row groups — measured 9.1 s → ~5 s at sf0.1).
+    coded = (
+        assign(
+            repartition_for_compute(corpus), cent_rows, "candidate_id", 1, id_col, vec_col
+        )
+        .select(
+            "candidate_id",
+            "cell_id",
+            _unit(F.col("__vec"), F.col("__norm")).alias("__unit"),
+        )
+        .repartition("cell_id")
+        .select(
+            "candidate_id",
+            "cell_id",
+            sq_encode(F.col("__unit"), mns, rngs).alias("sq"),
+        )
     )
     spark = corpus.sparkSession
     meta_text = json.dumps(
@@ -303,15 +340,12 @@ def build_ivfsq_index(
     if not _has_live_index(spark, path):
         # FRESH path: nothing resolvable exists, so no reader can be
         # mid-scan — write generation-0 in place, no staging rename.
-        # Cluster by cell BEFORE the partitioned write: without it
-        # every task holds rows of every cell and the sink fans out to
-        # (tasks × cells) small files — measured 9.1 s → ~5 s for the
-        # build+serve query at sf0.1. One shuffle, files-per-cell
-        # bounded by the repartition width, and the probed-cell reads
-        # downstream get contiguous row groups.
-        coded.repartition("cell_id").write.mode("overwrite").partitionBy(
-            "cell_id"
-        ).parquet(f"{path}/codes")
+        # `coded` is already clustered by cell (the encode shuffle
+        # above), so the partitioned sink writes contiguous row groups
+        # with files-per-cell bounded by the shuffle width.
+        coded.write.mode("overwrite").partitionBy("cell_id").parquet(
+            f"{path}/codes"
+        )
         spark.catalog.refreshByPath(f"{path}/codes")
         # Geometry sidecar as ONE driver-side Hadoop write (plain
         # file, same filesystem as the codes — local, HDFS, S3). This
@@ -357,11 +391,14 @@ def _commit_generation(
     live_name: str,
 ) -> str:
     """The staged-generation commit shared by REBUILD and COMPACTION:
-    write ``coded`` clustered-by-cell into a staging twin, co-locate
-    the ``meta_text`` geometry as ``_meta`` inside it, publish with
-    ONE directory rename as the next ``codes_gN``, atomically flip
-    ``CURRENT``, retain the previously-live generation for one cycle,
-    reap everything older. Returns the new generation name.
+    write ``coded`` — which the CALLER must already have clustered by
+    cell (both callers shuffle upstream; a second repartition here
+    would double-shuffle the rebuild path) — into a staging twin,
+    co-locate the ``meta_text`` geometry as ``_meta`` inside it,
+    publish with ONE directory rename as the next ``codes_gN``,
+    atomically flip ``CURRENT``, retain the previously-live
+    generation for one cycle, reap everything older. Returns the new
+    generation name.
 
     Failure at ANY step leaves the pre-commit index serving
     untouched: a failed stage write, meta write, or promote reaps the
@@ -378,9 +415,7 @@ def _commit_generation(
     new_name = f"{_GEN_PREFIX}{next_gen:06d}"
     staging = f"{path}/{new_name}.staging_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     try:
-        coded.repartition("cell_id").write.mode("overwrite").partitionBy(
-            "cell_id"
-        ).parquet(staging)
+        coded.write.mode("overwrite").partitionBy("cell_id").parquet(staging)
         fs_write_text(spark, f"{staging}/{_META_FILE}", meta_text)
         fs_rename(spark, staging, f"{path}/{new_name}")
     except BaseException:
@@ -602,12 +637,27 @@ def append_to_ivfsq_index(
     from .similarity import ivf_assign_literal
     from .sq import _unit, sq_encode
 
-    coded = ivf_assign_literal(
-        new_vectors, cent_rows, "candidate_id", 1, id_col, vec_col
-    ).select(
-        "candidate_id",
-        "cell_id",
-        sq_encode(_unit(F.col("__vec"), F.col("__norm")), mns, rngs).alias("sq"),
+    # Two-step encode around a cell shuffle — build's interpreted-HOF
+    # lesson (see build_ivfsq_index): post-shuffle, `__unit` is a
+    # concrete attribute and encode is d array reads per row instead
+    # of d re-evaluations of the unit transform. The shuffle also
+    # bounds the shard's file fan-out to one file per touched cell
+    # instead of (tasks × cells).
+    coded = (
+        ivf_assign_literal(
+            new_vectors, cent_rows, "candidate_id", 1, id_col, vec_col
+        )
+        .select(
+            "candidate_id",
+            "cell_id",
+            _unit(F.col("__vec"), F.col("__norm")).alias("__unit"),
+        )
+        .repartition("cell_id")
+        .select(
+            "candidate_id",
+            "cell_id",
+            sq_encode(F.col("__unit"), mns, rngs).alias("sq"),
+        )
     )
     coded.write.mode("append").partitionBy("cell_id").parquet(
         f"{path}/{live_name}"
@@ -680,7 +730,7 @@ def compact_ivfsq_index(spark: SparkSession, path: str) -> tuple[int, int]:
     meta = _read_index_meta(spark, path, live_name)
     # Read through the partitioned layout so cell_id survives as a
     # column, cluster by cell, rewrite partitioned.
-    codes = spark.read.parquet(live)
+    codes = spark.read.parquet(live).repartition("cell_id")
     new_name = _commit_generation(spark, path, codes, meta_text, live_name)
     # Frozen geometry: compaction moved bytes, not meaning. Re-prime
     # the unchanged meta under the new content fingerprint so the

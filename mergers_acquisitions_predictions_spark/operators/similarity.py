@@ -779,6 +779,102 @@ def ivf_assign_literal(
     ).select(id_alias, "__vec", "__norm", F.col("__probe.cell_id").alias("cell_id"))
 
 
+def ivf_assign_blas(
+    df: DataFrame,
+    cent_rows: list[tuple[int, list[float], float]],
+    id_alias: str,
+    probes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`ivf_assign_literal` with the n×cells similarity matrix as ONE
+    numpy matmul per Arrow batch instead of n×cells codegen'd folds —
+    the scale path for THE dominant index-build term (SCALE.md
+    §7o-r9 addendum: at 1M×1000 cells the fold assignment is ~minutes
+    of the 348 s build; BLAS turns the 6.4·10¹⁰-flop product into
+    seconds). Same contract: (id_alias, __vec, __norm, cell_id), one
+    row per probed cell, 6-dp HALF_UP rounding, sim-desc /
+    cell-id-asc tiebreak.
+
+    PARITY SCOPE — why this is opt-in while the registered rows stay
+    on the fold path: only the CELL CHOICE is computed in numpy. The
+    vector passes through Arrow unchanged (float32 exact both ways)
+    and ``__norm`` is re-derived JVM-side from it, so everything
+    downstream of assignment — unit vectors, SQ codes, serve scoring
+    — is BIT-IDENTICAL to the fold path. The matmul's dot differs
+    from the left-to-right fold only in final-ulp accumulation order,
+    so a cell choice can diverge only where two centroids' 6-dp
+    cosines tie at a rounding boundary within that float error —
+    zero disagreements measured on the test corpora
+    (tests/test_blas_similarity.py sweeps probes 1 and 2 at two SFs)
+    and vanishing at scale, but not a bit-level guarantee, which the
+    driver-checked oracles require. HALF_UP is replicated exactly
+    (floor(x·1e6+0.5) / ceil(x·1e6−0.5) by sign — numpy's round()
+    is HALF_EVEN and would diverge ON the boundary, not just within
+    float error of it)."""
+    import numpy as np
+
+    cent_rows = sorted(cent_rows, key=lambda r: r[0])
+    if not cent_rows:
+        raise ValueError("ivf_assign_blas needs at least one centroid")
+    if probes < 1:
+        raise ValueError(f"probes must be >= 1, got {probes}")
+    cmat = [list(map(float, r[1])) for r in cent_rows]
+    cnorm = [float(r[2]) for r in cent_rows]
+    cids = [int(r[0]) for r in cent_rows]
+    n_probe = min(probes, len(cent_rows))
+
+    def assign(batches):
+        C = np.asarray(cmat, dtype=np.float64)  # cells × dim
+        cn = np.asarray(cnorm, dtype=np.float64)
+        cid = np.asarray(cids, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )  # batch × dim
+            norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+            S = (V @ C.T) / (norms[:, None] * cn[None, :])
+            scaled = S * 1e6
+            R = (
+                np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+                / 1e6
+            )
+            if n_probe == 1:
+                # first max = lowest cell_id among exact ties (columns
+                # are cell_id-ascending by the sort above)
+                sel = np.argmax(R, axis=1)[:, None]
+            else:
+                # stable sort keeps column (= cell_id) order on ties
+                sel = np.argsort(-R, axis=1, kind="stable")[:, :n_probe]
+            import pandas as pd
+
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_alias: np.repeat(ids, n_probe),
+                    "__vec": [
+                        v for v in pdf[vec_col] for _ in range(n_probe)
+                    ],
+                    "cell_id": cid[sel].ravel(),
+                }
+            )
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_alias} long, __vec array<float>, cell_id long"
+    )
+    # __norm from the passthrough vector via the JVM fold — NOT numpy —
+    # so quantization and scoring downstream stay bit-identical to the
+    # fold-assignment path.
+    return assigned.select(
+        id_alias,
+        "__vec",
+        l2_norm(F.col("__vec")).alias("__norm"),
+        "cell_id",
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.4,

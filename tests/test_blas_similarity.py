@@ -45,3 +45,61 @@ def test_blas_right_side_cap_guards_collect(spark):
     )
     with pytest.raises(ValueError, match="exceeds 5 rows"):
         all_pairs_cosine_blas(emb, emb, threshold=0.0, max_right_rows=5)
+
+
+def test_blas_assign_matches_fold_assignment(spark):
+    """`ivf_assign_blas` must pick the same probed cells as the fold
+    path for every vector at both test SFs and both probe counts —
+    the empirical leg of its parity-scope contract (divergence is
+    possible only at a 6-dp rounding-boundary tie within matmul float
+    error; there must be none on the real corpora). The passthrough
+    __vec/__norm must also be bit-equal (vector untouched, norm
+    re-derived by the same JVM fold)."""
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        collect_centroid_rows,
+        ivf_assign_blas,
+        ivf_assign_literal,
+        ivf_centroids,
+    )
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        e = load_table(spark, sf, "embeddings")
+        cent_rows = collect_centroid_rows(ivf_centroids(e, 16))
+        for probes in (1, 2):
+            fold = {
+                (r["vid"], r["cell_id"], tuple(r["__vec"]), r["__norm"])
+                for r in ivf_assign_literal(
+                    e, cent_rows, "vid", probes
+                ).collect()
+            }
+            blas = {
+                (r["vid"], r["cell_id"], tuple(r["__vec"]), r["__norm"])
+                for r in ivf_assign_blas(e, cent_rows, "vid", probes).collect()
+            }
+            assert fold == blas, (sf, probes)
+
+
+def test_build_with_blas_assignment_serves_identically(spark, tmp_path):
+    """An index built with `assign_blas=True` serves BIT-IDENTICAL
+    results to the fold-built index on the test corpus: same cells,
+    same codes (norm re-derived JVM-side), same ranks."""
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        build_ivfsq_index,
+        search_ivfsq_index,
+    )
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    p1, p2 = str(tmp_path / "fold"), str(tmp_path / "blas")
+    build_ivfsq_index(e, p1, n_cells=16)
+    build_ivfsq_index(e, p2, n_cells=16, assign_blas=True)
+    got1 = sorted(map(tuple, search_ivfsq_index(spark, p1, q, k=5, n_probe=2).collect()))
+    got2 = sorted(map(tuple, search_ivfsq_index(spark, p2, q, k=5, n_probe=2).collect()))
+    assert got1 == got2
+    codes1 = sorted(map(tuple, spark.read.parquet(f"{p1}/codes").collect()))
+    codes2 = sorted(map(tuple, spark.read.parquet(f"{p2}/codes").collect()))
+    assert codes1 == codes2
