@@ -379,7 +379,8 @@ def build_ivfsq_index(
         )
     prime_memoized_literal(("ivfsq_codes_dir", path), live_name)
     prime_memoized_literal(
-        ("ivfsq_meta", path), (mns, rngs, cent_rows, len(mns), n_cells)
+        ("ivfsq_meta", path, live_name),
+        (mns, rngs, cent_rows, len(mns), n_cells),
     )
 
 
@@ -402,9 +403,19 @@ def _commit_generation(
 
     Failure at ANY step leaves the pre-commit index serving
     untouched: a failed stage write, meta write, or promote reaps the
-    staging twin; a failed pointer swap reaps the
-    promoted-but-unreferenced generation. No restore rename exists
-    because nothing is ever moved aside."""
+    staging twin; a failed pointer SWAP leaves the promoted
+    generation in place — unreferenced by the pointer, but complete
+    and consistent (codes + ``_meta`` staged before the rename), and
+    deliberately NOT reaped (ADVICE r9): on stores where the pointer
+    replace is delete-then-rename (local FS, S3A) the old pointer may
+    already be gone when the swap fails, and a concurrent reader
+    resolving in that window falls back to the NEWEST generation —
+    exactly the promoted one — so deleting it would pull the
+    directory out from under that reader. The NEXT successful
+    maintenance commit reaps it as an ordinary old generation (its
+    number is counted by the next-gen computation, so no name
+    collision). No restore rename exists because nothing is ever
+    moved aside."""
     import os
     import uuid
 
@@ -421,11 +432,11 @@ def _commit_generation(
     except BaseException:
         fs_delete(spark, staging)  # serving index untouched
         raise
-    try:
-        fs_replace_file(spark, f"{path}/{_CURRENT}", new_name)
-    except BaseException:
-        fs_delete(spark, f"{path}/{new_name}")  # unreferenced — reap
-        raise
+    # A swap failure propagates as-is: the promoted generation stays
+    # (see the docstring's failure contract — reaping it here would
+    # break a reader that resolved it through the missing-pointer
+    # fallback mid-swap); the next successful commit reaps it.
+    fs_replace_file(spark, f"{path}/{_CURRENT}", new_name)
     spark.catalog.refreshByPath(f"{path}/{new_name}")
     # Retention = 1: keep the generation just replaced (live_name) for
     # readers that resolved the pointer before the swap; reap anything
@@ -451,10 +462,14 @@ def _read_index_meta(spark: SparkSession, path: str, name: str):
     session didn't write. Taking the RESOLVED name (round 9) pins
     geometry and codes to one resolution: callers resolve once and
     read both from it, so a pointer flip between two reads can no
-    longer pair old codes with new stats (ADVICE r8)."""
+    longer pair old codes with new stats (ADVICE r8). The primed memo
+    is keyed by ``name`` too (ADVICE r9): a caller holding a STALE
+    generation name after a same-session rebuild must fall through to
+    that generation's on-disk ``_meta``, never silently receive the
+    rebuild's new geometry."""
     from .util import peek_memoized_literal
 
-    primed = peek_memoized_literal(("ivfsq_meta", path))
+    primed = peek_memoized_literal(("ivfsq_meta", path, name))
     if primed is not None:
         return primed
     meta = json.loads(_read_meta_text(spark, path, name))
@@ -679,7 +694,7 @@ def append_to_ivfsq_index(
 
     prime_memoized_literal(("ivfsq_codes_dir", path), live_name)
     prime_memoized_literal(
-        ("ivfsq_meta", path), (mns, rngs, cent_rows, dim, _nc)
+        ("ivfsq_meta", path, live_name), (mns, rngs, cent_rows, dim, _nc)
     )
 
 
@@ -737,5 +752,5 @@ def compact_ivfsq_index(spark: SparkSession, path: str) -> tuple[int, int]:
     # next serve skips the sidecar re-read (append's lesson, PERF.md
     # round 6).
     prime_memoized_literal(("ivfsq_codes_dir", path), new_name)
-    prime_memoized_literal(("ivfsq_meta", path), meta)
+    prime_memoized_literal(("ivfsq_meta", path, new_name), meta)
     return before, _count_files(f"{path}/{new_name}")

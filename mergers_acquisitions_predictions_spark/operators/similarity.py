@@ -808,10 +808,16 @@ def ivf_assign_blas(
     zero disagreements measured on the test corpora
     (tests/test_blas_similarity.py sweeps probes 1 and 2 at two SFs)
     and vanishing at scale, but not a bit-level guarantee, which the
-    driver-checked oracles require. HALF_UP is replicated exactly
-    (floor(x·1e6+0.5) / ceil(x·1e6−0.5) by sign — numpy's round()
-    is HALF_EVEN and would diverge ON the boundary, not just within
-    float error of it)."""
+    driver-checked oracles require. HALF_UP's tie DIRECTION is
+    replicated (floor(x·1e6+0.5) / ceil(x·1e6−0.5) by sign — numpy's
+    own round() is HALF_EVEN and would diverge on every odd-digit
+    boundary, not just within float error of one), but the
+    replication is itself approximate (ADVICE r9): Spark's HALF_UP
+    rounds the value's DECIMAL rendering via BigDecimal, while the
+    float ×1e6 multiply and +0.5 add here carry their own ulp error —
+    so single-value roundings can differ near .5 boundaries
+    independent of matmul accumulation order, the same divergence
+    class as the accumulation-order caveat above."""
     import numpy as np
 
     cent_rows = sorted(cent_rows, key=lambda r: r[0])

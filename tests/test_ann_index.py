@@ -338,9 +338,14 @@ def test_reader_never_sees_missing_codes_dir_mid_compaction(spark, tmp_path):
 def test_compaction_pointer_swap_failure_leaves_old_index_serving(
     spark, tmp_path, monkeypatch
 ):
-    """A failed pointer swap must reap the promoted-but-unreferenced
-    generation and leave the pre-compaction index serving — no
-    restore rename exists because nothing was moved aside."""
+    """A failed pointer swap must leave the pre-compaction index
+    serving AND leave the promoted-but-unreferenced generation in
+    place (ADVICE r9): on delete-then-rename stores the old pointer
+    may already be gone when the swap fails, and a reader resolving
+    through the newest-generation fallback in that window is serving
+    exactly the promoted directory — reaping it would pull the files
+    out from under that reader. The NEXT successful maintenance
+    commit reaps the orphan and numbers past it."""
     import os
 
     import pytest
@@ -364,10 +369,24 @@ def test_compaction_pointer_swap_failure_leaves_old_index_serving(
     with pytest.raises(OSError, match="injected pointer-swap"):
         compact_ivfsq_index(spark, path)
     monkeypatch.undo()
+    # pointer untouched (the injected failure precedes any delete) →
+    # the OLD index serves; the promoted orphan is retained, complete
+    # (codes + _meta staged before the promote rename)
     assert _resolve_codes_name(spark, path) == "codes"
-    assert not [d for d in os.listdir(path) if d.startswith("codes_g")]
+    orphans = [d for d in os.listdir(path) if d.startswith("codes_g")]
+    assert orphans == ["codes_g000001"]
+    assert os.path.exists(f"{path}/codes_g000001/_meta")
     post = sorted(map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect()))
     assert pre == post
+    # the NEXT successful maintenance commit numbers PAST the orphan
+    # (no name collision) and reaps it as an ordinary old generation
+    compact_ivfsq_index(spark, path)
+    assert _resolve_codes_name(spark, path) == "codes_g000002"
+    gens = sorted(d for d in os.listdir(path) if d.startswith("codes_g"))
+    assert gens == ["codes_g000002"]  # orphan reaped; "codes" retained
+    assert os.path.isdir(f"{path}/codes")
+    post2 = sorted(map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect()))
+    assert pre == post2
 
 
 def test_legacy_layout_without_pointer_still_serves(spark, tmp_path):

@@ -363,13 +363,11 @@ def test_driver_window_rotation_rule_r9():
     in-window members, r8-fresh row); (c) the ENTIRE r5-era cohort
     (21 rows incl. streaming q17 — VERDICT r8 #1) + the 20
     alphabetically-first of the 33 equal-staleness r6 rows (the
-    name-order tie-break makes the fill auditable). LIVE round:
-    asserted against the current window; convert to the
-    CORRECTNESS_r09 record once it exists."""
+    name-order tie-break makes the fill auditable). Asserted against
+    the immutable CORRECTNESS_r09 record (converted from the
+    live-window form once the record landed, the standing pattern)."""
     import json
     import os
-
-    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
 
     new_in_r9 = {"s20_reranked_index_topk", "s21_dedup_index_serve"}
     changed_in_r9 = {
@@ -395,7 +393,10 @@ def test_driver_window_rotation_rule_r9():
     assert len(r6) == 33
     fill_r6 = set(r6[: 50 - len(new_in_r9 | changed_in_r9 | stale_r5)])
     want = new_in_r9 | changed_in_r9 | stale_r5 | fill_r6
-    assert want == set(DRIVER_WINDOW)  # exactly fills the 50 slots
+    r9_rows = set(
+        json.load(open(os.path.join(root, "CORRECTNESS_r09.json")))
+    )
+    assert want == r9_rows  # exactly filled the 50 slots
 
 
 def test_missing_sf_dir_fails_cleanly(spark):
