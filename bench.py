@@ -99,6 +99,7 @@ def main() -> None:
         "s18_index_compact_serve",  # build + 2 appends + compact + serve
         "s20_reranked_index_topk",  # SQ8 overfetch + exact re-rank serve
         "s21_dedup_index_serve",  # SemDeDup -> survivor build -> serve
+        "s22_dedup_rerank_serve",  # the composed production config
         # s16 (append-vs-rebuild drift) is correctness-window only: it
         # composes s13+s14, so benching it would double-count their
         # index builds already measured above.

@@ -1031,3 +1031,79 @@ def s21_dedup_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ivfsq_index(
         spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
     )
+
+
+#: s22's oracle: s21's composed statement with the rerank stage on
+#: top — the three generator features (SemDeDup survivor prelude,
+#: build/candidate restriction, overfetch + exact rescore) proven to
+#: compose in round 9
+#: (tests/test_ann_index.py::test_dedup_rerank_compose_is_oracle_replayable)
+#: before this row spent a window slot on them.
+_S22_ORACLE = f"""WITH RECURSIVE {_semdedup_kept_ctes(8, 0.4)},
+    {_ivfsq_topk_sql(dim=64, n_cells='auto', n_probe=2, k=5, rerank=15,
+                     build_filter='WHERE vec_id IN (SELECT vec_id FROM kept)',
+                     candidate_filter='AND c.candidate_id IN (SELECT vec_id FROM kept)')}
+"""
+
+
+@query("s22_dedup_rerank_serve", oracle=_S22_ORACLE)
+def s22_dedup_rerank_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production ANN configuration as one driver-certified row
+    (VERDICT r9 #1): SemDeDup the corpus, build the persisted IVF-SQ8
+    index on the survivors, serve with the EXACT re-rank — s21's
+    ingestion economics composed with s20's recall remedy. SCALE.md
+    §7o-r9 measured the two remedies STACKED at 1M: dedup alone
+    recovers recall to 0.92 (clone cohorts shatter across cells;
+    residual ties remain within cells) while shrinking rebuild 60×
+    and serve 8×; the exact rescore of the overfetched shortlist
+    closes the rest to 1.00 at the DEDUPED serve cost — so a
+    deployment runs both, and this row certifies the composition
+    end-to-end, not the stages separately.
+
+    Deliberately shares s21's artifact path: when s21 ran earlier in
+    the session this build is a REBUILD at a live path and exercises
+    the staged-generation commit inside a hash-checked row (s20's
+    precedent at s13's path); the geometry is deterministic either
+    way, so the serve is bit-identical. ``vectors`` for the exact
+    rescore is the FULL corpus frame — the shortlist join pulls only
+    survivor ids out of it (the index holds survivors only), so the
+    result is identical to passing the survivor frame, and the
+    returned plan keeps no reference to the dedup stage's
+    checkpoint-owning frame (the s21 GOTCHA: `dd` must outlive every
+    derived plan's materialization; here nothing derived from it
+    escapes this function).
+
+    Oracle: the SemDeDup survivor prelude + IVF-SQ8 replay restricted
+    to survivors on build AND candidate sides + the overfetch/exact-
+    rescore stage, all in ONE statement. Reference analogue: the
+    reference's dedup-before-downstream hygiene
+    (`acq_etl_code.scala:96-100`) followed by its cheap-prefilter-
+    then-exact-score shape (`predictions.scala:17-38`)."""
+    from ..operators.ann_index import build_ivfsq_index, search_ivfsq_index
+    from ..operators.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # `dd` OWNS the component loop's localCheckpoint blocks — keep it
+    # referenced until the survivor-built index has MATERIALIZED (the
+    # build's parquet write), exactly s21's discipline.
+    dd = semantic_dedup(e, threshold=0.4, n_cells=8)
+    kept = e.join(
+        dd.filter(F.col("keep")).select("vec_id"), "vec_id", "left_semi"
+    )
+    path = _scratch_index_path(spark, sf_dir, "ivfsq_dedup")
+    build_ivfsq_index(
+        kept,
+        path,
+        n_cells=None,
+        corpus_cache_key=(sf_dir, "embeddings", "semdedup0.4x8"),
+    )
+    del dd, kept  # checkpoint blocks released deterministically
+    return search_ivfsq_index(
+        spark,
+        path,
+        e.filter(F.col("vec_id") < 5),
+        k=5,
+        n_probe=2,
+        rerank=15,
+        vectors=e,
+    )
