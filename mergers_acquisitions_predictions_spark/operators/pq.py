@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..functions.vectors import l2_norm
-from .util import repartition_for_compute
+from .util import hof_bind, repartition_for_compute
 
 
 def pq_anchor_codebooks(
@@ -141,24 +141,37 @@ def pq_encode(
     against the literal codebook column — semantically identical to
     unrolling every (m, c) pair but ~100x smaller as a Catalyst
     tree (the unrolled form cost seconds of driver-side analysis
-    per query; see _cb_literal)."""
+    per query; see _cb_literal).
+
+    Evaluation-count discipline (round 10, the §7o-r9 interpreted-HOF
+    lesson): the subspace SLICE and the per-subspace DISTANCE array
+    are each bound ONCE as lambda variables (`util.hof_bind`) —
+    composing them inline re-evaluated the slice per code and the
+    whole K-distance array twice (argmin = array_position +
+    array_min), and when the CALLER splices a composed unit-transform
+    into ``unit_vec`` the re-evaluations multiply through it
+    (M·K·d-ish work per row). Callers should pass ``unit_vec`` as a
+    concrete attribute or bind it the same way (see `ivfpq_topk`).
+    Bit-identical — same arithmetic, fewer evaluations."""
     sub = len(codebooks[0][0])
     n_sub = len(codebooks)
     cbs = _cb_literal(codebooks)
 
-    def dists(m: Column) -> Column:
-        sl = F.slice(unit_vec, m * sub + 1, sub)
-        return F.transform(
-            F.element_at(cbs, (m + 1).cast("int")),
-            lambda code: F.round(_sqdist(sl, code), 6),
+    def code_of(m: Column) -> Column:
+        return hof_bind(
+            F.slice(unit_vec, m * sub + 1, sub),
+            lambda sl: hof_bind(
+                F.transform(
+                    F.element_at(cbs, (m + 1).cast("int")),
+                    lambda code: F.round(_sqdist(sl, code), 6),
+                ),
+                lambda dd: (F.array_position(dd, F.array_min(dd)) - 1).cast(
+                    "int"
+                ),
+            ),
         )
 
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        lambda m: (F.array_position(dists(m), F.array_min(dists(m))) - 1).cast(
-            "int"
-        ),
-    )
+    return F.transform(F.sequence(F.lit(0), F.lit(n_sub - 1)), code_of)
 
 
 def pq_adc_table(
@@ -168,15 +181,21 @@ def pq_adc_table(
     between the query's subspace-``m`` slice and code ``c`` — the
     classic PQ trick that turns each candidate's distance into M
     array lookups. Computed ONCE per query row (M*K doubles, ~1 KB),
-    then carried through the broadcast to every probe pair."""
+    then carried through the broadcast to every probe pair. The
+    subspace slice is bound once per m (`util.hof_bind`) — inline it
+    re-sliced (and, for a composed ``unit_vec``, re-derived) the
+    query vector per code."""
     sub = len(codebooks[0][0])
     n_sub = len(codebooks)
     cbs = _cb_literal(codebooks)
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        lambda m: F.transform(
-            F.element_at(cbs, (m + 1).cast("int")),
-            lambda code: _sqdist(F.slice(unit_vec, m * sub + 1, sub), code),
+        lambda m: hof_bind(
+            F.slice(unit_vec, m * sub + 1, sub),
+            lambda sl: F.transform(
+                F.element_at(cbs, (m + 1).cast("int")),
+                lambda code: _sqdist(sl, code),
+            ),
         ),
     )
 
@@ -278,7 +297,13 @@ def ivfpq_topk(
         ).select(
             "candidate_id",
             "cell_id",
-            pq_encode(_unit(F.col("__vec"), F.col("__norm")), cbs).alias("pq"),
+            # unit bound ONCE (util.hof_bind): spliced inline it would
+            # re-derive the full unit transform per (subspace, code)
+            # read inside pq_encode — the §7o-r9 blowup shape.
+            hof_bind(
+                _unit(F.col("__vec"), F.col("__norm")),
+                lambda u: pq_encode(u, cbs),
+            ).alias("pq"),
         )
 
     if memoize and codebooks is None:
@@ -301,7 +326,10 @@ def ivfpq_topk(
     ).select(
         "query_id",
         "cell_id",
-        pq_adc_table(_unit(F.col("__vec"), F.col("__norm")), cbs).alias("dtab"),
+        hof_bind(
+            _unit(F.col("__vec"), F.col("__norm")),
+            lambda u: pq_adc_table(u, cbs),
+        ).alias("dtab"),
     )
 
     joined = c.join(F.broadcast(q), "cell_id").filter(

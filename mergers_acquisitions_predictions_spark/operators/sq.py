@@ -219,6 +219,20 @@ def ivfsq_topk(
         )
 
     def corpus_codes() -> DataFrame:
+        from .util import hof_bind
+
+        # Bind the unit vector ONCE as a HOF lambda variable before
+        # encoding (util.hof_bind — the §7o-r9 interpreted-HOF lesson
+        # applied to the IN-MEMORY encode): splicing `_unit(...)` into
+        # sq_encode's per-dimension lambda re-evaluates the full unit
+        # transform per code dimension — d² work per row, ~40 s of
+        # pure re-evaluation at 1M×64d and quadratically worse at
+        # embedding dims. The persisted build (ann_index) breaks the
+        # same composition with its cell shuffle; here no shuffle
+        # exists to lean on, so the binding is expression-level.
+        # Values and codes are bit-identical (asserted by this
+        # family's oracles and by the in-memory-vs-persisted equality
+        # test).
         return ivf_assign_literal(
             repartition_for_compute(corpus),
             cent_rows,
@@ -229,7 +243,10 @@ def ivfsq_topk(
         ).select(
             "candidate_id",
             "cell_id",
-            sq_encode(_unit(F.col("__vec"), F.col("__norm")), mns, rngs).alias("sq"),
+            hof_bind(
+                _unit(F.col("__vec"), F.col("__norm")),
+                lambda u: sq_encode(u, mns, rngs),
+            ).alias("sq"),
         )
 
     if memoize and stats is None:

@@ -142,6 +142,37 @@ def repartition_for_compute(df: DataFrame, min_partitions: int | None = None) ->
     return df
 
 
+def hof_bind(expr, body):
+    """Evaluate ``expr`` ONCE per row and hand it to ``body`` as a
+    higher-order-function LAMBDA VARIABLE:
+    ``element_at(transform(array(expr), x -> body(x)), 1)``.
+
+    The HOF-barrier lesson (SCALE.md §7o-r9 addendum, found by
+    thread-dumping a wedged 1M index build): higher-order functions
+    run on the INTERPRETED expression path, where a composed input
+    expression — one the caller spliced into the lambda body as a
+    Column, or one CollapseProject inlined from an adjacent
+    projection — is RE-EVALUATED on every lambda element that reads
+    it. Composing `encode(unit(v))` therefore re-derives the full
+    unit transform per output code dimension (d² work per row, d³
+    when the norm fold is inlined too). A lambda VARIABLE, by
+    contrast, is a bound VALUE: the outer transform here evaluates
+    its one-element input array once, and every read of ``x`` inside
+    ``body`` is an O(1) variable lookup. Plan-level barriers
+    (Exchange, Generate, a persisted frame) achieve the same thing
+    between OPERATORS; this is the expression-level form for when no
+    such barrier exists or inserting one would add a shuffle.
+
+    Bit-identical by construction — same scalar arithmetic, only the
+    evaluation COUNT changes (the idiom t16's top-bigram scan has
+    used since round 6; `element_at` on the `transform` result is not
+    subject to the `element_at(array(...), i)` constant-fold rewrite,
+    so the optimizer cannot undo the binding)."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def fit_released(estimator, dataset: DataFrame):
     """Fit an MLlib estimator with OUR persistence handle. Estimators
     cache an uncached input internally (handlePersistence) and release
