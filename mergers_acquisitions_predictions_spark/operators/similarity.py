@@ -29,6 +29,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    score_blas: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set against the corpus,
     rank per query. Similarity is rounded to 6 dp BEFORE ranking so
@@ -37,7 +38,24 @@ def brute_force_topk(
     Scale: queries are the small side → broadcast, corpus streams
     through map-side; the only shuffle is the per-query top-k window,
     keyed by query id. For large k·q use TakeOrdered-per-group via
-    repartition on query_id."""
+    repartition on query_id.
+
+    ``score_blas`` (VERDICT r9 #4 — `ivf_assign_blas`' lesson applied
+    to the QUERY side): route the queries × corpus scoring through
+    one numpy matmul per Arrow batch with per-partition top-k
+    selection, instead of one interpreted JVM fold per pair. The
+    exact-baseline scoring is THE recall-harness cost at deployment
+    scale (PERF.md r8: ~75 s of HOF cosine at 1M×200 queries; the
+    matmul is the same shape the assignment vectorized). Opt-in with
+    the same parity scope as `ivf_assign_blas`: the matmul's
+    accumulation order differs from the left-to-right fold in the
+    last ulp and the 6-dp HALF_UP replication is float-approximate,
+    so a rounded score (hence a boundary rank) is not bit-guaranteed
+    — registered oracle rows keep the fold path; the recall harness
+    and rerank sweeps at scale opt in. Equality on the test corpora
+    is asserted in tests/test_blas_similarity.py."""
+    if score_blas:
+        return _brute_force_topk_blas(queries, corpus, k, id_col, vec_col)
     # Norms precomputed per ROW (map-side) so each pair pays ONE dot
     # fold; the dot/(qn·cn) expression shape matches the SQL oracle
     # exactly (same FP operation order).
@@ -60,6 +78,118 @@ def brute_force_topk(
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("candidate_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cos_sim", "rank")
+    )
+
+
+def _brute_force_topk_blas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """`brute_force_topk`'s BLAS scoring leg: the query batch is
+    collected (bounded — the ANN contract's small side, same guard
+    class as `all_pairs_cosine_blas`) and broadcast; each Arrow batch
+    of the corpus scores against it with one ``V @ Q.T`` and keeps a
+    per-partition top-k per query under the FINAL comparator
+    (6-dp-rounded score desc, candidate id asc — the rounding is the
+    sign-aware floor(x·1e6+0.5) of `ivf_assign_blas`, sharing its
+    parity scope), so the driver-side window ranks partitions ×
+    queries × k rows, never the corpus. Self-pairs are excluded
+    exactly as the fold path's `query_id != candidate_id`."""
+    import numpy as np
+    import pandas as pd
+
+    from .util import repartition_for_compute as _rfc
+
+    spark = corpus.sparkSession
+    q_rows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk(score_blas=True): query side exceeds "
+            f"{max_query_rows} rows — the queries are broadcast as a "
+            "dense matrix; chunk the batch or use the fold path"
+        )
+    out_ddl = "query_id long, candidate_id long, cos_sim double"
+    if not q_rows:
+        return spark.createDataFrame([], out_ddl + ", rank long")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    bc = spark.sparkContext.broadcast((q_ids, Q, qn))
+
+    def score(batches):
+        ids, Qm, qns = bc.value
+        nq = len(ids)
+        acc_c: list[list] = [[] for _ in range(nq)]
+        acc_s: list[list] = [[] for _ in range(nq)]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cid = pdf[id_col].to_numpy(dtype=np.int64)
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            S = (V @ Qm.T) / (vn[:, None] * qns[None, :])
+            scaled = S * 1e6
+            R = (
+                np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+                / 1e6
+            )
+            # self-pairs out of contention (the fold path's filter) —
+            # -inf never survives the finite-keep mask below
+            R[cid[:, None] == ids[None, :]] = -np.inf
+            nb = R.shape[0]
+            # per-query k-th-largest threshold, VECTORIZED across the
+            # batch (a python loop doing full-column work per query
+            # measured ~2× slower end-to-end at 1M×200); boundary TIES
+            # survive to the id tiebreak via >=
+            if nb > k:
+                thr = np.partition(R, nb - k, axis=0)[nb - k]
+                keep = (R >= thr) & np.isfinite(R)
+            else:
+                keep = np.isfinite(R)
+            rows, cols = np.nonzero(keep)
+            order = np.argsort(cols, kind="stable")
+            rows, cols = rows[order], cols[order]
+            bounds = np.searchsorted(cols, np.arange(nq + 1))
+            for j in range(nq):
+                lo, hi = bounds[j], bounds[j + 1]
+                if lo == hi:
+                    continue
+                c = cid[rows[lo:hi]]
+                s = R[rows[lo:hi], j]
+                sel = np.lexsort((c, -s))[:k]  # score desc, id asc
+                acc_c[j].append(c[sel])
+                acc_s[j].append(s[sel])
+        out_q, out_c, out_s = [], [], []
+        for j in range(nq):
+            if not acc_c[j]:
+                continue
+            c = np.concatenate(acc_c[j])
+            s = np.concatenate(acc_s[j])
+            order = np.lexsort((c, -s))[:k]
+            out_q.append(np.full(order.size, ids[j], dtype=np.int64))
+            out_c.append(c[order])
+            out_s.append(s[order])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "candidate_id": np.concatenate(out_c),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+    part = _rfc(corpus.select(id_col, vec_col)).mapInPandas(score, schema=out_ddl)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("candidate_id"))
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "candidate_id", "cos_sim", "rank")
     )

@@ -103,3 +103,56 @@ def test_build_with_blas_assignment_serves_identically(spark, tmp_path):
     codes1 = sorted(map(tuple, spark.read.parquet(f"{p1}/codes").collect()))
     codes2 = sorted(map(tuple, spark.read.parquet(f"{p2}/codes").collect()))
     assert codes1 == codes2
+
+
+def test_blas_scoring_matches_fold_topk(spark):
+    """`brute_force_topk(score_blas=True)` must return the SAME frame
+    as the fold path at both test SFs and two k values — the
+    empirical leg of its parity scope (divergence is possible only
+    where a 6-dp rounding boundary sits within matmul float error of
+    a fold-rounded score; there must be none on the real corpora).
+    Rank ties at equal rounded scores are id-broken identically, so
+    the compare is exact, not approximate."""
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = load_table(spark, sf, "embeddings")
+        q = e.filter("vec_id < 7")
+        for k in (3, 10):
+            fold = sorted(
+                map(tuple, brute_force_topk(q, e, k=k).collect())
+            )
+            blas = sorted(
+                map(tuple, brute_force_topk(q, e, k=k, score_blas=True).collect())
+            )
+            assert fold == blas, (sf, k)
+
+
+def test_blas_scoring_query_cap_guards_collect(spark):
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        _brute_force_topk_blas,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="query side exceeds"):
+        _brute_force_topk_blas(emb, emb, 2, "vec_id", "embedding", max_query_rows=5)
+
+
+def test_blas_scoring_empty_queries_yields_empty_frame(spark):
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], ["vec_id", "embedding"]
+    )
+    out = brute_force_topk(
+        emb.filter("vec_id < 0"), emb, k=3, score_blas=True
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "candidate_id", "cos_sim", "rank"]
