@@ -156,3 +156,62 @@ def test_blas_scoring_empty_queries_yields_empty_frame(spark):
     )
     assert out.count() == 0
     assert out.columns == ["query_id", "candidate_id", "cos_sim", "rank"]
+
+
+def test_blas_assign_tie_boundary_policy(spark):
+    """Seeded adversarial ties for the assignment paths (VERDICT r9
+    #6) — `assign_blas=True` is the de-facto deployment default at 1M+
+    but runs in no registered row, so its boundary behavior is pinned
+    here instead of by an oracle.
+
+    (1) EXACT tie: two centroids bit-identical in cosine to a vector
+    (permuted components, equal supplied norms — IEEE addition is
+    commutative, so both fold and matmul produce the same double).
+    POLICY: both paths break toward the LOWEST cell id, and probes=2
+    orders cells ascending.
+
+    (2) DECIMAL-TIE boundary (the q41 class, NOTES.md): cosine =
+    double(41/640), whose exact value is BELOW the 6-dp decimal tie
+    but whose SHORTEST decimal rendering sits ON it. Spark's round()
+    (BigDecimal HALF_UP on the rendering) rounds UP to 0.064063;
+    the BLAS floor(x*1e6+0.5) sees 64062.49999999999 and rounds DOWN
+    to 0.064062. Against a second centroid pinned at 0.064063 the
+    fold path TIES (picks cell 0) while BLAS picks cell 1 — the
+    documented divergence class is REAL, deterministic, and confined
+    to single-value roundings at .5 boundaries (the reason the
+    registered oracle rows keep the fold path). This test pins both
+    choices so either path changing behavior fails loudly."""
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        ivf_assign_blas,
+        ivf_assign_literal,
+    )
+
+    v = spark.createDataFrame([(7, [1.0, 1.0])], ["vec_id", "embedding"])
+
+    # (1) exact tie: cos(v, c0) == cos(v, c1) bit-for-bit
+    exact_tie = [(0, [3.0, 4.0], 5.0), (1, [4.0, 3.0], 5.0)]
+    for probes, want in ((1, [0]), (2, [0, 1])):
+        fold = [
+            r["cell_id"]
+            for r in ivf_assign_literal(v, exact_tie, "qid", probes).collect()
+        ]
+        blas = [
+            r["cell_id"]
+            for r in ivf_assign_blas(v, exact_tie, "qid", probes).collect()
+        ]
+        assert fold == want and blas == want, (probes, fold, blas)
+
+    # (2) decimal-tie boundary: supplied norms make the cosines exact
+    # single divisions — c0: 41/640 (the boundary value), c1: a value
+    # both roundings agree is 0.064063
+    u = spark.createDataFrame([(7, [1.0, 0.0])], ["vec_id", "embedding"])
+    boundary = [(0, [41.0, 0.0], 640.0), (1, [640631.0, 0.0], 1.0e7)]
+    fold = [
+        r["cell_id"]
+        for r in ivf_assign_literal(u, boundary, "qid", 1).collect()
+    ]
+    blas = [
+        r["cell_id"] for r in ivf_assign_blas(u, boundary, "qid", 1).collect()
+    ]
+    assert fold == [0]  # Spark round: both 0.064063 -> tie -> low cell
+    assert blas == [1]  # floor trick: 0.064062 < 0.064063 -> cell 1
