@@ -43,85 +43,80 @@ from . import io_queries  # noqa: E402,F401
 #: constraint VERDICT r6 #1 names). Queries whose OWN plan or oracle
 #: string changed remain individually (b)-mandatory.
 #:
-#: Round 9: (a) new = s20 (the exact-rerank serve — §7o-r8 remedy
-#: (b), oracle machinery pre-certified in round 8; VERDICT r8 #2)
-#: and s21 (dedup-before-index composite — SemDeDup survivors feed
-#: the persisted index build; VERDICT r8 #5);
-#: (b) changed since last row = the persisted-index family on the
-#: GENERATION-SCOPED geometry + staged-rebuild commit (codes_gN
-#: co-locates its _meta, rebuild commits like a compaction with
-#: one-cycle retention, numeric generation sort, single resolution
-#: per serve, driver-side sidecar I/O — ADVICE r8, all four items;
-#: s13/s14/s15/s17/s18 — every registered query that executes
-#: build/search/append/compact), plus s05 and s19 as the
-#: supplied-centroid representatives of `collect_centroid_rows`'s
-#: cell_id sort (the digest/literal canonicalization — ADVICE r8;
-#: results bit-identical, the in-memory IVF consumers s03/s04/s08/
-#: s10/s11/d07/d11 all ride the (c) fill anyway). s16 stays out of
-#: (b) on the r8 precedent: its own plan and oracle are untouched,
-#: it composes build+append+search, all certified by the five
-#: in-window family members, and its row is r8-fresh;
-#: (c) fill = the ENTIRE r5-era staleness frontier (21 rows incl.
-#: streaming q17 — VERDICT r8 #1) + the 20 alphabetically-first rows
-#: of the 33-row r6 cohort (equal staleness; the name order makes
+#: Round 10: (a) new = s22 (the composed dedup+rerank serve — THE
+#: production configuration §7o-r9 measured; oracle machinery
+#: pre-certified in round 9; VERDICT r9 #1);
+#: (b) changed since last row = s08/s09/s10, whose OWN plans changed
+#: (the in-memory SQ/PQ encode now binds its unit vector once via
+#: util.hof_bind — the §7p fix; bit-identical values, different
+#: expression tree), plus s13/s14/s18 as the representative consumers
+#: of the index-infra changes (the generation-keyed meta memo and the
+#: swap-failure retention policy — ADVICE r9; the memo machinery is
+#: exactly the shared-layer class the round-7 amendment names, and
+#: the three cover its build-prime, append-prime, and
+#: compact-prime/serve-peek sites; s15/s17/s20 ride the identical
+#: code and keep their r9-fresh rows; s22's serve is (a) anyway);
+#: (c) fill = the ENTIRE remaining r6-era cohort (13 rows — VERDICT
+#: r9 #2) + the 30 alphabetically-first rows of the 43-row r7 cohort
+#: (s09 is r7-stale but already (b)-mandatory; the name order makes
 #: the tie-break auditable). After this round no driver row predates
-#: round 6; the 13 remaining r6 rows (t10..u03) are round 10's
+#: round 7; the 12 remaining r7 rows (t22..u05) are round 11's
 #: frontier.
 DRIVER_WINDOW = [
     # (a): registered this round
-    "s20_reranked_index_topk",
-    "s21_dedup_index_serve",
+    "s22_dedup_rerank_serve",
     # (b): implementation changed since their last row
-    "s05_ivf_kmeans_topk",
+    "s08_ivfpq_topk",
+    "s09_ivfpq_kmeans_topk",
+    "s10_ivfsq_topk",
     "s13_persisted_index_topk",
     "s14_index_append_topk",
-    "s15_stream_serve_replay",
-    "s17_filtered_index_topk",
     "s18_index_compact_serve",
-    "s19_sampled_kmeans_topk",
-    # (c): the complete r5-era cohort (stalest rows after round 8)
-    "d01_minhash_signatures",
-    "d03_jaccard_pairs",
-    "d04_simhash",
-    "d10_contamination",
-    "j02_deal_name_linkage",
-    "j03_fuzzy_name_match",
-    "m04_pair_ranking",
-    "m06_split_assignment",
-    "q17_tumbling_windows",
-    "q38_deterministic_sample",
-    "q44_null_ordering",
-    "q45_except_all_multiplicity",
-    "s01_embedding_norms",
-    "s02_cosine_topk",
-    "t01_token_stats",
-    "t02_clean_text",
-    "t03_ngram_stats",
-    "t04_stopword_filter",
-    "t05_lang_source_stats",
-    "u01_pandas_udf_charge",
-    "u02_grouped_minmax_scale",
-    # (c): the 20 alphabetically-first rows of the r6 cohort
-    "d02_minhash_lsh_pairs",
-    "d05_embedding_neardups",
-    "d06_lsh_verified_neardups",
-    "d07_lsh_embedding_neardups",
-    "d09_dup_clusters",
-    "d11_semantic_dedup",
-    "d14_cluster_canonicals",
-    "d17_components_star",
-    "d19_minhash_estimate",
-    "s03_lsh_ann_topk",
-    "s04_ivf_ann_topk",
-    "s06_hard_negatives",
-    "s07_ann_recall",
-    "s08_ivfpq_topk",
-    "s10_ivfsq_topk",
-    "s11_rrf_fusion",
-    "t06_doc_fingerprints",
-    "t07_exact_dedup_summary",
-    "t08_vocabulary",
-    "t09_tfidf_top_terms",
+    # (c): the complete r6-era cohort (stalest rows after round 9)
+    "t10_language_id",
+    "t11_quality_scores",
+    "t12_bpe_token_count",
+    "t13_training_prep_funnel",
+    "t15_pii_redaction",
+    "t16_repetition_stats",
+    "t25_bpe_merges",
+    "t28_unigram_logprob_quality",
+    "t32_vocab_coverage",
+    "t34_ccnet_buckets",
+    "t36_stratified_split",
+    "t37_epoch_shuffle_shards",
+    "u03_multimodal_features",
+    # (c): the 30 alphabetically-first rows of the r7 cohort
+    "d08_prefix_jaccard_pairs",
+    "d12_incremental_neardup",
+    "d13_simhash_neardups",
+    "d16_dup_span_coverage",
+    "d18_span_trim",
+    "io01_csv_roundtrip",
+    "io02_corpus_dir_scan",
+    "io03_jsonl_roundtrip",
+    "j04_fuzzy_multipass",
+    "j05_event_window_range_join",
+    "m01_tfidf_features",
+    "m02_lr_confusion",
+    "m03_lda_topics",
+    "m05_kmeans_clusters",
+    "m07_stratified_sample",
+    "m08_pca_whiten",
+    "m09_auc_rank_sum",
+    "q46_unpivot_measures",
+    "q47_table_profile",
+    "q48_percentile_cont",
+    "q49_relative_rank",
+    "q50_join_key_skew",
+    "s12_mmr_rerank",
+    "s16_index_append_drift",
+    "t14_token_chunks",
+    "t17_winnow_fingerprints",
+    "t18_sequence_packing",
+    "t19_quality_rank_filter",
+    "t20_pack_manifest",
+    "t21_source_mixture",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

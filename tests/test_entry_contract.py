@@ -399,6 +399,59 @@ def test_driver_window_rotation_rule_r9():
     assert want == r9_rows  # exactly filled the 50 slots
 
 
+def test_driver_window_rotation_rule_r10():
+    """Round-10 window under the postdate rule + the r7 shared-layer
+    amendment: (a) s22 (the composed dedup+rerank serve — VERDICT r9
+    #1, oracle machinery pre-certified in round 9); (b) s08/s09/s10
+    whose OWN plans changed (the hof_bind encode restructure, SCALE.md
+    §7p — bit-identical values, different expression tree) plus
+    s13/s14/s18 as representative consumers of the index-infra
+    changes (generation-keyed meta memo + swap-failure retention,
+    ADVICE r9 — the memo machinery is the amendment's shared-layer
+    class; the three cover the build-prime, append-prime, and
+    compact-prime/serve-peek sites, while s15/s17/s20 ride identical
+    code on r9-fresh rows); (c) the ENTIRE 13-row r6-era cohort
+    (VERDICT r9 #2) + the 30 alphabetically-first of the 43-row r7
+    cohort (s09 is r7-stale but already (b)-mandatory). LIVE round:
+    asserted against the current window; convert to the
+    CORRECTNESS_r10 record once it exists."""
+    import json
+    import os
+
+    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
+
+    new_in_r10 = {"s22_dedup_rerank_serve"}
+    changed_in_r10 = {
+        "s08_ivfpq_topk",  # hof_bind encode + adc table (own plan)
+        "s09_ivfpq_kmeans_topk",  # same via ivfpq_topk (own plan)
+        "s10_ivfsq_topk",  # hof_bind encode (own plan)
+        "s13_persisted_index_topk",  # build-prime memo key + serve peek
+        "s14_index_append_topk",  # append-prime memo key
+        "s18_index_compact_serve",  # compact-prime + _commit_generation
+    }
+    # staleness cohorts derived from the immutable records
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int] = {}
+    for rnd in range(1, 10):
+        for name in json.load(
+            open(os.path.join(root, f"CORRECTNESS_r0{rnd}.json"))
+        ):
+            latest[name] = rnd
+    stale_r6 = {name for name, rnd in latest.items() if rnd == 6}
+    assert len(stale_r6) == 13
+    r7 = sorted(
+        name
+        for name, rnd in latest.items()
+        if rnd == 7 and name not in changed_in_r10
+    )
+    assert len(r7) == 42  # 43-row cohort minus the (b)-mandatory s09
+    fill_r7 = set(
+        r7[: 50 - len(new_in_r10 | changed_in_r10 | stale_r6)]
+    )
+    want = new_in_r10 | changed_in_r10 | stale_r6 | fill_r7
+    assert want == set(DRIVER_WINDOW)  # exactly fills the 50 slots
+
+
 def test_missing_sf_dir_fails_cleanly(spark):
     """A wrong sf_dir must surface as Spark's AnalysisException (path
     not found) at plan/collect time — never a hang, never a silent
