@@ -585,6 +585,7 @@ def search_ivfsq_index(
         raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
     from ..functions.vectors import l2_norm
     from .similarity import dot
+    from .util import hof_bind
 
     shortlist = (
         scored.withColumn("__sqrk", F.row_number().over(w))
@@ -594,17 +595,34 @@ def search_ivfsq_index(
     # q carries one row per probed cell — the shortlist join needs one
     # unit vector per query
     qv = q.select("query_id", "qu").dropDuplicates(["query_id"])
+    # Join RAW vectors through the BROADCAST shortlist and unit-
+    # normalize only the survivors (round 10, found by timing the
+    # 1M×200-query serve: the previous shape unit-normalized the
+    # ENTIRE vectors frame before the join — corpus-shaped work in
+    # the "shortlist-sized" stage — and worse, CollapseProject inlined
+    # the norm fold into the unit lambda, d² per corpus row: +20.9 s
+    # on a 10.0 s serve; now +≈1 s). The broadcast makes the corpus
+    # side a map-side probe: non-shortlisted vectors are scanned,
+    # never shuffled, never normalized. Per-pair arithmetic is
+    # unchanged (same unit divide, same fold order — the norm is
+    # hof_bind-bound so it evaluates once per survivor), so results
+    # stay bit-identical and the oracle replay is untouched.
     cand = vectors.select(
-        F.col(id_col).alias("candidate_id"),
-        _unit(F.col(vec_col), l2_norm(F.col(vec_col))).alias("cu"),
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("__cvec")
     )
     exact = (
-        shortlist.join(cand, "candidate_id")
+        cand.join(F.broadcast(shortlist), "candidate_id")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             "candidate_id",
-            F.round(dot(F.col("qu"), F.col("cu")), 6).alias("cos_sim"),
+            F.round(
+                hof_bind(
+                    l2_norm(F.col("__cvec")),
+                    lambda n: dot(F.col("qu"), _unit(F.col("__cvec"), n)),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w2 = W.partitionBy("query_id").orderBy(

@@ -357,19 +357,28 @@ def ivfpq_topk(
     shortlist = ranked.filter(F.col("rank") <= rerank).select(
         "query_id", "candidate_id"
     )
+    # RAW vectors through the BROADCAST shortlist; norms only for the
+    # survivors (round 10 — the same corpus-shaped-rescore fix as
+    # `ann_index.search_ivfsq_index`: the previous shape computed
+    # l2_norm for every corpus row before the join and left the join
+    # strategy to size estimates, which shuffled the corpus). The
+    # per-pair expression is unchanged — dot/(q_norm·c_norm), same
+    # fold orders — so values stay bit-identical and the oracle
+    # replay is untouched.
     cv = corpus.select(
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("c_norm"),
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_norm"),
     )
-    cos = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    cos = dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("q_norm") * l2_norm(F.col("c_vec"))
+    )
     rescored = (
-        shortlist.join(cv, "candidate_id")
+        cv.join(F.broadcast(shortlist), "candidate_id")
         .join(F.broadcast(qv), "query_id")
         .select("query_id", "candidate_id", F.round(cos, 6).alias("cos_sim"))
     )

@@ -44,7 +44,7 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 #: placement this audit polices (l2 folds multiply, never divide)
 DIV = r"as double\) / "
 #: the hof_bind idiom wrapping a unit transform
-BOUND = "element_at(transform(array(transform("
+BOUND = "element_at(transform(array("  # the hof_bind wrapper (any bound expr)
 
 
 def optimized(df) -> str:
@@ -107,6 +107,27 @@ def main() -> int:
             not re.search(DIV, top) and "regexp_extract_all" not in top,
             "scoring fold consumes join-output attributes only",
         )
+
+    # --- the rerank serve (the shape the round-10 sweep MISSED on its
+    # first pass — caught by timing the 1M×200 serve, +20.9 s): the
+    # exact-rescore stage must unit-normalize ONLY joined survivors —
+    # every unit-divide in the plan is either hof_bind-bound (the
+    # post-join rescore, norm bound so CollapseProject cannot inline
+    # the fold into the per-element divide) or sits on the
+    # query-batch-sized side below a join.
+    plan = plan_of("s20_reranked_index_topk")
+    div_lines = [l for l in plan.split("\n") if re.search(DIV, l)]
+    unbound_unjoined = [
+        l
+        for l in div_lines
+        if BOUND not in l and "query_id" not in l.split("AS qu")[0][-400:]
+    ]
+    check(
+        "s20_reranked_index_topk rescore",
+        all(BOUND in l or "AS qu" in l for l in div_lines),
+        f"{len(div_lines)} unit-divide projects: each bound or the "
+        f"query-side qu ({len(unbound_unjoined)} neither)",
+    )
 
     # --- tokenize as a concrete attribute under in-row scans.
     for qname, bound in [
