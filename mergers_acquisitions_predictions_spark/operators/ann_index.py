@@ -483,6 +483,109 @@ def _read_index_meta(spark: SparkSession, path: str, name: str):
     return mns, rngs, cent_rows, dim, int(meta["n_cells"])
 
 
+def _ivfsq_scored_blas(
+    codes: DataFrame,
+    q_rows: list,
+    mns: list[float],
+    rngs: list[float],
+    cut: int,
+) -> DataFrame:
+    """`search_ivfsq_index`'s BLAS scoring leg: (query_id,
+    candidate_id, sq_sim) rows holding, per partition, the top-``cut``
+    candidates per query under the final comparator (6-dp-rounded
+    dequantized dot desc, candidate id asc) — the driver-side window
+    then ranks partitions × queries × cut rows, never the probed
+    pairs. Per Arrow batch, codes reconstruct in one vectorized
+    ``mn + (code·rng)/255`` (the JVM expression's per-element order)
+    and score against that cell's query matrix with one matmul; the
+    partitioned scan makes batches effectively single-cell, so the
+    groupby is a cheap passthrough. Self-pairs are masked to −inf (the
+    fold path's `query_id != candidate_id`) and boundary ties at the
+    cut survive to the id tiebreak. Parity scope = the other
+    ``*_blas`` operators: matmul accumulation + float HALF_UP
+    replication; opt-in only."""
+    import numpy as np
+    import pandas as pd
+
+    spark = codes.sparkSession
+    by_cell: dict = {}
+    for r in q_rows:
+        ids, mat = by_cell.setdefault(int(r["cell_id"]), ([], []))
+        ids.append(int(r["query_id"]))
+        mat.append([float(x) for x in r["qu"]])
+    bc = spark.sparkContext.broadcast(
+        {
+            c: (np.asarray(ids, dtype=np.int64), np.asarray(mat, dtype=np.float64))
+            for c, (ids, mat) in by_cell.items()
+        }
+    )
+    MN = np.asarray([float(x) for x in mns], dtype=np.float64)
+    RG = np.asarray([float(x) for x in rngs], dtype=np.float64)
+
+    def score(batches):
+        groups = bc.value
+        acc: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for cell, sub in pdf.groupby("cell_id"):
+                g = groups.get(int(cell))
+                if g is None:
+                    continue
+                qids, Q = g
+                C = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in sub["sq"]]
+                )
+                cand = sub["candidate_id"].to_numpy(dtype=np.int64)
+                recon = MN[None, :] + (C * RG[None, :]) / 255.0
+                S = recon @ Q.T
+                scaled = S * 1e6
+                R = (
+                    np.where(
+                        scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+                    )
+                    / 1e6
+                )
+                R[cand[:, None] == qids[None, :]] = -np.inf
+                nb = R.shape[0]
+                if nb > cut:
+                    thr = np.partition(R, nb - cut, axis=0)[nb - cut]
+                    keep = (R >= thr) & np.isfinite(R)
+                else:
+                    keep = np.isfinite(R)
+                rows, cols = np.nonzero(keep)
+                order = np.argsort(cols, kind="stable")
+                rows, cols = rows[order], cols[order]
+                bounds = np.searchsorted(cols, np.arange(len(qids) + 1))
+                for j in range(len(qids)):
+                    lo, hi = bounds[j], bounds[j + 1]
+                    if lo == hi:
+                        continue
+                    cs, ss = acc.setdefault(int(qids[j]), ([], []))
+                    cs.append(cand[rows[lo:hi]])
+                    ss.append(R[rows[lo:hi], j])
+        out_q, out_c, out_s = [], [], []
+        for qid in acc:
+            c = np.concatenate(acc[qid][0])
+            s = np.concatenate(acc[qid][1])
+            sel = np.lexsort((c, -s))[:cut]
+            out_q.append(np.full(sel.size, qid, dtype=np.int64))
+            out_c.append(c[sel])
+            out_s.append(s[sel])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "candidate_id": np.concatenate(out_c),
+                    "sq_sim": np.concatenate(out_s),
+                }
+            )
+
+    return codes.select("candidate_id", "cell_id", "sq").mapInPandas(
+        score, schema="query_id long, candidate_id long, sq_sim double"
+    )
+
+
 def search_ivfsq_index(
     spark: SparkSession,
     path: str,
@@ -494,6 +597,7 @@ def search_ivfsq_index(
     allowed: DataFrame | None = None,
     rerank: int | None = None,
     vectors: DataFrame | None = None,
+    score_blas: bool = False,
 ) -> DataFrame:
     """Serve top-k from a persisted IVF-SQ8 index. The live codes
     directory is resolved through the ``CURRENT`` pointer (see the
@@ -531,7 +635,22 @@ def search_ivfsq_index(
     shortlist-sized equi-join (queries × rerank rows) + the exact
     fold over those pairs — never corpus-shaped; partition pruning on
     the codes scan is untouched. The returned schema gains the exact
-    score as ``cos_sim`` in place of ``sq_sim``."""
+    score as ``cos_sim`` in place of ``sq_sim``.
+
+    ``score_blas`` (round 10 — the `ivf_assign_blas`/`score_blas`
+    lesson applied to THE dominant serve term at batch scale): the
+    probed-pair SQ scoring — dequantize + dot per (candidate, query)
+    pair — runs as one numpy reconstruct+matmul per Arrow batch with
+    per-partition top-k selection, instead of one interpreted JVM
+    fold per pair (measured: the 1M×200-query serve spends most of
+    its 10 s there). Partition pruning, the allowed-set semi join,
+    and the rerank stage are untouched; the query units are collected
+    from the SAME JVM expressions, so only the candidate-side
+    reconstruct-dot accumulation and the float HALF_UP replication
+    differ — the usual opt-in parity scope (boundary roundings not
+    bit-guaranteed; registered oracle rows keep the fold path;
+    equality on the test corpora is asserted in
+    tests/test_ann_index.py)."""
     from .similarity import ivf_assign_literal
     from .sq import _unit, sq_score
 
@@ -549,7 +668,17 @@ def search_ivfsq_index(
         "cell_id",
         _unit(F.col("__vec"), F.col("__norm")).alias("qu"),
     )
-    probed = sorted({r["cell_id"] for r in q.select("cell_id").distinct().collect()})
+    if score_blas:
+        # one collect serves both the probe set and the per-cell query
+        # matrices (query-batch × probes rows — tiny by contract); the
+        # qu values are the JVM fold's own, so only the candidate-side
+        # accumulation differs from the fold path
+        q_rows = q.collect()
+        probed = sorted({int(r["cell_id"]) for r in q_rows})
+    else:
+        probed = sorted(
+            {r["cell_id"] for r in q.select("cell_id").distinct().collect()}
+        )
 
     codes = spark.read.parquet(f"{path}/{live_name}").filter(
         F.col("cell_id").isin([int(c) for c in probed])
@@ -560,14 +689,19 @@ def search_ivfsq_index(
             "candidate_id",
             "left_semi",
         )
-    joined = codes.join(F.broadcast(q), "cell_id").filter(
-        F.col("query_id") != F.col("candidate_id")
-    )
-    scored = joined.select(
-        "query_id",
-        "candidate_id",
-        F.round(sq_score(F.col("qu"), F.col("sq"), mns, rngs), 6).alias("sq_sim"),
-    )
+    if score_blas:
+        scored = _ivfsq_scored_blas(
+            codes, q_rows, mns, rngs, cut=max(k, rerank or 0)
+        )
+    else:
+        joined = codes.join(F.broadcast(q), "cell_id").filter(
+            F.col("query_id") != F.col("candidate_id")
+        )
+        scored = joined.select(
+            "query_id",
+            "candidate_id",
+            F.round(sq_score(F.col("qu"), F.col("sq"), mns, rngs), 6).alias("sq_sim"),
+        )
     w = W.partitionBy("query_id").orderBy(F.desc("sq_sim"), F.asc("candidate_id"))
     if rerank is None:
         return (

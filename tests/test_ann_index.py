@@ -746,3 +746,41 @@ def test_dedup_rerank_compose_is_oracle_replayable(spark, tmp_path):
     want = normalize(run_oracle(oracle, SF))
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_serve_score_blas_matches_fold(spark, tmp_path):
+    """`search_ivfsq_index(score_blas=True)` must return the SAME
+    frame as the fold serve across k / n_probe / allowed / rerank
+    combinations at two SFs — the parity-scope empirical leg (the
+    matmul diverges only at .5 rounding boundaries within float
+    error; there must be none on the real corpora). The query units
+    are the JVM fold's own values by construction, so the compare is
+    exact."""
+    import pandas as pd
+
+    e01 = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    e1 = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    for tag, e in (("sf0.001", e01), ("sf0.01", e1)):
+        path = str(tmp_path / f"idx_{tag}")
+        build_ivfsq_index(e, path, n_cells=16)
+        q = e.filter(F.col("vec_id") < 7)
+        cases = [
+            dict(k=5, n_probe=2),
+            dict(k=3, n_probe=1),
+            dict(k=10, n_probe=2),
+            dict(k=5, n_probe=2, allowed=e.filter(F.col("label") % 2 == 1)),
+            dict(k=5, n_probe=2, rerank=15, vectors=e),
+        ]
+        for kw in cases:
+            fold = sorted(
+                map(tuple, search_ivfsq_index(spark, path, q, **kw).collect())
+            )
+            blas = sorted(
+                map(
+                    tuple,
+                    search_ivfsq_index(
+                        spark, path, q, score_blas=True, **kw
+                    ).collect(),
+                )
+            )
+            assert fold == blas, (tag, kw)
