@@ -6,8 +6,12 @@ serve every later query batch as a partition-pruned scan + equi-join.
 Layout on disk (any Hadoop-compatible filesystem):
 
     <path>/codes/       parquet, partitionBy(cell_id):
-                        (candidate_id, sq: array<int>) — a FRESH
-                        build's generation-0 codes directory
+                        (candidate_id, sq: array<int>) for the
+                        IVF-SQ8 kind, (candidate_id, pq: array<int>)
+                        for IVF-PQ (round 10 — same layout and commit
+                        protocol, geometry JSON differs by "kind" and
+                        each reader kind-guards it) — a FRESH build's
+                        generation-0 codes directory
     <path>/meta         one-line JSON: quantizer stats, centroid
                         table, config (the driver-sized artifacts the
                         operators otherwise collect per invocation) —
@@ -337,50 +341,60 @@ def build_ivfsq_index(
             ),
         }
     )
-    if not _has_live_index(spark, path):
-        # FRESH path: nothing resolvable exists, so no reader can be
-        # mid-scan — write generation-0 in place, no staging rename.
-        # `coded` is already clustered by cell (the encode shuffle
-        # above), so the partitioned sink writes contiguous row groups
-        # with files-per-cell bounded by the shuffle width.
-        coded.write.mode("overwrite").partitionBy("cell_id").parquet(
-            f"{path}/codes"
-        )
-        spark.catalog.refreshByPath(f"{path}/codes")
-        # Geometry sidecar as ONE driver-side Hadoop write (plain
-        # file, same filesystem as the codes — local, HDFS, S3). This
-        # replaced the round-4..8 one-row Spark text job
-        # (range(1).coalesce(1).write.text): correct, but a whole
-        # job + refresh (~0.3 s at bench scale) to move one line —
-        # part of the s13-family build-leg cost VERDICT r8 flagged.
-        # `spark.read.json` accepts the plain file, and
-        # `_read_meta_text` still parses the legacy dataset-directory
-        # form for indexes older sessions wrote.
-        from ..sources.fs import fs_delete, fs_replace_file
-
-        fs_delete(spark, f"{path}/meta")  # a legacy DIR would block create
-        from ..sources.fs import fs_write_text
-
-        fs_write_text(spark, f"{path}/meta", meta_text)
-        fs_replace_file(spark, f"{path}/{_CURRENT}", "codes")
-        live_name = "codes"
-    else:
-        # REBUILD at a live path (ADVICE r8 — the in-place overwrite
-        # raced concurrent readers, and reap-everything retention
-        # contradicted the module contract): commit exactly like a
-        # compaction — stage codes + co-located _meta geometry as the
-        # NEXT generation, publish with one directory rename, flip the
-        # pointer, retain the previously-live generation one cycle,
-        # reap everything older. A reader that resolved the old name
-        # keeps consistent codes+geometry until the NEXT maintenance
-        # commit; the pointer chain continues instead of resetting.
-        live_name = _commit_generation(
-            spark, path, coded, meta_text, _resolve_codes_name(spark, path)
-        )
+    live_name = _publish_codes(spark, path, coded, meta_text)
     prime_memoized_literal(("ivfsq_codes_dir", path), live_name)
     prime_memoized_literal(
         ("ivfsq_meta", path, live_name),
         (mns, rngs, cent_rows, len(mns), n_cells),
+    )
+
+
+def _publish_codes(
+    spark: SparkSession,
+    path: str,
+    coded: DataFrame,
+    meta_text: str,
+) -> str:
+    """FRESH-vs-REBUILD publish decision shared by every index KIND
+    (IVF-SQ8 and IVF-PQ builds — round 10: the commit protocol is
+    quantizer-agnostic, only the coded columns and the geometry JSON
+    differ). ``coded`` must already be clustered by cell (both builds
+    shuffle upstream of the encode). Returns the live codes name.
+
+    FRESH path: nothing resolvable exists, so no reader can be
+    mid-scan — write generation-0 in place, no staging rename; the
+    partitioned sink writes contiguous row groups with files-per-cell
+    bounded by the shuffle width. The geometry sidecar is ONE
+    driver-side Hadoop write (plain file, same filesystem as the
+    codes). This replaced the round-4..8 one-row Spark text job
+    (range(1).coalesce(1).write.text): correct, but a whole job +
+    refresh (~0.3 s at bench scale) to move one line — part of the
+    s13-family build-leg cost VERDICT r8 flagged. `spark.read.json`
+    accepts the plain file, and `_read_meta_text` still parses the
+    legacy dataset-directory form for indexes older sessions wrote.
+
+    REBUILD at a live path (ADVICE r8 — the in-place overwrite raced
+    concurrent readers, and reap-everything retention contradicted
+    the module contract): commit exactly like a compaction — stage
+    codes + co-located _meta geometry as the NEXT generation, publish
+    with one directory rename, flip the pointer, retain the
+    previously-live generation one cycle, reap everything older. A
+    reader that resolved the old name keeps consistent codes+geometry
+    until the NEXT maintenance commit; the pointer chain continues
+    instead of resetting."""
+    if not _has_live_index(spark, path):
+        coded.write.mode("overwrite").partitionBy("cell_id").parquet(
+            f"{path}/codes"
+        )
+        spark.catalog.refreshByPath(f"{path}/codes")
+        from ..sources.fs import fs_delete, fs_replace_file, fs_write_text
+
+        fs_delete(spark, f"{path}/meta")  # a legacy DIR would block create
+        fs_write_text(spark, f"{path}/meta", meta_text)
+        fs_replace_file(spark, f"{path}/{_CURRENT}", "codes")
+        return "codes"
+    return _commit_generation(
+        spark, path, coded, meta_text, _resolve_codes_name(spark, path)
     )
 
 
@@ -473,6 +487,16 @@ def _read_index_meta(spark: SparkSession, path: str, name: str):
     if primed is not None:
         return primed
     meta = json.loads(_read_meta_text(spark, path, name))
+    # kind guard (round 10, with the PQ kind's arrival): serving an
+    # IVF-PQ artifact through the SQ8 reader would KeyError on "mns"
+    # at best — fail with the actual mistake instead. Legacy metas
+    # predate the field; they are all SQ8.
+    kind = meta.get("kind", "ivfsq")
+    if kind != "ivfsq":
+        raise ValueError(
+            f"index at {path} ({name}) is kind={kind!r}, not ivfsq — "
+            "serve it with the matching search function"
+        )
     mns = json.loads(meta["mns"])
     rngs = json.loads(meta["rngs"])
     cent_rows = [
@@ -906,3 +930,266 @@ def compact_ivfsq_index(spark: SparkSession, path: str) -> tuple[int, int]:
     prime_memoized_literal(("ivfsq_codes_dir", path), new_name)
     prime_memoized_literal(("ivfsq_meta", path, new_name), meta)
     return before, _count_files(f"{path}/{new_name}")
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int | None = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_cache_key: tuple | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    assign_blas: bool = False,
+) -> None:
+    """Build + persist an IVF-PQ index — the COMPRESSED persisted kind
+    (round 10), completing the lifecycle family's memory story: the
+    SQ8 codes are ``dim`` bytes/vector, the PQ codes ``n_subspaces``
+    bytes (8 here vs 64 — at 10⁹ vectors the difference is whether
+    the hot index is 64 GB or 8 GB per 10⁹, i.e. whether one
+    executor's page cache holds a shard of it). Same layout, same
+    pointer-file commit, same FRESH-vs-REBUILD decision as the SQ8
+    build (`_publish_codes` — the protocol is quantizer-agnostic):
+    codes land partitioned by cell with the geometry co-located, so
+    `search_ivfpq_index` serves partition-pruned ADC scans.
+
+    Geometry = IVF centroids + PQ codebooks. ``codebooks=None`` keeps
+    the deterministic lowest-id anchor books (`pq_anchor_codebooks` —
+    oracle-replayable, the registered-row configuration); a deployment
+    passes `pq_kmeans_codebooks`' learned books exactly like the SQ8
+    build's ``centroids`` hook. Encoding follows the two-step
+    discipline (unit vector computed BEFORE the cell shuffle, encode
+    AFTER it — the §7o-r9 interpreted-HOF lesson): post-shuffle the
+    unit vector is a concrete attribute, so `pq_encode`'s bound
+    slices cost M·d array reads per row, not M·K·d re-derivations.
+
+    ``assign_blas``: same opt-in as the SQ8 build — the n×cells
+    assignment as one numpy matmul per Arrow batch; codes are
+    bit-identical off tie boundaries (see `ivf_assign_blas`)."""
+    from .pq import _unit, pq_anchor_codebooks, pq_encode
+    from .similarity import (
+        auto_cells,
+        collect_centroid_rows,
+        ivf_assign_blas,
+        ivf_assign_literal,
+        ivf_centroids,
+    )
+    from .util import memoized_literal, prime_memoized_literal, repartition_for_compute
+
+    memoize = corpus_cache_key is not None
+    if n_cells is None:
+        n = (
+            memoized_literal(
+                ("count", corpus_cache_key, id_col), lambda: corpus.count()
+            )
+            if memoize
+            else corpus.count()
+        )
+        n_cells = auto_cells(n)
+    if codebooks is not None:
+        cbs = codebooks
+    elif memoize:
+        cbs = memoized_literal(
+            ("pq_anchor_cbs", corpus_cache_key, n_subspaces, n_codes, id_col, vec_col),
+            lambda: pq_anchor_codebooks(corpus, n_subspaces, n_codes, id_col, vec_col),
+        )
+    else:
+        cbs = pq_anchor_codebooks(corpus, n_subspaces, n_codes, id_col, vec_col)
+    if memoize:
+        cent_rows = memoized_literal(
+            ("ivf_cent_rows", corpus_cache_key, n_cells, id_col, vec_col),
+            lambda: collect_centroid_rows(
+                ivf_centroids(corpus, n_cells, id_col, vec_col)
+            ),
+        )
+    else:
+        cent_rows = collect_centroid_rows(
+            ivf_centroids(corpus, n_cells, id_col, vec_col)
+        )
+    dim = len(cbs) * len(cbs[0][0])
+
+    assign = ivf_assign_blas if assign_blas else ivf_assign_literal
+    coded = (
+        assign(
+            repartition_for_compute(corpus), cent_rows, "candidate_id", 1, id_col, vec_col
+        )
+        .select(
+            "candidate_id",
+            "cell_id",
+            _unit(F.col("__vec"), F.col("__norm")).alias("__unit"),
+        )
+        .repartition("cell_id")
+        .select(
+            "candidate_id",
+            "cell_id",
+            pq_encode(F.col("__unit"), cbs).alias("pq"),
+        )
+    )
+    spark = corpus.sparkSession
+    meta_text = json.dumps(
+        {
+            "kind": "ivfpq",
+            "dim": dim,
+            "n_cells": n_cells,
+            "n_subspaces": len(cbs),
+            "n_codes": len(cbs[0]),
+            "codebooks": json.dumps(
+                [[[float(x) for x in code] for code in book] for book in cbs]
+            ),
+            "centroids": json.dumps(
+                [[int(c), list(map(float, v)), float(n)] for c, v, n in cent_rows]
+            ),
+        }
+    )
+    live_name = _publish_codes(spark, path, coded, meta_text)
+    prime_memoized_literal(("ivfsq_codes_dir", path), live_name)
+    prime_memoized_literal(
+        ("ivfpq_meta", path, live_name), (cbs, cent_rows, dim, n_cells)
+    )
+
+
+def _read_ivfpq_meta(spark: SparkSession, path: str, name: str):
+    """(codebooks, cent_rows, dim, n_cells) for generation ``name`` of
+    the IVF-PQ index at ``path`` — `_read_index_meta`'s contract
+    (same-session primed value keyed by generation, else the
+    generation's on-disk geometry; kind-guarded both ways)."""
+    from .util import peek_memoized_literal
+
+    primed = peek_memoized_literal(("ivfpq_meta", path, name))
+    if primed is not None:
+        return primed
+    meta = json.loads(_read_meta_text(spark, path, name))
+    kind = meta.get("kind", "ivfsq")
+    if kind != "ivfpq":
+        raise ValueError(
+            f"index at {path} ({name}) is kind={kind!r}, not ivfpq — "
+            "serve it with the matching search function"
+        )
+    cbs = [
+        [[float(x) for x in code] for code in book]
+        for book in json.loads(meta["codebooks"])
+    ]
+    cent_rows = [
+        (int(c), [float(x) for x in v], float(n))
+        for c, v, n in json.loads(meta["centroids"])
+    ]
+    return cbs, cent_rows, int(meta["dim"]), int(meta["n_cells"])
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
+    rerank: int | None = None,
+    vectors: DataFrame | None = None,
+) -> DataFrame:
+    """Serve top-k from a persisted IVF-PQ index: resolve the live
+    generation ONCE (codes + geometry as one unit — the round-9
+    consistency rule), assign the query batch to its ``n_probe``
+    cells with the persisted centroids, compute each query's ADC
+    table ONCE from the persisted codebooks, push the probed cell ids
+    into the codes scan as a partition filter, and rank candidates on
+    the quantized squared-L2 — M table lookups per (candidate, query)
+    pair, no vector math in the scan. Results are BIT-IDENTICAL to
+    the in-memory `pq.ivfpq_topk` under the same geometry (same
+    assignment, same bound-slice ADC folds via `pq.pq_adc_table`,
+    same `pq.adc_sum` add order, same rounding and tiebreaks) —
+    asserted in tests/test_pq_index.py; the persisted kind only moves
+    where the codes live.
+
+    ``allowed``: pre-filter semantics on the pruned scan, exactly
+    `search_ivfsq_index`'s contract. ``rerank`` + ``vectors``: the
+    EXACT cosine re-rank of an overfetched ADC shortlist — raw
+    vectors join through the BROADCAST shortlist (never
+    corpus-shaped work; the round-10 rescore discipline), per-pair
+    expression identical to `pq.ivfpq_topk(rerank=...)`'s so the
+    oracle replay composes unchanged. Output: (query_id,
+    candidate_id, adc_dist, rank), or cos_sim in place of adc_dist
+    when reranked."""
+    from ..functions.vectors import dot, l2_norm
+    from .pq import _unit, adc_sum, pq_adc_table
+    from .similarity import ivf_assign_literal
+    from .util import hof_bind
+
+    live_name = _resolve_codes_name(spark, path)
+    cbs, cent_rows, _dim, _nc = _read_ivfpq_meta(spark, path, live_name)
+    n_sub = len(cbs)
+
+    q = ivf_assign_literal(
+        queries, cent_rows, "query_id", n_probe, id_col, vec_col
+    ).select(
+        "query_id",
+        "cell_id",
+        hof_bind(
+            _unit(F.col("__vec"), F.col("__norm")),
+            lambda u: pq_adc_table(u, cbs),
+        ).alias("dtab"),
+    )
+    probed = sorted(
+        {r["cell_id"] for r in q.select("cell_id").distinct().collect()}
+    )
+    codes = spark.read.parquet(f"{path}/{live_name}").filter(
+        F.col("cell_id").isin([int(c) for c in probed])
+    )
+    if allowed is not None:
+        codes = codes.join(
+            allowed.select(F.col(id_col).alias("candidate_id")),
+            "candidate_id",
+            "left_semi",
+        )
+    joined = codes.join(F.broadcast(q), "cell_id").filter(
+        F.col("query_id") != F.col("candidate_id")
+    )
+    scored = joined.select(
+        "query_id", "candidate_id", F.round(adc_sum(n_sub), 6).alias("adc_dist")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("candidate_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("long"))
+    if rerank is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "candidate_id", "adc_dist", "rank"
+        )
+    if vectors is None:
+        raise ValueError(
+            "search_ivfpq_index(rerank=...) needs `vectors` — a frame "
+            f"with ({id_col}, {vec_col}) to score the shortlist exactly "
+            "(the index stores codes, not vectors)"
+        )
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    shortlist = ranked.filter(F.col("rank") <= rerank).select(
+        "query_id", "candidate_id"
+    )
+    # Raw vectors through the broadcast shortlist; per-pair expression
+    # identical to pq.ivfpq_topk's rescore (dot over the norm product
+    # on RAW vectors — NOT the SQ serve's unit-dot spelling; the PQ
+    # oracle's rescore block replays this exact form).
+    cv = vectors.select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("c_vec")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    cos = dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("q_norm") * l2_norm(F.col("c_vec"))
+    )
+    rescored = (
+        cv.join(F.broadcast(shortlist), "candidate_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "candidate_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("candidate_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cos_sim", "rank")
+    )

@@ -200,6 +200,21 @@ def pq_adc_table(
     )
 
 
+def adc_sum(n_sub: int) -> Column:
+    """Σ_m dtab[m][pq[m]] over ``n_sub`` subspaces as a left-to-right
+    add chain — the oracle's outer `list_sum` order. Reads the
+    ``dtab`` (per-query ADC table) and ``pq`` (candidate codes)
+    columns of the joined probe frame; shared by the in-memory
+    `ivfpq_topk` scan and the persisted `ann_index.search_ivfpq_index`
+    serve so the two paths stay bit-identical by construction."""
+    adc: Column = F.lit(0.0)
+    for m in range(n_sub):
+        adc = adc + F.element_at(
+            F.element_at("dtab", m + 1), F.element_at("pq", m + 1) + 1
+        )
+    return adc
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -335,15 +350,8 @@ def ivfpq_topk(
     joined = c.join(F.broadcast(q), "cell_id").filter(
         F.col("query_id") != F.col("candidate_id")
     )
-    # Σ_m dtab[m][pq[m]]: left-to-right add over subspaces — the
-    # oracle's outer list_sum order.
-    adc: Column = F.lit(0.0)
-    for m in range(n_sub):
-        adc = adc + F.element_at(
-            F.element_at("dtab", m + 1), F.element_at("pq", m + 1) + 1
-        )
     scored = joined.select(
-        "query_id", "candidate_id", F.round(adc, 6).alias("adc_dist")
+        "query_id", "candidate_id", F.round(adc_sum(n_sub), 6).alias("adc_dist")
     )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("candidate_id"))
     ranked = scored.withColumn("rank", F.row_number().over(w).cast("long"))

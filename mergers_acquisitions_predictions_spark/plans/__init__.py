@@ -45,7 +45,9 @@ from . import io_queries  # noqa: E402,F401
 #:
 #: Round 10: (a) new = s22 (the composed dedup+rerank serve — THE
 #: production configuration §7o-r9 measured; oracle machinery
-#: pre-certified in round 9; VERDICT r9 #1);
+#: pre-certified in round 9; VERDICT r9 #1) and s23 (the persisted
+#: IVF-PQ index — the compressed persisted kind, sharing the
+#: generation commit and serving contract with the s13 family);
 #: (b) changed since last row = s08/s09/s10, whose OWN plans changed
 #: (the in-memory SQ/PQ encode now binds its unit vector once via
 #: util.hof_bind — the §7p fix; bit-identical values, different
@@ -57,14 +59,15 @@ from . import io_queries  # noqa: E402,F401
 #: compact-prime/serve-peek sites; s15/s17/s20 ride the identical
 #: code and keep their r9-fresh rows; s22's serve is (a) anyway);
 #: (c) fill = the ENTIRE remaining r6-era cohort (13 rows — VERDICT
-#: r9 #2) + the 30 alphabetically-first rows of the 43-row r7 cohort
+#: r9 #2) + the 29 alphabetically-first rows of the 43-row r7 cohort
 #: (s09 is r7-stale but already (b)-mandatory; the name order makes
 #: the tie-break auditable). After this round no driver row predates
-#: round 7; the 12 remaining r7 rows (t22..u05) are round 11's
+#: round 7; the 13 remaining r7 rows (t21..u05) are round 11's
 #: frontier.
 DRIVER_WINDOW = [
     # (a): registered this round
     "s22_dedup_rerank_serve",
+    "s23_pq_index_topk",
     # (b): implementation changed since their last row
     "s08_ivfpq_topk",
     "s09_ivfpq_kmeans_topk",
@@ -116,7 +119,6 @@ DRIVER_WINDOW = [
     "t18_sequence_packing",
     "t19_quality_rank_filter",
     "t20_pack_manifest",
-    "t21_source_mixture",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -1107,3 +1107,46 @@ def s22_dedup_rerank_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=15,
         vectors=e,
     )
+
+
+@query(
+    "s23_pq_index_topk",
+    oracle=f"WITH {_ivfpq_topk_sql(n_subspaces=8, sub_dim=8, n_codes=16, n_cells='auto', n_probe=2, k=5)}\n",
+)
+def s23_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build + serve the persisted IVF-PQ index (round 10) — the
+    COMPRESSED persisted kind: same generation-scoped layout, pointer
+    commit, and partition-pruned serve as the s13 family, with
+    8-byte PQ codes in place of the SQ8 bytes (32× smaller than raw
+    float32 — at 10⁹ vectors the hot index is 8 GB, not 256 GB, which
+    is what decides whether a serving fleet's page cache holds it).
+    The serve's ADC scan costs 8 table lookups per probed pair, no
+    vector math; results are bit-identical to the in-memory
+    `pq.ivfpq_topk` under the same geometry (asserted in
+    tests/test_pq_index.py), so the family's oracle replays the
+    persisted path unchanged: anchor codebooks + √n auto-cells +
+    rounded-argmin codes + ordered ADC folds, regenerated from the
+    parquet by one static statement (lsh_oracle.ivfpq_topk_sql).
+
+    Production note (SCALE.md §7o): on clone-saturated corpora PQ's
+    quantization noise needs the exact re-rank remedy exactly like
+    SQ8 — `search_ivfpq_index(rerank=..., vectors=...)` is the
+    deployment serve (frame-equality-tested vs the in-memory rerank
+    path); this row certifies the plain ADC contract the remedies
+    stack on. No reference analogue (the reference has no vector
+    search) — SURVEY §7 Phase 4 surface."""
+    from ..operators.ann_index import build_ivfpq_index, search_ivfpq_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_path(spark, sf_dir, "ivfpq")
+    build_ivfpq_index(
+        e,
+        path,
+        n_cells=None,
+        n_subspaces=8,
+        n_codes=16,
+        corpus_cache_key=(sf_dir, "embeddings"),
+    )
+    return search_ivfpq_index(
+        spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
+    )

@@ -1,0 +1,123 @@
+"""Persisted IVF-PQ index (round 10 — the compressed persisted kind):
+build/serve equivalence with the in-memory `pq.ivfpq_topk` under
+identical geometry, the partition-pruning contract, the rerank and
+allowed serve modes, the staged-generation rebuild commit it shares
+with the SQ8 kind, and the kind guards that keep one kind's reader
+off the other kind's artifact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mergers_acquisitions_predictions_spark.operators.ann_index import (
+    build_ivfpq_index,
+    build_ivfsq_index,
+    search_ivfpq_index,
+    search_ivfsq_index,
+)
+from mergers_acquisitions_predictions_spark.operators.pq import ivfpq_topk
+from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_persisted_pq_matches_inmemory_path(spark, tmp_path):
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(e, path, n_cells=16, n_subspaces=8, n_codes=16)
+    got = _rows(search_ivfpq_index(spark, path, q, k=5, n_probe=2))
+    want = _rows(
+        ivfpq_topk(q, e, k=5, n_cells=16, n_probe=2, n_subspaces=8, n_codes=16)
+    )
+    assert got == want  # bit-identical: same codebooks/codes/fold orders
+
+
+def test_persisted_pq_rerank_matches_inmemory(spark, tmp_path):
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(e, path, n_cells=16)
+    got = _rows(
+        search_ivfpq_index(spark, path, q, k=5, n_probe=2, rerank=12, vectors=e)
+    )
+    want = _rows(ivfpq_topk(q, e, k=5, n_cells=16, n_probe=2, rerank=12))
+    assert got == want  # the exact-rescore expression is shared verbatim
+
+
+def test_pq_probe_scan_is_partition_pruned(spark, tmp_path):
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 2)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(e, path, n_cells=16)
+    out = search_ivfpq_index(spark, path, q, k=5, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell_id" in ln and "IN" in ln.upper() for ln in scan_lines), plan
+
+
+def test_pq_allowed_prefilter(spark, tmp_path):
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(e, path, n_cells=16)
+    # allowed = full corpus → identical to the unfiltered serve
+    full = _rows(search_ivfpq_index(spark, path, q, k=5, n_probe=2, allowed=e))
+    assert full == _rows(search_ivfpq_index(spark, path, q, k=5, n_probe=2))
+    # allowed = a metadata predicate → pre-filter semantics: every
+    # candidate matches, and ranks are dense 1..k over the matches
+    allowed = e.filter(F.col("vec_id") % 2 == 0)
+    got = search_ivfpq_index(
+        spark, path, q, k=5, n_probe=2, allowed=allowed
+    ).collect()
+    assert got and all(r["candidate_id"] % 2 == 0 for r in got)
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_pq_rebuild_commits_generation(spark, tmp_path):
+    """A second build at a live path must commit through a staged
+    generation (pointer flip, previous generation retained one cycle)
+    — the protocol shared with the SQ8 kind via _publish_codes — and
+    the post-rebuild serve must still match the in-memory path."""
+    from mergers_acquisitions_predictions_spark.sources.fs import (
+        fs_exists,
+        fs_read_text,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(e, path, n_cells=16)
+    assert fs_read_text(spark, f"{path}/CURRENT").strip() == "codes"
+    build_ivfpq_index(e, path, n_cells=16)  # REBUILD at the live path
+    assert fs_read_text(spark, f"{path}/CURRENT").strip() == "codes_g000001"
+    assert fs_exists(spark, f"{path}/codes")  # retained one cycle
+    got = _rows(search_ivfpq_index(spark, path, q, k=5, n_probe=2))
+    want = _rows(ivfpq_topk(q, e, k=5, n_cells=16, n_probe=2))
+    assert got == want
+
+
+def test_kind_guards_cross_serving(spark, tmp_path):
+    """Serving an IVF-PQ artifact with the SQ8 reader (or vice versa)
+    must fail LOUD on the geometry's kind field, not KeyError deep in
+    a stats parse. The primed meta memos are kind-namespaced, so the
+    wrong-kind reader always falls through to the on-disk guard."""
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 2)
+    pq_path = str(tmp_path / "pq")
+    sq_path = str(tmp_path / "sq")
+    build_ivfpq_index(e, pq_path, n_cells=16)
+    build_ivfsq_index(e, sq_path, n_cells=16)
+    with pytest.raises(ValueError, match="kind='ivfpq', not ivfsq"):
+        search_ivfsq_index(spark, pq_path, q, k=5, n_probe=2).collect()
+    with pytest.raises(ValueError, match="kind='ivfsq', not ivfpq"):
+        search_ivfpq_index(spark, sq_path, q, k=5, n_probe=2).collect()
