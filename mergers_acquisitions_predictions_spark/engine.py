@@ -355,25 +355,41 @@ class Engine:
 
         return rrf_fuse(ranked, k, **kw)
 
-    def build_ann_index(self, corpus: DataFrame, path: str, **kw) -> None:
-        """Persist an IVF-SQ8 index (codes partitioned by cell +
-        meta sidecar) — build once, then serve query batches as
-        partition-pruned scans (SCALE.md §7i's amortized regime)."""
-        from .operators.ann_index import build_ivfsq_index
+    def build_ann_index(
+        self, corpus: DataFrame, path: str, kind: str = "ivfsq", **kw
+    ) -> None:
+        """Persist an ANN index (codes partitioned by cell + geometry)
+        — build once, then serve query batches as partition-pruned
+        scans (SCALE.md §7i's amortized regime). ``kind="ivfsq"``
+        (default) stores dim-byte SQ8 codes; ``kind="ivfpq"`` stores
+        n_subspaces-byte PQ codes — 32× under raw float32, the
+        page-cache regime at 10⁹ vectors (SCALE.md §7q)."""
+        from .operators.ann_index import build_ivfpq_index, build_ivfsq_index
 
-        build_ivfsq_index(corpus, path, **kw)
+        if kind == "ivfpq":
+            build_ivfpq_index(corpus, path, **kw)
+        elif kind == "ivfsq":
+            build_ivfsq_index(corpus, path, **kw)
+        else:
+            raise ValueError(f"unknown index kind {kind!r}")
 
     def search_ann_index(
-        self, path: str, queries: DataFrame, k: int = 5, **kw
+        self, path: str, queries: DataFrame, k: int = 5, kind: str = "ivfsq", **kw
     ) -> DataFrame:
-        """Top-k from a persisted IVF-SQ8 index; reads only the
-        probed cells' partitions. Bit-identical to the in-memory
-        ivfsq path. Pass ``allowed=`` (a frame of permitted candidate
-        ids) for filtered search — the vector-DB metadata predicate,
-        applied pre-ranking as a semi join on the pruned scan."""
-        from .operators.ann_index import search_ivfsq_index
+        """Top-k from a persisted ANN index (``kind`` must match the
+        build — the geometry is kind-guarded); reads only the probed
+        cells' partitions. Bit-identical to the matching in-memory
+        path. Pass ``allowed=`` (a frame of permitted candidate ids)
+        for filtered search — the vector-DB metadata predicate,
+        applied pre-ranking as a semi join on the pruned scan — and
+        ``rerank=``/``vectors=`` for the exact-rescore serve."""
+        from .operators.ann_index import search_ivfpq_index, search_ivfsq_index
 
-        return search_ivfsq_index(self.spark, path, queries, k, **kw)
+        if kind == "ivfpq":
+            return search_ivfpq_index(self.spark, path, queries, k, **kw)
+        if kind == "ivfsq":
+            return search_ivfsq_index(self.spark, path, queries, k, **kw)
+        raise ValueError(f"unknown index kind {kind!r}")
 
     def key_skew(self, df: DataFrame, key: str) -> DataFrame:
         """One-row shuffle-key skew diagnostic (max/p99/p50 key

@@ -875,7 +875,9 @@ def append_to_ivfsq_index(
 
 
 def compact_ivfsq_index(spark: SparkSession, path: str) -> tuple[int, int]:
-    """Compact a persisted IVF-SQ8 index's codes — the maintenance
+    """Compact a persisted index's codes (BOTH kinds since round 10 —
+    compaction never interprets geometry, see the kind branch below;
+    the name keeps the original SQ8 spelling for its callers) — the maintenance
     pass the append path (`append_to_ivfsq_index`) makes necessary:
     every nightly shard adds one file per touched cell partition, and
     after enough appends the probed-cell scan cost is dominated by
@@ -918,7 +920,15 @@ def compact_ivfsq_index(spark: SparkSession, path: str) -> tuple[int, int]:
     if before == 0:
         raise ValueError(f"no codes parquet under {live}")
     meta_text = _read_meta_text(spark, path, live_name)
-    meta = _read_index_meta(spark, path, live_name)
+    # KIND-AGNOSTIC (round 10, with the PQ kind's arrival): compaction
+    # never interprets the geometry — it carries the meta TEXT forward
+    # byte-identically — so one implementation serves both kinds; only
+    # the re-prime below parses it, through the kind's own reader.
+    kind = json.loads(meta_text).get("kind", "ivfsq")
+    if kind == "ivfpq":
+        meta_key, meta = "ivfpq_meta", _read_ivfpq_meta(spark, path, live_name)
+    else:
+        meta_key, meta = "ivfsq_meta", _read_index_meta(spark, path, live_name)
     # Read through the partitioned layout so cell_id survives as a
     # column, cluster by cell, rewrite partitioned.
     codes = spark.read.parquet(live).repartition("cell_id")
@@ -928,8 +938,68 @@ def compact_ivfsq_index(spark: SparkSession, path: str) -> tuple[int, int]:
     # next serve skips the sidecar re-read (append's lesson, PERF.md
     # round 6).
     prime_memoized_literal(("ivfsq_codes_dir", path), new_name)
-    prime_memoized_literal(("ivfsq_meta", path, new_name), meta)
+    prime_memoized_literal((meta_key, path, new_name), meta)
     return before, _count_files(f"{path}/{new_name}")
+
+
+#: kind-neutral spelling — compaction works on both index kinds
+compact_index = compact_ivfsq_index
+
+
+def append_to_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a shard to a persisted IVF-PQ index — the PQ spelling of
+    `append_to_ivfsq_index` (same frozen-geometry contract: new
+    vectors are assigned and encoded with the PERSISTED centroids and
+    codebooks, no refit; drift is handled by periodic rebuilds). One
+    resolution covers geometry and target directory; dim-mismatch
+    fails fast before any write; the two-step encode around the cell
+    shuffle bounds the shard's file fan-out to one file per touched
+    cell and keeps `pq_encode` reading a concrete unit attribute."""
+    from .pq import _unit, pq_encode
+    from .similarity import ivf_assign_literal
+    from .util import prime_memoized_literal
+
+    spark = new_vectors.sparkSession
+    live_name = _resolve_codes_name(spark, path)
+    cbs, cent_rows, dim, _nc = _read_ivfpq_meta(spark, path, live_name)
+
+    bad = new_vectors.filter(F.size(F.col(vec_col)) != dim).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"append_to_ivfpq_index: shard vectors must have dim={dim} "
+            f"to match the persisted codebooks at {path}"
+        )
+    coded = (
+        ivf_assign_literal(
+            new_vectors, cent_rows, "candidate_id", 1, id_col, vec_col
+        )
+        .select(
+            "candidate_id",
+            "cell_id",
+            _unit(F.col("__vec"), F.col("__norm")).alias("__unit"),
+        )
+        .repartition("cell_id")
+        .select(
+            "candidate_id",
+            "cell_id",
+            pq_encode(F.col("__unit"), cbs).alias("pq"),
+        )
+    )
+    coded.write.mode("append").partitionBy("cell_id").parquet(
+        f"{path}/{live_name}"
+    )
+    spark.catalog.refreshByPath(f"{path}/{live_name}")
+    # Frozen geometry + unchanged live name: re-prime both under the
+    # post-append content fingerprint (append_to_ivfsq_index's lesson).
+    prime_memoized_literal(("ivfsq_codes_dir", path), live_name)
+    prime_memoized_literal(
+        ("ivfpq_meta", path, live_name), (cbs, cent_rows, dim, _nc)
+    )
 
 
 def build_ivfpq_index(

@@ -346,3 +346,26 @@ def test_facade_stratified_split_and_filtered_ann(spark, tmp_path):
     ).collect()
     odd = {r["vec_id"] for r in e.filter(F.col("label") % 2 == 1).select("vec_id").collect()}
     assert hits and all(r.candidate_id in odd for r in hits)
+
+
+def test_facade_ann_index_kind_dispatch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from mergers_acquisitions_predictions_spark.engine import Engine
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+    eng = Engine(spark)
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "pqidx")
+    eng.build_ann_index(e, path, kind="ivfpq", n_cells=4)
+    hits = eng.search_ann_index(
+        path, e.filter(F.col("vec_id") < 2), k=3, kind="ivfpq", n_probe=2
+    ).collect()
+    assert hits and {"query_id", "candidate_id", "adc_dist", "rank"} == set(
+        hits[0].asDict()
+    )
+    # the compaction facade is kind-agnostic
+    before, after = eng.compact_ann_index(path)
+    assert after <= before
+    with pytest.raises(ValueError, match="unknown index kind"):
+        eng.build_ann_index(e, str(tmp_path / "x"), kind="hnsw")

@@ -121,3 +121,61 @@ def test_kind_guards_cross_serving(spark, tmp_path):
         search_ivfsq_index(spark, pq_path, q, k=5, n_probe=2).collect()
     with pytest.raises(ValueError, match="kind='ivfsq', not ivfpq"):
         search_ivfpq_index(spark, sq_path, q, k=5, n_probe=2).collect()
+
+
+def test_pq_append_then_serve_matches_full_fit(spark, tmp_path):
+    """Frozen-geometry append: build on a prefix shard, append the
+    rest, serve. Because the PQ geometry is pure lowest-id anchors
+    (centroids AND codebooks — no corpus-wide stats like SQ8's
+    min/range), the prefix fit equals the full-corpus fit, so the
+    post-append serve must equal the in-memory path over the FULL
+    corpus exactly."""
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(e.filter(F.col("vec_id") < 400), path, n_cells=16)
+    append_to_ivfpq_index(e.filter(F.col("vec_id") >= 400), path)
+    got = _rows(search_ivfpq_index(spark, path, q, k=5, n_probe=2))
+    want = _rows(ivfpq_topk(q, e, k=5, n_cells=16, n_probe=2))
+    assert got == want
+
+
+def test_pq_append_dim_mismatch_fails_fast(spark, tmp_path):
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(e, path, n_cells=16)
+    short = e.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    with pytest.raises(ValueError, match="dim=64"):
+        append_to_ivfpq_index(short, path)
+
+
+def test_pq_compact_is_layout_only(spark, tmp_path):
+    """`compact_index` (the shared kind-agnostic compaction) on a PQ
+    index: fewer files, a committed generation, bit-identical serve."""
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        compact_index,
+    )
+    from mergers_acquisitions_predictions_spark.sources.fs import fs_read_text
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(e.filter(F.col("vec_id") < 300), path, n_cells=16)
+    append_to_ivfpq_index(
+        e.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)), path
+    )
+    append_to_ivfpq_index(e.filter(F.col("vec_id") >= 400), path)
+    pre = _rows(search_ivfpq_index(spark, path, q, k=5, n_probe=2))
+    before, after = compact_index(spark, path)
+    assert after < before
+    assert fs_read_text(spark, f"{path}/CURRENT").strip() == "codes_g000001"
+    assert _rows(search_ivfpq_index(spark, path, q, k=5, n_probe=2)) == pre
