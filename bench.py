@@ -101,6 +101,7 @@ def main() -> None:
         "s21_dedup_index_serve",  # SemDeDup -> survivor build -> serve
         "s22_dedup_rerank_serve",  # the composed production config
         "s23_pq_index_topk",  # persisted IVF-PQ build + ADC serve
+        "s24_maxsim_rerank_serve",  # late-interaction maxsim re-rank
         # s16 (append-vs-rebuild drift) is correctness-window only: it
         # composes s13+s14, so benching it would double-count their
         # index builds already measured above.

@@ -391,6 +391,29 @@ class Engine:
             return search_ivfsq_index(self.spark, path, queries, k, **kw)
         raise ValueError(f"unknown index kind {kind!r}")
 
+    def maxsim_rerank(
+        self, shortlist: DataFrame, queries: DataFrame, vectors: DataFrame, **kw
+    ) -> DataFrame:
+        """Late-interaction (ColBERT maxsim) re-rank of a first-stage
+        shortlist — per query token, the best-matching candidate
+        token, summed. ``shortlist`` is (query_id, candidate_id) from
+        any retriever (the persisted serves, ivf/lsh/pq top-k);
+        cost is shortlist-shaped, never corpus-shaped. Pass
+        ``n_tokens=`` for the slice-derived token count."""
+        from .operators.maxsim import maxsim_rerank
+
+        return maxsim_rerank(shortlist, queries, vectors, **kw)
+
+    def maxsim_topk(
+        self, queries: DataFrame, corpus: DataFrame, k: int = 5, **kw
+    ) -> DataFrame:
+        """EXACT late-interaction top-k (every pair scored) — the
+        recall yardstick; at scale retrieve first and `maxsim_rerank`
+        the shortlist."""
+        from .operators.maxsim import maxsim_topk
+
+        return maxsim_topk(queries, corpus, k, **kw)
+
     def key_skew(self, df: DataFrame, key: str) -> DataFrame:
         """One-row shuffle-key skew diagnostic (max/p99/p50 key
         counts, skew ratio, hottest key) — run it BEFORE choosing

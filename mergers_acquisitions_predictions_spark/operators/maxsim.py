@@ -1,0 +1,169 @@
+"""Late-interaction (multi-vector) retrieval — the ColBERT scoring
+family (Khattab & Zaharia 2020, "ColBERT: Efficient and Effective
+Passage Search via Contextualized Late Interaction"): a document is a
+BAG of token vectors and score(q, d) = Σ_{t∈q} max_{u∈d} cos(t, u) —
+per query token, the best-matching document token, summed. The
+production architecture is retrieve-then-rerank: a single-vector
+first stage (here: the persisted IVF index family) overfetches a
+per-query shortlist, and the late-interaction scorer re-ranks only
+the shortlist — maxsim cost is shortlist-shaped (queries × R pairs ×
+T² token dots), never corpus-shaped.
+
+Token vectors here are DERIVED deterministically from the single
+embedding column — `n_tokens` equal slices, each L2-normalized
+(`token_slices`). That is the documented stand-in for a per-token
+encoder output (the testdata carries one vector per document, and
+token-level encoders are model inference, out of engine scope — the
+same boundary as the multimodal codec stubs); the operators take the
+derivation as a column expression, so a real (id, token_id, vector)
+table plugs in by swapping `token_slices` for the model's tokens.
+Every stage is oracle-replayable: slice boundaries, per-slice
+normalization, the token-dot fold, the max, and the m-ordered sum
+are all deterministic (plans/lsh_oracle.ivfsq_topk_sql's maxsim
+rescore mode).
+
+Plan shape at 100 TB: the rescore joins RAW vectors through the
+BROADCAST shortlist (the round-10 rescore discipline — non-survivors
+are scanned map-side, never shuffled, never tokenized), token arrays
+are derived on survivors only with every shared sub-expression bound
+once (`util.hof_bind` — the §7p evaluation-count discipline: the
+token array is read T times by the outer sum, each slice's norm once
+per slice), and the only shuffle is the per-query top-k window.
+
+No reference analogue (the reference has no vector search) — SURVEY
+§7 Phase 4 surface, extending the ANN family with the reranking
+stage modern retrieval stacks put on top of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .util import hof_bind
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right double fold — the oracle's list_sum order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def token_slices(vec: Column, n_tokens: int, sub: int) -> Column:
+    """``n_tokens`` unit-normalized token vectors derived as equal
+    slices of ``vec`` → array<array<double>> (token m = elements
+    [m·sub+1 .. (m+1)·sub], cast to double, divided by the slice's
+    own L2 norm). Each slice and its norm are bound ONCE (§7p): the
+    inline composition would re-derive the slice per element of the
+    divide and the norm fold per divide."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+        lambda m: hof_bind(
+            F.transform(
+                F.slice(vec, m * sub + 1, sub), lambda x: x.cast("double")
+            ),
+            lambda sl: hof_bind(
+                F.sqrt(
+                    F.aggregate(sl, F.lit(0.0), lambda acc, x: acc + x * x)
+                ),
+                lambda n: F.transform(sl, lambda x: x / n),
+            ),
+        ),
+    )
+
+
+def maxsim_score(q_toks: Column, c_toks: Column) -> Column:
+    """Σ over query tokens (array order — the oracle sums
+    m-ascending) of max over candidate tokens of the token dot.
+    Inputs must be CONCRETE attributes or hof_bind-bound — the outer
+    fold reads ``c_toks`` once per query token."""
+    return F.aggregate(
+        q_toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.array_max(F.transform(c_toks, lambda u: _dot(t, u))),
+    )
+
+
+def maxsim_rerank(
+    shortlist: DataFrame,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    n_tokens: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Late-interaction re-rank of a first-stage shortlist:
+    ``shortlist`` is (query_id, candidate_id) from any retriever
+    (the persisted index serves, ivf/lsh/pq top-k, the exact
+    baseline); the maxsim score is computed for exactly those pairs
+    and the top-``k`` per query returned as (query_id, candidate_id,
+    maxsim, rank) — 6-dp-rounded score, candidate-id tiebreak, the
+    family's ranking contract.
+
+    Cost: |shortlist| token-score expressions + one query-batch-sized
+    broadcast each side — the corpus is probed map-side through the
+    broadcast shortlist and only survivors are tokenized."""
+    dim_probe = vectors.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dim_probe % n_tokens:
+        raise ValueError(
+            f"dim {dim_probe} not divisible by n_tokens {n_tokens}"
+        )
+    sub = dim_probe // n_tokens
+    cand = vectors.select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("__cvec")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        token_slices(F.col(vec_col), n_tokens, sub).alias("__qtoks"),
+    )
+    scored = (
+        cand.join(F.broadcast(shortlist.select("query_id", "candidate_id")), "candidate_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(
+                hof_bind(
+                    token_slices(F.col("__cvec"), n_tokens, sub),
+                    lambda ct: maxsim_score(F.col("__qtoks"), ct),
+                ),
+                6,
+            ).alias("maxsim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "maxsim", "rank")
+    )
+
+
+def maxsim_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_tokens: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT late-interaction top-k — the brute-force baseline (every
+    query × corpus pair scored; the recall yardstick and the
+    small-corpus serve, exactly `brute_force_topk`'s role for the
+    single-vector family). Same per-pair expression as
+    `maxsim_rerank` (asserted equal over a full-corpus shortlist in
+    tests), self-pairs excluded. Corpus-shaped by construction — at
+    scale use a first-stage retriever + `maxsim_rerank`."""
+    pairs = corpus.select(F.col(id_col).alias("candidate_id")).crossJoin(
+        F.broadcast(
+            queries.select(F.col(id_col).alias("query_id"))
+        )
+    ).filter(F.col("query_id") != F.col("candidate_id"))
+    return maxsim_rerank(
+        pairs, queries, corpus, k=k, n_tokens=n_tokens,
+        id_col=id_col, vec_col=vec_col,
+    )

@@ -45,9 +45,11 @@ from . import io_queries  # noqa: E402,F401
 #:
 #: Round 10: (a) new = s22 (the composed dedup+rerank serve — THE
 #: production configuration §7o-r9 measured; oracle machinery
-#: pre-certified in round 9; VERDICT r9 #1) and s23 (the persisted
+#: pre-certified in round 9; VERDICT r9 #1), s23 (the persisted
 #: IVF-PQ index — the compressed persisted kind, sharing the
-#: generation commit and serving contract with the s13 family);
+#: generation commit and serving contract with the s13 family), and
+#: s24 (the late-interaction maxsim re-rank serve — ColBERT's
+#: retrieve-then-rerank architecture over the persisted index);
 #: (b) changed since last row = s08/s09/s10, whose OWN plans changed
 #: (the in-memory SQ/PQ encode now binds its unit vector once via
 #: util.hof_bind — the §7p fix; bit-identical values, different
@@ -59,15 +61,16 @@ from . import io_queries  # noqa: E402,F401
 #: compact-prime/serve-peek sites; s15/s17/s20 ride the identical
 #: code and keep their r9-fresh rows; s22's serve is (a) anyway);
 #: (c) fill = the ENTIRE remaining r6-era cohort (13 rows — VERDICT
-#: r9 #2) + the 29 alphabetically-first rows of the 43-row r7 cohort
+#: r9 #2) + the 28 alphabetically-first rows of the 43-row r7 cohort
 #: (s09 is r7-stale but already (b)-mandatory; the name order makes
 #: the tie-break auditable). After this round no driver row predates
-#: round 7; the 13 remaining r7 rows (t21..u05) are round 11's
+#: round 7; the 14 remaining r7 rows (t20..u05) are round 11's
 #: frontier.
 DRIVER_WINDOW = [
     # (a): registered this round
     "s22_dedup_rerank_serve",
     "s23_pq_index_topk",
+    "s24_maxsim_rerank_serve",
     # (b): implementation changed since their last row
     "s08_ivfpq_topk",
     "s09_ivfpq_kmeans_topk",
@@ -118,7 +121,6 @@ DRIVER_WINDOW = [
     "t17_winnow_fingerprints",
     "t18_sequence_packing",
     "t19_quality_rank_filter",
-    "t20_pack_manifest",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

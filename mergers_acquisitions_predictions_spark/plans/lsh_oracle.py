@@ -388,6 +388,7 @@ def ivfsq_topk_sql(
     build_filter: str = "",
     candidate_filter: str = "",
     rerank: int | None = None,
+    maxsim_tokens: int | None = None,
 ) -> str:
     """DuckDB mirror of `operators/sq.ivfsq_topk` (IVF + 8-bit scalar
     quantization): the oracle regenerates the per-dimension min/range
@@ -420,7 +421,17 @@ def ivfsq_topk_sql(
     unit-vector dot (the `unit` CTE both engines already share), then
     ranked to k on (cos_sim DESC, candidate_id). The clone-cohort
     remedy of SCALE.md §7o-r8, oracle-replayable because the
-    shortlist cut and the exact fold are both deterministic."""
+    shortlist cut and the exact fold are both deterministic.
+
+    ``maxsim_tokens`` (round 10): with ``rerank=R``, rescore the
+    shortlist by LATE-INTERACTION maxsim instead of cosine — mirrors
+    `operators/maxsim.maxsim_rerank` over the persisted serve's
+    shortlist: each vector is split into ``maxsim_tokens`` equal
+    slices, each slice L2-normalized, and score(q, c) = Σ over query
+    tokens (m-ascending) of max over candidate tokens of the token
+    dot. Replayable for the same reasons as the cosine rescore: slice
+    boundaries, per-slice norms, dot folds, max, and the m-ordered
+    sum are all deterministic."""
     D = dim
     cent_block = (
         auto_ivf_cent_ctes_sql(build_filter=build_filter)
@@ -474,12 +485,21 @@ def ivfsq_topk_sql(
         WHERE q.query_id <> c.candidate_id
         {candidate_filter}
     )
-    {_ivfsq_final_sql(k, rerank)}"""
+    {_ivfsq_final_sql(k, rerank, maxsim_tokens, dim)}"""
 
 
-def _ivfsq_final_sql(k: int, rerank: int | None) -> str:
+def _ivfsq_final_sql(
+    k: int,
+    rerank: int | None,
+    maxsim_tokens: int | None = None,
+    dim: int = 64,
+) -> str:
     """The final ranking stage of `ivfsq_topk_sql`: plain SQ8 top-k,
-    or — with ``rerank`` — shortlist-then-exact-rescore."""
+    or — with ``rerank`` — shortlist-then-exact-rescore (cosine, or
+    late-interaction maxsim when ``maxsim_tokens`` is set)."""
+    if maxsim_tokens is not None:
+        assert rerank is not None, "maxsim rescore needs a shortlist cut"
+        return _ivfsq_maxsim_final_sql(k, rerank, maxsim_tokens, dim)
     if rerank is None:
         return f"""SELECT query_id, candidate_id, sq_sim, rank
     FROM (
@@ -513,6 +533,66 @@ def _ivfsq_final_sql(k: int, rerank: int | None) -> str:
         SELECT query_id, candidate_id, cos_sim,
                CAST(row_number() OVER (
                    PARTITION BY query_id ORDER BY cos_sim DESC, candidate_id
+               ) AS BIGINT) AS rank
+        FROM rescored
+    )
+    WHERE rank <= {k}"""
+
+
+def _ivfsq_maxsim_final_sql(k: int, rerank: int, n_tokens: int, dim: int) -> str:
+    """`_ivfsq_final_sql`'s late-interaction variant: the top-R SQ8
+    shortlist re-scored by maxsim over ``n_tokens`` unit-normalized
+    slices (see `operators/maxsim`). The per-(pair, query-token) max
+    is an exact double aggregate; the final sum runs m-ascending via
+    ``list_sum(list(mx ORDER BY m))`` — the engine's left-to-right
+    fold over the ordered token array."""
+    sub = dim // n_tokens
+    tok_dot = (
+        f"list_sum(list_transform(range(1, {sub} + 1), "
+        "i -> qt.t[i] * ct.t[i]))"
+    )
+    return f""", shortlist AS (
+        SELECT query_id, candidate_id
+        FROM (
+            SELECT query_id, candidate_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sq_sim DESC, candidate_id
+                   ) AS sqrk
+            FROM scored
+        )
+        WHERE sqrk <= {rerank}
+    ),
+    tok AS (
+        SELECT vec_id, m,
+               list_transform(sl, x ->
+                   x / sqrt(list_sum(list_transform(sl, y -> y * y)))) AS t
+        FROM (
+            SELECT e.vec_id, CAST(tm.m AS INTEGER) AS m,
+                   list_transform(range(1, {sub} + 1), i ->
+                       CAST(e.embedding[CAST(tm.m AS INTEGER) * {sub} + i]
+                            AS DOUBLE)) AS sl
+            FROM embeddings e CROSS JOIN range(0, {n_tokens}) tm(m)
+        )
+    ),
+    pairtok AS (
+        SELECT s.query_id, s.candidate_id, qt.m,
+               max({tok_dot}) AS mx
+        FROM shortlist s
+        JOIN tok qt ON qt.vec_id = s.query_id
+        JOIN tok ct ON ct.vec_id = s.candidate_id
+        GROUP BY 1, 2, 3
+    ),
+    rescored AS (
+        SELECT query_id, candidate_id,
+               round(list_sum(list(mx ORDER BY m)), 6) AS maxsim
+        FROM pairtok
+        GROUP BY 1, 2
+    )
+    SELECT query_id, candidate_id, maxsim, rank
+    FROM (
+        SELECT query_id, candidate_id, maxsim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY maxsim DESC, candidate_id
                ) AS BIGINT) AS rank
         FROM rescored
     )

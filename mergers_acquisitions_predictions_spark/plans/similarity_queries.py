@@ -1150,3 +1150,49 @@ def s23_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ivfpq_index(
         spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
     )
+
+
+@query(
+    "s24_maxsim_rerank_serve",
+    oracle=f"WITH {_ivfsq_topk_sql(dim=64, n_cells='auto', n_probe=2, k=5, rerank=15, maxsim_tokens=4)}\n",
+)
+def s24_maxsim_rerank_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION serve (round 10) — the ColBERT retrieval
+    architecture (Khattab & Zaharia 2020) on the persisted index: the
+    IVF-SQ8 scan OVERFETCHES a top-15 shortlist per query (quantized
+    dots over the probed cells only, partition-pruned), and the final
+    top-5 re-ranks the shortlist by maxsim — per query token, the
+    best-matching candidate token, summed (`operators/maxsim`).
+    Token vectors are derived deterministically as 4 unit-normalized
+    slices of the embedding (the documented stand-in for a per-token
+    encoder — see the module docstring; a real token table plugs in
+    by swapping the derivation).
+
+    Scale shape: the first stage is the s13 family's pruned serve
+    unchanged; the rescore joins raw vectors through the BROADCAST
+    shortlist (the §7p rescore discipline — non-survivors are never
+    tokenized, never shuffled), every shared sub-expression is
+    hof_bind-bound once (slice, slice norm, candidate token array),
+    and the only added shuffle is the per-query top-k window. Cost is
+    queries × 15 pairs × 16 token dots — shortlist-shaped, never
+    corpus-shaped, which is exactly why late interaction is deployed
+    as a re-rank stage and not a retriever.
+
+    Oracle: `ivfsq_topk_sql(rerank=15, maxsim_tokens=4)` replays the
+    SQ8 shortlist cut and the maxsim rescore relationally — slice
+    boundaries, per-slice norms, token-dot folds, the per-query-token
+    max, and the m-ascending sum are all deterministic (machinery
+    pre-certified in tests/test_maxsim.py). Reference analogue: none
+    (the reference has no vector search) — SURVEY §7 Phase 4 surface,
+    the reranking stage modern retrieval stacks put on top of ANN."""
+    from ..operators.ann_index import build_ivfsq_index, search_ivfsq_index
+    from ..operators.maxsim import maxsim_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = _scratch_index_path(spark, sf_dir, "ivfsq")
+    build_ivfsq_index(
+        e, path, n_cells=None, corpus_cache_key=(sf_dir, "embeddings")
+    )
+    shortlist = search_ivfsq_index(spark, path, q, k=15, n_probe=2)
+    return maxsim_rerank(shortlist, q, e, k=5, n_tokens=4)

@@ -402,8 +402,9 @@ def test_driver_window_rotation_rule_r9():
 def test_driver_window_rotation_rule_r10():
     """Round-10 window under the postdate rule + the r7 shared-layer
     amendment: (a) s22 (the composed dedup+rerank serve — VERDICT r9
-    #1, oracle machinery pre-certified in round 9) and s23 (the
-    persisted IVF-PQ index, registered round 10); (b) s08/s09/s10
+    #1, oracle machinery pre-certified in round 9), s23 (the
+    persisted IVF-PQ index) and s24 (the late-interaction maxsim
+    re-rank serve), all registered round 10; (b) s08/s09/s10
     whose OWN plans changed (the hof_bind encode restructure, SCALE.md
     §7p — bit-identical values, different expression tree) plus
     s13/s14/s18 as representative consumers of the index-infra
@@ -412,7 +413,7 @@ def test_driver_window_rotation_rule_r10():
     class; the three cover the build-prime, append-prime, and
     compact-prime/serve-peek sites, while s15/s17/s20 ride identical
     code on r9-fresh rows); (c) the ENTIRE 13-row r6-era cohort
-    (VERDICT r9 #2) + the 29 alphabetically-first of the 43-row r7
+    (VERDICT r9 #2) + the 28 alphabetically-first of the 43-row r7
     cohort (s09 is r7-stale but already (b)-mandatory). LIVE round:
     asserted against the current window; convert to the
     CORRECTNESS_r10 record once it exists."""
@@ -421,7 +422,11 @@ def test_driver_window_rotation_rule_r10():
 
     from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
 
-    new_in_r10 = {"s22_dedup_rerank_serve", "s23_pq_index_topk"}
+    new_in_r10 = {
+        "s22_dedup_rerank_serve",
+        "s23_pq_index_topk",
+        "s24_maxsim_rerank_serve",
+    }
     changed_in_r10 = {
         "s08_ivfpq_topk",  # hof_bind encode + adc table (own plan)
         "s09_ivfpq_kmeans_topk",  # same via ivfpq_topk (own plan)

@@ -1,0 +1,104 @@
+"""Late-interaction (maxsim) rerank family: exact-baseline vs rerank
+self-consistency, the n_tokens=1 degeneration to single-vector cosine,
+and pre-certification of the s24 driver row (persisted-serve shortlist
+re-scored by maxsim, hash-matched against the extended DuckDB oracle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mergers_acquisitions_predictions_spark.operators.ann_index import (
+    build_ivfsq_index,
+    search_ivfsq_index,
+)
+from mergers_acquisitions_predictions_spark.operators.maxsim import (
+    maxsim_rerank,
+    maxsim_topk,
+)
+from mergers_acquisitions_predictions_spark.operators.similarity import (
+    brute_force_topk,
+)
+from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF = "/root/testdata/sf0.01"
+
+
+def test_maxsim_topk_is_full_shortlist_rerank(spark):
+    """`maxsim_topk` (exact baseline) must equal `maxsim_rerank` over
+    the all-pairs shortlist — same per-pair expression by
+    construction; this pins the delegation."""
+    e = load_table(spark, SF_SMALL, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    got = sorted(map(tuple, maxsim_topk(q, e, k=5, n_tokens=4).collect()))
+    pairs = (
+        e.select(F.col("vec_id").alias("candidate_id"))
+        .crossJoin(F.broadcast(q.select(F.col("vec_id").alias("query_id"))))
+        .filter(F.col("query_id") != F.col("candidate_id"))
+    )
+    want = sorted(
+        map(tuple, maxsim_rerank(pairs, q, e, k=5, n_tokens=4).collect())
+    )
+    assert got == want
+
+
+def test_single_token_maxsim_ranks_like_cosine(spark):
+    """With n_tokens=1 the one 'token' is the whole unit vector, so
+    maxsim degenerates to the exact cosine — the ranked (query_id,
+    candidate_id, rank) triples must match `brute_force_topk`. Scores
+    are compared at 6 dp (the two paths normalize in different FP
+    order: dot/(qn*cn) vs dot of pre-divided unit vectors)."""
+    e = load_table(spark, SF_SMALL, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    ms = maxsim_topk(q, e, k=5, n_tokens=1).collect()
+    bf = brute_force_topk(q, e, k=5).collect()
+    assert sorted((r.query_id, r.candidate_id, r.rank) for r in ms) == sorted(
+        (r.query_id, r.candidate_id, r.rank) for r in bf
+    )
+    bf_scores = {(r.query_id, r.candidate_id): r.cos_sim for r in bf}
+    for r in ms:
+        assert abs(r.maxsim - bf_scores[(r.query_id, r.candidate_id)]) < 2e-6
+
+
+def test_maxsim_rejects_indivisible_dim(spark):
+    e = load_table(spark, SF_SMALL, "embeddings")
+    q = e.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="not divisible"):
+        maxsim_topk(q, e, k=5, n_tokens=7)
+
+
+def test_maxsim_serve_is_oracle_replayable(spark, tmp_path):
+    """Pre-certification of the s24 driver row: the persisted-index
+    SQ8 shortlist re-scored by late-interaction maxsim hash-matches
+    the extended DuckDB oracle (`ivfsq_topk_sql(rerank=...,
+    maxsim_tokens=...)`) at the driver SF — slice boundaries,
+    per-slice norms, token-dot folds, the per-query-token max, and
+    the m-ordered sum are all deterministic on both engines."""
+    import pandas as pd
+
+    from mergers_acquisitions_predictions_spark.plans.lsh_oracle import (
+        ivfsq_topk_sql,
+    )
+
+    from .oracle_utils import normalize, run_oracle
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e, path, n_cells=None)
+    shortlist = search_ivfsq_index(spark, path, q, k=15, n_probe=2)
+    got = normalize(
+        maxsim_rerank(shortlist, q, e, k=5, n_tokens=4).toPandas()
+    )
+    want = normalize(
+        run_oracle(
+            "WITH "
+            + ivfsq_topk_sql(
+                n_cells="auto", n_probe=2, k=5, rerank=15, maxsim_tokens=4
+            ),
+            SF,
+        )
+    )
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
