@@ -542,15 +542,7 @@ def _ivfsq_final_sql(
 def _ivfsq_maxsim_final_sql(k: int, rerank: int, n_tokens: int, dim: int) -> str:
     """`_ivfsq_final_sql`'s late-interaction variant: the top-R SQ8
     shortlist re-scored by maxsim over ``n_tokens`` unit-normalized
-    slices (see `operators/maxsim`). The per-(pair, query-token) max
-    is an exact double aggregate; the final sum runs m-ascending via
-    ``list_sum(list(mx ORDER BY m))`` — the engine's left-to-right
-    fold over the ordered token array."""
-    sub = dim // n_tokens
-    tok_dot = (
-        f"list_sum(list_transform(range(1, {sub} + 1), "
-        "i -> qt.t[i] * ct.t[i]))"
-    )
+    slices (see `operators/maxsim`)."""
     return f""", shortlist AS (
         SELECT query_id, candidate_id
         FROM (
@@ -562,7 +554,43 @@ def _ivfsq_maxsim_final_sql(k: int, rerank: int, n_tokens: int, dim: int) -> str
         )
         WHERE sqrk <= {rerank}
     ),
-    tok AS (
+    {_maxsim_tail_sql(k, n_tokens, dim)}"""
+
+
+def maxsim_topk_sql(
+    k: int = 5,
+    n_tokens: int = 4,
+    dim: int = 64,
+    query_filter: str = "WHERE q.vec_id < 5",
+) -> str:
+    """DuckDB mirror of `operators/maxsim.maxsim_topk` — the EXACT
+    late-interaction baseline: every query × candidate pair (self
+    excluded) scored by maxsim over ``n_tokens`` unit-normalized
+    slices, top-``k`` per query. The all-pairs 'shortlist' feeds the
+    same scoring tail the s24 rescore oracle uses, mirroring the
+    engine side where `maxsim_topk` delegates to `maxsim_rerank` over
+    the full cross join."""
+    return f"""shortlist AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS candidate_id
+        FROM embeddings q CROSS JOIN embeddings c
+        {query_filter} AND q.vec_id <> c.vec_id
+    ),
+    {_maxsim_tail_sql(k, n_tokens, dim)}"""
+
+
+def _maxsim_tail_sql(k: int, n_tokens: int, dim: int) -> str:
+    """The maxsim scoring stages over a preceding ``shortlist`` CTE
+    (pairs to score): tokenize → per-(pair, query-token) max dot →
+    m-ascending sum → per-query top-k. The per-(pair, query-token)
+    max is an exact double aggregate; the final sum runs m-ascending
+    via ``list_sum(list(mx ORDER BY m))`` — the engine's
+    left-to-right fold over the ordered token array."""
+    sub = dim // n_tokens
+    tok_dot = (
+        f"list_sum(list_transform(range(1, {sub} + 1), "
+        "i -> qt.t[i] * ct.t[i]))"
+    )
+    return f"""tok AS (
         SELECT vec_id, m,
                list_transform(sl, x ->
                    x / sqrt(list_sum(list_transform(sl, y -> y * y)))) AS t

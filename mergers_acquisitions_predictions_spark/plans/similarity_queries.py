@@ -208,6 +208,7 @@ def s04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from .lsh_oracle import ivfpq_topk_sql as _ivfpq_topk_sql  # noqa: E402
+from .lsh_oracle import maxsim_topk_sql as _maxsim_topk_sql  # noqa: E402
 
 
 @query(
@@ -1196,3 +1197,67 @@ def s24_maxsim_rerank_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shortlist = search_ivfsq_index(spark, path, q, k=15, n_probe=2)
     return maxsim_rerank(shortlist, q, e, k=5, n_tokens=4)
+
+
+@query(
+    "s25_pq_rerank_topk",
+    oracle=f"WITH {_ivfpq_topk_sql(n_subspaces=8, sub_dim=8, n_codes=16, n_cells='auto', n_probe=2, k=5, rerank=15)}\n",
+)
+def s25_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF-PQ index's EXACT-RERANK serve — the
+    deployment configuration SCALE.md §7q measured as mandatory on
+    clone-heavy corpora (plain ADC recall 0.00 at 1M with K=16 books;
+    rerank over a cohort-deep shortlist recovers 1.00 at a
+    shortlist-shaped cost): overfetch a top-15 ADC shortlist from the
+    pruned codes scan, join the raw vectors through the BROADCAST
+    shortlist, and rank the exact rounded cosine. s23 certifies the
+    plain ADC contract; this row certifies the remedy stacked on it
+    (the s20/SQ8 pattern for the compressed kind). Serves from s23's
+    artifact path — in-session it is a second serve of the SAME
+    generation (the amortized regime, §7i). Oracle:
+    `ivfpq_topk_sql(rerank=15)` — ADC shortlist cut + exact unit-dot
+    rescore, both deterministic. Late-registered (outside the driver
+    window — the s23/s24 rows carry the family's window slots) but
+    fully oracle-backed at every SF via tests/test_oracle_parity."""
+    from ..operators.ann_index import build_ivfpq_index, search_ivfpq_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_path(spark, sf_dir, "ivfpq")
+    build_ivfpq_index(
+        e,
+        path,
+        n_cells=None,
+        n_subspaces=8,
+        n_codes=16,
+        corpus_cache_key=(sf_dir, "embeddings"),
+    )
+    return search_ivfpq_index(
+        spark,
+        path,
+        e.filter(F.col("vec_id") < 5),
+        k=5,
+        n_probe=2,
+        rerank=15,
+        vectors=e,
+    )
+
+
+@query(
+    "s26_maxsim_exact_topk",
+    oracle=f"WITH {_maxsim_topk_sql(k=5, n_tokens=4, dim=64)}\n",
+)
+def s26_maxsim_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT late-interaction baseline (`maxsim.maxsim_topk`):
+    every query x candidate pair scored by maxsim over 4
+    unit-normalized slice-tokens, top-5 per query — the recall
+    yardstick for s24's retrieve-then-rerank serve, corpus-shaped by
+    construction (SCALE.md §7r prices it at ~80x per query vs the
+    index+rescore path at 100k — THE reason late interaction deploys
+    as a rerank stage). Oracle: `maxsim_topk_sql` — the all-pairs
+    shortlist through the same deterministic scoring tail as s24's
+    rescore. Late-registered (outside the driver window) but fully
+    oracle-backed at every SF via tests/test_oracle_parity."""
+    from ..operators.maxsim import maxsim_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return maxsim_topk(e.filter(F.col("vec_id") < 5), e, k=5, n_tokens=4)

@@ -28,6 +28,8 @@ ALLOW = {
     "s02_cosine_topk": "brute-force baseline: broadcast query set x corpus is O(q*n) by definition",
     "s07_ann_recall": "embeds s02's brute-force EXACT baseline (the referent recall is measured "
     "against, O(q*n) on a query SAMPLE by definition); the recall join itself is equi-keyed",
+    "s26_maxsim_exact_topk": "exact late-interaction baseline: broadcast query set x corpus "
+    "all-pairs is O(q*n) by definition (s24 is the scale path — SQ8 shortlist + maxsim rescore)",
     # (s12_mmr_rerank left the allowlist in round 4: its registered
     # shortlist now comes from the bucketed lsh_topk path)
     # (b) BNLJ against a bounded broadcast side
