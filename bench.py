@@ -102,6 +102,8 @@ def main() -> None:
         "s22_dedup_rerank_serve",  # the composed production config
         "s23_pq_index_topk",  # persisted IVF-PQ build + ADC serve
         "s24_maxsim_rerank_serve",  # late-interaction maxsim re-rank
+        "s25_pq_rerank_topk",  # persisted PQ + exact re-rank serve
+        "s26_maxsim_exact_topk",  # exact maxsim baseline (5q, tiny)
         # s16 (append-vs-rebuild drift) is correctness-window only: it
         # composes s13+s14, so benching it would double-count their
         # index builds already measured above.

@@ -95,6 +95,7 @@ def maxsim_rerank(
     n_tokens: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Late-interaction re-rank of a first-stage shortlist:
     ``shortlist`` is (query_id, candidate_id) from any retriever
@@ -106,13 +107,15 @@ def maxsim_rerank(
 
     Cost: |shortlist| token-score expressions + one query-batch-sized
     broadcast each side — the corpus is probed map-side through the
-    broadcast shortlist and only survivors are tokenized."""
-    dim_probe = vectors.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
-    if dim_probe % n_tokens:
-        raise ValueError(
-            f"dim {dim_probe} not divisible by n_tokens {n_tokens}"
-        )
-    sub = dim_probe // n_tokens
+    broadcast shortlist and only survivors are tokenized.
+
+    ``dim``: pass the known vector width to skip the one-row probe
+    job that otherwise derives it from ``vectors`` per invocation."""
+    if dim is None:
+        dim = vectors.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dim % n_tokens:
+        raise ValueError(f"dim {dim} not divisible by n_tokens {n_tokens}")
+    sub = dim // n_tokens
     cand = vectors.select(
         F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("__cvec")
     )
@@ -150,6 +153,7 @@ def maxsim_topk(
     n_tokens: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """EXACT late-interaction top-k — the brute-force baseline (every
     query × corpus pair scored; the recall yardstick and the
@@ -165,5 +169,5 @@ def maxsim_topk(
     ).filter(F.col("query_id") != F.col("candidate_id"))
     return maxsim_rerank(
         pairs, queries, corpus, k=k, n_tokens=n_tokens,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, dim=dim,
     )

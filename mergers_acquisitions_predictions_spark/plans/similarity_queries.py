@@ -1196,7 +1196,7 @@ def s24_maxsim_rerank_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, path, n_cells=None, corpus_cache_key=(sf_dir, "embeddings")
     )
     shortlist = search_ivfsq_index(spark, path, q, k=15, n_probe=2)
-    return maxsim_rerank(shortlist, q, e, k=5, n_tokens=4)
+    return maxsim_rerank(shortlist, q, e, k=5, n_tokens=4, dim=64)
 
 
 @query(
@@ -1260,4 +1260,4 @@ def s26_maxsim_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.maxsim import maxsim_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    return maxsim_topk(e.filter(F.col("vec_id") < 5), e, k=5, n_tokens=4)
+    return maxsim_topk(e.filter(F.col("vec_id") < 5), e, k=5, n_tokens=4, dim=64)
