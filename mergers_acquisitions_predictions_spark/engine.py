@@ -404,6 +404,22 @@ class Engine:
 
         return maxsim_rerank(shortlist, queries, vectors, **kw)
 
+    def maxsim_rerank_tokens(
+        self,
+        shortlist: DataFrame,
+        query_tokens: DataFrame,
+        cand_tokens: DataFrame,
+        **kw,
+    ) -> DataFrame:
+        """`maxsim_rerank` over REAL multi-vector inputs: long-format
+        ``(vec_id, token_id, vector)`` token tables on both sides —
+        the per-token-encoder data model. Candidate side is cut to
+        shortlist survivors before any grouping; vectors are scored
+        as given (normalization is the producer's contract)."""
+        from .operators.maxsim import maxsim_rerank_tokens
+
+        return maxsim_rerank_tokens(shortlist, query_tokens, cand_tokens, **kw)
+
     def maxsim_topk(
         self, queries: DataFrame, corpus: DataFrame, k: int = 5, **kw
     ) -> DataFrame:

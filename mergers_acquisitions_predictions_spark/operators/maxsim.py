@@ -146,6 +146,96 @@ def maxsim_rerank(
     )
 
 
+def tokens_to_arrays(
+    tokens: DataFrame,
+    id_col: str = "vec_id",
+    pos_col: str = "token_id",
+    vec_col: str = "token",
+    out_col: str = "toks",
+) -> DataFrame:
+    """Fold a LONG-FORMAT token table — ``(id, token_id, vector)``,
+    the shape a real per-token encoder materializes — into one
+    token-array row per id: ``(id, array<array<double>>)``, ordered
+    token_id-ascending. `collect_list` is order-nondeterministic
+    across shuffles; `array_sort` over ``struct(token_id, vec)``
+    (token_id leads the struct, unique per id) pins the order, so the
+    downstream m-ascending maxsim fold is deterministic regardless of
+    partitioning. One shuffle, keyed by id — run it AFTER any
+    shortlist semi-join so only survivors are grouped."""
+    return tokens.groupBy(F.col(id_col).alias(id_col)).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(pos_col).alias("m"),
+                        F.transform(
+                            F.col(vec_col), lambda x: x.cast("double")
+                        ).alias("v"),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        ).alias(out_col)
+    )
+
+
+def maxsim_rerank_tokens(
+    shortlist: DataFrame,
+    query_tokens: DataFrame,
+    cand_tokens: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    pos_col: str = "token_id",
+    vec_col: str = "token",
+) -> DataFrame:
+    """`maxsim_rerank` over REAL multi-vector inputs: long-format
+    token tables ``(id, token_id, vector)`` on both sides — the data
+    model a per-token encoder (ColBERT's, a frame-sampled video
+    encoder's) actually produces — instead of slice-derived tokens.
+    Vectors are scored AS GIVEN (dot, not cosine): normalization is
+    the producer's contract, exactly as in ColBERT serving.
+
+    Scale shape: the query side is query-batch-sized and groups
+    cheaply; the CANDIDATE side is corpus-scale, so it is first cut
+    to the shortlist's distinct candidate ids by a broadcast semi
+    join — only survivors ride the group-by-id shuffle and the
+    scoring join. Cost after the cut is |shortlist| pairs × T_q·T_c
+    token dots, never corpus-shaped. Same ranking contract as
+    `maxsim_rerank` (6-dp score, candidate-id tiebreak); with tokens
+    equal to `token_slices`' output the two paths are bit-identical
+    (asserted in tests, and s27 replays this path against s24's
+    oracle)."""
+    sl = shortlist.select("query_id", "candidate_id")
+    qt = tokens_to_arrays(
+        query_tokens, id_col, pos_col, vec_col, "__qtoks"
+    ).withColumnRenamed(id_col, "query_id")
+    cand_ids = sl.select(F.col("candidate_id").alias(id_col)).distinct()
+    ct = tokens_to_arrays(
+        cand_tokens.join(F.broadcast(cand_ids), id_col, "left_semi"),
+        id_col,
+        pos_col,
+        vec_col,
+        "__ctoks",
+    ).withColumnRenamed(id_col, "candidate_id")
+    scored = (
+        ct.join(F.broadcast(sl), "candidate_id")
+        .join(F.broadcast(qt), "query_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(
+                maxsim_score(F.col("__qtoks"), F.col("__ctoks")), 6
+            ).alias("maxsim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "maxsim", "rank")
+    )
+
+
 def maxsim_topk(
     queries: DataFrame,
     corpus: DataFrame,

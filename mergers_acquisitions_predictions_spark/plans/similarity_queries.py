@@ -1261,3 +1261,43 @@ def s26_maxsim_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return maxsim_topk(e.filter(F.col("vec_id") < 5), e, k=5, n_tokens=4, dim=64)
+
+
+@query(
+    "s27_maxsim_token_table",
+    oracle=f"WITH {_ivfsq_topk_sql(dim=64, n_cells='auto', n_probe=2, k=5, rerank=15, maxsim_tokens=4)}\n",
+)
+def s27_maxsim_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s24's serve through the LONG-FORMAT token-table path
+    (`maxsim.maxsim_rerank_tokens`): the multi-vector data model a
+    real per-token encoder materializes — ``(vec_id, token_id,
+    vector)`` rows — re-ranked over the persisted index's shortlist.
+    The token table here is derived by exploding the same
+    unit-normalized slices (`posexplode(token_slices(...))`), so the
+    row certifies the production-shaped path END TO END against s24's
+    EXACT oracle: the grouped rebuild (broadcast-semi-join to
+    shortlist survivors → collect_list → array_sort by token_id)
+    reproduces the slice arrays bit-for-bit, and any
+    order-nondeterminism in the rebuild (the collect_list trap) or a
+    broken survivor cut would hash-fail. Candidate-side grouping is
+    shortlist-sized, never corpus-shaped. Late-registered (outside
+    the driver window) but fully oracle-backed at every SF."""
+    from ..operators.ann_index import build_ivfsq_index, search_ivfsq_index
+    from ..operators.maxsim import maxsim_rerank_tokens, token_slices
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = _scratch_index_path(spark, sf_dir, "ivfsq")
+    build_ivfsq_index(
+        e, path, n_cells=None, corpus_cache_key=(sf_dir, "embeddings")
+    )
+    shortlist = search_ivfsq_index(spark, path, q, k=15, n_probe=2)
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    return maxsim_rerank_tokens(
+        shortlist, toks.filter(F.col("vec_id") < 5), toks, k=5
+    )

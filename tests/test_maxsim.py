@@ -102,3 +102,70 @@ def test_maxsim_serve_is_oracle_replayable(spark, tmp_path):
     )
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_token_table_path_matches_slice_path(spark):
+    """`maxsim_rerank_tokens` over a long-format token table derived
+    from the same slices must be BIT-IDENTICAL to `maxsim_rerank` —
+    the token-array rebuild (collect_list + array_sort by token_id)
+    reproduces the slice arrays in m order, so every fold sees the
+    same doubles in the same order."""
+    from mergers_acquisitions_predictions_spark.operators.maxsim import (
+        maxsim_rerank_tokens,
+        token_slices,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    pairs = (
+        e.select(F.col("vec_id").alias("candidate_id"))
+        .crossJoin(F.broadcast(q.select(F.col("vec_id").alias("query_id"))))
+        .filter(F.col("query_id") != F.col("candidate_id"))
+    )
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    got = sorted(
+        map(
+            tuple,
+            maxsim_rerank_tokens(
+                pairs, toks.filter(F.col("vec_id") < 3), toks, k=5
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, maxsim_rerank(pairs, q, e, k=5, n_tokens=4).collect())
+    )
+    assert got == want
+
+
+def test_token_table_grouping_is_partition_invariant(spark):
+    """The token-array rebuild must not depend on the token table's
+    physical order: a shuffled/repartitioned long table produces the
+    same ranked rows (array_sort pins token order, not collect_list's
+    arrival order)."""
+    from mergers_acquisitions_predictions_spark.operators.maxsim import (
+        maxsim_rerank_tokens,
+        token_slices,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    q = e.filter(F.col("vec_id") < 2)
+    pairs = (
+        e.select(F.col("vec_id").alias("candidate_id"))
+        .crossJoin(F.broadcast(q.select(F.col("vec_id").alias("query_id"))))
+        .filter(F.col("query_id") != F.col("candidate_id"))
+    )
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    shuffled = toks.orderBy(F.desc("token_id"), F.asc("vec_id")).repartition(7)
+    a = sorted(map(tuple, maxsim_rerank_tokens(pairs, toks.filter(F.col("vec_id") < 2), toks, k=5).collect()))
+    b = sorted(map(tuple, maxsim_rerank_tokens(pairs, shuffled.filter(F.col("vec_id") < 2), shuffled, k=5).collect()))
+    assert a == b
