@@ -420,6 +420,17 @@ class Engine:
 
         return maxsim_rerank_tokens(shortlist, query_tokens, cand_tokens, **kw)
 
+    def maxsim_search_tokens(
+        self, query_tokens: DataFrame, cand_tokens: DataFrame, **kw
+    ) -> DataFrame:
+        """FULL late-interaction retrieval (ColBERT): token-level IVF
+        candidate generation over composite doc*T+token ids, parent
+        mapping, then the doc-level maxsim rerank — for when no
+        pooled single vector drives the first stage."""
+        from .operators.maxsim import maxsim_search_tokens
+
+        return maxsim_search_tokens(query_tokens, cand_tokens, **kw)
+
     def maxsim_topk(
         self, queries: DataFrame, corpus: DataFrame, k: int = 5, **kw
     ) -> DataFrame:

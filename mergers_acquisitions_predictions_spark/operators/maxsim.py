@@ -236,6 +236,82 @@ def maxsim_rerank_tokens(
     )
 
 
+def maxsim_search_tokens(
+    query_tokens: DataFrame,
+    cand_tokens: DataFrame,
+    k: int = 5,
+    k0: int = 10,
+    n_tokens: int = 4,
+    n_probe: int = 2,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    pos_col: str = "token_id",
+    vec_col: str = "token",
+    corpus_cache_key: tuple | None = None,
+    queries_cache_key: tuple | None = None,
+) -> DataFrame:
+    """The FULL late-interaction retrieval architecture (ColBERT,
+    Khattab & Zaharia 2020 §3.6): token-level candidate generation +
+    doc-level maxsim rerank, end to end over long-format token tables.
+
+    Stage 1 — every candidate token is an index entry under the
+    composite id ``doc·T + token_id``; each query token retrieves its
+    top-``k0`` tokens through the IVF family (`similarity.ivf_topk`:
+    √n auto-sizing ON THE TOKEN COUNT, lowest-composite-id centroids,
+    cell equi-join — never a token cross join). Stage 2 — token hits
+    map back to parent documents (integer DIV, self-pairs dropped),
+    the DISTINCT parent pairs form the shortlist, and
+    `maxsim_rerank_tokens` scores it. This is how a late-interaction
+    deployment retrieves when no single-vector embedding exists to
+    drive the first stage: recall comes from ANY query token finding
+    ANY candidate token, so the shortlist covers documents a pooled
+    single vector would miss.
+
+    Scale shape: the token index is T× the corpus rows — same IVF
+    economics at T× n (cells scale √(T·n)); stage-2 cost is
+    shortlist-shaped (≤ q·T·k0 parent pairs before distinct). Oracle:
+    `plans/lsh_oracle.colbert_token_retrieval_sql` replays both
+    stages in one statement (s28)."""
+    from .similarity import ivf_topk
+
+    T = n_tokens
+
+    def comp(df: DataFrame) -> DataFrame:
+        return df.select(
+            (F.col(id_col).cast("long") * T + F.col(pos_col).cast("long")).alias(
+                "vec_id"
+            ),
+            F.col(vec_col).alias("embedding"),
+        )
+
+    hits = ivf_topk(
+        comp(query_tokens),
+        comp(cand_tokens),
+        k=k0,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        corpus_cache_key=corpus_cache_key,
+        queries_cache_key=queries_cache_key,
+    )
+    shortlist = (
+        hits.select(
+            F.expr(f"CAST(query_id DIV {T} AS BIGINT)").alias("query_id"),
+            F.expr(f"CAST(candidate_id DIV {T} AS BIGINT)").alias("candidate_id"),
+        )
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .distinct()
+    )
+    return maxsim_rerank_tokens(
+        shortlist,
+        query_tokens,
+        cand_tokens,
+        k=k,
+        id_col=id_col,
+        pos_col=pos_col,
+        vec_col=vec_col,
+    )
+
+
 def maxsim_topk(
     queries: DataFrame,
     corpus: DataFrame,

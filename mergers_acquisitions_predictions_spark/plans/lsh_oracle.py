@@ -147,7 +147,9 @@ def ivf_cent_cte_sql(n_cells: int) -> str:
         FROM embeddings ORDER BY vec_id LIMIT {n_cells}"""
 
 
-def auto_ivf_cent_ctes_sql(floor: int = 16, build_filter: str = "") -> str:
+def auto_ivf_cent_ctes_sql(
+    floor: int = 16, build_filter: str = "", table: str = "embeddings"
+) -> str:
     """CTE pair ``ncells`` + ``cent`` for AUTO-SIZED IVF oracles — the
     `auto_buckets_cte_sql` recipe applied to the cell count: ``ncells``
     recomputes `similarity.auto_cells` (greatest(floor, ⌊√n⌋)) from
@@ -164,24 +166,32 @@ def auto_ivf_cent_ctes_sql(floor: int = 16, build_filter: str = "") -> str:
     ``build_filter`` (e.g. "WHERE vec_id % 2 = 0") restricts the
     BUILD-time corpus the sizing and centroids are learned from —
     the oracle mirror of building an index on one split and
-    appending the rest (s14)."""
+    appending the rest (s14).
+
+    ``table`` names the corpus relation (default keeps every existing
+    oracle string byte-identical); a token-level retrieval oracle
+    (s28) points it at its token CTE."""
     return f"""ncells AS (
         SELECT greatest({floor},
                         CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INTEGER)) AS c
-        FROM embeddings {build_filter}
+        FROM {table} {build_filter}
     ),
     cent AS (
         SELECT cell_id, cvec, cnorm FROM (
             SELECT vec_id AS cell_id, embedding AS cvec,
                    sqrt({SQL_SQNORM.format(v='embedding')}) AS cnorm,
                    row_number() OVER (ORDER BY vec_id) AS __rn
-            FROM embeddings {build_filter}
+            FROM {table} {build_filter}
         ) WHERE __rn <= (SELECT c FROM ncells)
     )"""
 
 
 def ivf_assign_sql(
-    filter_sql: str, id_alias: str, probes: int, cent_cte: str = "cent"
+    filter_sql: str,
+    id_alias: str,
+    probes: int,
+    cent_cte: str = "cent",
+    table: str = "embeddings",
 ) -> str:
     """DuckDB mirror of `operators/similarity.ivf_assign`:
     argmax-cosine cell assignment over a centroid CTE (rounded to
@@ -202,7 +212,7 @@ def ivf_assign_sql(
                                 / (sqrt({SQL_SQNORM.format(v='e.embedding')}) * ct.cnorm),
                                 6) DESC, ct.cell_id
                    ) AS rn
-            FROM (SELECT * FROM embeddings {filter_sql}) e CROSS JOIN {cent_cte} ct
+            FROM (SELECT * FROM {table} {filter_sql}) e CROSS JOIN {cent_cte} ct
         ) WHERE rn <= {probes}"""
 
 
@@ -625,3 +635,69 @@ def _maxsim_tail_sql(k: int, n_tokens: int, dim: int) -> str:
         FROM rescored
     )
     WHERE rank <= {k}"""
+
+
+def colbert_token_retrieval_sql(
+    k: int = 5,
+    k0: int = 10,
+    n_tokens: int = 4,
+    dim: int = 64,
+    n_probe: int = 2,
+    query_docs: int = 5,
+) -> str:
+    """DuckDB mirror of `operators/maxsim.maxsim_search_tokens` — the
+    FULL late-interaction retrieval architecture (ColBERT): a
+    token-level IVF first stage (every token of every document is an
+    index entry under a composite id ``doc*T + m``; a query's tokens
+    each retrieve their top-``k0`` tokens) whose hits map back to
+    parent documents, then the doc-level maxsim rerank over that
+    shortlist. The token table CTE stands in for the corpus relation
+    via the generators' ``table=`` hook (`auto_ivf_cent_ctes_sql`,
+    `ivf_assign_sql`), so the token-level stage replays the exact
+    s04-family IVF semantics — √n auto-sizing ON THE TOKEN COUNT,
+    lowest-composite-id centroids, rounded-cosine cell argmax,
+    probe-join, 6-dp rank with composite-id tiebreak — and the
+    shortlist feeds the same maxsim tail as s24/s27. The query-side
+    filter ``vec_id < query_docs·T`` is exact for the composite ids
+    of docs ``< query_docs``."""
+    T, sub = n_tokens, dim // n_tokens
+    return f"""tokens AS (
+        SELECT CAST(vec_id * {T} + m AS BIGINT) AS vec_id,
+               list_transform(sl, x ->
+                   x / sqrt(list_sum(list_transform(sl, y -> y * y)))) AS embedding
+        FROM (
+            SELECT e.vec_id, CAST(tm.m AS INTEGER) AS m,
+                   list_transform(range(1, {sub} + 1), i ->
+                       CAST(e.embedding[CAST(tm.m AS INTEGER) * {sub} + i]
+                            AS DOUBLE)) AS sl
+            FROM embeddings e CROSS JOIN range(0, {T}) tm(m)
+        )
+    ),
+    {auto_ivf_cent_ctes_sql(table="tokens")},
+    c_assign AS ({ivf_assign_sql("", "candidate_id", 1, table="tokens")}
+    ),
+    q_assign AS ({ivf_assign_sql(f"WHERE vec_id < {query_docs * T}", "query_id", n_probe, table="tokens")}
+    ),
+    tok_scored AS (
+        SELECT query_id, candidate_id,
+               round({SQL_DOT.format(a='q.vec', b='c.vec')}
+                     / (q.nrm * c.nrm), 6) AS cos_sim
+        FROM q_assign q JOIN c_assign c USING (cell_id)
+        WHERE query_id <> candidate_id
+    ),
+    tok_hits AS (
+        SELECT query_id, candidate_id FROM (
+            SELECT query_id, candidate_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos_sim DESC, candidate_id
+                   ) AS rnk
+            FROM tok_scored
+        ) WHERE rnk <= {k0}
+    ),
+    shortlist AS (
+        SELECT DISTINCT CAST(query_id // {T} AS BIGINT) AS query_id,
+                        CAST(candidate_id // {T} AS BIGINT) AS candidate_id
+        FROM tok_hits
+        WHERE query_id // {T} <> candidate_id // {T}
+    ),
+    {_maxsim_tail_sql(k, n_tokens, dim)}"""

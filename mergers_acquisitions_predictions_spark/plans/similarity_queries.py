@@ -209,6 +209,7 @@ def s04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .lsh_oracle import ivfpq_topk_sql as _ivfpq_topk_sql  # noqa: E402
 from .lsh_oracle import maxsim_topk_sql as _maxsim_topk_sql  # noqa: E402
+from .lsh_oracle import colbert_token_retrieval_sql as _colbert_sql  # noqa: E402
 
 
 @query(
@@ -1300,4 +1301,46 @@ def s27_maxsim_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return maxsim_rerank_tokens(
         shortlist, toks.filter(F.col("vec_id") < 5), toks, k=5
+    )
+
+
+@query(
+    "s28_colbert_token_retrieval",
+    oracle=f"WITH {_colbert_sql(k=5, k0=10, n_tokens=4, dim=64, n_probe=2)}\n",
+)
+def s28_colbert_token_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL late-interaction retrieval pipeline
+    (`maxsim.maxsim_search_tokens`): token-level IVF candidate
+    generation — every token an index entry under the composite id
+    doc·T + m, √n cells sized on the TOKEN count, each query token
+    retrieving its top-10 tokens through a cell equi-join — hits
+    mapped back to parent documents (integer DIV, self-pairs
+    dropped), the distinct parent pairs maxsim-reranked. s24/s27
+    certify the rerank behind a single-vector retriever; this row
+    certifies retrieval when no pooled vector exists — recall comes
+    from ANY query token matching ANY candidate token, the property
+    that makes ColBERT retrieval different from rerank-only
+    deployments. Oracle: one statement replaying both stages
+    (`colbert_token_retrieval_sql` — the token CTE stands in for the
+    corpus relation via the IVF generators' table= hook, then the
+    s24 maxsim tail). Late-registered (outside the driver window)
+    but fully oracle-backed at every SF."""
+    from ..operators.maxsim import maxsim_search_tokens, token_slices
+
+    e = load_table(spark, sf_dir, "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    return maxsim_search_tokens(
+        toks.filter(F.col("vec_id") < 5),
+        toks,
+        k=5,
+        k0=10,
+        n_tokens=4,
+        n_probe=2,
+        corpus_cache_key=(sf_dir, "embeddings", "tokens4"),
+        queries_cache_key=(sf_dir, "embeddings", "tokens4", "vec_id<5"),
     )

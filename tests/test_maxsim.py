@@ -169,3 +169,55 @@ def test_token_table_grouping_is_partition_invariant(spark):
     a = sorted(map(tuple, maxsim_rerank_tokens(pairs, toks.filter(F.col("vec_id") < 2), toks, k=5).collect()))
     b = sorted(map(tuple, maxsim_rerank_tokens(pairs, shuffled.filter(F.col("vec_id") < 2), shuffled, k=5).collect()))
     assert a == b
+
+
+def test_colbert_retrieval_shortlist_covers_token_matches(spark):
+    """`maxsim_search_tokens` end-to-end sanity beyond the oracle row:
+    (a) ranked output contract (k rows max per query, dense ranks,
+    no self-pairs); (b) STRUCTURAL delegation — every returned pair
+    must be a parent pair of some stage-1 token hit (replayed here
+    through the same `ivf_topk` call), i.e. the rerank never
+    manufactures candidates the token retrieval didn't surface.
+    (Recall vs exact maxsim is corpus-dependent on this
+    weak-cosine-structure synthetic data — NOTES.md invariant — so
+    it is measured, not asserted: the oracle row s28 pins the exact
+    values instead.)"""
+    from mergers_acquisitions_predictions_spark.operators.maxsim import (
+        maxsim_search_tokens,
+        token_slices,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    out = maxsim_search_tokens(
+        toks.filter(F.col("vec_id") < 5), toks, k=5, k0=10
+    ).collect()
+    by_q = {}
+    for r in out:
+        assert r.query_id != r.candidate_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    comp = lambda df: df.select(  # noqa: E731 — mirrors the operator
+        (F.col("vec_id") * 4 + F.col("token_id")).cast("long").alias("vec_id"),
+        F.col("token").alias("embedding"),
+    )
+    stage1 = {
+        (r.query_id // 4, r.candidate_id // 4)
+        for r in ivf_topk(
+            comp(toks.filter(F.col("vec_id") < 5)), comp(toks), k=10, n_cells=None, n_probe=2
+        ).collect()
+        if r.query_id // 4 != r.candidate_id // 4
+    }
+    got_pairs = {(r.query_id, r.candidate_id) for r in out}
+    assert got_pairs <= stage1  # rerank only ever ranks retrieved pairs
