@@ -1,0 +1,112 @@
+"""SCALE.md §7r-b measurement: the full late-interaction retrieval
+(s28, `maxsim_search_tokens`) at scale — and the persisted-index
+route that replaces its in-memory first stage for deployment.
+
+The token-level first stage indexes T× the corpus rows; its
+assignment term is the §7o-r9 build cost at T×n. Two routes:
+1. IN-MEMORY (`ivf_topk`, what s28 registers): fold assignment of
+   n·T tokens to √(n·T) cells — fine at oracle SFs, the expensive
+   shape at 1M docs (4M tokens × 2000 cells).
+2. PERSISTED (composition, measured here): the token frame is just
+   (id, embedding), so `build_ivfsq_index(assign_blas=True)` builds
+   the token index with the matmul assignment, `search_ivfsq_index`
+   serves each query token's top-k0 from the pruned scan, and the
+   parent mapping + `maxsim_rerank_tokens` finish exactly as s28 —
+   the recommended deployment shape, priced here.
+
+Usage: python scripts/scale_colbert.py [n_docs ...]   # default 100000
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scripts.scale_1m_index import stacked_corpus, timed  # noqa: E402
+
+T = 4
+SUB = 16
+
+
+def main(sizes=(100_000,)) -> None:
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        build_ivfsq_index,
+        search_ivfsq_index,
+    )
+    from mergers_acquisitions_predictions_spark.operators.maxsim import (
+        maxsim_rerank_tokens,
+        maxsim_search_tokens,
+        token_slices,
+    )
+    from mergers_acquisitions_predictions_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-colbert")
+    spark.sparkContext.setLogLevel("ERROR")
+    scratch = "/tmp/mergers_acquisitions_scalecolbert"
+    for n in sizes:
+        row: dict = {"n_docs": int(n), "n_tokens": int(n) * T}
+        corpus_path, _ = timed(stacked_corpus, spark, n, scratch)
+        corpus = spark.read.parquet(corpus_path)
+        toks = corpus.select(
+            "vec_id",
+            F.posexplode(token_slices(F.col("embedding"), T, SUB)).alias(
+                "token_id", "token"
+            ),
+        )
+        qtoks = toks.filter(F.col("vec_id") < 50)
+
+        if n <= 100_000:
+            # route 1: the registered in-memory shape (fold assignment)
+            def inmem():
+                return maxsim_search_tokens(
+                    qtoks, toks, k=5, k0=10, n_tokens=T, n_probe=2
+                ).count()
+
+            _, row["t_inmem_cold"] = timed(inmem)
+            row["t_inmem_warm"] = min(timed(inmem)[1] for _ in range(2))
+
+        # route 2: persisted token index, BLAS assignment
+        comp = lambda df: df.select(  # noqa: E731
+            (F.col("vec_id") * T + F.col("token_id")).cast("long").alias("vec_id"),
+            F.col("token").alias("embedding"),
+        )
+        idx = f"{scratch}/tokidx_{n}"
+        # token table written once (the encoder-output parquet a real
+        # deployment materializes) so the build prices index work,
+        # not the slice derivation
+        tokpq = f"{scratch}/tokens_{n}"
+        ctoks = comp(toks)
+        _, row["t_write_token_table"] = timed(
+            lambda: ctoks.write.mode("overwrite").parquet(tokpq)
+        )
+        tok_tbl = spark.read.parquet(tokpq)
+        _, row["t_build_token_index_blas"] = timed(
+            build_ivfsq_index, tok_tbl, idx, n_cells=None, assign_blas=True
+        )
+
+        def persisted():
+            hits = search_ivfsq_index(spark, idx, comp(qtoks), k=10, n_probe=2)
+            sl = (
+                hits.select(
+                    F.expr(f"CAST(query_id DIV {T} AS BIGINT)").alias("query_id"),
+                    F.expr(f"CAST(candidate_id DIV {T} AS BIGINT)").alias(
+                        "candidate_id"
+                    ),
+                )
+                .filter(F.col("query_id") != F.col("candidate_id"))
+                .distinct()
+            )
+            return maxsim_rerank_tokens(sl, qtoks, toks, k=5).count()
+
+        persisted()  # prime meta/memo
+        row["t_persisted_serve"] = min(timed(persisted)[1] for _ in range(3))
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main(tuple(int(a) for a in sys.argv[1:]) or (100_000,))
