@@ -106,6 +106,7 @@ def main() -> None:
         "s26_maxsim_exact_topk",  # exact maxsim baseline (5q, tiny)
         "s27_maxsim_token_table",  # long-format multi-vector rerank
         "s28_colbert_token_retrieval",  # token-level IVF + maxsim rerank
+        "s29_pq_learned_index_topk",  # learned books + rerank (deployment PQ)
         # s16 (append-vs-rebuild drift) is correctness-window only: it
         # composes s13+s14, so benching it would double-count their
         # index builds already measured above.

@@ -1344,3 +1344,80 @@ def s28_colbert_token_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_cache_key=(sf_dir, "embeddings", "tokens4"),
         queries_cache_key=(sf_dir, "embeddings", "tokens4", "vec_id<5"),
     )
+
+
+from .handshake import handshake_path as _handshake_path  # noqa: E402
+
+#: s29's codebook artifact — fixed-path handshake (s09's recipe for
+#: the PERSISTED kind; see plans/handshake.py for the contract).
+_S29_CB_PATH = _handshake_path("s29_codebooks")
+
+
+@query(
+    "s29_pq_learned_index_topk",
+    oracle=f"""WITH {_ivfpq_topk_sql(n_subspaces=8, sub_dim=8, n_codes=16,
+                                     n_cells='auto', n_probe=2, k=5, rerank=15,
+                                     codebook_parquet=_S29_CB_PATH)}\n""",
+)
+def s29_pq_learned_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION configuration of the persisted IVF-PQ index —
+    LEARNED codebooks + exact rerank (SCALE.md §7q lessons 1+2 in one
+    row: learned books are the only knob that improves the ADC cut
+    itself, and the rescore covers what quantization still blurs).
+    s09's artifact recipe one layer down: the per-subspace k-means
+    books (fixed seeds) are materialized to parquet, the PERSISTED
+    index is built FROM the re-read artifact (geometry JSON
+    round-trips the doubles via shortest-repr — bit-exact), and the
+    oracle replays encode + ADC + exact rescore from the same files
+    (`ivfpq_topk_sql(codebook_parquet=...)` composed with the √n
+    auto-cell CTEs — everything downstream of the fits is
+    hash-checked cross-engine). Completes the persisted-PQ ladder:
+    s23 plain ADC contract, s25 rerank remedy, s29 learned books +
+    rerank = the deployment serve. Late-registered (outside the
+    driver window) but fully oracle-backed at every SF; the seeder
+    (scripts/seed_artifact_oracles.py) re-seeds the artifact LAST in
+    any multi-SF sweep ordering."""
+    from ..operators.ann_index import build_ivfpq_index, search_ivfpq_index
+    from ..operators.pq import pq_kmeans_codebooks
+    from ..operators.util import local_rows_df
+    from ..sources.writers import publish_parquet_atomic
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_kmeans_codebooks(e, n_subspaces=8, n_codes=16)
+    rows = [
+        (m + 1, c, [float(x) for x in cbs[m][c]])
+        for m in range(len(cbs))
+        for c in range(len(cbs[m]))
+    ]
+    publish_parquet_atomic(
+        local_rows_df(spark, rows, "m BIGINT, code BIGINT, vec ARRAY<DOUBLE>"),
+        _S29_CB_PATH,
+    )
+    art = spark.read.parquet(_S29_CB_PATH).collect()
+    nested: dict = {}
+    for r in art:
+        nested.setdefault(int(r["m"]), {})[int(r["code"])] = [
+            float(x) for x in r["vec"]
+        ]
+    cbs_art = [
+        [nested[m][c] for c in sorted(nested[m])] for m in sorted(nested)
+    ]
+    path = _scratch_index_path(spark, sf_dir, "ivfpq_learned")
+    build_ivfpq_index(
+        e,
+        path,
+        n_cells=None,
+        n_subspaces=8,
+        n_codes=16,
+        codebooks=cbs_art,
+        corpus_cache_key=(sf_dir, "embeddings", "learned_cb"),
+    )
+    return search_ivfpq_index(
+        spark,
+        path,
+        e.filter(F.col("vec_id") < 5),
+        k=5,
+        n_probe=2,
+        rerank=15,
+        vectors=e,
+    )

@@ -31,6 +31,7 @@ SEED_QUERIES = (
     "s05_ivf_kmeans_topk",
     "s19_sampled_kmeans_topk",
     "s09_ivfpq_kmeans_topk",
+    "s29_pq_learned_index_topk",
     "io01_csv_roundtrip",
     "io02_corpus_dir_scan",
     "io03_jsonl_roundtrip",
