@@ -26,15 +26,39 @@ def serve_batch(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank: int | None = None,
+    vectors: DataFrame | None = None,
+    maxsim_tokens: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """One serving step: top-k for a (micro-)batch of query vectors
     against the persisted index. Identical whether ``batch_df`` is a
-    foreachBatch micro-batch or a batch read of the same rows."""
+    foreachBatch micro-batch or a batch read of the same rows.
+
+    ``rerank``/``vectors``: the exact-rescore serve (s20's remedy) per
+    micro-batch. ``maxsim_tokens``: rescore the overfetched shortlist
+    by late-interaction maxsim instead of cosine (s24's serve shape —
+    requires ``rerank`` and ``vectors``); both rescores are
+    shortlist-shaped, so the per-batch cost stays the pruned scan +
+    a shortlist-sized join regardless of corpus size."""
     from ..operators.ann_index import search_ivfsq_index
 
+    if maxsim_tokens is not None:
+        if rerank is None or vectors is None:
+            raise ValueError("maxsim serving needs rerank= and vectors=")
+        from ..operators.maxsim import maxsim_rerank
+
+        shortlist = search_ivfsq_index(
+            spark, index_path, batch_df, k=rerank, n_probe=n_probe,
+            id_col=id_col, vec_col=vec_col,
+        )
+        return maxsim_rerank(
+            shortlist, batch_df, vectors, k=k, n_tokens=maxsim_tokens,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        )
     return search_ivfsq_index(
         spark, index_path, batch_df, k=k, n_probe=n_probe,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, rerank=rerank, vectors=vectors,
     )
 
 
@@ -46,18 +70,22 @@ def serve_query_stream(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    **serve_kw,
 ):
     """foreachBatch serving sink: per micro-batch, run `serve_batch`
     and hand the result frame to ``emit(result_df, batch_id)`` (write
     to a sink, push to a cache — the deployment decides). Returns the
-    DataStreamWriter; caller picks trigger/checkpoint and starts."""
+    DataStreamWriter; caller picks trigger/checkpoint and starts.
+    Extra keyword args (``rerank``/``vectors``/``maxsim_tokens``/
+    ``dim``) flow to `serve_batch` — the rescore serves run per
+    micro-batch unchanged."""
     spark = stream_df.sparkSession
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
         emit(
             serve_batch(
                 spark, index_path, batch_df, k=k, n_probe=n_probe,
-                id_col=id_col, vec_col=vec_col,
+                id_col=id_col, vec_col=vec_col, **serve_kw,
             ),
             batch_id,
         )

@@ -221,3 +221,70 @@ def test_colbert_retrieval_shortlist_covers_token_matches(spark):
     }
     got_pairs = {(r.query_id, r.candidate_id) for r in out}
     assert got_pairs <= stage1  # rerank only ever ranks retrieved pairs
+
+
+def test_streaming_maxsim_serve_matches_batch(spark, tmp_path):
+    """Online late-interaction serving: a file stream of query
+    vectors served per micro-batch from the persisted index with the
+    maxsim rescore (`streaming.serving.serve_batch(maxsim_tokens=…)`)
+    — results must equal the batch path for the same query set (same
+    shortlist cut, same token scoring; the serving sink runs the
+    identical code)."""
+    import json as _json
+
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        build_ivfsq_index,
+        search_ivfsq_index,
+    )
+    from mergers_acquisitions_predictions_spark.streaming.serving import (
+        serve_query_stream,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e, path, n_cells=16)
+
+    qdir = tmp_path / "qstream"
+    qdir.mkdir()
+    rows = e.filter(F.col("vec_id") < 3).collect()
+    with open(qdir / "batch0.jsonl", "w") as f:
+        for r in rows:
+            f.write(
+                _json.dumps(
+                    {"vec_id": r.vec_id, "embedding": [float(x) for x in r.embedding]}
+                )
+                + "\n"
+            )
+
+    got = []
+    stream = (
+        serve_query_stream(
+            path,
+            spark.readStream.schema("vec_id long, embedding array<float>").json(
+                str(qdir)
+            ),
+            lambda res, _bid: got.extend(map(tuple, res.collect())),
+            k=5,
+            n_probe=2,
+            rerank=15,
+            vectors=e,
+            maxsim_tokens=4,
+            dim=64,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+
+    shortlist = search_ivfsq_index(
+        spark, path, e.filter(F.col("vec_id") < 3), k=15, n_probe=2
+    )
+    want = sorted(
+        map(
+            tuple,
+            maxsim_rerank(
+                shortlist, e.filter(F.col("vec_id") < 3), e, k=5, n_tokens=4, dim=64
+            ).collect(),
+        )
+    )
+    assert sorted(got) == want and len(want) == 15
