@@ -106,7 +106,10 @@ def main() -> None:
         "s26_maxsim_exact_topk",  # exact maxsim baseline (5q, tiny)
         "s27_maxsim_token_table",  # long-format multi-vector rerank
         "s28_colbert_token_retrieval",  # token-level IVF + maxsim rerank
-        "s29_pq_learned_index_topk",  # learned books + rerank (deployment PQ)
+        # s09/s29 (learned-codebook rows) are correctness-window only:
+        # each invocation pays 8 MLlib k-means fits — the same
+        # fit-exclusion policy as m01-m03/m09; their serve stages are
+        # measured via s08/s23/s25.
         # s16 (append-vs-rebuild drift) is correctness-window only: it
         # composes s13+s14, so benching it would double-count their
         # index builds already measured above.
