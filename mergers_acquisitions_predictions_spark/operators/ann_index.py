@@ -1079,6 +1079,16 @@ def build_ivfpq_index(
             ivf_centroids(corpus, n_cells, id_col, vec_col)
         )
     dim = len(cbs) * len(cbs[0][0])
+    if codebooks is not None:
+        # Caller-supplied books define the geometry; the corpus width
+        # must match or F.slice mis-encodes silently — same fail-fast
+        # `append_to_ivfpq_index` performs against persisted books.
+        bad = corpus.filter(F.size(F.col(vec_col)) != dim).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"build_ivfpq_index: corpus vectors must have dim={dim} "
+                f"(= n_subspaces × sub_dim of the supplied codebooks)"
+            )
 
     assign = ivf_assign_blas if assign_blas else ivf_assign_literal
     coded = (

@@ -112,7 +112,13 @@ def maxsim_rerank(
     ``dim``: pass the known vector width to skip the one-row probe
     job that otherwise derives it from ``vectors`` per invocation."""
     if dim is None:
-        dim = vectors.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        probe = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None:
+            raise ValueError(
+                "maxsim_rerank: `vectors` is empty — cannot derive the "
+                "token width; pass dim= or a non-empty vectors frame"
+            )
+        dim = probe["d"]
     if dim % n_tokens:
         raise ValueError(f"dim {dim} not divisible by n_tokens {n_tokens}")
     sub = dim // n_tokens
@@ -277,10 +283,30 @@ def maxsim_search_tokens(
     T = n_tokens
 
     def comp(df: DataFrame) -> DataFrame:
+        # Composite-id injectivity guard: doc·T + m collides ACROSS
+        # documents the moment a token_id reaches T — real per-token
+        # encoders emit VARIABLE token counts, so a too-small
+        # ``n_tokens`` would silently corrupt both the first stage and
+        # the parent mapping. The guard is a map-side branch riding
+        # the existing scan (raise_error fires only on a bad row) —
+        # no extra job, every row checked, corpus-scale safe.
+        pos = F.col(pos_col).cast("long")
         return df.select(
-            (F.col(id_col).cast("long") * T + F.col(pos_col).cast("long")).alias(
-                "vec_id"
-            ),
+            F.when(
+                (pos < 0) | (pos >= T),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "maxsim_search_tokens: token_id out of range "
+                            f"[0, {T}) for n_tokens={T} (id collision) — "
+                            "got token_id="
+                        ),
+                        pos.cast("string"),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col(id_col).cast("long") * T + pos)
+            .alias("vec_id"),
             F.col(vec_col).alias("embedding"),
         )
 

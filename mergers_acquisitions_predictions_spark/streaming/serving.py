@@ -46,6 +46,10 @@ def serve_batch(
     if maxsim_tokens is not None:
         if rerank is None or vectors is None:
             raise ValueError("maxsim serving needs rerank= and vectors=")
+        if rerank < k:
+            # same contract as the search_ivf*_index rescore serves: a
+            # shortlist thinner than k silently under-returns.
+            raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
         from ..operators.maxsim import maxsim_rerank
 
         shortlist = search_ivfsq_index(

@@ -68,6 +68,70 @@ def test_maxsim_rejects_indivisible_dim(spark):
         maxsim_topk(q, e, k=5, n_tokens=7)
 
 
+def test_maxsim_rerank_empty_vectors_probe_fails_loud(spark):
+    """ADVICE r10: the dim probe on an EMPTY vectors frame must raise
+    a ValueError naming the input, not an opaque TypeError."""
+    e = load_table(spark, SF_SMALL, "embeddings")
+    q = e.filter(F.col("vec_id") < 2)
+    empty = e.filter(F.lit(False))
+    pairs = q.select(
+        F.col("vec_id").alias("query_id"), F.col("vec_id").alias("candidate_id")
+    )
+    with pytest.raises(ValueError, match="empty"):
+        maxsim_rerank(pairs, q, empty, k=2, n_tokens=4)
+
+
+def test_search_tokens_rejects_out_of_range_token_id(spark):
+    """ADVICE r10 (medium): composite ids doc·T + m collide across
+    documents when token_id >= n_tokens — the map-side guard must
+    fail the job instead of silently corrupting the retrieval. The
+    guard rides the scan (no extra job), so it is checked at execute
+    time: errors surface when the stage runs."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from mergers_acquisitions_predictions_spark.operators.maxsim import (
+        maxsim_search_tokens,
+        token_slices,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    # declare n_tokens=2 while the data carries token_id up to 3:
+    # doc 0 token 2 collides with doc 1 token 0 under T=2
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as exc:
+        maxsim_search_tokens(
+            toks.filter(F.col("vec_id") < 2), toks, k=2, k0=5, n_tokens=2
+        ).collect()
+    assert "token_id out of range" in str(exc.value)
+
+
+def test_serve_batch_maxsim_rejects_rerank_below_k(spark, tmp_path):
+    """ADVICE r10: the maxsim serve must enforce rerank >= k like the
+    search_ivf*_index rescore serves do."""
+    from mergers_acquisitions_predictions_spark.streaming.serving import (
+        serve_batch,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    with pytest.raises(ValueError, match="must be >= k"):
+        serve_batch(
+            spark,
+            str(tmp_path / "idx"),
+            e.filter(F.col("vec_id") < 2),
+            k=5,
+            rerank=3,
+            vectors=e,
+            maxsim_tokens=4,
+            dim=64,
+        )
+
+
 def test_maxsim_serve_is_oracle_replayable(spark, tmp_path):
     """Pre-certification of the s24 driver row: the persisted-index
     SQ8 shortlist re-scored by late-interaction maxsim hash-matches

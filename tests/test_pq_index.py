@@ -157,6 +157,22 @@ def test_pq_append_dim_mismatch_fails_fast(spark, tmp_path):
         append_to_ivfpq_index(short, path)
 
 
+def test_pq_build_codebook_dim_mismatch_fails_fast(spark, tmp_path):
+    """ADVICE r10: `build_ivfpq_index(codebooks=...)` must perform the
+    same corpus-width fail-fast the append path does — a mismatched
+    corpus would otherwise silently mis-encode via out-of-range
+    F.slice."""
+    from mergers_acquisitions_predictions_spark.operators.pq import (
+        pq_anchor_codebooks,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    cbs = pq_anchor_codebooks(e, 8, 16)  # dim 64 geometry
+    short = e.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    with pytest.raises(ValueError, match="dim=64"):
+        build_ivfpq_index(short, str(tmp_path / "idx2"), n_cells=8, codebooks=cbs)
+
+
 def test_pq_compact_is_layout_only(spark, tmp_path):
     """`compact_index` (the shared kind-agnostic compaction) on a PQ
     index: fewer files, a committed generation, bit-identical serve."""
