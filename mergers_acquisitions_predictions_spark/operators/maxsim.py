@@ -185,6 +185,47 @@ def tokens_to_arrays(
     )
 
 
+def write_token_table(
+    tokens: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    pos_col: str = "token_id",
+    vec_col: str = "token",
+) -> None:
+    """Materialize the encoder's long-format token table ONCE — the
+    production fix SCALE.md §7r prices: deriving tokens at serve time
+    (slice math or a model call + posexplode) re-pays per serve what
+    the encoder already computed (+1.8 s/1M for the slice explode
+    alone); a deployment writes the (id, token_id, vector) parquet
+    once and every serve scans it.
+
+    Layout for serve-time pruning: rows are CLUSTERED by document id
+    (`repartition(id)`) and sorted (id, token_id) within partitions,
+    so one document's tokens are contiguous in a row group and the
+    parquet id min/max statistics are tight — `read_token_table`'s
+    ``ids=`` pre-filter then skips non-shortlist row groups at the
+    scan (PushedFilters: In), and the group-by-id rebuild in
+    `maxsim_rerank_tokens` reads already-clustered rows."""
+    (
+        tokens.select(id_col, pos_col, vec_col)
+        .repartition(F.col(id_col))
+        .sortWithinPartitions(id_col, pos_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_token_table(spark, path: str, ids=None, id_col: str = "vec_id") -> DataFrame:
+    """Read a `write_token_table` parquet. ``ids``: optional
+    driver-sized id list (a serve shortlist — queries × rerank, never
+    corpus-shaped) pushed down as an In filter so the clustered
+    layout's row-group statistics prune the scan."""
+    df = spark.read.parquet(path)
+    if ids is not None:
+        df = df.filter(F.col(id_col).isin(list(ids)))
+    return df
+
+
 def maxsim_rerank_tokens(
     shortlist: DataFrame,
     query_tokens: DataFrame,
@@ -281,45 +322,73 @@ def maxsim_search_tokens(
     from .similarity import ivf_topk
 
     T = n_tokens
-
-    def comp(df: DataFrame) -> DataFrame:
-        # Composite-id injectivity guard: doc·T + m collides ACROSS
-        # documents the moment a token_id reaches T — real per-token
-        # encoders emit VARIABLE token counts, so a too-small
-        # ``n_tokens`` would silently corrupt both the first stage and
-        # the parent mapping. The guard is a map-side branch riding
-        # the existing scan (raise_error fires only on a bad row) —
-        # no extra job, every row checked, corpus-scale safe.
-        pos = F.col(pos_col).cast("long")
-        return df.select(
-            F.when(
-                (pos < 0) | (pos >= T),
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "maxsim_search_tokens: token_id out of range "
-                            f"[0, {T}) for n_tokens={T} (id collision) — "
-                            "got token_id="
-                        ),
-                        pos.cast("string"),
-                    )
-                ).cast("long"),
-            )
-            .otherwise(F.col(id_col).cast("long") * T + pos)
-            .alias("vec_id"),
-            F.col(vec_col).alias("embedding"),
-        )
-
     hits = ivf_topk(
-        comp(query_tokens),
-        comp(cand_tokens),
+        composite_tokens(query_tokens, T, id_col, pos_col, vec_col),
+        composite_tokens(cand_tokens, T, id_col, pos_col, vec_col),
         k=k0,
         n_cells=n_cells,
         n_probe=n_probe,
         corpus_cache_key=corpus_cache_key,
         queries_cache_key=queries_cache_key,
     )
-    shortlist = (
+    return maxsim_rerank_tokens(
+        _parent_shortlist(hits, T),
+        query_tokens,
+        cand_tokens,
+        k=k,
+        id_col=id_col,
+        pos_col=pos_col,
+        vec_col=vec_col,
+    )
+
+
+def composite_tokens(
+    df: DataFrame,
+    n_tokens: int,
+    id_col: str = "vec_id",
+    pos_col: str = "token_id",
+    vec_col: str = "token",
+) -> DataFrame:
+    """Long-format token rows → the SINGLE-VECTOR frame the IVF family
+    indexes: ``(vec_id = doc·T + token_id, embedding)``. Because the
+    result is plain (id, embedding), the WHOLE persisted lifecycle —
+    BLAS assignment, generation commit, pruned serve, append/compact —
+    applies to token indexes unchanged (SCALE.md §7r-b).
+
+    Composite-id injectivity guard: doc·T + m collides ACROSS
+    documents the moment a token_id reaches T — real per-token
+    encoders emit VARIABLE token counts, so a too-small ``n_tokens``
+    would silently corrupt both the first stage and the parent
+    mapping. The guard is a map-side branch riding the existing scan
+    (raise_error fires only on a bad row) — no extra job, every row
+    checked, corpus-scale safe."""
+    T = n_tokens
+    pos = F.col(pos_col).cast("long")
+    return df.select(
+        F.when(
+            (pos < 0) | (pos >= T),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "maxsim_search_tokens: token_id out of range "
+                        f"[0, {T}) for n_tokens={T} (id collision) — "
+                        "got token_id="
+                    ),
+                    pos.cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col(id_col).cast("long") * T + pos)
+        .alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+    )
+
+
+def _parent_shortlist(hits: DataFrame, T: int) -> DataFrame:
+    """Token-level hits (composite ids) → distinct parent-document
+    pairs, self-pairs dropped — the stage-1→stage-2 mapping of the
+    ColBERT retrieval architecture."""
+    return (
         hits.select(
             F.expr(f"CAST(query_id DIV {T} AS BIGINT)").alias("query_id"),
             F.expr(f"CAST(candidate_id DIV {T} AS BIGINT)").alias("candidate_id"),
@@ -327,8 +396,74 @@ def maxsim_search_tokens(
         .filter(F.col("query_id") != F.col("candidate_id"))
         .distinct()
     )
+
+
+def build_token_index(
+    cand_tokens: DataFrame,
+    path: str,
+    n_tokens: int,
+    id_col: str = "vec_id",
+    pos_col: str = "token_id",
+    vec_col: str = "token",
+    corpus_cache_key: tuple | None = None,
+    assign_blas: bool = False,
+) -> None:
+    """Persist the TOKEN-LEVEL IVF-SQ8 index for late-interaction
+    retrieval — SCALE.md §7r-b's deployment route: the in-memory
+    `maxsim_search_tokens` first stage re-pays the T×n-token fold
+    assignment EVERY serve (90 s warm at 100k docs × 4 tokens), while
+    this build pays it once (18.5 s with ``assign_blas=True``) and
+    each serve is a pruned scan (5.8 s — ×16). The composite token
+    frame is plain (id, embedding), so this is `build_ivfsq_index`
+    unchanged — √n cells ON THE TOKEN COUNT, generation-scoped commit,
+    append/compact all apply; serve with
+    `maxsim_search_tokens_persisted`."""
+    from .ann_index import build_ivfsq_index
+
+    build_ivfsq_index(
+        composite_tokens(cand_tokens, n_tokens, id_col, pos_col, vec_col),
+        path,
+        n_cells=None,
+        corpus_cache_key=corpus_cache_key,
+        assign_blas=assign_blas,
+    )
+
+
+def maxsim_search_tokens_persisted(
+    spark,
+    index_path: str,
+    query_tokens: DataFrame,
+    cand_tokens: DataFrame,
+    k: int = 5,
+    k0: int = 10,
+    n_tokens: int = 4,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    pos_col: str = "token_id",
+    vec_col: str = "token",
+) -> DataFrame:
+    """`maxsim_search_tokens` served from the PERSISTED token index
+    (`build_token_index`) — the late-interaction deployment shape: per
+    query token, the persisted IVF-SQ8 serve retrieves the top-``k0``
+    candidate tokens from the probed cells only (partition-pruned
+    quantized dots — the s13 family's serve on the composite frame),
+    hits map back to parent documents, and the distinct parent pairs
+    are maxsim-reranked over the raw token tables. Differs from the
+    in-memory path exactly where the index kinds differ: stage 1 ranks
+    on the QUANTIZED dot (oracle:
+    `plans/lsh_oracle.colbert_persisted_retrieval_sql`)."""
+    from .ann_index import search_ivfsq_index
+
+    T = n_tokens
+    hits = search_ivfsq_index(
+        spark,
+        index_path,
+        composite_tokens(query_tokens, T, id_col, pos_col, vec_col),
+        k=k0,
+        n_probe=n_probe,
+    )
     return maxsim_rerank_tokens(
-        shortlist,
+        _parent_shortlist(hits, T),
         query_tokens,
         cand_tokens,
         k=k,

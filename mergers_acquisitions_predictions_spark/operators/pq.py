@@ -406,6 +406,8 @@ def pq_kmeans_codebooks(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    fit_sample_per_code: int | None = 6250,
+    fit_floor: int | None = None,
 ) -> list[list[list[float]]]:
     """LEARNED PQ codebooks — the production replacement for
     `pq_anchor_codebooks`' deterministic anchor slices, exactly as
@@ -426,14 +428,39 @@ def pq_kmeans_codebooks(
     the learned codebooks are materialized and the oracle replays
     encode + ADC + re-rank from the same files — while s08 (anchor
     codebooks) hash-checks the identical join shapes with fully
-    regenerable constants."""
+    regenerable constants.
+
+    SAMPLED FIT (round 11, `kmeans_centroids`' recipe promoted —
+    SCALE.md §7q measured it: books fitted on a 100k sample were the
+    knob that fixed the ADC cut, fit 26 s): Lloyd cost here is
+    n_subspaces × max_iter × n × n_codes distances over the FULL
+    corpus; when the corpus exceeds ``fit_sample_per_code × n_codes``
+    rows (default 6250 × 16 = the measured 100k sample), each fit
+    runs on ONE deterministic content-keyed sample of ~that size
+    (``xxhash64(id) % m == 0`` — partitioning-independent; the slices
+    frame is built from the sample, so all ``n_subspaces`` fits share
+    it) and the learned books encode the FULL corpus through the
+    unchanged map-side `pq_encode` — M·K·d per row, a cost that does
+    NOT shrink with sampling (the deployment note: encode, not fit,
+    dominates once books are frozen). The 100k absolute floor keeps
+    small corpora on the full fit; ``fit_floor`` overrides it
+    (``0`` forces the sampled branch — how s29 exercises the
+    deployment path at oracle scale); ``None`` disables sampling."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from .similarity import _FIT_SAMPLE_FLOOR
     from .util import fit_released
 
     first = corpus.select(vec_col).first()
     dim = len(first[vec_col])
+    if fit_sample_per_code is not None:
+        target = fit_sample_per_code * n_codes
+        floor = _FIT_SAMPLE_FLOOR if fit_floor is None else fit_floor
+        n = corpus.count()
+        if n > max(target, floor):
+            m = max(2, round(n / target))
+            corpus = corpus.filter(F.xxhash64(F.col(id_col)) % m == 0)
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     sub = dim // n_subspaces

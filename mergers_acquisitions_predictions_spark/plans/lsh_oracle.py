@@ -442,12 +442,35 @@ def ivfsq_topk_sql(
     dot. Replayable for the same reasons as the cosine rescore: slice
     boundaries, per-slice norms, dot folds, max, and the m-ordered
     sum are all deterministic."""
+    return f"""{_ivfsq_scored_ctes_sql(dim, n_cells, n_probe, query_filter,
+                                       build_filter, candidate_filter)}
+    {_ivfsq_final_sql(k, rerank, maxsim_tokens, dim)}"""
+
+
+def _ivfsq_scored_ctes_sql(
+    dim: int,
+    n_cells: int | str,
+    n_probe: int,
+    query_filter: str,
+    build_filter: str = "",
+    candidate_filter: str = "",
+    table: str = "embeddings",
+) -> str:
+    """The SQ8 machinery of `ivfsq_topk_sql` up through the ``scored``
+    CTE (quantizer stats, codes, cells, probe-join, quantized dots) —
+    factored (round 11) so a COMPOSITE oracle can run the persisted
+    SQ8 serve as a STAGE of a larger statement
+    (`colbert_persisted_retrieval_sql`: the token-level first stage).
+    ``table`` names the corpus relation; the default keeps every
+    pre-round-11 oracle string byte-identical (asserted across the
+    refactor, the standing discipline)."""
     D = dim
-    cent_block = (
-        auto_ivf_cent_ctes_sql(build_filter=build_filter)
-        if n_cells == "auto"
-        else f"cent AS ({ivf_cent_cte_sql(n_cells)}\n    )"
-    )
+    if n_cells == "auto":
+        cent_block = auto_ivf_cent_ctes_sql(build_filter=build_filter, table=table)
+    else:
+        if table != "embeddings":
+            raise ValueError("fixed n_cells supports only table='embeddings'")
+        cent_block = f"cent AS ({ivf_cent_cte_sql(n_cells)}\n    )"
     code = f"""CAST(CASE WHEN rngs[i] = 0 THEN 0
                         ELSE least(greatest(floor(
                             (u[i] - mns[i]) / rngs[i] * 255.0 + 0.5), 0), 255)
@@ -457,7 +480,7 @@ def ivfsq_topk_sql(
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)
                    / sqrt({SQL_SQNORM.format(v='embedding')})) AS u
-        FROM embeddings
+        FROM {table}
     ),
     dimstats AS (
         SELECT CAST(t.i AS INTEGER) AS dim,
@@ -477,9 +500,9 @@ def ivfsq_topk_sql(
         FROM unit CROSS JOIN statarr
     ),
     {cent_block},
-    c_assign AS ({ivf_assign_sql("", "candidate_id", 1)}
+    c_assign AS ({ivf_assign_sql("", "candidate_id", 1, table=table)}
     ),
-    q_assign AS ({ivf_assign_sql(query_filter, "query_id", n_probe)}
+    q_assign AS ({ivf_assign_sql(query_filter, "query_id", n_probe, table=table)}
     ),
     scored AS (
         SELECT q.query_id, c.candidate_id,
@@ -494,8 +517,7 @@ def ivfsq_topk_sql(
         CROSS JOIN statarr sa
         WHERE q.query_id <> c.candidate_id
         {candidate_filter}
-    )
-    {_ivfsq_final_sql(k, rerank, maxsim_tokens, dim)}"""
+    )"""
 
 
 def _ivfsq_final_sql(
@@ -692,6 +714,60 @@ def colbert_token_retrieval_sql(
                        PARTITION BY query_id ORDER BY cos_sim DESC, candidate_id
                    ) AS rnk
             FROM tok_scored
+        ) WHERE rnk <= {k0}
+    ),
+    shortlist AS (
+        SELECT DISTINCT CAST(query_id // {T} AS BIGINT) AS query_id,
+                        CAST(candidate_id // {T} AS BIGINT) AS candidate_id
+        FROM tok_hits
+        WHERE query_id // {T} <> candidate_id // {T}
+    ),
+    {_maxsim_tail_sql(k, n_tokens, dim)}"""
+
+
+def colbert_persisted_retrieval_sql(
+    k: int = 5,
+    k0: int = 10,
+    n_tokens: int = 4,
+    dim: int = 64,
+    n_probe: int = 2,
+    query_docs: int = 5,
+) -> str:
+    """DuckDB mirror of the PERSISTED-token-index late-interaction
+    retrieval (`operators/maxsim.maxsim_search_tokens_persisted` —
+    SCALE.md §7r-b's deployment route): the first stage serves each
+    query token's top-``k0`` tokens from the persisted IVF-SQ8 index
+    built ON THE TOKEN FRAME (quantized dots over probed cells —
+    `_ivfsq_scored_ctes_sql(table="tokens")` replays stats, codes,
+    √(T·n) cells, assignment, and the SQ8 scoring exactly as the s13
+    family's oracle does for the doc-level index), hits map back to
+    parent documents (integer DIV, self-pairs dropped), and the
+    distinct parent pairs feed the s24 maxsim tail. Differs from
+    `colbert_token_retrieval_sql` (s28, the in-memory `ivf_topk`
+    stage) exactly where the engines differ: the first stage ranks on
+    the QUANTIZED dot, not the exact cosine."""
+    T, sub = n_tokens, dim // n_tokens
+    return f"""tokens AS (
+        SELECT CAST(vec_id * {T} + m AS BIGINT) AS vec_id,
+               list_transform(sl, x ->
+                   x / sqrt(list_sum(list_transform(sl, y -> y * y)))) AS embedding
+        FROM (
+            SELECT e.vec_id, CAST(tm.m AS INTEGER) AS m,
+                   list_transform(range(1, {sub} + 1), i ->
+                       CAST(e.embedding[CAST(tm.m AS INTEGER) * {sub} + i]
+                            AS DOUBLE)) AS sl
+            FROM embeddings e CROSS JOIN range(0, {T}) tm(m)
+        )
+    ),{_ivfsq_scored_ctes_sql(sub, "auto", n_probe,
+                              f"WHERE vec_id < {query_docs * T}",
+                              table="tokens")},
+    tok_hits AS (
+        SELECT query_id, candidate_id FROM (
+            SELECT query_id, candidate_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sq_sim DESC, candidate_id
+                   ) AS rnk
+            FROM scored
         ) WHERE rnk <= {k0}
     ),
     shortlist AS (

@@ -1376,14 +1376,24 @@ def s29_pq_learned_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank = the deployment serve. Late-registered (outside the
     driver window) but fully oracle-backed at every SF; the seeder
     (scripts/seed_artifact_oracles.py) re-seeds the artifact LAST in
-    any multi-SF sweep ordering."""
+    any multi-SF sweep ordering.
+
+    Round 11 (VERDICT r10 #4): the books are fitted through the
+    SAMPLED-fit path (`fit_sample_per_code` — §7q's measured recipe
+    promoted into the API; ``fit_floor=0`` forces the large-corpus
+    default branch at oracle scale, s19's pattern), so the one-call
+    deployment config — content-keyed sample → per-subspace fits →
+    frozen books encode the full corpus — is what this row
+    hash-certifies via the artifact replay."""
     from ..operators.ann_index import build_ivfpq_index, search_ivfpq_index
     from ..operators.pq import pq_kmeans_codebooks
     from ..operators.util import local_rows_df
     from ..sources.writers import publish_parquet_atomic
 
     e = load_table(spark, sf_dir, "embeddings")
-    cbs = pq_kmeans_codebooks(e, n_subspaces=8, n_codes=16)
+    cbs = pq_kmeans_codebooks(
+        e, n_subspaces=8, n_codes=16, fit_sample_per_code=25, fit_floor=0
+    )
     rows = [
         (m + 1, c, [float(x) for x in cbs[m][c]])
         for m in range(len(cbs))
@@ -1420,4 +1430,176 @@ def s29_pq_learned_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=2,
         rerank=15,
         vectors=e,
+    )
+
+
+from .lsh_oracle import (  # noqa: E402
+    colbert_persisted_retrieval_sql as _colbert_persisted_sql,
+)
+
+
+@query(
+    "s30_colbert_persisted_serve",
+    oracle=f"WITH {_colbert_persisted_sql(k=5, k0=10, n_tokens=4, dim=64, n_probe=2)}\n",
+)
+def s30_colbert_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval from the PERSISTED token index —
+    SCALE.md §7r-b's deployment route registered (VERDICT r10 #2):
+    `maxsim.build_token_index` persists the IVF-SQ8 index over the
+    composite token frame (doc·4 + m ids; √n cells ON THE TOKEN
+    COUNT; the s13 family's generation-scoped commit unchanged,
+    because the composite frame is plain (id, embedding)), and the
+    serve (`maxsim_search_tokens_persisted`) runs each query token's
+    top-10 as a partition-pruned quantized scan, maps hits to parent
+    documents, and maxsim-reranks the distinct parent pairs. vs s28
+    (the registered in-memory first stage): same architecture, but
+    the T×n-token assignment is paid ONCE at build — §7r-b measured
+    90 s/serve → 18.5 s build + 5.8 s/serve (×16) at 100k docs = 400k
+    tokens. This row puts the token-index lifecycle inside a
+    hash-checked driver row.
+
+    Oracle: `colbert_persisted_retrieval_sql` — the tokens CTE feeds
+    the SQ8 machinery (`_ivfsq_scored_ctes_sql(table="tokens")`:
+    stats, codes, cells, probe-join, QUANTIZED dots — exactly where
+    this row differs from s28's exact-cosine first stage), then the
+    parent mapping and the s24 maxsim tail. Reference analogue: none
+    (SURVEY §7 Phase 4 surface)."""
+    from ..operators.maxsim import (
+        build_token_index,
+        maxsim_search_tokens_persisted,
+        token_slices,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    path = _scratch_index_path(spark, sf_dir, "ivfsq_tok")
+    build_token_index(
+        toks,
+        path,
+        n_tokens=4,
+        corpus_cache_key=(sf_dir, "embeddings", "tokens4"),
+    )
+    return maxsim_search_tokens_persisted(
+        spark,
+        path,
+        toks.filter(F.col("vec_id") < 5),
+        toks,
+        k=5,
+        k0=10,
+        n_tokens=4,
+        n_probe=2,
+    )
+
+
+@query(
+    "s31_token_table_serve",
+    oracle=f"WITH {_ivfsq_topk_sql(dim=64, n_cells='auto', n_probe=2, k=5, rerank=15, maxsim_tokens=4)}\n",
+)
+def s31_token_table_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s27's late-interaction serve reading a MATERIALIZED token table
+    (VERDICT r10 #3 — the production fix for the serve-time explode
+    SCALE.md §7r priced at +1.8 s/1M): `maxsim.write_token_table`
+    persists the (id, token_id, vector) parquet ONCE, clustered by
+    document id and sorted (id, token_id) within partitions; the serve
+    overfetches the persisted index's top-15 shortlist, then
+    `read_token_table(ids=shortlist_ids)` scans the token parquet with
+    the id In-filter PUSHED DOWN (the clustered layout's row-group
+    min/max prune non-survivor documents at the scan — the ``ids``
+    list is queries × rerank, driver-sized by the serving contract,
+    exactly like s15's query batch), and `maxsim_rerank_tokens`
+    rescores. No slice math at serve time — tokens come from the
+    parquet round-trip (bit-exact for double arrays), so s24/s27's
+    EXACT oracle applies verbatim and the hash certifies layout,
+    round-trip, pruning, and grouped rebuild end to end."""
+    from ..operators.ann_index import build_ivfsq_index, search_ivfsq_index
+    from ..operators.maxsim import (
+        maxsim_rerank_tokens,
+        read_token_table,
+        token_slices,
+        write_token_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = _scratch_index_path(spark, sf_dir, "ivfsq")
+    build_ivfsq_index(
+        e, path, n_cells=None, corpus_cache_key=(sf_dir, "embeddings")
+    )
+    tok_path = _scratch_index_path(spark, sf_dir, "toktbl")
+    write_token_table(
+        e.select(
+            "vec_id",
+            F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+                "token_id", "token"
+            ),
+        ),
+        tok_path,
+    )
+    shortlist = search_ivfsq_index(spark, path, q, k=15, n_probe=2)
+    # driver-sized by the serving contract: |queries| × rerank ids
+    cand_ids = [
+        r["candidate_id"]
+        for r in shortlist.select("candidate_id").distinct().collect()
+    ]
+    return maxsim_rerank_tokens(
+        shortlist,
+        read_token_table(spark, tok_path, ids=[r["vec_id"] for r in q.select("vec_id").collect()]),
+        read_token_table(spark, tok_path, ids=cand_ids),
+        k=5,
+    )
+
+
+@query(
+    "s32_stream_rescore_replay",
+    oracle=f"WITH {_ivfsq_topk_sql(dim=64, n_cells='auto', n_probe=2, k=5, rerank=15, maxsim_tokens=4)}\n",
+)
+def s32_stream_rescore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE MICRO-BATCH of the streaming RESCORE serving path, replayed
+    batch-shaped (VERDICT r10 #6 — s15's recipe for the round-10
+    serve options): `streaming/serving.serve_batch(rerank=15,
+    maxsim_tokens=4)` — the per-batch body the foreachBatch sink runs
+    — executed on query vectors round-tripped through the stream
+    source's own wire format (JSONL, read back with the stream's
+    schema), serving the maxsim re-rank from the persisted full-corpus
+    IVF-SQ8 index. s24 certifies the rescore composition as a batch
+    query; this row certifies that the STREAMING entry point — the
+    code each micro-batch executes, including its rerank/maxsim
+    keyword plumbing — produces the hash-identical result, so the
+    driver record covers online late-interaction serving end to end.
+    Stream-vs-batch equality for the same code path is separately
+    asserted in tests/test_maxsim.py (a real availableNow stream)."""
+    import json as _json
+    import os
+
+    from ..operators.ann_index import build_ivfsq_index
+    from ..streaming.serving import serve_batch
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_path(spark, sf_dir, "ivfsq_serve")
+    build_ivfsq_index(
+        e, path, n_cells=None, corpus_cache_key=(sf_dir, "embeddings")
+    )
+    qdir = f"{path}_qbatch_rescore"
+    os.makedirs(qdir, exist_ok=True)
+    os.utime(qdir)  # keep the reaper's dir-mtime key fresh (s15)
+    with open(os.path.join(qdir, "batch0.jsonl"), "w") as f:
+        for r in e.filter(F.col("vec_id") < 5).collect():
+            f.write(
+                _json.dumps(
+                    {
+                        "vec_id": r["vec_id"],
+                        "embedding": [float(x) for x in r["embedding"]],
+                    }
+                )
+                + "\n"
+            )
+    batch = spark.read.schema("vec_id long, embedding array<float>").json(qdir)
+    return serve_batch(
+        spark, path, batch, k=5, n_probe=2, rerank=15, vectors=e,
+        maxsim_tokens=4, dim=64,
     )

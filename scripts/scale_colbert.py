@@ -70,38 +70,30 @@ def main(sizes=(100_000,)) -> None:
             _, row["t_inmem_cold"] = timed(inmem)
             row["t_inmem_warm"] = min(timed(inmem)[1] for _ in range(2))
 
-        # route 2: persisted token index, BLAS assignment
-        comp = lambda df: df.select(  # noqa: E731
-            (F.col("vec_id") * T + F.col("token_id")).cast("long").alias("vec_id"),
-            F.col("token").alias("embedding"),
-        )
-        idx = f"{scratch}/tokidx_{n}"
-        # token table written once (the encoder-output parquet a real
+        # route 2: persisted token index, BLAS assignment — the
+        # registered composition (s30: build_token_index +
+        # maxsim_search_tokens_persisted), with the LONG-FORMAT token
+        # table written once (the encoder-output parquet a real
         # deployment materializes) so the build prices index work,
         # not the slice derivation
-        tokpq = f"{scratch}/tokens_{n}"
-        ctoks = comp(toks)
-        _, row["t_write_token_table"] = timed(
-            lambda: ctoks.write.mode("overwrite").parquet(tokpq)
+        from mergers_acquisitions_predictions_spark.operators.maxsim import (
+            build_token_index,
+            maxsim_search_tokens_persisted,
+            write_token_table,
         )
+
+        idx = f"{scratch}/tokidx_{n}"
+        tokpq = f"{scratch}/tokens_{n}"
+        _, row["t_write_token_table"] = timed(write_token_table, toks, tokpq)
         tok_tbl = spark.read.parquet(tokpq)
         _, row["t_build_token_index_blas"] = timed(
-            build_ivfsq_index, tok_tbl, idx, n_cells=None, assign_blas=True
+            build_token_index, tok_tbl, idx, T, assign_blas=True
         )
 
         def persisted():
-            hits = search_ivfsq_index(spark, idx, comp(qtoks), k=10, n_probe=2)
-            sl = (
-                hits.select(
-                    F.expr(f"CAST(query_id DIV {T} AS BIGINT)").alias("query_id"),
-                    F.expr(f"CAST(candidate_id DIV {T} AS BIGINT)").alias(
-                        "candidate_id"
-                    ),
-                )
-                .filter(F.col("query_id") != F.col("candidate_id"))
-                .distinct()
-            )
-            return maxsim_rerank_tokens(sl, qtoks, toks, k=5).count()
+            return maxsim_search_tokens_persisted(
+                spark, idx, qtoks, tok_tbl, k=5, k0=10, n_tokens=T, n_probe=2
+            ).count()
 
         persisted()  # prime meta/memo
         row["t_persisted_serve"] = min(timed(persisted)[1] for _ in range(3))

@@ -132,6 +132,67 @@ def test_serve_batch_maxsim_rejects_rerank_below_k(spark, tmp_path):
         )
 
 
+def test_token_table_roundtrip_and_id_pushdown(spark, tmp_path):
+    """`write_token_table` → `read_token_table` must round-trip the
+    token doubles bit-exactly, and the ``ids=`` pre-filter must reach
+    the parquet scan as a pushed In filter (the clustered layout's
+    row-group pruning hook)."""
+    from mergers_acquisitions_predictions_spark.operators.maxsim import (
+        read_token_table,
+        token_slices,
+        write_token_table,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    path = str(tmp_path / "toktbl")
+    write_token_table(toks, path)
+    back = read_token_table(spark, path)
+    want = sorted(map(tuple, toks.collect()))
+    got = sorted(map(tuple, back.select("vec_id", "token_id", "token").collect()))
+    assert got == want
+    pruned = read_token_table(spark, path, ids=[1, 2, 3])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(vec_id" in plan
+    assert pruned.select("vec_id").distinct().count() == 3
+
+
+def test_persisted_token_retrieval_matches_oracle_shape(spark, tmp_path):
+    """`maxsim_search_tokens_persisted` (s30's composition) returns
+    the family's ranking contract and covers every query doc."""
+    from mergers_acquisitions_predictions_spark.operators.maxsim import (
+        build_token_index,
+        maxsim_search_tokens_persisted,
+        token_slices,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    path = str(tmp_path / "tokidx")
+    build_token_index(toks, path, n_tokens=4)
+    out = maxsim_search_tokens_persisted(
+        spark, path, toks.filter(F.col("vec_id") < 3), toks, k=5, k0=10
+    )
+    rows = out.collect()
+    assert out.columns == ["query_id", "candidate_id", "maxsim", "rank"]
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == {0, 1, 2}
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_maxsim_serve_is_oracle_replayable(spark, tmp_path):
     """Pre-certification of the s24 driver row: the persisted-index
     SQ8 shortlist re-scored by late-interaction maxsim hash-matches
