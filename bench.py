@@ -106,6 +106,9 @@ def main() -> None:
         "s26_maxsim_exact_topk",  # exact maxsim baseline (5q, tiny)
         "s27_maxsim_token_table",  # long-format multi-vector rerank
         "s28_colbert_token_retrieval",  # token-level IVF + maxsim rerank
+        "s30_colbert_persisted_serve",  # persisted token index + serve
+        "s31_token_table_serve",  # materialized token table, pruned read
+        "s32_stream_rescore_replay",  # micro-batch maxsim rescore serve
         # s09/s29 (learned-codebook rows) are correctness-window only:
         # each invocation pays 8 MLlib k-means fits — the same
         # fit-exclusion policy as m01-m03/m09; their serve stages are

@@ -43,84 +43,79 @@ from . import io_queries  # noqa: E402,F401
 #: constraint VERDICT r6 #1 names). Queries whose OWN plan or oracle
 #: string changed remain individually (b)-mandatory.
 #:
-#: Round 10: (a) new = s22 (the composed dedup+rerank serve — THE
-#: production configuration §7o-r9 measured; oracle machinery
-#: pre-certified in round 9; VERDICT r9 #1), s23 (the persisted
-#: IVF-PQ index — the compressed persisted kind, sharing the
-#: generation commit and serving contract with the s13 family), and
-#: s24 (the late-interaction maxsim re-rank serve — ColBERT's
-#: retrieve-then-rerank architecture over the persisted index);
-#: (b) changed since last row = s08/s09/s10, whose OWN plans changed
-#: (the in-memory SQ/PQ encode now binds its unit vector once via
-#: util.hof_bind — the §7p fix; bit-identical values, different
-#: expression tree), plus s13/s14/s18 as the representative consumers
-#: of the index-infra changes (the generation-keyed meta memo and the
-#: swap-failure retention policy — ADVICE r9; the memo machinery is
-#: exactly the shared-layer class the round-7 amendment names, and
-#: the three cover its build-prime, append-prime, and
-#: compact-prime/serve-peek sites; s15/s17/s20 ride the identical
-#: code and keep their r9-fresh rows; s22's serve is (a) anyway);
-#: (c) fill = the ENTIRE remaining r6-era cohort (13 rows — VERDICT
-#: r9 #2) + the 28 alphabetically-first rows of the 43-row r7 cohort
-#: (s09 is r7-stale but already (b)-mandatory; the name order makes
-#: the tie-break auditable). After this round no driver row predates
-#: round 7; the 14 remaining r7 rows (t20..u05) are round 11's
-#: frontier.
+#: Round 11: (a) new = s30 (the persisted-token-index ColBERT serve —
+#: §7r-b's deployment route, VERDICT r10 #2), s31 (the materialized
+#: token-table serve — the production fix for the serve-time explode,
+#: VERDICT r10 #3), and s32 (the streaming maxsim-rescore replay —
+#: VERDICT r10 #6); (b) changed since last row = s29 (OWN plan: the
+#: learned books now come through the sampled-fit path — VERDICT r10
+#: #4) and s28 (OWN plan: the composite-id injectivity guard rides
+#: its token scans — ADVICE r10), plus s24/s15 as representative
+#: consumers of the maxsim/serving guard layer (the dim-probe and
+#: rerank>=k fail-fasts — validation-only, but the layer is shared);
+#: (c) fill = the five never-driver-checked late registrations
+#: (s25/s26/s27; s28/s29 already (b)) + the ENTIRE remaining r7-era
+#: cohort (14 rows — VERDICT r10 #1) + the 26 alphabetically-first
+#: rows of the 43-row r8 cohort (name order makes the tie-break
+#: auditable). After this round every registered query has a driver
+#: row and none predates round 8; the 17 remaining r8 rows
+#: (q26..q43) are round 12's frontier.
 DRIVER_WINDOW = [
     # (a): registered this round
-    "s22_dedup_rerank_serve",
-    "s23_pq_index_topk",
-    "s24_maxsim_rerank_serve",
+    "s30_colbert_persisted_serve",
+    "s31_token_table_serve",
+    "s32_stream_rescore_replay",
     # (b): implementation changed since their last row
-    "s08_ivfpq_topk",
-    "s09_ivfpq_kmeans_topk",
-    "s10_ivfsq_topk",
-    "s13_persisted_index_topk",
-    "s14_index_append_topk",
-    "s18_index_compact_serve",
-    # (c): the complete r6-era cohort (stalest rows after round 9)
-    "t10_language_id",
-    "t11_quality_scores",
-    "t12_bpe_token_count",
-    "t13_training_prep_funnel",
-    "t15_pii_redaction",
-    "t16_repetition_stats",
-    "t25_bpe_merges",
-    "t28_unigram_logprob_quality",
-    "t32_vocab_coverage",
-    "t34_ccnet_buckets",
-    "t36_stratified_split",
-    "t37_epoch_shuffle_shards",
-    "u03_multimodal_features",
-    # (c): the 30 alphabetically-first rows of the r7 cohort
-    "d08_prefix_jaccard_pairs",
-    "d12_incremental_neardup",
-    "d13_simhash_neardups",
-    "d16_dup_span_coverage",
-    "d18_span_trim",
-    "io01_csv_roundtrip",
-    "io02_corpus_dir_scan",
-    "io03_jsonl_roundtrip",
-    "j04_fuzzy_multipass",
-    "j05_event_window_range_join",
-    "m01_tfidf_features",
-    "m02_lr_confusion",
-    "m03_lda_topics",
-    "m05_kmeans_clusters",
-    "m07_stratified_sample",
-    "m08_pca_whiten",
-    "m09_auc_rank_sum",
-    "q46_unpivot_measures",
-    "q47_table_profile",
-    "q48_percentile_cont",
-    "q49_relative_rank",
-    "q50_join_key_skew",
-    "s12_mmr_rerank",
-    "s16_index_append_drift",
-    "t14_token_chunks",
-    "t17_winnow_fingerprints",
-    "t18_sequence_packing",
-    "t19_quality_rank_filter",
+    "s29_pq_learned_index_topk",
+    "s28_colbert_token_retrieval",
+    "s24_maxsim_rerank_serve",
+    "s15_stream_serve_replay",
+    # (c): never-driver-checked late registrations (r10)
+    "s25_pq_rerank_topk",
+    "s26_maxsim_exact_topk",
+    "s27_maxsim_token_table",
+    # (c): the complete r7-era cohort (stalest rows after round 10)
+    "t20_pack_manifest",
+    "t21_source_mixture",
+    "t22_funnel_accounting",
+    "t23_interleaved_order",
+    "t24_shingle_diversity",
+    "t26_bpe_encode",
+    "t27_snapshot_diff",
+    "t29_bigram_backoff_quality",
+    "t30_gopher_rules",
+    "t31_importance_sample",
+    "t33_token_entropy",
+    "t35_source_overlap_matrix",
+    "u04_lemmatize_pandas_udf",
+    "u05_frame_sample_stats",
+    # (c): the 26 alphabetically-first rows of the r8 cohort
+    "d15_winnow_containment",
+    "io04_layout_roundtrip",
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q04_revenue_by_region",
+    "q05_theta_pairs_per_nation",
+    "q06_label_within_year",
+    "q07_distinct_flags",
+    "q08_topk_orders_per_customer",
+    "q09_rollup_lineitem",
+    "q10_nation_setops",
+    "q11_semi_anti_customers",
+    "q12_priority_order_stats",
+    "q13_orders_near_events",
+    "q14_scalar_functions",
+    "q15_size_buckets",
+    "q16_running_customer_spend",
+    "q18_session_windows",
+    "q19_sliding_windows",
+    "q20_user_activity_gaps",
+    "q21_pivot_status_by_priority",
+    "q22_exists_subquery",
+    "q23_scalar_subquery",
+    "q24_having",
+    "q25_monthly_orders",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

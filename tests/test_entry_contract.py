@@ -414,13 +414,11 @@ def test_driver_window_rotation_rule_r10():
     compact-prime/serve-peek sites, while s15/s17/s20 ride identical
     code on r9-fresh rows); (c) the ENTIRE 13-row r6-era cohort
     (VERDICT r9 #2) + the 28 alphabetically-first of the 43-row r7
-    cohort (s09 is r7-stale but already (b)-mandatory). LIVE round:
-    asserted against the current window; convert to the
-    CORRECTNESS_r10 record once it exists."""
+    cohort (s09 is r7-stale but already (b)-mandatory). Asserted
+    against the immutable CORRECTNESS_r10 record (converted from the
+    live-window form once the record landed, the standing pattern)."""
     import json
     import os
-
-    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
 
     new_in_r10 = {
         "s22_dedup_rerank_serve",
@@ -455,6 +453,61 @@ def test_driver_window_rotation_rule_r10():
         r7[: 50 - len(new_in_r10 | changed_in_r10 | stale_r6)]
     )
     want = new_in_r10 | changed_in_r10 | stale_r6 | fill_r7
+    r10_rows = set(
+        json.load(open(os.path.join(root, "CORRECTNESS_r10.json")))
+    )
+    assert want == r10_rows  # exactly filled the 50 slots
+
+
+def test_driver_window_rotation_rule_r11():
+    """Round-11 window under the postdate rule + the r7 shared-layer
+    amendment: (a) s30 (the persisted-token-index ColBERT serve —
+    VERDICT r10 #2), s31 (the materialized token-table serve —
+    VERDICT r10 #3) and s32 (the streaming maxsim-rescore replay —
+    VERDICT r10 #6), all registered round 11; (b) s29 (own plan:
+    books now fitted through the sampled path — VERDICT r10 #4), s28
+    (own plan: the composite-id injectivity guard rides its token
+    scan — ADVICE r10) plus s24 and s15 as representative consumers
+    of the maxsim/serving layer changes (the dim-probe and rerank>=k
+    guards); (c) the five never-driver-checked late registrations
+    (s25/s26/s27 — s28/s29 already (b)) + the ENTIRE 14-row r7-era
+    cohort (VERDICT r10 #1) + the 26 alphabetically-first of the
+    43-row r8 cohort (name-order tie-break, the standing audit rule).
+    LIVE round: asserted against the current window; convert to the
+    CORRECTNESS_r11 record once it exists."""
+    import json
+    import os
+
+    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
+
+    new_in_r11 = {
+        "s30_colbert_persisted_serve",
+        "s31_token_table_serve",
+        "s32_stream_rescore_replay",
+    }
+    changed_in_r11 = {
+        "s29_pq_learned_index_topk",  # sampled-fit books (own plan)
+        "s28_colbert_token_retrieval",  # composite-id guard (own plan)
+        "s24_maxsim_rerank_serve",  # maxsim_rerank layer representative
+        "s15_stream_serve_replay",  # serve_batch layer representative
+    }
+    never_checked = {"s25_pq_rerank_topk", "s26_maxsim_exact_topk",
+                     "s27_maxsim_token_table"}
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int] = {}
+    for rnd in range(1, 11):
+        for name in json.load(
+            open(os.path.join(root, f"CORRECTNESS_r{rnd:02d}.json"))
+        ):
+            latest[name] = rnd
+    stale_r7 = {name for name, rnd in latest.items() if rnd == 7}
+    assert len(stale_r7) == 14
+    r8 = sorted(name for name, rnd in latest.items() if rnd == 8)
+    assert len(r8) == 43
+    mandatory = new_in_r11 | changed_in_r11 | never_checked | stale_r7
+    fill_r8 = set(r8[: 50 - len(mandatory)])
+    assert len(fill_r8) == 26
+    want = mandatory | fill_r8
     assert want == set(DRIVER_WINDOW)  # exactly fills the 50 slots
 
 
