@@ -219,7 +219,12 @@ def read_token_table(spark, path: str, ids=None, id_col: str = "vec_id") -> Data
     """Read a `write_token_table` parquet. ``ids``: optional
     driver-sized id list (a serve shortlist — queries × rerank, never
     corpus-shaped) pushed down as an In filter so the clustered
-    layout's row-group statistics prune the scan."""
+    layout's row-group statistics prune the scan. Right for SMALL
+    online batches (tens of queries → hundreds of ids); for large
+    batch reranks pass ``ids=None`` and let `maxsim_rerank_tokens`'
+    broadcast semi join do the cut — a many-thousand-element In
+    predicate costs more to evaluate per row than the hash probe
+    (measured in SCALE.md §7r-c)."""
     df = spark.read.parquet(path)
     if ids is not None:
         df = df.filter(F.col(id_col).isin(list(ids)))

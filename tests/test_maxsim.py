@@ -193,6 +193,57 @@ def test_persisted_token_retrieval_matches_oracle_shape(spark, tmp_path):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_token_index_append_lifecycle(spark, tmp_path):
+    """The persisted token index supports the whole s13-family
+    lifecycle because the composite frame is plain (id, embedding):
+    build on even docs' tokens, append odd docs' tokens under the
+    FROZEN geometry (the s14 contract on a token frame), and the
+    serve must cover every query doc, return the family's ranking
+    contract, and be deterministic across repeated serves."""
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        append_to_ivfsq_index,
+    )
+    from mergers_acquisitions_predictions_spark.operators.maxsim import (
+        build_token_index,
+        composite_tokens,
+        maxsim_search_tokens_persisted,
+        token_slices,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    even = toks.filter(F.col("vec_id") % 2 == 0)
+    odd = toks.filter(F.col("vec_id") % 2 == 1)
+    split_path = str(tmp_path / "tok_split")
+    build_token_index(even, split_path, n_tokens=4)
+    append_to_ivfsq_index(composite_tokens(odd, 4), split_path)
+    q = toks.filter(F.col("vec_id") < 3)
+    got = sorted(
+        map(
+            tuple,
+            maxsim_search_tokens_persisted(
+                spark, split_path, q, toks, k=5, k0=10
+            ).collect(),
+        )
+    )
+    assert len({r[0] for r in got}) == 3  # every query doc served
+    # serving again from the appended index is deterministic
+    again = sorted(
+        map(
+            tuple,
+            maxsim_search_tokens_persisted(
+                spark, split_path, q, toks, k=5, k0=10
+            ).collect(),
+        )
+    )
+    assert got == again
+
+
 def test_maxsim_serve_is_oracle_replayable(spark, tmp_path):
     """Pre-certification of the s24 driver row: the persisted-index
     SQ8 shortlist re-scored by late-interaction maxsim hash-matches
