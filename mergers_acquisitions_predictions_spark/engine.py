@@ -441,6 +441,43 @@ class Engine:
 
         return maxsim_topk(queries, corpus, k, **kw)
 
+    def build_token_index(
+        self, cand_tokens: DataFrame, path: str, n_tokens: int, **kw
+    ) -> None:
+        """Persist the token-level IVF-SQ8 index for late-interaction
+        retrieval (round 11 — SCALE.md §7r-b's ×16 deployment route):
+        the in-memory first stage's T×n assignment, paid once."""
+        from .operators.maxsim import build_token_index
+
+        build_token_index(cand_tokens, path, n_tokens, **kw)
+
+    def search_token_index(
+        self, path: str, query_tokens: DataFrame, cand_tokens: DataFrame, **kw
+    ) -> DataFrame:
+        """`maxsim_search_tokens` served from a `build_token_index`
+        artifact: pruned quantized first stage per query token, parent
+        mapping, maxsim rerank."""
+        from .operators.maxsim import maxsim_search_tokens_persisted
+
+        return maxsim_search_tokens_persisted(
+            self.spark, path, query_tokens, cand_tokens, **kw
+        )
+
+    def write_token_table(self, tokens: DataFrame, path: str, **kw) -> None:
+        """Materialize the encoder's (id, token_id, vector) parquet
+        once — clustered by doc id for serve-time pruning (round 11,
+        SCALE.md §7r-c)."""
+        from .operators.maxsim import write_token_table
+
+        write_token_table(tokens, path, **kw)
+
+    def read_token_table(self, path: str, ids=None, **kw) -> DataFrame:
+        """Read a `write_token_table` parquet; ``ids`` (small online
+        batches) pushes an In filter down to the clustered scan."""
+        from .operators.maxsim import read_token_table
+
+        return read_token_table(self.spark, path, ids=ids, **kw)
+
     def key_skew(self, df: DataFrame, key: str) -> DataFrame:
         """One-row shuffle-key skew diagnostic (max/p99/p50 key
         counts, skew ratio, hottest key) — run it BEFORE choosing

@@ -97,6 +97,27 @@ def main(sizes=(100_000,)) -> None:
 
         persisted()  # prime meta/memo
         row["t_persisted_serve"] = min(timed(persisted)[1] for _ in range(3))
+
+        if n <= 100_000:
+            # does the ×16 route cost recall? agreement of the
+            # persisted (QUANTIZED first stage) route's top-5 with the
+            # in-memory (exact-cosine first stage) route's top-5
+            from mergers_acquisitions_predictions_spark.operators.similarity import (
+                topk_recall,
+            )
+
+            inmem_df = maxsim_search_tokens(
+                qtoks, toks, k=5, k0=10, n_tokens=T, n_probe=2
+            )
+            pers_df = maxsim_search_tokens_persisted(
+                spark, idx, qtoks, tok_tbl, k=5, k0=10, n_tokens=T, n_probe=2
+            )
+            rec = (
+                topk_recall(inmem_df, pers_df, k=5)
+                .agg(F.avg("recall").alias("r"))
+                .first()["r"]
+            )
+            row["persisted_vs_inmem_recall@5"] = round(float(rec), 3)
         print(json.dumps(row), flush=True)
 
 

@@ -369,3 +369,39 @@ def test_facade_ann_index_kind_dispatch(spark, tmp_path):
     assert after <= before
     with pytest.raises(ValueError, match="unknown index kind"):
         eng.build_ann_index(e, str(tmp_path / "x"), kind="hnsw")
+
+
+def test_facade_token_index_and_table(spark, tmp_path):
+    """Round-11 surfaces: build/search the persisted token index and
+    the write-once token table, through the facade."""
+    import pyspark.sql.functions as F
+
+    from mergers_acquisitions_predictions_spark.engine import Engine
+    from mergers_acquisitions_predictions_spark.operators.maxsim import (
+        token_slices,
+    )
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+    eng = Engine(spark)
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    tbl = str(tmp_path / "toktbl")
+    eng.write_token_table(toks, tbl)
+    back = eng.read_token_table(tbl)
+    assert back.count() == toks.count()
+    assert eng.read_token_table(tbl, ids=[0, 1]).select(
+        "vec_id"
+    ).distinct().count() == 2
+    idx = str(tmp_path / "tokidx")
+    eng.build_token_index(back, idx, n_tokens=4)
+    hits = eng.search_token_index(
+        idx, back.filter(F.col("vec_id") < 2), back, k=3, k0=6
+    ).collect()
+    assert hits and {"query_id", "candidate_id", "maxsim", "rank"} == set(
+        hits[0].asDict()
+    )
