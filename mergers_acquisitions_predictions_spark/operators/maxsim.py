@@ -412,26 +412,45 @@ def build_token_index(
     vec_col: str = "token",
     corpus_cache_key: tuple | None = None,
     assign_blas: bool = False,
+    kind: str = "ivfsq",
+    **build_kw,
 ) -> None:
-    """Persist the TOKEN-LEVEL IVF-SQ8 index for late-interaction
-    retrieval — SCALE.md §7r-b's deployment route: the in-memory
+    """Persist the TOKEN-LEVEL index for late-interaction retrieval —
+    SCALE.md §7r-b's deployment route: the in-memory
     `maxsim_search_tokens` first stage re-pays the T×n-token fold
     assignment EVERY serve (90 s warm at 100k docs × 4 tokens), while
     this build pays it once (18.5 s with ``assign_blas=True``) and
     each serve is a pruned scan (5.8 s — ×16). The composite token
-    frame is plain (id, embedding), so this is `build_ivfsq_index`
-    unchanged — √n cells ON THE TOKEN COUNT, generation-scoped commit,
-    append/compact all apply; serve with
-    `maxsim_search_tokens_persisted`."""
-    from .ann_index import build_ivfsq_index
+    frame is plain (id, embedding), so this is the persisted family
+    unchanged — √n cells ON THE TOKEN COUNT, generation-scoped
+    commit, append/compact all apply; serve with
+    `maxsim_search_tokens_persisted`.
 
-    build_ivfsq_index(
-        composite_tokens(cand_tokens, n_tokens, id_col, pos_col, vec_col),
-        path,
-        n_cells=None,
-        corpus_cache_key=corpus_cache_key,
-        assign_blas=assign_blas,
-    )
+    ``kind``: ``"ivfsq"`` (default — dim bytes/token) or ``"ivfpq"``
+    (``n_subspaces`` bytes/token — the compressed kind matters MORE
+    for token indexes, which carry T× the corpus rows; remember PQ's
+    §7q lesson: ADC alone blurs clone cohorts, keep the maxsim rerank
+    on). Extra ``build_kw`` (n_subspaces/n_codes/codebooks) flow to
+    the PQ build."""
+    comp = composite_tokens(cand_tokens, n_tokens, id_col, pos_col, vec_col)
+    if kind == "ivfsq":
+        from .ann_index import build_ivfsq_index
+
+        build_ivfsq_index(
+            comp, path, n_cells=None,
+            corpus_cache_key=corpus_cache_key, assign_blas=assign_blas,
+            **build_kw,
+        )
+    elif kind == "ivfpq":
+        from .ann_index import build_ivfpq_index
+
+        build_ivfpq_index(
+            comp, path, n_cells=None,
+            corpus_cache_key=corpus_cache_key, assign_blas=assign_blas,
+            **build_kw,
+        )
+    else:
+        raise ValueError(f"unknown token index kind {kind!r}")
 
 
 def maxsim_search_tokens_persisted(
@@ -456,17 +475,43 @@ def maxsim_search_tokens_persisted(
     are maxsim-reranked over the raw token tables. Differs from the
     in-memory path exactly where the index kinds differ: stage 1 ranks
     on the QUANTIZED dot (oracle:
-    `plans/lsh_oracle.colbert_persisted_retrieval_sql`)."""
-    from .ann_index import search_ivfsq_index
+    `plans/lsh_oracle.colbert_persisted_retrieval_sql`).
+
+    Serves BOTH persisted kinds: the index's own meta names its kind
+    (the `compact_index` sniff — never interprets geometry here) and
+    stage 1 dispatches to the matching search function; on an
+    ``ivfpq`` token index the first stage ranks on the ADC distance."""
+    import json as _json
+
+    from .ann_index import _read_meta_text, _resolve_codes_name
+    from .util import peek_memoized_literal
 
     T = n_tokens
-    hits = search_ivfsq_index(
-        spark,
-        index_path,
-        composite_tokens(query_tokens, T, id_col, pos_col, vec_col),
-        k=k0,
-        n_probe=n_probe,
-    )
+    live = _resolve_codes_name(spark, index_path)
+    # kind sniff: the same-session primed meta answers without a disk
+    # read (the builds prime their kind's key); cold readers pay one
+    # tiny sidecar read, exactly like the search functions themselves.
+    if peek_memoized_literal(("ivfpq_meta", index_path, live)) is not None:
+        kind = "ivfpq"
+    elif peek_memoized_literal(("ivfsq_meta", index_path, live)) is not None:
+        kind = "ivfsq"
+    else:
+        kind = _json.loads(_read_meta_text(spark, index_path, live)).get(
+            "kind", "ivfsq"
+        )
+    comp_q = composite_tokens(query_tokens, T, id_col, pos_col, vec_col)
+    if kind == "ivfpq":
+        from .ann_index import search_ivfpq_index
+
+        hits = search_ivfpq_index(
+            spark, index_path, comp_q, k=k0, n_probe=n_probe
+        )
+    else:
+        from .ann_index import search_ivfsq_index
+
+        hits = search_ivfsq_index(
+            spark, index_path, comp_q, k=k0, n_probe=n_probe
+        )
     return maxsim_rerank_tokens(
         _parent_shortlist(hits, T),
         query_tokens,

@@ -244,6 +244,56 @@ def test_token_index_append_lifecycle(spark, tmp_path):
     assert got == again
 
 
+def test_token_index_pq_kind(spark, tmp_path):
+    """`build_token_index(kind="ivfpq")` — the compressed kind on the
+    token frame (token indexes carry T× the corpus rows, so the
+    M-bytes/token codes matter more there). The persisted serve
+    sniffs the kind from the index's own meta (no kind= needed at
+    serve), works cold (no session primes) and warm, and an unknown
+    kind fails loud."""
+    import mergers_acquisitions_predictions_spark.operators.util as U
+    from mergers_acquisitions_predictions_spark.operators.maxsim import (
+        build_token_index,
+        maxsim_search_tokens_persisted,
+        token_slices,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    path = str(tmp_path / "pqtok")
+    build_token_index(
+        toks, path, n_tokens=4, kind="ivfpq", n_subspaces=4, n_codes=16
+    )
+    q = toks.filter(F.col("vec_id") < 3)
+    warm = sorted(
+        map(
+            tuple,
+            maxsim_search_tokens_persisted(
+                spark, path, q, toks, k=5, k0=10
+            ).collect(),
+        )
+    )
+    assert warm and len({r[0] for r in warm}) == 3
+    with U._MEMO_LOCK:  # cold reader: kind must come from the sidecar
+        U._LITERAL_MEMO.clear()
+    cold = sorted(
+        map(
+            tuple,
+            maxsim_search_tokens_persisted(
+                spark, path, q, toks, k=5, k0=10
+            ).collect(),
+        )
+    )
+    assert cold == warm
+    with pytest.raises(ValueError, match="unknown token index kind"):
+        build_token_index(toks, str(tmp_path / "x"), n_tokens=4, kind="hnsw")
+
+
 def test_maxsim_serve_is_oracle_replayable(spark, tmp_path):
     """Pre-certification of the s24 driver row: the persisted-index
     SQ8 shortlist re-scored by late-interaction maxsim hash-matches
