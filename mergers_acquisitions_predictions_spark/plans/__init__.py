@@ -46,25 +46,28 @@ from . import io_queries  # noqa: E402,F401
 #: Round 11: (a) new = s30 (the persisted-token-index ColBERT serve —
 #: §7r-b's deployment route, VERDICT r10 #2), s31 (the materialized
 #: token-table serve — the production fix for the serve-time explode,
-#: VERDICT r10 #3), and s32 (the streaming maxsim-rescore replay —
-#: VERDICT r10 #6); (b) changed since last row = s29 (OWN plan: the
-#: learned books now come through the sampled-fit path — VERDICT r10
-#: #4) and s28 (OWN plan: the composite-id injectivity guard rides
-#: its token scans — ADVICE r10), plus s24/s15 as representative
-#: consumers of the maxsim/serving guard layer (the dim-probe and
-#: rerank>=k fail-fasts — validation-only, but the layer is shared);
+#: VERDICT r10 #3), s32 (the streaming maxsim-rescore replay —
+#: VERDICT r10 #6), and s33 (s30's route on the COMPRESSED IVF-PQ
+#: token-index kind, with the kind-sniffing serve dispatch); (b)
+#: changed since last row = s29 (OWN plan: the learned books now come
+#: through the sampled-fit path — VERDICT r10 #4) and s28 (OWN plan:
+#: the composite-id injectivity guard rides its token scans — ADVICE
+#: r10), plus s24/s15 as representative consumers of the
+#: maxsim/serving guard layer (the dim-probe and rerank>=k
+#: fail-fasts — validation-only, but the layer is shared);
 #: (c) fill = the five never-driver-checked late registrations
 #: (s25/s26/s27; s28/s29 already (b)) + the ENTIRE remaining r7-era
-#: cohort (14 rows — VERDICT r10 #1) + the 26 alphabetically-first
+#: cohort (14 rows — VERDICT r10 #1) + the 25 alphabetically-first
 #: rows of the 43-row r8 cohort (name order makes the tie-break
 #: auditable). After this round every registered query has a driver
-#: row and none predates round 8; the 17 remaining r8 rows
-#: (q26..q43) are round 12's frontier.
+#: row and none predates round 8; the 18 remaining r8 rows
+#: (q25..q43) are round 12's frontier.
 DRIVER_WINDOW = [
     # (a): registered this round
     "s30_colbert_persisted_serve",
     "s31_token_table_serve",
     "s32_stream_rescore_replay",
+    "s33_colbert_pq_serve",
     # (b): implementation changed since their last row
     "s29_pq_learned_index_topk",
     "s28_colbert_token_retrieval",
@@ -89,7 +92,7 @@ DRIVER_WINDOW = [
     "t35_source_overlap_matrix",
     "u04_lemmatize_pandas_udf",
     "u05_frame_sample_stats",
-    # (c): the 26 alphabetically-first rows of the r8 cohort
+    # (c): the 25 alphabetically-first rows of the r8 cohort
     "d15_winnow_containment",
     "io04_layout_roundtrip",
     "q01_pricing_summary",
@@ -115,7 +118,6 @@ DRIVER_WINDOW = [
     "q22_exists_subquery",
     "q23_scalar_subquery",
     "q24_having",
-    "q25_monthly_orders",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

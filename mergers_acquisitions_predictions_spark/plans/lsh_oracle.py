@@ -247,69 +247,9 @@ def ivfpq_topk_sql(
     cannot regenerate, but once materialized the entire encode + ADC
     + re-rank plan replays from the artifact. Every other CTE is
     unchanged."""
-    M, SUB, K = n_subspaces, sub_dim, n_codes
-    cent_block = (
-        auto_ivf_cent_ctes_sql()
-        if n_cells == "auto"
-        else f"cent AS ({ivf_cent_cte_sql(n_cells)}\n    )"
-    )
-    sq = (
-        f"(u[(m - 1) * {SUB} + i] - cbs[m][c][i])"
-        f" * (u[(m - 1) * {SUB} + i] - cbs[m][c][i])"
-    )
-    if codebook_parquet is None:
-        cb_block = f"""cb_nested AS (
-        SELECT list_transform(range(1, {M} + 1), m ->
-                   list_transform(anchors, a ->
-                       list_transform(range(1, {SUB} + 1),
-                                      i -> a[(m - 1) * {SUB} + i]))) AS cbs
-        FROM (SELECT list(u ORDER BY vec_id) AS anchors
-              FROM (SELECT vec_id, u FROM unit ORDER BY vec_id LIMIT {K}))
-    )"""
-    else:
-        cb_block = f"""cb_nested AS (
-        SELECT list(cbm ORDER BY m) AS cbs FROM (
-            SELECT m, list(vec ORDER BY code) AS cbm
-            FROM read_parquet('{codebook_parquet}/*.parquet')
-            GROUP BY m)
-    )"""
-    dists_m = f"""list_transform(range(1, {K} + 1), c ->
-                       round(list_sum(list_transform(range(1, {SUB} + 1),
-                           i -> {sq})), 6))"""
-    return f"""
-    unit AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)
-                   / sqrt({SQL_SQNORM.format(v='embedding')})) AS u
-        FROM embeddings
-    ),
-    {cb_block},
-    codes AS (
-        SELECT vec_id,
-               list_transform(range(1, {M} + 1), m ->
-                   CAST(list_position({dists_m},
-                        list_min({dists_m})) - 1 AS INTEGER)) AS pq
-        FROM unit CROSS JOIN cb_nested
-    ),
-    {cent_block},
-    c_assign AS ({ivf_assign_sql("", "candidate_id", 1)}
-    ),
-    q_assign AS ({ivf_assign_sql(query_filter, "query_id", n_probe)}
-    ),
-    scored AS (
-        SELECT q.query_id, c.candidate_id,
-               round(list_sum(list_transform(range(1, {M} + 1), m ->
-                   list_sum(list_transform(range(1, {SUB} + 1), i ->
-                       (qu.u[(m - 1) * {SUB} + i] - cbs[m][pq[m] + 1][i])
-                     * (qu.u[(m - 1) * {SUB} + i] - cbs[m][pq[m] + 1][i]))))), 6)
-                   AS adc_dist
-        FROM q_assign q
-        JOIN c_assign c USING (cell_id)
-        JOIN codes cd ON cd.vec_id = c.candidate_id
-        JOIN unit qu ON qu.vec_id = q.query_id
-        CROSS JOIN cb_nested
-        WHERE q.query_id <> c.candidate_id
-    ){"" if rerank is None else f''',
+    return f"""{_ivfpq_scored_ctes_sql(n_subspaces, sub_dim, n_codes,
+                                       n_cells, n_probe, query_filter,
+                                       codebook_parquet)}{"" if rerank is None else f''',
     shortlist AS (
         SELECT query_id, candidate_id
         FROM (
@@ -347,6 +287,149 @@ def ivfpq_topk_sql(
         FROM scored
     )
     WHERE rank <= {k}'''}"""
+
+
+def _ivfpq_scored_ctes_sql(
+    n_subspaces: int,
+    sub_dim: int,
+    n_codes: int,
+    n_cells: int | str,
+    n_probe: int,
+    query_filter: str,
+    codebook_parquet: str | None = None,
+    table: str = "embeddings",
+) -> str:
+    """The IVF-PQ machinery of `ivfpq_topk_sql` up through the
+    ``scored`` CTE (unit vectors, anchor-or-artifact codebooks,
+    rounded-argmin encode, cells, probe-join, ADC distances) —
+    factored (round 11) so a COMPOSITE oracle can run the persisted
+    PQ serve as a STAGE of a larger statement
+    (`colbert_persisted_pq_retrieval_sql`: the compressed token-level
+    first stage). ``table`` names the corpus relation; the default
+    keeps every pre-round-11 oracle string byte-identical (asserted
+    across the refactor, the standing discipline)."""
+    M, SUB, K = n_subspaces, sub_dim, n_codes
+    if n_cells == "auto":
+        cent_block = auto_ivf_cent_ctes_sql(table=table)
+    else:
+        if table != "embeddings":
+            raise ValueError("fixed n_cells supports only table='embeddings'")
+        cent_block = f"cent AS ({ivf_cent_cte_sql(n_cells)}\n    )"
+    sq = (
+        f"(u[(m - 1) * {SUB} + i] - cbs[m][c][i])"
+        f" * (u[(m - 1) * {SUB} + i] - cbs[m][c][i])"
+    )
+    if codebook_parquet is None:
+        cb_block = f"""cb_nested AS (
+        SELECT list_transform(range(1, {M} + 1), m ->
+                   list_transform(anchors, a ->
+                       list_transform(range(1, {SUB} + 1),
+                                      i -> a[(m - 1) * {SUB} + i]))) AS cbs
+        FROM (SELECT list(u ORDER BY vec_id) AS anchors
+              FROM (SELECT vec_id, u FROM unit ORDER BY vec_id LIMIT {K}))
+    )"""
+    else:
+        cb_block = f"""cb_nested AS (
+        SELECT list(cbm ORDER BY m) AS cbs FROM (
+            SELECT m, list(vec ORDER BY code) AS cbm
+            FROM read_parquet('{codebook_parquet}/*.parquet')
+            GROUP BY m)
+    )"""
+    dists_m = f"""list_transform(range(1, {K} + 1), c ->
+                       round(list_sum(list_transform(range(1, {SUB} + 1),
+                           i -> {sq})), 6))"""
+    return f"""
+    unit AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)
+                   / sqrt({SQL_SQNORM.format(v='embedding')})) AS u
+        FROM {table}
+    ),
+    {cb_block},
+    codes AS (
+        SELECT vec_id,
+               list_transform(range(1, {M} + 1), m ->
+                   CAST(list_position({dists_m},
+                        list_min({dists_m})) - 1 AS INTEGER)) AS pq
+        FROM unit CROSS JOIN cb_nested
+    ),
+    {cent_block},
+    c_assign AS ({ivf_assign_sql("", "candidate_id", 1, table=table)}
+    ),
+    q_assign AS ({ivf_assign_sql(query_filter, "query_id", n_probe, table=table)}
+    ),
+    scored AS (
+        SELECT q.query_id, c.candidate_id,
+               round(list_sum(list_transform(range(1, {M} + 1), m ->
+                   list_sum(list_transform(range(1, {SUB} + 1), i ->
+                       (qu.u[(m - 1) * {SUB} + i] - cbs[m][pq[m] + 1][i])
+                     * (qu.u[(m - 1) * {SUB} + i] - cbs[m][pq[m] + 1][i]))))), 6)
+                   AS adc_dist
+        FROM q_assign q
+        JOIN c_assign c USING (cell_id)
+        JOIN codes cd ON cd.vec_id = c.candidate_id
+        JOIN unit qu ON qu.vec_id = q.query_id
+        CROSS JOIN cb_nested
+        WHERE q.query_id <> c.candidate_id
+    )"""
+
+
+def colbert_persisted_pq_retrieval_sql(
+    k: int = 5,
+    k0: int = 10,
+    n_tokens: int = 4,
+    dim: int = 64,
+    n_probe: int = 2,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    query_docs: int = 5,
+) -> str:
+    """DuckDB mirror of the COMPRESSED persisted-token-index
+    late-interaction retrieval (round 11 —
+    `maxsim.build_token_index(kind="ivfpq")` +
+    `maxsim_search_tokens_persisted`): the first stage serves each
+    query token's top-``k0`` tokens from the persisted IVF-PQ index
+    built ON THE TOKEN FRAME (`_ivfpq_scored_ctes_sql(table=
+    "tokens")` replays anchor books, rounded-argmin encode, √(T·n)
+    cells and the ADC scan — ranked ASCENDING on the ADC distance,
+    exactly where this differs from s30's SQ8 quantized-dot ranking),
+    hits map back to parent documents, and the distinct parent pairs
+    feed the s24 maxsim tail. Completes the token-index kind ladder:
+    s30 certifies the SQ8 route, this the M-bytes/token compressed
+    route (token indexes carry T× the corpus rows, so PQ compression
+    matters MORE there — §7q's memory story at T×n)."""
+    T, sub = n_tokens, dim // n_tokens
+    return f"""tokens AS (
+        SELECT CAST(vec_id * {T} + m AS BIGINT) AS vec_id,
+               list_transform(sl, x ->
+                   x / sqrt(list_sum(list_transform(sl, y -> y * y)))) AS embedding
+        FROM (
+            SELECT e.vec_id, CAST(tm.m AS INTEGER) AS m,
+                   list_transform(range(1, {sub} + 1), i ->
+                       CAST(e.embedding[CAST(tm.m AS INTEGER) * {sub} + i]
+                            AS DOUBLE)) AS sl
+            FROM embeddings e CROSS JOIN range(0, {T}) tm(m)
+        )
+    ),{_ivfpq_scored_ctes_sql(n_subspaces, sub // n_subspaces, n_codes,
+                              "auto", n_probe,
+                              f"WHERE vec_id < {query_docs * T}",
+                              table="tokens")},
+    tok_hits AS (
+        SELECT query_id, candidate_id FROM (
+            SELECT query_id, candidate_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY adc_dist, candidate_id
+                   ) AS rnk
+            FROM scored
+        ) WHERE rnk <= {k0}
+    ),
+    shortlist AS (
+        SELECT DISTINCT CAST(query_id // {T} AS BIGINT) AS query_id,
+                        CAST(candidate_id // {T} AS BIGINT) AS candidate_id
+        FROM tok_hits
+        WHERE query_id // {T} <> candidate_id // {T}
+    ),
+    {_maxsim_tail_sql(k, n_tokens, dim)}"""
 
 
 def semdedup_kept_ctes_sql(n_cells: int = 8, threshold: float = 0.4) -> str:

@@ -1603,3 +1603,68 @@ def s32_stream_rescore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, batch, k=5, n_probe=2, rerank=15, vectors=e,
         maxsim_tokens=4, dim=64,
     )
+
+
+from .lsh_oracle import (  # noqa: E402
+    colbert_persisted_pq_retrieval_sql as _colbert_pq_sql,
+)
+
+
+@query(
+    "s33_colbert_pq_serve",
+    oracle=f"WITH {_colbert_pq_sql(k=5, k0=10, n_tokens=4, dim=64, n_probe=2, n_subspaces=4, n_codes=16)}\n",
+)
+def s33_colbert_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED persisted-token-index late-interaction serve —
+    s30's route on the IVF-PQ kind (round 11):
+    `build_token_index(kind="ivfpq")` persists 4-byte PQ codes per
+    token (vs 16 SQ8 bytes — and token indexes carry T× the corpus
+    rows, so §7q's memory story is amplified exactly where it
+    matters), and the serve sniffs the kind from the index meta and
+    runs each query token's top-10 as a partition-pruned ADC scan
+    (ranked ASCENDING on the ADC distance — precisely where this row
+    differs from s30's quantized-dot ranking), maps hits to parents,
+    and maxsim-reranks the distinct pairs; §7q's lesson stands: the
+    rerank stage is what makes a compressed first stage safe.
+    Completes the token-index kind ladder (s30 SQ8, s33 PQ) and puts
+    the kind-sniffing dispatch inside a hash-checked row.
+
+    Oracle: `colbert_persisted_pq_retrieval_sql` — the tokens CTE
+    through the factored PQ machinery
+    (`_ivfpq_scored_ctes_sql(table="tokens")`: anchor books,
+    rounded-argmin encode, √(T·n) cells, ADC scan), then the parent
+    mapping and the s24 maxsim tail. Reference analogue: none
+    (SURVEY §7 Phase 4 surface)."""
+    from ..operators.maxsim import (
+        build_token_index,
+        maxsim_search_tokens_persisted,
+        token_slices,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    path = _scratch_index_path(spark, sf_dir, "ivfpq_tok")
+    build_token_index(
+        toks,
+        path,
+        n_tokens=4,
+        kind="ivfpq",
+        n_subspaces=4,
+        n_codes=16,
+        corpus_cache_key=(sf_dir, "embeddings", "tokens4", "pq"),
+    )
+    return maxsim_search_tokens_persisted(
+        spark,
+        path,
+        toks.filter(F.col("vec_id") < 5),
+        toks,
+        k=5,
+        k0=10,
+        n_tokens=4,
+        n_probe=2,
+    )

@@ -464,14 +464,15 @@ def test_driver_window_rotation_rule_r11():
     amendment: (a) s30 (the persisted-token-index ColBERT serve —
     VERDICT r10 #2), s31 (the materialized token-table serve —
     VERDICT r10 #3) and s32 (the streaming maxsim-rescore replay —
-    VERDICT r10 #6), all registered round 11; (b) s29 (own plan:
+    VERDICT r10 #6) and s33 (s30's route on the compressed IVF-PQ
+    token-index kind), all registered round 11; (b) s29 (own plan:
     books now fitted through the sampled path — VERDICT r10 #4), s28
     (own plan: the composite-id injectivity guard rides its token
     scan — ADVICE r10) plus s24 and s15 as representative consumers
     of the maxsim/serving layer changes (the dim-probe and rerank>=k
     guards); (c) the five never-driver-checked late registrations
     (s25/s26/s27 — s28/s29 already (b)) + the ENTIRE 14-row r7-era
-    cohort (VERDICT r10 #1) + the 26 alphabetically-first of the
+    cohort (VERDICT r10 #1) + the 25 alphabetically-first of the
     43-row r8 cohort (name-order tie-break, the standing audit rule).
     LIVE round: asserted against the current window; convert to the
     CORRECTNESS_r11 record once it exists."""
@@ -484,6 +485,7 @@ def test_driver_window_rotation_rule_r11():
         "s30_colbert_persisted_serve",
         "s31_token_table_serve",
         "s32_stream_rescore_replay",
+        "s33_colbert_pq_serve",
     }
     changed_in_r11 = {
         "s29_pq_learned_index_topk",  # sampled-fit books (own plan)
@@ -506,7 +508,7 @@ def test_driver_window_rotation_rule_r11():
     assert len(r8) == 43
     mandatory = new_in_r11 | changed_in_r11 | never_checked | stale_r7
     fill_r8 = set(r8[: 50 - len(mandatory)])
-    assert len(fill_r8) == 26
+    assert len(fill_r8) == 25
     want = mandatory | fill_r8
     assert want == set(DRIVER_WINDOW)  # exactly fills the 50 slots
 
