@@ -98,6 +98,44 @@ def main(sizes=(100_000,)) -> None:
         persisted()  # prime meta/memo
         row["t_persisted_serve"] = min(timed(persisted)[1] for _ in range(3))
 
+        # route 3 (round 11): the COMPRESSED token-index kind — PQ
+        # codes are 4 bytes/token vs 16 SQ8 bytes, and token indexes
+        # carry T× the corpus rows, so the compression matters MORE
+        # here; serve goes through the same kind-sniffing entry point
+        import subprocess
+
+        pq_idx = f"{scratch}/tokidx_pq_{n}"
+        _, row["t_build_token_index_pq_blas"] = timed(
+            build_token_index,
+            tok_tbl,  # the long-format parquet from write_token_table
+            pq_idx,
+            T,
+            kind="ivfpq",
+            n_subspaces=4,
+            n_codes=16,
+            assign_blas=True,
+        )
+
+        def persisted_pq():
+            return maxsim_search_tokens_persisted(
+                spark, pq_idx, qtoks, toks, k=5, k0=10, n_tokens=T, n_probe=2
+            ).count()
+
+        persisted_pq()
+        row["t_persisted_pq_serve"] = min(timed(persisted_pq)[1] for _ in range(3))
+
+        def _du(p):
+            try:
+                out = subprocess.run(
+                    ["du", "-sb", p], capture_output=True, text=True
+                ).stdout
+                return int(out.split()[0])
+            except Exception:
+                return None
+
+        row["bytes_codes_sq8"] = _du(idx)
+        row["bytes_codes_pq"] = _du(pq_idx)
+
         if n <= 100_000:
             # does the ×16 route cost recall? agreement of the
             # persisted (QUANTIZED first stage) route's top-5 with the
