@@ -110,6 +110,7 @@ def main() -> None:
         "s31_token_table_serve",  # materialized token table, pruned read
         "s32_stream_rescore_replay",  # micro-batch maxsim rescore serve
         "s33_colbert_pq_serve",  # compressed (PQ) token index + serve
+        "s34_index_cell_stats",  # cell-balance diagnostic (layout read)
         # s09/s29 (learned-codebook rows) are correctness-window only:
         # each invocation pays 8 MLlib k-means fits — the same
         # fit-exclusion policy as m01-m03/m09; their serve stages are

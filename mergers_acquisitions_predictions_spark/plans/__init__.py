@@ -48,7 +48,9 @@ from . import io_queries  # noqa: E402,F401
 #: token-table serve — the production fix for the serve-time explode,
 #: VERDICT r10 #3), s32 (the streaming maxsim-rescore replay —
 #: VERDICT r10 #6), and s33 (s30's route on the COMPRESSED IVF-PQ
-#: token-index kind, with the kind-sniffing serve dispatch); (b)
+#: token-index kind, with the kind-sniffing serve dispatch) and s34
+#: (the index cell-balance diagnostic — the hash certifies the
+#: on-disk partition layout itself); (b)
 #: changed since last row = s29 (OWN plan: the learned books now come
 #: through the sampled-fit path — VERDICT r10 #4) and s28 (OWN plan:
 #: the composite-id injectivity guard rides its token scans — ADVICE
@@ -57,17 +59,18 @@ from . import io_queries  # noqa: E402,F401
 #: fail-fasts — validation-only, but the layer is shared);
 #: (c) fill = the five never-driver-checked late registrations
 #: (s25/s26/s27; s28/s29 already (b)) + the ENTIRE remaining r7-era
-#: cohort (14 rows — VERDICT r10 #1) + the 25 alphabetically-first
+#: cohort (14 rows — VERDICT r10 #1) + the 24 alphabetically-first
 #: rows of the 43-row r8 cohort (name order makes the tie-break
 #: auditable). After this round every registered query has a driver
-#: row and none predates round 8; the 18 remaining r8 rows
-#: (q25..q43) are round 12's frontier.
+#: row and none predates round 8; the 19 remaining r8 rows
+#: (q24..q43) are round 12's frontier.
 DRIVER_WINDOW = [
     # (a): registered this round
     "s30_colbert_persisted_serve",
     "s31_token_table_serve",
     "s32_stream_rescore_replay",
     "s33_colbert_pq_serve",
+    "s34_index_cell_stats",
     # (b): implementation changed since their last row
     "s29_pq_learned_index_topk",
     "s28_colbert_token_retrieval",
@@ -92,7 +95,7 @@ DRIVER_WINDOW = [
     "t35_source_overlap_matrix",
     "u04_lemmatize_pandas_udf",
     "u05_frame_sample_stats",
-    # (c): the 25 alphabetically-first rows of the r8 cohort
+    # (c): the 24 alphabetically-first rows of the r8 cohort
     "d15_winnow_containment",
     "io04_layout_roundtrip",
     "q01_pricing_summary",
@@ -117,7 +120,6 @@ DRIVER_WINDOW = [
     "q21_pivot_status_by_priority",
     "q22_exists_subquery",
     "q23_scalar_subquery",
-    "q24_having",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -1611,6 +1611,43 @@ from .lsh_oracle import (  # noqa: E402
 
 
 @query(
+    "s34_index_cell_stats",
+    oracle=f"""WITH {_auto_cent()},
+    c_assign AS ({_ivf_assign_sql("", "candidate_id", 1)}
+    )
+    SELECT CAST(cell_id AS BIGINT) AS cell_id, count(*) AS n_rows
+    FROM c_assign
+    GROUP BY 1
+""",
+)
+def s34_index_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted index's CELL-BALANCE diagnostic
+    (`ann_index.index_cell_stats`, round 11) — q50_join_key_skew's
+    operational role for the ANN family: rows-per-cell decides
+    whether a probed-cell scan is balanced work or one hot partition,
+    and whether n_probe/salting decisions transfer to production
+    traffic. The engine reads its OWN codes parquet (column-pruned to
+    the partition column) and counts per cell; the oracle recomputes
+    the assignment relationally (√n auto cells + the c_assign argmax)
+    — so the green hash certifies the ON-DISK partition layout
+    itself: every vector present exactly once, in exactly the cell
+    the geometry assigns. A dropped or double-written shard fails
+    this row, which makes it the cheap post-append/compact integrity
+    probe at deployment. Serves from the s13 family's artifact path —
+    in-session this is a stats read of an already-built generation
+    (the amortized regime); at a fresh path it prices one build.
+    Reference analogue: none (operational diagnostic surface)."""
+    from ..operators.ann_index import build_ivfsq_index, index_cell_stats
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_path(spark, sf_dir, "ivfsq")
+    build_ivfsq_index(
+        e, path, n_cells=None, corpus_cache_key=(sf_dir, "embeddings")
+    )
+    return index_cell_stats(spark, path)
+
+
+@query(
     "s33_colbert_pq_serve",
     oracle=f"WITH {_colbert_pq_sql(k=5, k0=10, n_tokens=4, dim=64, n_probe=2, n_subspaces=4, n_codes=16)}\n",
 )

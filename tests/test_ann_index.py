@@ -67,6 +67,53 @@ def test_build_overwrites_and_roundtrips_meta(spark, tmp_path):
     assert len(json.loads(meta["centroids"])) == 16
 
 
+def test_index_cell_stats_integrity_probe(spark, tmp_path):
+    """`index_cell_stats` (round 11, s34): per-cell populations must
+    sum to the corpus count, match the assignment recomputed in-plan,
+    and — after an append — account for every appended row exactly
+    once (the post-append integrity probe). Works on the PQ kind too
+    (the diagnostic never touches geometry)."""
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        append_to_ivfsq_index,
+        build_ivfpq_index,
+        index_cell_stats,
+    )
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        collect_centroid_rows,
+        ivf_assign_literal,
+        ivf_centroids,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    n = e.count()
+    path = str(tmp_path / "idx")
+    build_ivfsq_index(e.filter(F.col("vec_id") % 2 == 0), path, n_cells=16)
+    stats0 = index_cell_stats(spark, path)
+    assert stats0.agg(F.sum("n_rows")).first()[0] == e.filter(
+        F.col("vec_id") % 2 == 0
+    ).count()
+    append_to_ivfsq_index(e.filter(F.col("vec_id") % 2 == 1), path)
+    stats1 = {r["cell_id"]: r["n_rows"] for r in index_cell_stats(spark, path).collect()}
+    assert sum(stats1.values()) == n  # every row exactly once
+    # cross-check against the in-plan assignment under the SAME
+    # frozen geometry (centroids learned from the even split)
+    cent = collect_centroid_rows(
+        ivf_centroids(e.filter(F.col("vec_id") % 2 == 0), 16)
+    )
+    want = {
+        r["cell_id"]: r["cnt"]
+        for r in ivf_assign_literal(e, cent, "candidate_id", 1)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert stats1 == want
+    # PQ kind: same diagnostic, no geometry interpretation
+    pq_path = str(tmp_path / "pqidx")
+    build_ivfpq_index(e, pq_path, n_cells=16)
+    assert index_cell_stats(spark, pq_path).agg(F.sum("n_rows")).first()[0] == n
+
+
 def test_append_shard_searchable_with_frozen_quantizer(spark, tmp_path):
     """Nightly-ingest shape: append encodes with the PERSISTED
     stats/centroids (no refit), lands in the same cell partitions,

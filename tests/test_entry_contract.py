@@ -472,7 +472,7 @@ def test_driver_window_rotation_rule_r11():
     of the maxsim/serving layer changes (the dim-probe and rerank>=k
     guards); (c) the five never-driver-checked late registrations
     (s25/s26/s27 — s28/s29 already (b)) + the ENTIRE 14-row r7-era
-    cohort (VERDICT r10 #1) + the 25 alphabetically-first of the
+    cohort (VERDICT r10 #1) + the 24 alphabetically-first of the
     43-row r8 cohort (name-order tie-break, the standing audit rule).
     LIVE round: asserted against the current window; convert to the
     CORRECTNESS_r11 record once it exists."""
@@ -486,6 +486,7 @@ def test_driver_window_rotation_rule_r11():
         "s31_token_table_serve",
         "s32_stream_rescore_replay",
         "s33_colbert_pq_serve",
+        "s34_index_cell_stats",
     }
     changed_in_r11 = {
         "s29_pq_learned_index_topk",  # sampled-fit books (own plan)
@@ -508,7 +509,7 @@ def test_driver_window_rotation_rule_r11():
     assert len(r8) == 43
     mandatory = new_in_r11 | changed_in_r11 | never_checked | stale_r7
     fill_r8 = set(r8[: 50 - len(mandatory)])
-    assert len(fill_r8) == 25
+    assert len(fill_r8) == 24
     want = mandatory | fill_r8
     assert want == set(DRIVER_WINDOW)  # exactly fills the 50 slots
 
