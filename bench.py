@@ -111,6 +111,8 @@ def main() -> None:
         "s32_stream_rescore_replay",  # micro-batch maxsim rescore serve
         "s33_colbert_pq_serve",  # compressed (PQ) token index + serve
         "s34_index_cell_stats",  # cell-balance diagnostic (layout read)
+        "s35_colbert_one_call_serve",  # composed two-artifact serve
+        "s36_colbert_ragged_tokens",  # variable per-doc T end to end
         # s09/s29 (learned-codebook rows) are correctness-window only:
         # each invocation pays 8 MLlib k-means fits — the same
         # fit-exclusion policy as m01-m03/m09; their serve stages are

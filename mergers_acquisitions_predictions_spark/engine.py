@@ -463,6 +463,27 @@ class Engine:
             self.spark, path, query_tokens, cand_tokens, **kw
         )
 
+    def serve_colbert(
+        self, index_path: str, token_table_path: str, query_tokens: DataFrame, **kw
+    ) -> DataFrame:
+        """The ONE-CALL composed late-interaction deployment serve
+        (round 12 — VERDICT r11 #3): persisted token index + the
+        materialized token table, no in-memory corpus frame anywhere —
+        stage 1 runs once, the driver-sized parent shortlist drives
+        the pruned table read, and the maxsim rerank scores survivors.
+        ``n_tokens`` defaults to the T the index itself records."""
+        from .operators.maxsim import maxsim_search_tokens_persisted
+
+        kw.setdefault("n_tokens", None)
+        return maxsim_search_tokens_persisted(
+            self.spark,
+            index_path,
+            query_tokens,
+            None,
+            token_table_path=token_table_path,
+            **kw,
+        )
+
     def write_token_table(self, tokens: DataFrame, path: str, **kw) -> None:
         """Materialize the encoder's (id, token_id, vector) parquet
         once — clustered by doc id for serve-time pruning (round 11,

@@ -212,6 +212,7 @@ def build_ivfsq_index(
     corpus_cache_key: tuple | None = None,
     centroids: DataFrame | None = None,
     assign_blas: bool = False,
+    extra_meta: dict | None = None,
 ) -> None:
     """Build + persist an IVF-SQ8 index: learn per-dimension stats
     and centroids from the corpus (one pass + driver-sized collects),
@@ -245,7 +246,15 @@ def build_ivfsq_index(
     for ``path`` (`util.prime_memoized_literal` — overwrite, so a
     rebuild never leaves the old sidecar cached): a same-session
     search/append skips one disk-read job; other sessions read the
-    sidecar from disk as before."""
+    sidecar from disk as before.
+
+    ``extra_meta``: optional caller-owned JSON-safe fields merged into
+    the geometry sidecar (ADVICE r11: `maxsim.build_token_index`
+    records the ``n_tokens`` the composite frame was built with, so a
+    serve with a mismatched T fails fast instead of decoding candidate
+    ids with the wrong divisor). Keys must not collide with the
+    geometry's own; ``None`` leaves the sidecar byte-identical to the
+    pre-round-12 form."""
     from .similarity import auto_cells, collect_centroid_rows, ivf_centroids
     from .sq import _unit, sq_encode, sq_stats
     from .util import memoized_literal, prime_memoized_literal, repartition_for_compute
@@ -339,6 +348,7 @@ def build_ivfsq_index(
             "centroids": json.dumps(
                 [[int(c), list(map(float, v)), float(n)] for c, v, n in cent_rows]
             ),
+            **(extra_meta or {}),
         }
     )
     live_name = _publish_codes(spark, path, coded, meta_text)
@@ -1013,6 +1023,7 @@ def build_ivfpq_index(
     corpus_cache_key: tuple | None = None,
     codebooks: list[list[list[float]]] | None = None,
     assign_blas: bool = False,
+    extra_meta: dict | None = None,
 ) -> None:
     """Build + persist an IVF-PQ index — the COMPRESSED persisted kind
     (round 10), completing the lifecycle family's memory story: the
@@ -1037,7 +1048,9 @@ def build_ivfpq_index(
 
     ``assign_blas``: same opt-in as the SQ8 build — the n×cells
     assignment as one numpy matmul per Arrow batch; codes are
-    bit-identical off tie boundaries (see `ivf_assign_blas`)."""
+    bit-identical off tie boundaries (see `ivf_assign_blas`).
+    ``extra_meta``: `build_ivfsq_index`'s contract — caller-owned
+    JSON-safe fields merged into the geometry sidecar."""
     from .pq import _unit, pq_anchor_codebooks, pq_encode
     from .similarity import (
         auto_cells,
@@ -1121,6 +1134,7 @@ def build_ivfpq_index(
             "centroids": json.dumps(
                 [[int(c), list(map(float, v)), float(n)] for c, v, n in cent_rows]
             ),
+            **(extra_meta or {}),
         }
     )
     live_name = _publish_codes(spark, path, coded, meta_text)

@@ -431,15 +431,22 @@ def build_token_index(
     for token indexes, which carry T× the corpus rows; remember PQ's
     §7q lesson: ADC alone blurs clone cohorts, keep the maxsim rerank
     on). Extra ``build_kw`` (n_subspaces/n_codes/codebooks) flow to
-    the PQ build."""
+    the PQ build.
+
+    The build RECORDS ``n_tokens`` in the index geometry sidecar
+    (ADVICE r11): composite ids are only decodable with the T they
+    were encoded with, so `maxsim_search_tokens_persisted` fails fast
+    on a mismatched serve-time T (and can default T from the meta)
+    instead of silently mapping hits to wrong parent documents."""
     comp = composite_tokens(cand_tokens, n_tokens, id_col, pos_col, vec_col)
+    extra = {"n_tokens": int(n_tokens)}
     if kind == "ivfsq":
         from .ann_index import build_ivfsq_index
 
         build_ivfsq_index(
             comp, path, n_cells=None,
             corpus_cache_key=corpus_cache_key, assign_blas=assign_blas,
-            **build_kw,
+            extra_meta=extra, **build_kw,
         )
     elif kind == "ivfpq":
         from .ann_index import build_ivfpq_index
@@ -447,24 +454,37 @@ def build_token_index(
         build_ivfpq_index(
             comp, path, n_cells=None,
             corpus_cache_key=corpus_cache_key, assign_blas=assign_blas,
-            **build_kw,
+            extra_meta=extra, **build_kw,
         )
     else:
         raise ValueError(f"unknown token index kind {kind!r}")
+    # same-session serve needs (kind, n_tokens) without a disk read:
+    # prime them under the resolved generation, exactly like the
+    # builds prime their geometry.
+    from .ann_index import _resolve_codes_name
+    from .util import prime_memoized_literal
+
+    spark = cand_tokens.sparkSession
+    live = _resolve_codes_name(spark, path)
+    prime_memoized_literal(
+        ("token_meta", path, live), {"kind": kind, "n_tokens": int(n_tokens)}
+    )
 
 
 def maxsim_search_tokens_persisted(
     spark,
     index_path: str,
     query_tokens: DataFrame,
-    cand_tokens: DataFrame,
+    cand_tokens: DataFrame | None = None,
     k: int = 5,
     k0: int = 10,
-    n_tokens: int = 4,
+    n_tokens: int | None = 4,
     n_probe: int = 2,
     id_col: str = "vec_id",
     pos_col: str = "token_id",
     vec_col: str = "token",
+    token_table_path: str | None = None,
+    ids_pushdown: bool = True,
 ) -> DataFrame:
     """`maxsim_search_tokens` served from the PERSISTED token index
     (`build_token_index`) — the late-interaction deployment shape: per
@@ -480,25 +500,72 @@ def maxsim_search_tokens_persisted(
     Serves BOTH persisted kinds: the index's own meta names its kind
     (the `compact_index` sniff — never interprets geometry here) and
     stage 1 dispatches to the matching search function; on an
-    ``ivfpq`` token index the first stage ranks on the ADC distance."""
+    ``ivfpq`` token index the first stage ranks on the ADC distance.
+
+    ``n_tokens`` is CROSS-CHECKED against the T the index records
+    (ADVICE r11 — `build_token_index` writes it into the geometry
+    sidecar): composite candidate ids decode with the build-time
+    divisor only, so a mismatched serve-time T would silently map
+    hits to wrong parent documents; here it raises. Pass
+    ``n_tokens=None`` to take T from the index itself (indexes built
+    directly through `build_ivfsq_index` record no T and then require
+    the explicit argument).
+
+    ``token_table_path`` (round 12 — VERDICT r11 #3): the ONE-CALL
+    composed deployment serve. Candidate tokens come from a
+    `write_token_table` parquet instead of an in-memory frame — the
+    full production shape touches only two persisted artifacts (the
+    token index and the token table) plus the online query batch.
+    The parent shortlist is collected (driver-sized by the serving
+    contract: ≤ queries × T × k0 pairs before distinct — the s31
+    rule) so stage 1 runs ONCE (the §7r-c lesson: never recompute the
+    first stage to derive ids), and the survivors' tokens are read
+    with the id In-filter pushed into the clustered scan
+    (``ids_pushdown=True`` — right for online batches; pass False for
+    large batch reranks to cut via the broadcast semi join instead,
+    the §7r-c crossover rule)."""
     import json as _json
 
     from .ann_index import _read_meta_text, _resolve_codes_name
     from .util import peek_memoized_literal
 
-    T = n_tokens
     live = _resolve_codes_name(spark, index_path)
-    # kind sniff: the same-session primed meta answers without a disk
-    # read (the builds prime their kind's key); cold readers pay one
-    # tiny sidecar read, exactly like the search functions themselves.
-    if peek_memoized_literal(("ivfpq_meta", index_path, live)) is not None:
-        kind = "ivfpq"
-    elif peek_memoized_literal(("ivfsq_meta", index_path, live)) is not None:
-        kind = "ivfsq"
+    # kind + recorded-T sniff: a same-session `build_token_index`
+    # primed both under ("token_meta", path, generation); older or
+    # kind-only primes answer the kind alone; cold readers (or a
+    # needed-but-unprimed T) pay one tiny sidecar read, exactly like
+    # the search functions themselves.
+    kind = None
+    meta_T = None
+    tmeta = peek_memoized_literal(("token_meta", index_path, live))
+    if tmeta is not None:
+        kind = tmeta["kind"]
+        meta_T = tmeta.get("n_tokens")
     else:
-        kind = _json.loads(_read_meta_text(spark, index_path, live)).get(
-            "kind", "ivfsq"
+        if peek_memoized_literal(("ivfpq_meta", index_path, live)) is not None:
+            kind = "ivfpq"
+        elif peek_memoized_literal(("ivfsq_meta", index_path, live)) is not None:
+            kind = "ivfsq"
+        if kind is None or n_tokens is None:
+            side = _json.loads(_read_meta_text(spark, index_path, live))
+            kind = kind or side.get("kind", "ivfsq")
+            meta_T = side.get("n_tokens")
+    if n_tokens is None:
+        if meta_T is None:
+            raise ValueError(
+                "maxsim_search_tokens_persisted: n_tokens=None but the "
+                f"index at {index_path} records no n_tokens (built "
+                "directly, not via build_token_index?) — pass n_tokens="
+            )
+        n_tokens = int(meta_T)
+    elif meta_T is not None and int(meta_T) != int(n_tokens):
+        raise ValueError(
+            f"maxsim_search_tokens_persisted: index at {index_path} was "
+            f"built with n_tokens={int(meta_T)} but the serve passed "
+            f"n_tokens={int(n_tokens)} — composite ids would decode to "
+            "wrong parent documents"
         )
+    T = n_tokens
     comp_q = composite_tokens(query_tokens, T, id_col, pos_col, vec_col)
     if kind == "ivfpq":
         from .ann_index import search_ivfpq_index
@@ -512,8 +579,37 @@ def maxsim_search_tokens_persisted(
         hits = search_ivfsq_index(
             spark, index_path, comp_q, k=k0, n_probe=n_probe
         )
+    shortlist = _parent_shortlist(hits, T)
+    if token_table_path is not None:
+        if cand_tokens is not None:
+            raise ValueError(
+                "pass cand_tokens OR token_table_path, not both"
+            )
+        from .util import local_rows_df
+
+        # one stage-1 execution: the distinct parent pairs are
+        # serving-contract-sized (≤ queries × T × k0), so collect them
+        # once and drive BOTH the pruned table read and the rerank
+        # join from the local rows.
+        pairs = [
+            (int(r["query_id"]), int(r["candidate_id"]))
+            for r in shortlist.collect()
+        ]
+        shortlist = local_rows_df(
+            spark, pairs, "query_id BIGINT, candidate_id BIGINT"
+        )
+        ids = sorted({c for _, c in pairs}) if ids_pushdown else None
+        cand_tokens = read_token_table(
+            spark, token_table_path, ids=ids, id_col=id_col
+        )
+    elif cand_tokens is None:
+        raise ValueError(
+            "maxsim_search_tokens_persisted: pass cand_tokens (the "
+            "long-format token frame) or token_table_path (a "
+            "write_token_table parquet)"
+        )
     return maxsim_rerank_tokens(
-        _parent_shortlist(hits, T),
+        shortlist,
         query_tokens,
         cand_tokens,
         k=k,

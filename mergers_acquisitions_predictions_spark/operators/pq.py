@@ -408,6 +408,7 @@ def pq_kmeans_codebooks(
     max_iter: int = 20,
     fit_sample_per_code: int | None = 6250,
     fit_floor: int | None = None,
+    corpus_cache_key: tuple | None = None,
 ) -> list[list[list[float]]]:
     """LEARNED PQ codebooks — the production replacement for
     `pq_anchor_codebooks`' deterministic anchor slices, exactly as
@@ -445,20 +446,41 @@ def pq_kmeans_codebooks(
     dominates once books are frozen). The 100k absolute floor keeps
     small corpora on the full fit; ``fit_floor`` overrides it
     (``0`` forces the sampled branch — how s29 exercises the
-    deployment path at oracle scale); ``None`` disables sampling."""
+    deployment path at oracle scale); ``None`` disables sampling.
+
+    Sizing the sample needs the corpus row count, but small corpora —
+    most callers at oracle scale — never take the sampled branch, and
+    an unconditional full ``count()`` job per fit just to learn that
+    was waste (ADVICE r11). The count is lazy now:
+    ``corpus_cache_key`` reuses the index builds' memoized count under
+    the SAME key (``("count", key, id_col)`` — a following
+    `build_ivfpq_index(corpus_cache_key=...)` then pays no count at
+    all); otherwise a ``limit(threshold+1).count()`` probe — an
+    early-exit scan bounded by the threshold, never corpus-shaped —
+    decides the branch, and only a corpus that actually exceeds the
+    threshold pays the full count that sizes its sampling modulus
+    (the branch where that count is genuinely needed)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     from .similarity import _FIT_SAMPLE_FLOOR
-    from .util import fit_released
+    from .util import fit_released, memoized_literal
 
     first = corpus.select(vec_col).first()
     dim = len(first[vec_col])
     if fit_sample_per_code is not None:
         target = fit_sample_per_code * n_codes
         floor = _FIT_SAMPLE_FLOOR if fit_floor is None else fit_floor
-        n = corpus.count()
-        if n > max(target, floor):
+        thresh = max(target, floor)
+        if corpus_cache_key is not None:
+            n = memoized_literal(
+                ("count", corpus_cache_key, id_col), lambda: corpus.count()
+            )
+        else:
+            n = corpus.limit(thresh + 1).count()
+            if n > thresh:
+                n = corpus.count()
+        if n > thresh:
             m = max(2, round(n / target))
             corpus = corpus.filter(F.xxhash64(F.col(id_col)) % m == 0)
     if dim % n_subspaces:

@@ -43,83 +43,80 @@ from . import io_queries  # noqa: E402,F401
 #: constraint VERDICT r6 #1 names). Queries whose OWN plan or oracle
 #: string changed remain individually (b)-mandatory.
 #:
-#: Round 11: (a) new = s30 (the persisted-token-index ColBERT serve —
-#: §7r-b's deployment route, VERDICT r10 #2), s31 (the materialized
-#: token-table serve — the production fix for the serve-time explode,
-#: VERDICT r10 #3), s32 (the streaming maxsim-rescore replay —
-#: VERDICT r10 #6), and s33 (s30's route on the COMPRESSED IVF-PQ
-#: token-index kind, with the kind-sniffing serve dispatch) and s34
-#: (the index cell-balance diagnostic — the hash certifies the
-#: on-disk partition layout itself); (b)
-#: changed since last row = s29 (OWN plan: the learned books now come
-#: through the sampled-fit path — VERDICT r10 #4) and s28 (OWN plan:
-#: the composite-id injectivity guard rides its token scans — ADVICE
-#: r10), plus s24/s15 as representative consumers of the
-#: maxsim/serving guard layer (the dim-probe and rerank>=k
-#: fail-fasts — validation-only, but the layer is shared);
-#: (c) fill = the five never-driver-checked late registrations
-#: (s25/s26/s27; s28/s29 already (b)) + the ENTIRE remaining r7-era
-#: cohort (14 rows — VERDICT r10 #1) + the 24 alphabetically-first
-#: rows of the 43-row r8 cohort (name order makes the tie-break
-#: auditable). After this round every registered query has a driver
-#: row and none predates round 8; the 19 remaining r8 rows
-#: (q24..q43) are round 12's frontier.
+#: Round 12: (a) new = s35 (the ONE-CALL composed persisted ColBERT
+#: serve — persisted token index + materialized token table, no
+#: in-memory corpus frame, VERDICT r11 #3) and s36 (the RAGGED
+#: token-count retrieval — per-document variable T through the full
+#: persisted route, VERDICT r11 #4); (b) changed since last row =
+#: s30/s33 (OWN serve entry `maxsim_search_tokens_persisted`: the
+#: recorded-n_tokens cross-check + token_meta sniff + token-table
+#: route, ADVICE r11), s29 and s09 (OWN plans: `pq_kmeans_codebooks`
+#: now sizes its sample via the lazy count — memoized key or
+#: limit-probe — instead of an unconditional corpus.count(), ADVICE
+#: r11), plus s13 as the representative consumer of the
+#: `build_ivfsq_index(extra_meta=)` sidecar hook (shared index-build
+#: layer; default None is byte-identical, the token-index consumers
+#: s30/s33/s35/s36 exercise the non-default path); (c) fill = the
+#: ENTIRE 19-row r8 cohort (q24..q43 — VERDICT r11 #2, the staleness
+#: frontier) + the 24 alphabetically-first rows of the 44-row r9
+#: cohort (name order makes the tie-break auditable). After this
+#: round every registered query's driver row postdates r8; the 20
+#: remaining r9 rows (s04..u02) are round 13's frontier.
 DRIVER_WINDOW = [
     # (a): registered this round
-    "s30_colbert_persisted_serve",
-    "s31_token_table_serve",
-    "s32_stream_rescore_replay",
-    "s33_colbert_pq_serve",
-    "s34_index_cell_stats",
+    "s35_colbert_one_call_serve",
+    "s36_colbert_ragged_tokens",
     # (b): implementation changed since their last row
+    "s30_colbert_persisted_serve",
+    "s33_colbert_pq_serve",
     "s29_pq_learned_index_topk",
-    "s28_colbert_token_retrieval",
-    "s24_maxsim_rerank_serve",
-    "s15_stream_serve_replay",
-    # (c): never-driver-checked late registrations (r10)
-    "s25_pq_rerank_topk",
-    "s26_maxsim_exact_topk",
-    "s27_maxsim_token_table",
-    # (c): the complete r7-era cohort (stalest rows after round 10)
-    "t20_pack_manifest",
-    "t21_source_mixture",
-    "t22_funnel_accounting",
-    "t23_interleaved_order",
-    "t24_shingle_diversity",
-    "t26_bpe_encode",
-    "t27_snapshot_diff",
-    "t29_bigram_backoff_quality",
-    "t30_gopher_rules",
-    "t31_importance_sample",
-    "t33_token_entropy",
-    "t35_source_overlap_matrix",
-    "u04_lemmatize_pandas_udf",
-    "u05_frame_sample_stats",
-    # (c): the 24 alphabetically-first rows of the r8 cohort
-    "d15_winnow_containment",
-    "io04_layout_roundtrip",
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_top_revenue_orders",
-    "q04_revenue_by_region",
-    "q05_theta_pairs_per_nation",
-    "q06_label_within_year",
-    "q07_distinct_flags",
-    "q08_topk_orders_per_customer",
-    "q09_rollup_lineitem",
-    "q10_nation_setops",
-    "q11_semi_anti_customers",
-    "q12_priority_order_stats",
-    "q13_orders_near_events",
-    "q14_scalar_functions",
-    "q15_size_buckets",
-    "q16_running_customer_spend",
-    "q18_session_windows",
-    "q19_sliding_windows",
-    "q20_user_activity_gaps",
-    "q21_pivot_status_by_priority",
-    "q22_exists_subquery",
-    "q23_scalar_subquery",
+    "s09_ivfpq_kmeans_topk",
+    "s13_persisted_index_topk",
+    # (c): the complete r8-era cohort (the staleness frontier)
+    "q24_having",
+    "q25_monthly_orders",
+    "q26_null_handling",
+    "q27_string_functions2",
+    "q28_union_dedup",
+    "q29_window_lead_lag",
+    "q30_cube",
+    "q31_json_extract",
+    "q32_collect_sorted",
+    "q33_quantiles",
+    "q34_full_outer_join",
+    "q35_cross_join_grid",
+    "q36_stats_aggregates",
+    "q37_any_all_semantics",
+    "q39_asof_attribution",
+    "q40_range_frame_window",
+    "q41_rank_functions",
+    "q42_grouping_sets",
+    "q43_datetime_functions",
+    # (c): the 24 alphabetically-first rows of the r9 cohort
+    "d01_minhash_signatures",
+    "d02_minhash_lsh_pairs",
+    "d03_jaccard_pairs",
+    "d04_simhash",
+    "d05_embedding_neardups",
+    "d06_lsh_verified_neardups",
+    "d07_lsh_embedding_neardups",
+    "d09_dup_clusters",
+    "d10_contamination",
+    "d11_semantic_dedup",
+    "d14_cluster_canonicals",
+    "d17_components_star",
+    "d19_minhash_estimate",
+    "j02_deal_name_linkage",
+    "j03_fuzzy_name_match",
+    "m04_pair_ranking",
+    "m06_split_assignment",
+    "q17_tumbling_windows",
+    "q38_deterministic_sample",
+    "q44_null_ordering",
+    "q45_except_all_multiplicity",
+    "s01_embedding_norms",
+    "s02_cosine_topk",
+    "s03_lsh_ann_topk",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -693,13 +693,19 @@ def maxsim_topk_sql(
     {_maxsim_tail_sql(k, n_tokens, dim)}"""
 
 
-def _maxsim_tail_sql(k: int, n_tokens: int, dim: int) -> str:
+def _maxsim_tail_sql(k: int, n_tokens: int, dim: int, token_where: str = "") -> str:
     """The maxsim scoring stages over a preceding ``shortlist`` CTE
     (pairs to score): tokenize → per-(pair, query-token) max dot →
     m-ascending sum → per-query top-k. The per-(pair, query-token)
     max is an exact double aggregate; the final sum runs m-ascending
     via ``list_sum(list(mx ORDER BY m))`` — the engine's
-    left-to-right fold over the ordered token array."""
+    left-to-right fold over the ordered token array.
+
+    ``token_where`` (round 12, the ragged-T rows): an optional WHERE
+    clause over ``e`` (the document) and ``tm.m`` (the token ordinal)
+    that drops token rows per document — replaying a VARIABLE
+    per-document token count, the shape a real encoder emits. The
+    default keeps every pre-round-12 oracle string byte-identical."""
     sub = dim // n_tokens
     tok_dot = (
         f"list_sum(list_transform(range(1, {sub} + 1), "
@@ -714,7 +720,7 @@ def _maxsim_tail_sql(k: int, n_tokens: int, dim: int) -> str:
                    list_transform(range(1, {sub} + 1), i ->
                        CAST(e.embedding[CAST(tm.m AS INTEGER) * {sub} + i]
                             AS DOUBLE)) AS sl
-            FROM embeddings e CROSS JOIN range(0, {n_tokens}) tm(m)
+            FROM embeddings e CROSS JOIN range(0, {n_tokens}) tm(m){token_where}
         )
     ),
     pairtok AS (
@@ -815,6 +821,7 @@ def colbert_persisted_retrieval_sql(
     dim: int = 64,
     n_probe: int = 2,
     query_docs: int = 5,
+    token_where: str = "",
 ) -> str:
     """DuckDB mirror of the PERSISTED-token-index late-interaction
     retrieval (`operators/maxsim.maxsim_search_tokens_persisted` —
@@ -828,7 +835,13 @@ def colbert_persisted_retrieval_sql(
     distinct parent pairs feed the s24 maxsim tail. Differs from
     `colbert_token_retrieval_sql` (s28, the in-memory `ivf_topk`
     stage) exactly where the engines differ: the first stage ranks on
-    the QUANTIZED dot, not the exact cosine."""
+    the QUANTIZED dot, not the exact cosine.
+
+    ``token_where`` (round 12): `_maxsim_tail_sql`'s ragged-T hook,
+    applied BOTH to the index's tokens CTE and to the rerank's tok
+    CTE — the whole retrieval replays over a variable per-document
+    token count (s36). Default keeps the s30/s35 strings
+    byte-identical to the round-11 form."""
     T, sub = n_tokens, dim // n_tokens
     return f"""tokens AS (
         SELECT CAST(vec_id * {T} + m AS BIGINT) AS vec_id,
@@ -839,7 +852,7 @@ def colbert_persisted_retrieval_sql(
                    list_transform(range(1, {sub} + 1), i ->
                        CAST(e.embedding[CAST(tm.m AS INTEGER) * {sub} + i]
                             AS DOUBLE)) AS sl
-            FROM embeddings e CROSS JOIN range(0, {T}) tm(m)
+            FROM embeddings e CROSS JOIN range(0, {T}) tm(m){token_where}
         )
     ),{_ivfsq_scored_ctes_sql(sub, "auto", n_probe,
                               f"WHERE vec_id < {query_docs * T}",
@@ -859,4 +872,4 @@ def colbert_persisted_retrieval_sql(
         FROM tok_hits
         WHERE query_id // {T} <> candidate_id // {T}
     ),
-    {_maxsim_tail_sql(k, n_tokens, dim)}"""
+    {_maxsim_tail_sql(k, n_tokens, dim, token_where=token_where)}"""

@@ -1705,3 +1705,138 @@ def s33_colbert_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens=4,
         n_probe=2,
     )
+
+
+@query(
+    "s35_colbert_one_call_serve",
+    oracle=f"WITH {_colbert_persisted_sql(k=5, k0=10, n_tokens=4, dim=64, n_probe=2)}\n",
+)
+def s35_colbert_one_call_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE-CALL composed persisted ColBERT serve (round 12 —
+    VERDICT r11 #3): the actual deployment shape with NO in-memory
+    corpus frame anywhere. Two persisted artifacts — the token-level
+    IVF-SQ8 index (`build_token_index`) and the materialized token
+    table (`write_token_table`) — and one call:
+    `maxsim_search_tokens_persisted(token_table_path=...)` (surfaced
+    as `Engine.serve_colbert`). Stage 1 serves each query token's
+    top-10 from the pruned quantized scan, runs ONCE (the §7r-c
+    lesson — the driver-sized parent shortlist is collected and
+    drives both the table read and the rerank join, never a second
+    first-stage execution), the survivors' tokens are read from the
+    table with the id In-filter pushed into the clustered scan (the
+    s31 rule: ids = queries × T × k0 at most, serving-contract-sized),
+    and the maxsim rerank scores them. Even the QUERY tokens come from
+    a pruned scan of the table (vec_id < 5 pushed down), so the
+    physical plan touches only the two artifacts. vs s30 (in-memory
+    cand_tokens) and s31 (hand-wired stages): same semantics, zero
+    plan-body plumbing. The serve-time T is CROSS-CHECKED against the
+    n_tokens the build recorded in the index meta (ADVICE r11).
+
+    Oracle: s30's `colbert_persisted_retrieval_sql` verbatim — the
+    token table replays the slice derivation bit-exactly (double
+    arrays round-trip parquet losslessly), so the same SQL covers the
+    composed route. Reference analogue: none (SURVEY §7 Phase 4)."""
+    from ..operators.maxsim import (
+        build_token_index,
+        maxsim_search_tokens_persisted,
+        read_token_table,
+        token_slices,
+        write_token_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    path = _scratch_index_path(spark, sf_dir, "ivfsq_tok")
+    build_token_index(
+        toks,
+        path,
+        n_tokens=4,
+        corpus_cache_key=(sf_dir, "embeddings", "tokens4"),
+    )
+    tok_path = _scratch_index_path(spark, sf_dir, "toktbl")
+    write_token_table(toks, tok_path)
+    return maxsim_search_tokens_persisted(
+        spark,
+        path,
+        read_token_table(spark, tok_path).filter(F.col("vec_id") < 5),
+        k=5,
+        k0=10,
+        n_tokens=4,
+        n_probe=2,
+        token_table_path=tok_path,
+    )
+
+
+_S36_RAGGED_WHERE = (
+    "\n            WHERE tm.m < 2 + e.vec_id % 3"
+)
+
+
+@query(
+    "s36_colbert_ragged_tokens",
+    oracle=(
+        "WITH "
+        + _colbert_persisted_sql(
+            k=5, k0=10, n_tokens=4, dim=64, n_probe=2,
+            token_where=_S36_RAGGED_WHERE,
+        )
+        + "\n"
+    ),
+)
+def s36_colbert_ragged_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted ColBERT retrieval over a RAGGED token corpus
+    (round 12 — VERDICT r11 #4): per-document VARIABLE token counts,
+    the shape a real per-token encoder actually emits (every prior
+    registered row used fixed T=4 slice tokens, so the composite-id
+    injectivity guard had never executed inside a driver row). Each
+    document keeps T_doc = 2 + (vec_id mod 3) ∈ {2,3,4} of its four
+    slice tokens; `build_token_index(n_tokens=4)` encodes the ragged
+    frame under the max-T divisor (token_id < 4 everywhere, so the
+    composite mapping stays injective — the `composite_tokens` guard
+    rides every scan), the index's √(Σ T_doc) auto-sizing runs on the
+    true ragged token count, and the serve passes ``n_tokens=None``
+    to take T from the INDEX META the build recorded (ADVICE r11 —
+    this row certifies the meta-default path end to end). The maxsim
+    rerank is pad-free long-format on both sides: queries score over
+    their own T_q tokens, candidates over their T_c.
+
+    Oracle: `colbert_persisted_retrieval_sql(token_where=...)` — the
+    same ragged WHERE (tm.m < 2 + vec_id % 3) applied to BOTH the
+    index's tokens CTE and the rerank's tok CTE, so stats, cells,
+    quantized dots, parent mapping, and the maxsim tail all replay
+    over the identical ragged frame. Reference analogue: none."""
+    from ..operators.maxsim import (
+        build_token_index,
+        maxsim_search_tokens_persisted,
+        token_slices,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    ).filter(F.col("token_id") < F.lit(2) + F.col("vec_id") % 3)
+    path = _scratch_index_path(spark, sf_dir, "ivfsq_tok_ragged")
+    build_token_index(
+        toks,
+        path,
+        n_tokens=4,
+        corpus_cache_key=(sf_dir, "embeddings", "tokens_ragged"),
+    )
+    return maxsim_search_tokens_persisted(
+        spark,
+        path,
+        toks.filter(F.col("vec_id") < 5),
+        toks,
+        k=5,
+        k0=10,
+        n_tokens=None,  # meta-default: T comes from the build record
+        n_probe=2,
+    )

@@ -117,8 +117,12 @@ def main(sizes=(100_000,)) -> None:
         )
 
         def persisted_pq():
+            # tok_tbl (the materialized parquet), NOT the slice-derived
+            # in-memory frame: route 2 reranks from the table, so the
+            # two serve timings must read tokens the same way to be
+            # apples-to-apples (ADVICE r11).
             return maxsim_search_tokens_persisted(
-                spark, pq_idx, qtoks, toks, k=5, k0=10, n_tokens=T, n_probe=2
+                spark, pq_idx, qtoks, tok_tbl, k=5, k0=10, n_tokens=T, n_probe=2
             ).count()
 
         persisted_pq()

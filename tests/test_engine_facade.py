@@ -405,3 +405,43 @@ def test_facade_token_index_and_table(spark, tmp_path):
     assert hits and {"query_id", "candidate_id", "maxsim", "rank"} == set(
         hits[0].asDict()
     )
+
+
+def test_facade_serve_colbert_one_call(spark, tmp_path):
+    """`Engine.serve_colbert` — the one-call composed deployment serve
+    (round 12): two persisted artifacts in, ranked parents out, equal
+    to the hand-wired route, with T defaulting from the index meta."""
+    from pyspark.sql import functions as F
+
+    from mergers_acquisitions_predictions_spark.engine import Engine
+    from mergers_acquisitions_predictions_spark.operators.maxsim import (
+        maxsim_search_tokens_persisted,
+        token_slices,
+    )
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+    eng = Engine(spark)
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    idx = str(tmp_path / "tokidx")
+    tbl = str(tmp_path / "toktbl")
+    eng.build_token_index(toks, idx, n_tokens=4)
+    eng.write_token_table(toks, tbl)
+    q = eng.read_token_table(tbl).filter(F.col("vec_id") < 2)
+    got = sorted(
+        map(tuple, eng.serve_colbert(idx, tbl, q, k=3, k0=6).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            maxsim_search_tokens_persisted(
+                spark, idx, q, toks, k=3, k0=6, n_tokens=4
+            ).collect(),
+        )
+    )
+    assert got and got == want

@@ -474,12 +474,11 @@ def test_driver_window_rotation_rule_r11():
     (s25/s26/s27 — s28/s29 already (b)) + the ENTIRE 14-row r7-era
     cohort (VERDICT r10 #1) + the 24 alphabetically-first of the
     43-row r8 cohort (name-order tie-break, the standing audit rule).
-    LIVE round: asserted against the current window; convert to the
-    CORRECTNESS_r11 record once it exists."""
+    Asserted against the immutable CORRECTNESS_r11 record (converted
+    from the live-window form once the record landed, the standing
+    pattern)."""
     import json
     import os
-
-    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
 
     new_in_r11 = {
         "s30_colbert_persisted_serve",
@@ -511,6 +510,60 @@ def test_driver_window_rotation_rule_r11():
     fill_r8 = set(r8[: 50 - len(mandatory)])
     assert len(fill_r8) == 24
     want = mandatory | fill_r8
+    r11_rows = set(
+        json.load(open(os.path.join(root, "CORRECTNESS_r11.json")))
+    )
+    assert want == r11_rows  # exactly filled the 50 slots
+
+
+def test_driver_window_rotation_rule_r12():
+    """Round-12 window under the postdate rule + the r7 shared-layer
+    amendment: (a) s35 (the one-call composed persisted ColBERT serve
+    — VERDICT r11 #3) and s36 (the ragged-token-count retrieval —
+    VERDICT r11 #4), both registered round 12; (b) s30/s33 whose OWN
+    serve entry changed (`maxsim_search_tokens_persisted`: the
+    recorded-n_tokens cross-check, token_meta sniff, and token-table
+    route — ADVICE r11), s29/s09 whose OWN fit path changed
+    (`pq_kmeans_codebooks`' lazy sample-sizing count — ADVICE r11),
+    plus s13 as representative consumer of the
+    `build_ivfsq_index(extra_meta=)` sidecar hook (shared index-build
+    layer; the non-default path rides s30/s33/s35/s36); (c) the
+    ENTIRE 19-row r8 cohort — the staleness frontier VERDICT r11 #2
+    names — + the 24 alphabetically-first of the 44-row r9 cohort
+    (name-order tie-break, the standing audit rule). LIVE round:
+    asserted against the current window; convert to the
+    CORRECTNESS_r12 record once it exists."""
+    import json
+    import os
+
+    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
+
+    new_in_r12 = {
+        "s35_colbert_one_call_serve",
+        "s36_colbert_ragged_tokens",
+    }
+    changed_in_r12 = {
+        "s30_colbert_persisted_serve",  # own serve entry (meta-T check)
+        "s33_colbert_pq_serve",  # own serve entry (PQ kind dispatch)
+        "s29_pq_learned_index_topk",  # pq_kmeans_codebooks lazy count
+        "s09_ivfpq_kmeans_topk",  # same fit path (own plan)
+        "s13_persisted_index_topk",  # build extra_meta representative
+    }
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int] = {}
+    for rnd in range(1, 12):
+        for name in json.load(
+            open(os.path.join(root, f"CORRECTNESS_r{rnd:02d}.json"))
+        ):
+            latest[name] = rnd
+    stale_r8 = {name for name, rnd in latest.items() if rnd == 8}
+    assert len(stale_r8) == 19
+    r9 = sorted(name for name, rnd in latest.items() if rnd == 9)
+    assert len(r9) == 44
+    mandatory = new_in_r12 | changed_in_r12 | stale_r8
+    fill_r9 = set(r9[: 50 - len(mandatory)])
+    assert len(fill_r9) == 24
+    want = mandatory | fill_r9
     assert want == set(DRIVER_WINDOW)  # exactly fills the 50 slots
 
 

@@ -514,3 +514,145 @@ def test_streaming_maxsim_serve_matches_batch(spark, tmp_path):
         )
     )
     assert sorted(got) == want and len(want) == 15
+
+
+def test_token_index_records_n_tokens_and_rejects_mismatch(spark, tmp_path):
+    """ADVICE r11: `build_token_index` records n_tokens in the index
+    meta; serving with a different T would decode composite candidate
+    ids with the wrong divisor and map hits to WRONG parent documents
+    — it must raise instead, warm (primed token_meta) and cold (the
+    sidecar), and ``n_tokens=None`` must take T from the index."""
+    import mergers_acquisitions_predictions_spark.operators.util as U
+    from mergers_acquisitions_predictions_spark.operators.maxsim import (
+        build_token_index,
+        maxsim_search_tokens_persisted,
+        token_slices,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    path = str(tmp_path / "tok_meta")
+    build_token_index(toks, path, n_tokens=4)
+    q = toks.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="built with n_tokens=4"):
+        maxsim_search_tokens_persisted(
+            spark, path, q, toks, k=3, k0=6, n_tokens=2
+        )
+    with U._MEMO_LOCK:  # cold reader: the check must ride the sidecar
+        U._LITERAL_MEMO.clear()
+    with pytest.raises(ValueError, match="built with n_tokens=4"):
+        maxsim_search_tokens_persisted(
+            spark, path, q, toks, k=3, k0=6, n_tokens=2
+        )
+    # n_tokens=None: T comes from the build record — identical serve
+    explicit = sorted(
+        map(
+            tuple,
+            maxsim_search_tokens_persisted(
+                spark, path, q, toks, k=3, k0=6, n_tokens=4
+            ).collect(),
+        )
+    )
+    from_meta = sorted(
+        map(
+            tuple,
+            maxsim_search_tokens_persisted(
+                spark, path, q, toks, k=3, k0=6, n_tokens=None
+            ).collect(),
+        )
+    )
+    assert explicit and explicit == from_meta
+
+
+def test_direct_build_requires_explicit_n_tokens(spark, tmp_path):
+    """An index built directly through `build_ivfsq_index` (not via
+    `build_token_index`) records no T: ``n_tokens=None`` must fail
+    loud asking for the argument, and the explicit T must serve."""
+    from mergers_acquisitions_predictions_spark.operators.maxsim import (
+        composite_tokens,
+        maxsim_search_tokens_persisted,
+        token_slices,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    path = str(tmp_path / "tok_direct")
+    build_ivfsq_index(composite_tokens(toks, 4), path, n_cells=None)
+    q = toks.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="records no n_tokens"):
+        maxsim_search_tokens_persisted(
+            spark, path, q, toks, k=3, k0=6, n_tokens=None
+        )
+    got = maxsim_search_tokens_persisted(
+        spark, path, q, toks, k=3, k0=6, n_tokens=4
+    ).collect()
+    assert got and len({r["query_id"] for r in got}) == 2
+
+
+def test_one_call_token_table_route_matches_in_memory(spark, tmp_path):
+    """VERDICT r11 #3: the composed deployment serve
+    (``token_table_path=``) must equal the in-memory-cand_tokens
+    route bit-for-bit in BOTH shortlist-cut modes (id In-pushdown and
+    broadcast semi join — the §7r-c crossover pair), and passing both
+    candidate sources must fail loud."""
+    from mergers_acquisitions_predictions_spark.operators.maxsim import (
+        build_token_index,
+        maxsim_search_tokens_persisted,
+        token_slices,
+        write_token_table,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    idx = str(tmp_path / "tok_idx")
+    tbl = str(tmp_path / "tok_tbl")
+    build_token_index(toks, idx, n_tokens=4)
+    write_token_table(toks, tbl)
+    q = toks.filter(F.col("vec_id") < 3)
+    want = sorted(
+        map(
+            tuple,
+            maxsim_search_tokens_persisted(
+                spark, idx, q, toks, k=5, k0=10
+            ).collect(),
+        )
+    )
+    pushdown = sorted(
+        map(
+            tuple,
+            maxsim_search_tokens_persisted(
+                spark, idx, q, k=5, k0=10, token_table_path=tbl
+            ).collect(),
+        )
+    )
+    semijoin = sorted(
+        map(
+            tuple,
+            maxsim_search_tokens_persisted(
+                spark, idx, q, k=5, k0=10,
+                token_table_path=tbl, ids_pushdown=False,
+            ).collect(),
+        )
+    )
+    assert want and want == pushdown == semijoin
+    with pytest.raises(ValueError, match="not both"):
+        maxsim_search_tokens_persisted(
+            spark, idx, q, toks, k=5, k0=10, token_table_path=tbl
+        )
+    with pytest.raises(ValueError, match="pass cand_tokens"):
+        maxsim_search_tokens_persisted(spark, idx, q, k=5, k0=10)

@@ -164,3 +164,32 @@ def test_kmeans_codebooks_sampled_fit(spark):
     got = ivfpq_topk(q, e, k=5, n_cells=16, n_probe=2, codebooks=s1, rerank=40)
     rec = topk_recall(exact, got, k=5).agg(F.avg("recall")).first()[0]
     assert rec >= 0.7
+
+
+def test_pq_kmeans_codebooks_lazy_count(spark):
+    """ADVICE r11: the sample-sizing count is lazy — a
+    ``corpus_cache_key`` reuses the builds' memoized count (same
+    key), and either way the books are identical to the keyless
+    path's (the branch decision depends only on n vs threshold)."""
+    from mergers_acquisitions_predictions_spark.operators.pq import (
+        pq_kmeans_codebooks,
+    )
+    from mergers_acquisitions_predictions_spark.operators.util import (
+        peek_memoized_literal,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    plain = pq_kmeans_codebooks(e, n_subspaces=8, n_codes=16)
+    keyed = pq_kmeans_codebooks(
+        e, n_subspaces=8, n_codes=16, corpus_cache_key=(SF, "emb", "t")
+    )
+    assert plain == keyed
+    # the count landed under the index builds' shared memo key
+    assert peek_memoized_literal(
+        ("count", (SF, "emb", "t"), "vec_id")
+    ) == e.count()
+    # forced sampled branch still works through the lazy probe
+    sampled = pq_kmeans_codebooks(
+        e, n_subspaces=8, n_codes=16, fit_sample_per_code=25, fit_floor=0
+    )
+    assert len(sampled) == 8 and len(sampled[0]) == 16
