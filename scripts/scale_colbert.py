@@ -129,9 +129,19 @@ def main(sizes=(100_000,)) -> None:
         row["t_persisted_pq_serve"] = min(timed(persisted_pq)[1] for _ in range(3))
 
         def _du(p):
+            # LIVE generation only (round 12): a rebuild over a prior
+            # session's scratch artifact retains one old generation
+            # (the commit protocol's reader-safety contract), and
+            # whole-path du double-counted it — r11's 6.3/25.2 MB
+            # figures included retained generations on both sides.
+            from mergers_acquisitions_predictions_spark.operators.ann_index import (
+                _resolve_codes_name,
+            )
+
             try:
+                live = f"{p}/{_resolve_codes_name(spark, p)}"
                 out = subprocess.run(
-                    ["du", "-sb", p], capture_output=True, text=True
+                    ["du", "-sb", live], capture_output=True, text=True
                 ).stdout
                 return int(out.split()[0])
             except Exception:
