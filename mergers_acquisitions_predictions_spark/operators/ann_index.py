@@ -970,13 +970,15 @@ def append_to_ivfpq_index(
     fails fast before any write; the two-step encode around the cell
     shuffle bounds the shard's file fan-out to one file per touched
     cell and keeps `pq_encode` reading a concrete unit attribute."""
-    from .pq import _unit, pq_encode
+    from .pq import _unit, pq_encode, residual_cent_df, residual_expr
     from .similarity import ivf_assign_literal
     from .util import prime_memoized_literal
 
     spark = new_vectors.sparkSession
     live_name = _resolve_codes_name(spark, path)
-    cbs, cent_rows, dim, _nc = _read_ivfpq_meta(spark, path, live_name)
+    cbs, cent_rows, dim, _nc, residual = _read_ivfpq_meta(
+        spark, path, live_name
+    )
 
     bad = new_vectors.filter(F.size(F.col(vec_col)) != dim).limit(1).count()
     if bad:
@@ -984,21 +986,32 @@ def append_to_ivfpq_index(
             f"append_to_ivfpq_index: shard vectors must have dim={dim} "
             f"to match the persisted codebooks at {path}"
         )
-    coded = (
-        ivf_assign_literal(
-            new_vectors, cent_rows, "candidate_id", 1, id_col, vec_col
+    assigned = ivf_assign_literal(
+        new_vectors, cent_rows, "candidate_id", 1, id_col, vec_col
+    )
+    if residual:
+        # frozen geometry includes the residual flag: the shard
+        # encodes residuals to the PERSISTED centroids with the
+        # PERSISTED residual books (round 12, §7s).
+        pre = assigned.join(
+            F.broadcast(residual_cent_df(spark, cent_rows)), "cell_id"
+        ).select(
+            "candidate_id",
+            "cell_id",
+            residual_expr(
+                F.col("__vec"), F.col("__norm"), F.col("__cu")
+            ).alias("__unit"),
         )
-        .select(
+    else:
+        pre = assigned.select(
             "candidate_id",
             "cell_id",
             _unit(F.col("__vec"), F.col("__norm")).alias("__unit"),
         )
-        .repartition("cell_id")
-        .select(
-            "candidate_id",
-            "cell_id",
-            pq_encode(F.col("__unit"), cbs).alias("pq"),
-        )
+    coded = pre.repartition("cell_id").select(
+        "candidate_id",
+        "cell_id",
+        pq_encode(F.col("__unit"), cbs).alias("pq"),
     )
     coded.write.mode("append").partitionBy("cell_id").parquet(
         f"{path}/{live_name}"
@@ -1008,7 +1021,7 @@ def append_to_ivfpq_index(
     # post-append content fingerprint (append_to_ivfsq_index's lesson).
     prime_memoized_literal(("ivfsq_codes_dir", path), live_name)
     prime_memoized_literal(
-        ("ivfpq_meta", path, live_name), (cbs, cent_rows, dim, _nc)
+        ("ivfpq_meta", path, live_name), (cbs, cent_rows, dim, _nc, residual)
     )
 
 
@@ -1024,6 +1037,7 @@ def build_ivfpq_index(
     codebooks: list[list[list[float]]] | None = None,
     assign_blas: bool = False,
     extra_meta: dict | None = None,
+    residual: bool = False,
 ) -> None:
     """Build + persist an IVF-PQ index — the COMPRESSED persisted kind
     (round 10), completing the lifecycle family's memory story: the
@@ -1050,8 +1064,27 @@ def build_ivfpq_index(
     assignment as one numpy matmul per Arrow batch; codes are
     bit-identical off tie boundaries (see `ivf_assign_blas`).
     ``extra_meta``: `build_ivfsq_index`'s contract — caller-owned
-    JSON-safe fields merged into the geometry sidecar."""
-    from .pq import _unit, pq_anchor_codebooks, pq_encode
+    JSON-safe fields merged into the geometry sidecar.
+
+    ``residual=True`` (round 12 — SCALE.md §7s, measured first): the
+    fine stage encodes x_unit − c_unit(cell(x)) instead of x_unit —
+    the classic IVF-ADC refinement. The flag is RECORDED in the
+    geometry (serving a residual index with raw ADC tables would be
+    silently wrong), `search_ivfpq_index` dispatches on it, appends
+    encode with it, and compaction carries it forward with the rest
+    of the meta text. Opt-in by measurement: +0.16 recall@5 at equal
+    bytes on the structured corpus, a LOSS on the unstructured one
+    (§7s — decide per corpus, e.g. via a held-out recall probe).
+    Anchor books under the flag come from the lowest-id RESIDUALS;
+    caller ``codebooks`` must be residual-fitted."""
+    from .pq import (
+        _unit,
+        pq_anchor_codebooks,
+        pq_encode,
+        pq_residual_anchor_codebooks,
+        residual_cent_df,
+        residual_expr,
+    )
     from .similarity import (
         auto_cells,
         collect_centroid_rows,
@@ -1061,6 +1094,7 @@ def build_ivfpq_index(
     )
     from .util import memoized_literal, prime_memoized_literal, repartition_for_compute
 
+    spark = corpus.sparkSession
     memoize = corpus_cache_key is not None
     if n_cells is None:
         n = (
@@ -1071,15 +1105,6 @@ def build_ivfpq_index(
             else corpus.count()
         )
         n_cells = auto_cells(n)
-    if codebooks is not None:
-        cbs = codebooks
-    elif memoize:
-        cbs = memoized_literal(
-            ("pq_anchor_cbs", corpus_cache_key, n_subspaces, n_codes, id_col, vec_col),
-            lambda: pq_anchor_codebooks(corpus, n_subspaces, n_codes, id_col, vec_col),
-        )
-    else:
-        cbs = pq_anchor_codebooks(corpus, n_subspaces, n_codes, id_col, vec_col)
     if memoize:
         cent_rows = memoized_literal(
             ("ivf_cent_rows", corpus_cache_key, n_cells, id_col, vec_col),
@@ -1091,6 +1116,46 @@ def build_ivfpq_index(
         cent_rows = collect_centroid_rows(
             ivf_centroids(corpus, n_cells, id_col, vec_col)
         )
+
+    assign = ivf_assign_blas if assign_blas else ivf_assign_literal
+    cent_df = residual_cent_df(spark, cent_rows) if residual else None
+
+    def assigned_resids():
+        # residual lands as a concrete attribute before the cell
+        # shuffle (the two-step-encode discipline below); broadcast
+        # centroid join, map-side.
+        return assign(
+            repartition_for_compute(corpus), cent_rows, "candidate_id", 1, id_col, vec_col
+        ).join(F.broadcast(cent_df), "cell_id").select(
+            "candidate_id",
+            "cell_id",
+            residual_expr(
+                F.col("__vec"), F.col("__norm"), F.col("__cu")
+            ).alias("__resid"),
+        )
+
+    if codebooks is not None:
+        cbs = codebooks
+    elif residual:
+        if memoize:
+            cbs = memoized_literal(
+                ("pq_resid_cbs", corpus_cache_key, n_cells, n_subspaces,
+                 n_codes, id_col, vec_col),
+                lambda: pq_residual_anchor_codebooks(
+                    assigned_resids(), n_subspaces, n_codes
+                ),
+            )
+        else:
+            cbs = pq_residual_anchor_codebooks(
+                assigned_resids(), n_subspaces, n_codes
+            )
+    elif memoize:
+        cbs = memoized_literal(
+            ("pq_anchor_cbs", corpus_cache_key, n_subspaces, n_codes, id_col, vec_col),
+            lambda: pq_anchor_codebooks(corpus, n_subspaces, n_codes, id_col, vec_col),
+        )
+    else:
+        cbs = pq_anchor_codebooks(corpus, n_subspaces, n_codes, id_col, vec_col)
     dim = len(cbs) * len(cbs[0][0])
     if codebooks is not None:
         # Caller-supplied books define the geometry; the corpus width
@@ -1103,24 +1168,33 @@ def build_ivfpq_index(
                 f"(= n_subspaces × sub_dim of the supplied codebooks)"
             )
 
-    assign = ivf_assign_blas if assign_blas else ivf_assign_literal
-    coded = (
-        assign(
-            repartition_for_compute(corpus), cent_rows, "candidate_id", 1, id_col, vec_col
+    if residual:
+        coded = (
+            assigned_resids()
+            .repartition("cell_id")
+            .select(
+                "candidate_id",
+                "cell_id",
+                pq_encode(F.col("__resid"), cbs).alias("pq"),
+            )
         )
-        .select(
-            "candidate_id",
-            "cell_id",
-            _unit(F.col("__vec"), F.col("__norm")).alias("__unit"),
+    else:
+        coded = (
+            assign(
+                repartition_for_compute(corpus), cent_rows, "candidate_id", 1, id_col, vec_col
+            )
+            .select(
+                "candidate_id",
+                "cell_id",
+                _unit(F.col("__vec"), F.col("__norm")).alias("__unit"),
+            )
+            .repartition("cell_id")
+            .select(
+                "candidate_id",
+                "cell_id",
+                pq_encode(F.col("__unit"), cbs).alias("pq"),
+            )
         )
-        .repartition("cell_id")
-        .select(
-            "candidate_id",
-            "cell_id",
-            pq_encode(F.col("__unit"), cbs).alias("pq"),
-        )
-    )
-    spark = corpus.sparkSession
     meta_text = json.dumps(
         {
             "kind": "ivfpq",
@@ -1134,21 +1208,27 @@ def build_ivfpq_index(
             "centroids": json.dumps(
                 [[int(c), list(map(float, v)), float(n)] for c, v, n in cent_rows]
             ),
+            **({"residual": 1} if residual else {}),
             **(extra_meta or {}),
         }
     )
     live_name = _publish_codes(spark, path, coded, meta_text)
     prime_memoized_literal(("ivfsq_codes_dir", path), live_name)
     prime_memoized_literal(
-        ("ivfpq_meta", path, live_name), (cbs, cent_rows, dim, n_cells)
+        ("ivfpq_meta", path, live_name),
+        (cbs, cent_rows, dim, n_cells, bool(residual)),
     )
 
 
 def _read_ivfpq_meta(spark: SparkSession, path: str, name: str):
-    """(codebooks, cent_rows, dim, n_cells) for generation ``name`` of
-    the IVF-PQ index at ``path`` — `_read_index_meta`'s contract
-    (same-session primed value keyed by generation, else the
-    generation's on-disk geometry; kind-guarded both ways)."""
+    """(codebooks, cent_rows, dim, n_cells, residual) for generation
+    ``name`` of the IVF-PQ index at ``path`` — `_read_index_meta`'s
+    contract (same-session primed value keyed by generation, else the
+    generation's on-disk geometry; kind-guarded both ways). The
+    5th element (round 12) is the residual-encoding flag: serving
+    residual codes with raw ADC tables — or vice versa — would be
+    silently wrong, so the geometry carries it and the serve
+    dispatches on it; legacy metas predate the field and are raw."""
     from .util import peek_memoized_literal
 
     primed = peek_memoized_literal(("ivfpq_meta", path, name))
@@ -1169,7 +1249,13 @@ def _read_ivfpq_meta(spark: SparkSession, path: str, name: str):
         (int(c), [float(x) for x in v], float(n))
         for c, v, n in json.loads(meta["centroids"])
     ]
-    return cbs, cent_rows, int(meta["dim"]), int(meta["n_cells"])
+    return (
+        cbs,
+        cent_rows,
+        int(meta["dim"]),
+        int(meta["n_cells"]),
+        bool(meta.get("residual", 0)),
+    )
 
 
 def search_ivfpq_index(
@@ -1213,19 +1299,40 @@ def search_ivfpq_index(
     from .util import hof_bind
 
     live_name = _resolve_codes_name(spark, path)
-    cbs, cent_rows, _dim, _nc = _read_ivfpq_meta(spark, path, live_name)
+    cbs, cent_rows, _dim, _nc, residual = _read_ivfpq_meta(
+        spark, path, live_name
+    )
     n_sub = len(cbs)
 
     q = ivf_assign_literal(
         queries, cent_rows, "query_id", n_probe, id_col, vec_col
-    ).select(
-        "query_id",
-        "cell_id",
-        hof_bind(
-            _unit(F.col("__vec"), F.col("__norm")),
-            lambda u: pq_adc_table(u, cbs),
-        ).alias("dtab"),
     )
+    if residual:
+        # residual geometry (round 12, §7s): the ADC table is per
+        # (query, probed cell) from q_unit − c_unit(cell) — the cell
+        # equi-join below already pairs each candidate with its own
+        # cell's table, the classic IVF-ADC serve shape.
+        from .pq import residual_cent_df, residual_expr
+
+        q = q.join(
+            F.broadcast(residual_cent_df(spark, cent_rows)), "cell_id"
+        ).select(
+            "query_id",
+            "cell_id",
+            hof_bind(
+                residual_expr(F.col("__vec"), F.col("__norm"), F.col("__cu")),
+                lambda r: pq_adc_table(r, cbs),
+            ).alias("dtab"),
+        )
+    else:
+        q = q.select(
+            "query_id",
+            "cell_id",
+            hof_bind(
+                _unit(F.col("__vec"), F.col("__norm")),
+                lambda u: pq_adc_table(u, cbs),
+            ).alias("dtab"),
+        )
     probed = sorted(
         {r["cell_id"] for r in q.select("cell_id").distinct().collect()}
     )

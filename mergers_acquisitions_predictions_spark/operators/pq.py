@@ -92,6 +92,68 @@ def _unit(vec: Column, norm: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double") / norm)
 
 
+def residual_cent_df(spark, cent_rows) -> DataFrame:
+    """The UNIT-normalized centroid table ``(cell_id, __cu)`` for the
+    residual-encoding routes (round 12, SCALE.md §7s) as a
+    driver-sized single-partition frame: residual encode/serve joins
+    it broadcast on ``cell_id`` (cell ids are anchor vec_ids — NOT
+    dense — so a positional literal lookup would be wrong). The
+    division happens in Python IEEE doubles — bit-identical to the
+    oracle's ``cvec[i]/cnorm`` and to computing it plan-side."""
+    from .util import local_rows_df
+
+    return local_rows_df(
+        spark,
+        [
+            (int(c), [float(x) / float(n) for x in v])
+            for c, v, n in cent_rows
+        ],
+        "cell_id BIGINT, __cu ARRAY<DOUBLE>",
+    )
+
+
+def residual_expr(vec: Column, norm: Column, cu: Column) -> Column:
+    """x_unit − c_unit(cell(x)) — the residual the compressed fine
+    stage encodes under ``residual=True`` (classic IVF-ADC, Jégou et
+    al. 2011 §IV.B). ADC between two residuals of the SAME cell
+    estimates the same ‖q_u − x_u‖² the raw route estimates, but the
+    books only have to code the within-cell spread — §7s measured
+    +0.16 recall@5 at equal bytes on the structured corpus (and a
+    LOSS on the unstructured one: opt-in, never a default)."""
+    return F.zip_with(_unit(vec, norm), cu, lambda a, b: a - b)
+
+
+def pq_residual_anchor_codebooks(
+    resid_frame: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "candidate_id",
+    res_col: str = "__resid",
+) -> list[list[list[float]]]:
+    """`pq_anchor_codebooks` for the residual route: the ``n_codes``
+    lowest-id RESIDUAL vectors, sliced per subspace — deterministic
+    and oracle-replayable (the oracle recomputes the same residuals
+    relationally and takes the same lowest-id LIMIT). The residuals
+    arrive computed (assignment + centroid subtract), so this is one
+    driver-sized collect like the raw anchor fit; a deployment swaps
+    in per-subspace k-means over residuals exactly as for the raw
+    kind (scripts/scale_pq_residual.fit_books_on)."""
+    rows = (
+        resid_frame.select(id_col, res_col)
+        .orderBy(id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    dim = len(rows[0][res_col])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    res = [[float(x) for x in r[res_col]] for r in rows]
+    return [
+        [v[m * sub : (m + 1) * sub] for v in res] for m in range(n_subspaces)
+    ]
+
+
 def _cb_literal(codebooks: list[list[list[float]]]) -> Column:
     """The codebooks as ONE nested array<array<array<double>>> literal
     column. Keeping the codebook a literal (not a join) keeps
@@ -228,6 +290,7 @@ def ivfpq_topk(
     codebooks: list[list[list[float]]] | None = None,
     rerank: int | None = None,
     corpus_cache_key: tuple | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """Approximate top-k via IVF-PQ: cosine IVF cells prune the
     candidate space (equi-join on cell_id — corpus × query never
@@ -262,7 +325,19 @@ def ivfpq_topk(
     (corpus, config) — the usual contract: the key identifies corpus
     content, results are identical either way. Only applies to the
     coded frame when ``codebooks`` is None (caller-supplied books
-    have content the key cannot see)."""
+    have content the key cannot see).
+
+    ``residual=True`` (round 12 — SCALE.md §7s): the fine stage
+    encodes x_unit − c_unit(cell(x)) instead of x_unit, and the
+    query's ADC table is computed PER PROBED CELL from the matching
+    query residual (the classic IVF-ADC serve shape — n_probe small
+    tables per query instead of one; the cell equi-join already
+    pairs each candidate with its own cell's table). Same bytes,
+    same join shapes, same ranking contract; §7s measured +0.16
+    recall@5 on the structured corpus and a LOSS on the unstructured
+    one — opt-in by design. Anchor books come from the lowest-id
+    RESIDUALS (`pq_residual_anchor_codebooks`); caller-supplied
+    ``codebooks`` must have been fitted on residuals."""
     from .similarity import auto_cells, ivf_assign_literal, ivf_centroids
     from .util import memoized_frame, memoized_literal
 
@@ -276,12 +351,6 @@ def ivfpq_topk(
             else corpus.count()
         )
         n_cells = auto_cells(n)
-    cbs = (
-        codebooks
-        if codebooks is not None
-        else pq_anchor_codebooks(corpus, n_subspaces, n_codes, id_col, vec_col)
-    )
-    n_sub = len(cbs)
 
     # centroids as driver constants (n_cells rows — the same class of
     # collect as the codebooks above): assignment then needs NO
@@ -301,7 +370,54 @@ def ivfpq_topk(
     else:
         cent_rows = collect_cents()
 
+    cent_df = (
+        residual_cent_df(corpus.sparkSession, cent_rows) if residual else None
+    )
+
+    def corpus_resids() -> DataFrame:
+        # residual computed BEFORE the downstream shuffle/encode so it
+        # lands as a concrete attribute (the §7o-r9 discipline); the
+        # centroid join is broadcast and map-side.
+        return ivf_assign_literal(
+            repartition_for_compute(corpus),
+            cent_rows,
+            "candidate_id",
+            1,
+            id_col,
+            vec_col,
+        ).join(F.broadcast(cent_df), "cell_id").select(
+            "candidate_id",
+            "cell_id",
+            residual_expr(
+                F.col("__vec"), F.col("__norm"), F.col("__cu")
+            ).alias("__resid"),
+        )
+
+    if residual:
+        cbs = (
+            codebooks
+            if codebooks is not None
+            else pq_residual_anchor_codebooks(
+                corpus_resids(), n_subspaces, n_codes
+            )
+        )
+    else:
+        cbs = (
+            codebooks
+            if codebooks is not None
+            else pq_anchor_codebooks(corpus, n_subspaces, n_codes, id_col, vec_col)
+        )
+    n_sub = len(cbs)
+
     def corpus_codes() -> DataFrame:
+        if residual:
+            return corpus_resids().select(
+                "candidate_id",
+                "cell_id",
+                hof_bind(F.col("__resid"), lambda r: pq_encode(r, cbs)).alias(
+                    "pq"
+                ),
+            )
         return ivf_assign_literal(
             repartition_for_compute(corpus),
             cent_rows,
@@ -331,6 +447,7 @@ def ivfpq_topk(
                 n_codes,
                 id_col,
                 vec_col,
+                *(("resid",) if residual else ()),
             ),
             corpus_codes,
         )
@@ -338,14 +455,25 @@ def ivfpq_topk(
         c = corpus_codes()
     q = ivf_assign_literal(
         queries, cent_rows, "query_id", n_probe, id_col, vec_col
-    ).select(
-        "query_id",
-        "cell_id",
-        hof_bind(
-            _unit(F.col("__vec"), F.col("__norm")),
-            lambda u: pq_adc_table(u, cbs),
-        ).alias("dtab"),
     )
+    if residual:
+        q = q.join(F.broadcast(cent_df), "cell_id").select(
+            "query_id",
+            "cell_id",
+            hof_bind(
+                residual_expr(F.col("__vec"), F.col("__norm"), F.col("__cu")),
+                lambda r: pq_adc_table(r, cbs),
+            ).alias("dtab"),
+        )
+    else:
+        q = q.select(
+            "query_id",
+            "cell_id",
+            hof_bind(
+                _unit(F.col("__vec"), F.col("__norm")),
+                lambda u: pq_adc_table(u, cbs),
+            ).alias("dtab"),
+        )
 
     joined = c.join(F.broadcast(q), "cell_id").filter(
         F.col("query_id") != F.col("candidate_id")

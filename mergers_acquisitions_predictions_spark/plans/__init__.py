@@ -45,9 +45,12 @@ from . import io_queries  # noqa: E402,F401
 #:
 #: Round 12: (a) new = s35 (the ONE-CALL composed persisted ColBERT
 #: serve — persisted token index + materialized token table, no
-#: in-memory corpus frame, VERDICT r11 #3) and s36 (the RAGGED
+#: in-memory corpus frame, VERDICT r11 #3), s36 (the RAGGED
 #: token-count retrieval — per-document variable T through the full
-#: persisted route, VERDICT r11 #4); (b) changed since last row =
+#: persisted route, VERDICT r11 #4), and s37 (the RESIDUAL-encoded
+#: IVF-PQ kind — built after §7s measured +0.16 recall@5 at equal
+#: bytes on the structured corpus, VERDICT r11 #7; opt-in flag
+#: recorded in the geometry); (b) changed since last row =
 #: s30/s33 (OWN serve entry `maxsim_search_tokens_persisted`: the
 #: recorded-n_tokens cross-check + token_meta sniff + token-table
 #: route, ADVICE r11), s29 and s09 (OWN plans: `pq_kmeans_codebooks`
@@ -56,16 +59,19 @@ from . import io_queries  # noqa: E402,F401
 #: r11), plus s13 as the representative consumer of the
 #: `build_ivfsq_index(extra_meta=)` sidecar hook (shared index-build
 #: layer; default None is byte-identical, the token-index consumers
-#: s30/s33/s35/s36 exercise the non-default path); (c) fill = the
-#: ENTIRE 19-row r8 cohort (q24..q43 — VERDICT r11 #2, the staleness
-#: frontier) + the 24 alphabetically-first rows of the 44-row r9
-#: cohort (name order makes the tie-break auditable). After this
-#: round every registered query's driver row postdates r8; the 20
-#: remaining r9 rows (s04..u02) are round 13's frontier.
+#: s30/s33/s35/s36 exercise the non-default path; s37 rides the same
+#: hook as (a)); (c) fill = the ENTIRE 19-row r8 cohort (q24..q43 —
+#: VERDICT r11 #2, the staleness frontier) + the 23
+#: alphabetically-first rows of the 44-row r9 cohort (name order
+#: makes the tie-break auditable; s03 moved to the r13 frontier when
+#: s37's (a)-slot shrank the fill). After this round every registered
+#: query's driver row postdates r8; the 21 remaining r9 rows
+#: (s03..u02) are round 13's frontier.
 DRIVER_WINDOW = [
     # (a): registered this round
     "s35_colbert_one_call_serve",
     "s36_colbert_ragged_tokens",
+    "s37_pq_residual_topk",
     # (b): implementation changed since their last row
     "s30_colbert_persisted_serve",
     "s33_colbert_pq_serve",
@@ -116,7 +122,6 @@ DRIVER_WINDOW = [
     "q45_except_all_multiplicity",
     "s01_embedding_norms",
     "s02_cosine_topk",
-    "s03_lsh_ann_topk",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

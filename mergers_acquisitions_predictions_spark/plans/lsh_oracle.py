@@ -226,6 +226,7 @@ def ivfpq_topk_sql(
     query_filter: str = "WHERE vec_id < 5",
     rerank: int | None = None,
     codebook_parquet: str | None = None,
+    residual: bool = False,
 ) -> str:
     """DuckDB mirror of `operators/pq.ivfpq_topk` — and the proof that
     even a compressed approximate index can be value-checked: the
@@ -246,10 +247,17 @@ def ivfpq_topk_sql(
     LEARNED codebooks are fitted-model parameters a static oracle
     cannot regenerate, but once materialized the entire encode + ADC
     + re-rank plan replays from the artifact. Every other CTE is
-    unchanged."""
+    unchanged.
+
+    ``residual=True`` (round 12 — SCALE.md §7s): replays the
+    residual-encoded kind — codes and anchor books from
+    x_unit − c_unit(cell(x)), the query's ADC table per probed cell
+    from the matching query residual. Default keeps every raw-kind
+    string byte-identical."""
     return f"""{_ivfpq_scored_ctes_sql(n_subspaces, sub_dim, n_codes,
                                        n_cells, n_probe, query_filter,
-                                       codebook_parquet)}{"" if rerank is None else f''',
+                                       codebook_parquet,
+                                       residual=residual)}{"" if rerank is None else f''',
     shortlist AS (
         SELECT query_id, candidate_id
         FROM (
@@ -298,6 +306,7 @@ def _ivfpq_scored_ctes_sql(
     query_filter: str,
     codebook_parquet: str | None = None,
     table: str = "embeddings",
+    residual: bool = False,
 ) -> str:
     """The IVF-PQ machinery of `ivfpq_topk_sql` up through the
     ``scored`` CTE (unit vectors, anchor-or-artifact codebooks,
@@ -307,7 +316,15 @@ def _ivfpq_scored_ctes_sql(
     (`colbert_persisted_pq_retrieval_sql`: the compressed token-level
     first stage). ``table`` names the corpus relation; the default
     keeps every pre-round-11 oracle string byte-identical (asserted
-    across the refactor, the standing discipline)."""
+    across the refactor, the standing discipline).
+
+    ``residual=True`` (round 12 — SCALE.md §7s): the residual-encoded
+    kind. The CTE chain reorders (cells and assignment must precede
+    the residual frame the books and codes derive from): unit → cent
+    → c_assign/q_assign → resid (u − cvec/cnorm of the ASSIGNED
+    cell) → anchor books from the lowest-id residuals → codes →
+    scored, whose per-(query, cell) ADC table uses the query residual
+    to THAT cell. Raw-kind strings stay byte-identical."""
     M, SUB, K = n_subspaces, sub_dim, n_codes
     if n_cells == "auto":
         cent_block = auto_ivf_cent_ctes_sql(table=table)
@@ -315,6 +332,74 @@ def _ivfpq_scored_ctes_sql(
         if table != "embeddings":
             raise ValueError("fixed n_cells supports only table='embeddings'")
         cent_block = f"cent AS ({ivf_cent_cte_sql(n_cells)}\n    )"
+    if residual:
+        if codebook_parquet is not None:
+            raise ValueError(
+                "residual oracle supports anchor books only (the s37 "
+                "configuration); artifact books compose like the raw kind"
+            )
+        DIM = M * SUB
+        sq_r = (
+            f"(r[(m - 1) * {SUB} + i] - cbs[m][c][i])"
+            f" * (r[(m - 1) * {SUB} + i] - cbs[m][c][i])"
+        )
+        dists_r = f"""list_transform(range(1, {K} + 1), c ->
+                       round(list_sum(list_transform(range(1, {SUB} + 1),
+                           i -> {sq_r})), 6))"""
+        qr = (
+            f"(qu.u[(m - 1) * {SUB} + i]"
+            f" - ct.cvec[(m - 1) * {SUB} + i] / ct.cnorm)"
+        )
+        return f"""
+    unit AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)
+                   / sqrt({SQL_SQNORM.format(v='embedding')})) AS u
+        FROM {table}
+    ),
+    {cent_block},
+    c_assign AS ({ivf_assign_sql("", "candidate_id", 1, table=table)}
+    ),
+    q_assign AS ({ivf_assign_sql(query_filter, "query_id", n_probe, table=table)}
+    ),
+    resid AS (
+        SELECT c.candidate_id AS vec_id, c.cell_id,
+               list_transform(range(1, {DIM} + 1), i ->
+                   u.u[i] - ct.cvec[i] / ct.cnorm) AS r
+        FROM c_assign c
+        JOIN unit u ON u.vec_id = c.candidate_id
+        JOIN cent ct USING (cell_id)
+    ),
+    cb_nested AS (
+        SELECT list_transform(range(1, {M} + 1), m ->
+                   list_transform(anchors, a ->
+                       list_transform(range(1, {SUB} + 1),
+                                      i -> a[(m - 1) * {SUB} + i]))) AS cbs
+        FROM (SELECT list(r ORDER BY vec_id) AS anchors
+              FROM (SELECT vec_id, r FROM resid ORDER BY vec_id LIMIT {K}))
+    ),
+    codes AS (
+        SELECT vec_id,
+               list_transform(range(1, {M} + 1), m ->
+                   CAST(list_position({dists_r},
+                        list_min({dists_r})) - 1 AS INTEGER)) AS pq
+        FROM resid CROSS JOIN cb_nested
+    ),
+    scored AS (
+        SELECT q.query_id, c.candidate_id,
+               round(list_sum(list_transform(range(1, {M} + 1), m ->
+                   list_sum(list_transform(range(1, {SUB} + 1), i ->
+                       ({qr} - cbs[m][pq[m] + 1][i])
+                     * ({qr} - cbs[m][pq[m] + 1][i]))))), 6)
+                   AS adc_dist
+        FROM q_assign q
+        JOIN cent ct USING (cell_id)
+        JOIN c_assign c USING (cell_id)
+        JOIN codes cd ON cd.vec_id = c.candidate_id
+        JOIN unit qu ON qu.vec_id = q.query_id
+        CROSS JOIN cb_nested
+        WHERE q.query_id <> c.candidate_id
+    )"""
     sq = (
         f"(u[(m - 1) * {SUB} + i] - cbs[m][c][i])"
         f" * (u[(m - 1) * {SUB} + i] - cbs[m][c][i])"

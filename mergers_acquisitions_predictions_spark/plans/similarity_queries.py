@@ -1840,3 +1840,48 @@ def s36_colbert_ragged_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens=None,  # meta-default: T comes from the build record
         n_probe=2,
     )
+
+
+@query(
+    "s37_pq_residual_topk",
+    oracle=f"WITH {_ivfpq_topk_sql(n_subspaces=8, sub_dim=8, n_codes=16, n_cells='auto', n_probe=2, k=5, residual=True)}\n",
+)
+def s37_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIDUAL-encoded persisted IVF-PQ index (round 12 —
+    VERDICT r11 #7, built only after SCALE.md §7s measured the gap):
+    the fine stage encodes x_unit − c_unit(cell(x)) instead of
+    x_unit, the classic IVF-ADC refinement — the coarse quantizer
+    absorbs the between-cluster variance and the same 8 bytes/vector
+    code the within-cell spread, measured +0.16 recall@5 at equal
+    bytes on the structured corpus (and a LOSS on the unstructured
+    one, which is why ``residual=True`` is opt-in and RECORDED in the
+    index geometry — `search_ivfpq_index` dispatches on the flag, and
+    appends/compactions carry it with the frozen geometry). The serve
+    computes the query's ADC table PER PROBED CELL from the matching
+    query residual; the cell equi-join pairs each candidate with its
+    own cell's table, so the scan stays M lookups per pair,
+    partition-pruned, no vector math.
+
+    Oracle: `ivfpq_topk_sql(residual=True)` — the residual CTE chain
+    (cells → assignment → residuals → lowest-id residual anchor
+    books → rounded-argmin codes → per-(query, cell) ADC) replayed
+    relationally in one statement; s23 keeps certifying the raw kind,
+    and the 164 pre-existing oracle strings are byte-identical across
+    the residual hook. No reference analogue — SURVEY §7 Phase 4
+    surface."""
+    from ..operators.ann_index import build_ivfpq_index, search_ivfpq_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_path(spark, sf_dir, "ivfpq_resid")
+    build_ivfpq_index(
+        e,
+        path,
+        n_cells=None,
+        n_subspaces=8,
+        n_codes=16,
+        residual=True,
+        corpus_cache_key=(sf_dir, "embeddings"),
+    )
+    return search_ivfpq_index(
+        spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
+    )

@@ -195,3 +195,60 @@ def test_pq_compact_is_layout_only(spark, tmp_path):
     assert after < before
     assert fs_read_text(spark, f"{path}/CURRENT").strip() == "codes_g000001"
     assert _rows(search_ivfpq_index(spark, path, q, k=5, n_probe=2)) == pre
+
+
+def test_residual_persisted_matches_inmemory(spark, tmp_path):
+    """Round 12 (§7s): the residual-encoded persisted serve must be
+    bit-identical to the in-memory `ivfpq_topk(residual=True)` under
+    the same geometry, and must actually DIFFER from the raw kind
+    (same corpus, same bytes — different codes by construction)."""
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "residx")
+    build_ivfpq_index(
+        e, path, n_cells=16, n_subspaces=8, n_codes=16, residual=True
+    )
+    got = _rows(search_ivfpq_index(spark, path, q, k=5, n_probe=2))
+    want = _rows(
+        ivfpq_topk(
+            q, e, k=5, n_cells=16, n_probe=2, n_subspaces=8, n_codes=16,
+            residual=True,
+        )
+    )
+    assert got == want
+    raw = _rows(
+        ivfpq_topk(q, e, k=5, n_cells=16, n_probe=2, n_subspaces=8, n_codes=16)
+    )
+    assert got != raw  # residual codes rank differently from raw codes
+
+
+def test_residual_flag_survives_append_and_compact(spark, tmp_path):
+    """The residual flag is FROZEN GEOMETRY: an appended shard must
+    encode residuals with the persisted centroids/books (a raw-encoded
+    shard would silently corrupt the index), and compaction must carry
+    the flag forward byte-identically (layout-only contract)."""
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        compact_index,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    even = e.filter(F.col("vec_id") % 2 == 0)
+    odd = e.filter(F.col("vec_id") % 2 == 1)
+    q = e.filter(F.col("vec_id") < 5)
+    split = str(tmp_path / "res_split")
+    build_ivfpq_index(
+        even, split, n_cells=16, n_subspaces=8, n_codes=16, residual=True
+    )
+    append_to_ivfpq_index(odd, split)
+    served = _rows(search_ivfpq_index(spark, split, q, k=5, n_probe=2))
+    assert served and len({r[0] for r in served}) == 5
+    before, after = compact_index(spark, split)
+    assert after <= before
+    assert _rows(search_ivfpq_index(spark, split, q, k=5, n_probe=2)) == served
+    # cold read (no session primes): flag must come from the sidecar
+    import mergers_acquisitions_predictions_spark.operators.util as U
+
+    with U._MEMO_LOCK:
+        U._LITERAL_MEMO.clear()
+    assert _rows(search_ivfpq_index(spark, split, q, k=5, n_probe=2)) == served
