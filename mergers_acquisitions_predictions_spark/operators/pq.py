@@ -637,3 +637,89 @@ def pq_kmeans_codebooks(
         return books
     finally:
         slices.unpersist()
+
+
+def pq_kmeans_residual_codebooks(
+    corpus: DataFrame,
+    cent_rows: list[tuple[int, list[float], float]],
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    fit_sample_per_code: int | None = 6250,
+    fit_floor: int | None = None,
+    corpus_cache_key: tuple | None = None,
+) -> list[list[list[float]]]:
+    """LEARNED books for the RESIDUAL kind (round 12 — §7s's winning
+    configuration: learned books over residuals read 0.84 recall@5 vs
+    0.68 raw at equal bytes on the structured corpus): per subspace,
+    k-means over the RESIDUAL slices x_unit − c_unit(cell(x)) — the
+    input is NOT re-normalized (a residual is not a direction; the
+    §7s script's `fit_books_on` promoted into the API). ``cent_rows``
+    is the SAME collected centroid table the index build uses — the
+    residuals the books are fitted on must be the residuals the build
+    encodes. Sampling contract identical to `pq_kmeans_codebooks`
+    (content-keyed xxhash sample, 100k floor, lazy count)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .similarity import _FIT_SAMPLE_FLOOR, ivf_assign_literal
+    from .util import fit_released, memoized_literal
+
+    first = corpus.select(vec_col).first()
+    dim = len(first[vec_col])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    if fit_sample_per_code is not None:
+        target = fit_sample_per_code * n_codes
+        floor = _FIT_SAMPLE_FLOOR if fit_floor is None else fit_floor
+        thresh = max(target, floor)
+        if corpus_cache_key is not None:
+            n = memoized_literal(
+                ("count", corpus_cache_key, id_col), lambda: corpus.count()
+            )
+        else:
+            n = corpus.limit(thresh + 1).count()
+            if n > thresh:
+                n = corpus.count()
+        if n > thresh:
+            m = max(2, round(n / target))
+            corpus = corpus.filter(F.xxhash64(F.col(id_col)) % m == 0)
+    sub = dim // n_subspaces
+    resid = (
+        ivf_assign_literal(corpus, cent_rows, "__rid", 1, id_col, vec_col)
+        .join(
+            F.broadcast(residual_cent_df(corpus.sparkSession, cent_rows)),
+            "cell_id",
+        )
+        .select(
+            residual_expr(
+                F.col("__vec"), F.col("__norm"), F.col("__cu")
+            ).alias("__r")
+        )
+    )
+    slices = resid.select(
+        *[
+            array_to_vector(F.slice(F.col("__r"), m * sub + 1, sub)).alias(
+                f"__s{m}"
+            )
+            for m in range(n_subspaces)
+        ]
+    ).persist()
+    try:
+        books: list[list[list[float]]] = []
+        for m in range(n_subspaces):
+            model = fit_released(
+                KMeans(
+                    k=n_codes, seed=seed + m, maxIter=max_iter, featuresCol=f"__s{m}"
+                ),
+                slices,
+            )
+            books.append(
+                [[float(x) for x in c] for c in model.clusterCenters()]
+            )
+        return books
+    finally:
+        slices.unpersist()

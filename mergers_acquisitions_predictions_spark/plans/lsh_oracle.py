@@ -333,11 +333,6 @@ def _ivfpq_scored_ctes_sql(
             raise ValueError("fixed n_cells supports only table='embeddings'")
         cent_block = f"cent AS ({ivf_cent_cte_sql(n_cells)}\n    )"
     if residual:
-        if codebook_parquet is not None:
-            raise ValueError(
-                "residual oracle supports anchor books only (the s37 "
-                "configuration); artifact books compose like the raw kind"
-            )
         DIM = M * SUB
         sq_r = (
             f"(r[(m - 1) * {SUB} + i] - cbs[m][c][i])"
@@ -350,6 +345,25 @@ def _ivfpq_scored_ctes_sql(
             f"(qu.u[(m - 1) * {SUB} + i]"
             f" - ct.cvec[(m - 1) * {SUB} + i] / ct.cnorm)"
         )
+        if codebook_parquet is None:
+            # anchor books from the lowest-id RESIDUALS (s37)
+            cb_block_r = f"""cb_nested AS (
+        SELECT list_transform(range(1, {M} + 1), m ->
+                   list_transform(anchors, a ->
+                       list_transform(range(1, {SUB} + 1),
+                                      i -> a[(m - 1) * {SUB} + i]))) AS cbs
+        FROM (SELECT list(r ORDER BY vec_id) AS anchors
+              FROM (SELECT vec_id, r FROM resid ORDER BY vec_id LIMIT {K}))
+    )"""
+        else:
+            # LEARNED residual books from the materialized artifact
+            # (s38 — s29's value-check recipe on the residual kind)
+            cb_block_r = f"""cb_nested AS (
+        SELECT list(cbm ORDER BY m) AS cbs FROM (
+            SELECT m, list(vec ORDER BY code) AS cbm
+            FROM read_parquet('{codebook_parquet}/*.parquet')
+            GROUP BY m)
+    )"""
         return f"""
     unit AS (
         SELECT vec_id,
@@ -370,14 +384,7 @@ def _ivfpq_scored_ctes_sql(
         JOIN unit u ON u.vec_id = c.candidate_id
         JOIN cent ct USING (cell_id)
     ),
-    cb_nested AS (
-        SELECT list_transform(range(1, {M} + 1), m ->
-                   list_transform(anchors, a ->
-                       list_transform(range(1, {SUB} + 1),
-                                      i -> a[(m - 1) * {SUB} + i]))) AS cbs
-        FROM (SELECT list(r ORDER BY vec_id) AS anchors
-              FROM (SELECT vec_id, r FROM resid ORDER BY vec_id LIMIT {K}))
-    ),
+    {cb_block_r},
     codes AS (
         SELECT vec_id,
                list_transform(range(1, {M} + 1), m ->

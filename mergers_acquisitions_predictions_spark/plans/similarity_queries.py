@@ -1885,3 +1885,99 @@ def s37_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ivfpq_index(
         spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
     )
+
+
+#: s38's codebook artifact — s29's fixed-path handshake on the
+#: residual kind (see plans/handshake.py for the contract).
+_S38_CB_PATH = _handshake_path("s38_codebooks")
+
+
+@query(
+    "s38_pq_residual_learned_topk",
+    oracle=f"""WITH {_ivfpq_topk_sql(n_subspaces=8, sub_dim=8, n_codes=16,
+                                     n_cells='auto', n_probe=2, k=5, rerank=15,
+                                     codebook_parquet=_S38_CB_PATH,
+                                     residual=True)}\n""",
+)
+def s38_pq_residual_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7s's WINNING configuration as one driver row (round 12):
+    LEARNED residual codebooks + residual encoding + exact re-rank —
+    the measured-best compressed-index recipe (learned-over-residual
+    books read 0.84 recall@5 vs 0.68 raw at equal bytes on the
+    structured corpus; the rerank covers what compression still
+    blurs, §7q lesson 1). `pq_kmeans_residual_codebooks` fits per-
+    subspace k-means on the residual slices THROUGH THE SAMPLED
+    BRANCH (fit_sample_per_code=25, fit_floor=0 — s29's deployment-
+    config certification on the residual kind), the books are
+    materialized to the fixed-path artifact, the index builds from
+    the ARTIFACT (residual=True recorded in the geometry), and the
+    serve overfetches a 15-deep ADC shortlist re-scored by exact
+    cosine.
+
+    Oracle: `ivfpq_topk_sql(residual=True, codebook_parquet=...)` —
+    the residual CTE chain with the learned books read from the same
+    artifact files, encode + per-(query,cell) ADC + rescore replayed
+    relationally; everything downstream of the per-subspace fits is
+    hash-checked cross-engine (the s29/s05 artifact recipe). No
+    reference analogue — SURVEY §7 Phase 4 surface."""
+    from ..operators.ann_index import build_ivfpq_index, search_ivfpq_index
+    from ..operators.pq import pq_kmeans_residual_codebooks
+    from ..operators.similarity import collect_centroid_rows, ivf_centroids
+    from ..operators.util import local_rows_df, memoized_literal
+    from ..sources.writers import publish_parquet_atomic
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # the SAME centroid table the build will use (shared memo key)
+    n = memoized_literal(
+        ("count", (sf_dir, "embeddings"), "vec_id"), lambda: e.count()
+    )
+    from ..operators.similarity import auto_cells
+
+    n_cells = auto_cells(n)
+    cent_rows = memoized_literal(
+        ("ivf_cent_rows", (sf_dir, "embeddings"), n_cells, "vec_id", "embedding"),
+        lambda: collect_centroid_rows(ivf_centroids(e, n_cells)),
+    )
+    cbs = pq_kmeans_residual_codebooks(
+        e, cent_rows, n_subspaces=8, n_codes=16,
+        fit_sample_per_code=25, fit_floor=0,
+        corpus_cache_key=(sf_dir, "embeddings"),
+    )
+    rows = [
+        (m + 1, c, [float(x) for x in cbs[m][c]])
+        for m in range(len(cbs))
+        for c in range(len(cbs[m]))
+    ]
+    publish_parquet_atomic(
+        local_rows_df(spark, rows, "m BIGINT, code BIGINT, vec ARRAY<DOUBLE>"),
+        _S38_CB_PATH,
+    )
+    art = spark.read.parquet(_S38_CB_PATH).collect()
+    nested: dict = {}
+    for r in art:
+        nested.setdefault(int(r["m"]), {})[int(r["code"])] = [
+            float(x) for x in r["vec"]
+        ]
+    cbs_art = [
+        [nested[m][c] for c in sorted(nested[m])] for m in sorted(nested)
+    ]
+    path = _scratch_index_path(spark, sf_dir, "ivfpq_resid_learned")
+    build_ivfpq_index(
+        e,
+        path,
+        n_cells=None,
+        n_subspaces=8,
+        n_codes=16,
+        codebooks=cbs_art,
+        residual=True,
+        corpus_cache_key=(sf_dir, "embeddings"),
+    )
+    return search_ivfpq_index(
+        spark,
+        path,
+        e.filter(F.col("vec_id") < 5),
+        k=5,
+        n_probe=2,
+        rerank=15,
+        vectors=e,
+    )

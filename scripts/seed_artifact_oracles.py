@@ -32,6 +32,7 @@ SEED_QUERIES = (
     "s19_sampled_kmeans_topk",
     "s09_ivfpq_kmeans_topk",
     "s29_pq_learned_index_topk",
+    "s38_pq_residual_learned_topk",
     "io01_csv_roundtrip",
     "io02_corpus_dir_scan",
     "io03_jsonl_roundtrip",
