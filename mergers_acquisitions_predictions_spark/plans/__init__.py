@@ -50,9 +50,12 @@ from . import io_queries  # noqa: E402,F401
 #: persisted route, VERDICT r11 #4), and s37 (the RESIDUAL-encoded
 #: IVF-PQ kind — built after §7s measured +0.16 recall@5 at equal
 #: bytes on the structured corpus, VERDICT r11 #7; opt-in flag
-#: recorded in the geometry) and s38 (§7s's winning configuration —
+#: recorded in the geometry), s38 (§7s's winning configuration —
 #: LEARNED residual books through the sampled fit, artifact-replayed,
-#: + exact rerank); (b) changed since last row =
+#: + exact rerank), and s39 (the residual flag composed through the
+#: COMPRESSED TOKEN-index route — token frames are slices of document
+#: embeddings, the structured class §7s measured the win on); (b)
+#: changed since last row =
 #: s30/s33 (OWN serve entry `maxsim_search_tokens_persisted`: the
 #: recorded-n_tokens cross-check + token_meta sniff + token-table
 #: route, ADVICE r11), s29 and s09 (OWN plans: `pq_kmeans_codebooks`
@@ -63,18 +66,19 @@ from . import io_queries  # noqa: E402,F401
 #: layer; default None is byte-identical, the token-index consumers
 #: s30/s33/s35/s36 exercise the non-default path; s37 rides the same
 #: hook as (a)); (c) fill = the ENTIRE 19-row r8 cohort (q24..q43 —
-#: VERDICT r11 #2, the staleness frontier) + the 22
+#: VERDICT r11 #2, the staleness frontier) + the 21
 #: alphabetically-first rows of the 44-row r9 cohort (name order
-#: makes the tie-break auditable; s02/s03 moved to the r13 frontier
-#: as s37/s38's (a)-slots shrank the fill). After this round every
-#: registered query's driver row postdates r8; the 22 remaining r9
-#: rows (s02..u02) are round 13's frontier.
+#: makes the tie-break auditable; s01/s02/s03 moved to the r13
+#: frontier as s37/s38/s39's (a)-slots shrank the fill). After this
+#: round every registered query's driver row postdates r8; the 23
+#: remaining r9 rows (s01..u02) are round 13's frontier.
 DRIVER_WINDOW = [
     # (a): registered this round
     "s35_colbert_one_call_serve",
     "s36_colbert_ragged_tokens",
     "s37_pq_residual_topk",
     "s38_pq_residual_learned_topk",
+    "s39_colbert_residual_pq_serve",
     # (b): implementation changed since their last row
     "s30_colbert_persisted_serve",
     "s33_colbert_pq_serve",
@@ -101,7 +105,7 @@ DRIVER_WINDOW = [
     "q41_rank_functions",
     "q42_grouping_sets",
     "q43_datetime_functions",
-    # (c): the 22 alphabetically-first rows of the r9 cohort
+    # (c): the 21 alphabetically-first rows of the r9 cohort
     "d01_minhash_signatures",
     "d02_minhash_lsh_pairs",
     "d03_jaccard_pairs",
@@ -123,7 +127,6 @@ DRIVER_WINDOW = [
     "q38_deterministic_sample",
     "q44_null_ordering",
     "q45_except_all_multiplicity",
-    "s01_embedding_norms",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -475,6 +475,7 @@ def colbert_persisted_pq_retrieval_sql(
     n_subspaces: int = 4,
     n_codes: int = 16,
     query_docs: int = 5,
+    residual: bool = False,
 ) -> str:
     """DuckDB mirror of the COMPRESSED persisted-token-index
     late-interaction retrieval (round 11 —
@@ -489,7 +490,12 @@ def colbert_persisted_pq_retrieval_sql(
     feed the s24 maxsim tail. Completes the token-index kind ladder:
     s30 certifies the SQ8 route, this the M-bytes/token compressed
     route (token indexes carry T× the corpus rows, so PQ compression
-    matters MORE there — §7q's memory story at T×n)."""
+    matters MORE there — §7q's memory story at T×n).
+
+    ``residual=True`` (round 12 — §7s): the token-level fine stage
+    encodes residuals to the token-index cells; the residual CTE
+    chain is table-parameterized, so it replays over the tokens CTE
+    unchanged (s39). Default keeps the s33 string byte-identical."""
     T, sub = n_tokens, dim // n_tokens
     return f"""tokens AS (
         SELECT CAST(vec_id * {T} + m AS BIGINT) AS vec_id,
@@ -505,7 +511,7 @@ def colbert_persisted_pq_retrieval_sql(
     ),{_ivfpq_scored_ctes_sql(n_subspaces, sub // n_subspaces, n_codes,
                               "auto", n_probe,
                               f"WHERE vec_id < {query_docs * T}",
-                              table="tokens")},
+                              table="tokens", residual=residual)},
     tok_hits AS (
         SELECT query_id, candidate_id FROM (
             SELECT query_id, candidate_id,

@@ -1981,3 +1981,64 @@ def s38_pq_residual_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=15,
         vectors=e,
     )
+
+
+@query(
+    "s39_colbert_residual_pq_serve",
+    oracle=f"WITH {_colbert_pq_sql(k=5, k0=10, n_tokens=4, dim=64, n_probe=2, n_subspaces=4, n_codes=16, residual=True)}\n",
+)
+def s39_colbert_residual_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s33's compressed token-index serve on the RESIDUAL kind
+    (round 12): `build_token_index(kind="ivfpq", residual=True)` —
+    the ``build_kw`` passthrough composes §7s's residual encoding
+    with the token-index route with no new plumbing, because the
+    composite token frame is plain (id, embedding) and the residual
+    flag is frozen geometry the kind-sniffing serve dispatches on.
+    Where it matters: token indexes carry T× the corpus rows, so the
+    compressed kind is where the §7s recall-per-byte win lands
+    hardest at scale — and token frames are SLICES of document
+    embeddings, i.e. exactly the structured corpus class §7s measured
+    the win on. The serve is unchanged s33 architecture: per-query-
+    token ADC scan over probed cells (now on residual codes with
+    per-cell tables), parent mapping, maxsim rerank.
+
+    Oracle: `colbert_persisted_pq_retrieval_sql(residual=True)` — the
+    residual CTE chain replayed over the tokens CTE (the chain is
+    table-parameterized), then the parent mapping and the s24 maxsim
+    tail; the 166 pre-existing oracle strings are byte-identical
+    across the passthrough. No reference analogue — SURVEY §7
+    Phase 4 surface."""
+    from ..operators.maxsim import (
+        build_token_index,
+        maxsim_search_tokens_persisted,
+        token_slices,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    path = _scratch_index_path(spark, sf_dir, "ivfpq_tok_resid")
+    build_token_index(
+        toks,
+        path,
+        n_tokens=4,
+        kind="ivfpq",
+        n_subspaces=4,
+        n_codes=16,
+        residual=True,
+        corpus_cache_key=(sf_dir, "embeddings", "tokens4", "pqres"),
+    )
+    return maxsim_search_tokens_persisted(
+        spark,
+        path,
+        toks.filter(F.col("vec_id") < 5),
+        toks,
+        k=5,
+        k0=10,
+        n_tokens=4,
+        n_probe=2,
+    )
