@@ -363,7 +363,10 @@ class Engine:
         scans (SCALE.md §7i's amortized regime). ``kind="ivfsq"``
         (default) stores dim-byte SQ8 codes; ``kind="ivfpq"`` stores
         n_subspaces-byte PQ codes — 32× under raw float32, the
-        page-cache regime at 10⁹ vectors (SCALE.md §7q)."""
+        page-cache regime at 10⁹ vectors (SCALE.md §7q). PQ extras
+        flow through ``**kw``: ``residual=True`` (round 12, §7s —
+        opt-in, structured corpora only) and ``codebooks=`` (learned
+        books, e.g. `pq_kmeans_residual_codebooks`)."""
         from .operators.ann_index import build_ivfpq_index, build_ivfsq_index
 
         if kind == "ivfpq":
