@@ -54,7 +54,10 @@ from . import io_queries  # noqa: E402,F401
 #: LEARNED residual books through the sampled fit, artifact-replayed,
 #: + exact rerank), and s39 (the residual flag composed through the
 #: COMPRESSED TOKEN-index route — token frames are slices of document
-#: embeddings, the structured class §7s measured the win on); (b)
+#: embeddings, the structured class §7s measured the win on), and
+#: s40 (the streaming INDEX-INGEST sink — nightly ingest as a stream:
+#: the foreachBatch per-batch body appending under frozen geometry,
+#: wire-format round-trip included, certified by s14's oracle); (b)
 #: changed since last row =
 #: s30/s33 (OWN serve entry `maxsim_search_tokens_persisted`: the
 #: recorded-n_tokens cross-check + token_meta sniff + token-table
@@ -66,12 +69,12 @@ from . import io_queries  # noqa: E402,F401
 #: layer; default None is byte-identical, the token-index consumers
 #: s30/s33/s35/s36 exercise the non-default path; s37 rides the same
 #: hook as (a)); (c) fill = the ENTIRE 19-row r8 cohort (q24..q43 —
-#: VERDICT r11 #2, the staleness frontier) + the 21
+#: VERDICT r11 #2, the staleness frontier) + the 20
 #: alphabetically-first rows of the 44-row r9 cohort (name order
-#: makes the tie-break auditable; s01/s02/s03 moved to the r13
-#: frontier as s37/s38/s39's (a)-slots shrank the fill). After this
-#: round every registered query's driver row postdates r8; the 23
-#: remaining r9 rows (s01..u02) are round 13's frontier.
+#: makes the tie-break auditable; q45/s01/s02/s03 moved to the r13
+#: frontier as s37/s38/s39/s40's (a)-slots shrank the fill). After
+#: this round every registered query's driver row postdates r8; the
+#: 24 remaining r9 rows (q45..u02) are round 13's frontier.
 DRIVER_WINDOW = [
     # (a): registered this round
     "s35_colbert_one_call_serve",
@@ -79,6 +82,7 @@ DRIVER_WINDOW = [
     "s37_pq_residual_topk",
     "s38_pq_residual_learned_topk",
     "s39_colbert_residual_pq_serve",
+    "s40_stream_index_ingest",
     # (b): implementation changed since their last row
     "s30_colbert_persisted_serve",
     "s33_colbert_pq_serve",
@@ -105,7 +109,7 @@ DRIVER_WINDOW = [
     "q41_rank_functions",
     "q42_grouping_sets",
     "q43_datetime_functions",
-    # (c): the 21 alphabetically-first rows of the r9 cohort
+    # (c): the 20 alphabetically-first rows of the r9 cohort
     "d01_minhash_signatures",
     "d02_minhash_lsh_pairs",
     "d03_jaccard_pairs",
@@ -126,7 +130,6 @@ DRIVER_WINDOW = [
     "q17_tumbling_windows",
     "q38_deterministic_sample",
     "q44_null_ordering",
-    "q45_except_all_multiplicity",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -2042,3 +2042,60 @@ def s39_colbert_residual_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame
         n_tokens=4,
         n_probe=2,
     )
+
+
+@query(
+    "s40_stream_index_ingest",
+    oracle=f"""WITH {_ivfsq_topk_sql(dim=64, n_cells='auto', n_probe=2, k=5,
+                                     build_filter='WHERE vec_id % 2 = 0')}\n""",
+)
+def s40_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE MICRO-BATCH of the streaming INDEX-INGEST path, replayed
+    batch-shaped (round 12 — the s15/s32 recipe applied to the WRITE
+    side): `streaming/serving.ingest_batch` — the per-batch body the
+    `ingest_vector_stream` foreachBatch sink runs — executed on the
+    odd-id vectors round-tripped through the stream source's own wire
+    format (JSONL, read back with the stream's schema), appending
+    them to the index built on the even split under its FROZEN
+    geometry. This is nightly ingest AS A STREAM: s14 certifies the
+    append semantics, this row certifies that the STREAMING entry
+    point — the code each arriving micro-batch executes, including
+    the wire round-trip — produces the hash-identical index. Oracle:
+    s14's verbatim (`ivfsq_topk_sql(build_filter='vec_id % 2 = 0')` —
+    stats/cells/centroids from the build split only, codes and search
+    over every vector). Stream-vs-batch equality for the same code
+    path through a REAL availableNow stream is separately asserted in
+    tests/test_ann_index.py. Reference analogue: none (SURVEY §7
+    Phase 4/5 surface)."""
+    import os
+
+    from ..operators.ann_index import build_ivfsq_index, search_ivfsq_index
+    from ..streaming.serving import ingest_batch
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_path(spark, sf_dir, "ivfsq_stream_ingest")
+    build_ivfsq_index(
+        e.filter(F.col("vec_id") % 2 == 0),
+        path,
+        n_cells=None,
+        corpus_cache_key=(sf_dir, "embeddings", "vec_id%2=0"),
+    )
+    vdir = f"{path}_vbatch_ingest"
+    # the arriving shard is DATA-SIZED (half the corpus), so the wire
+    # files are written DISTRIBUTED (to_json per row — Jackson float
+    # serialization is shortest-decimal, so the float32 round-trip is
+    # exact), never collected: s15/s32 collect only query batches,
+    # which are serving-contract-sized; an ingest shard is not.
+    (
+        e.filter(F.col("vec_id") % 2 == 1)
+        .select(F.to_json(F.struct("vec_id", "embedding")).alias("value"))
+        .coalesce(4)
+        .write.mode("overwrite")
+        .text(vdir)
+    )
+    os.utime(vdir)  # keep the reaper's dir-mtime key fresh (s15)
+    batch = spark.read.schema("vec_id long, embedding array<float>").json(vdir)
+    ingest_batch(spark, path, batch)
+    return search_ivfsq_index(
+        spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
+    )

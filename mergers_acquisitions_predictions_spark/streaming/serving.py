@@ -95,3 +95,56 @@ def serve_query_stream(
         )
 
     return stream_df.writeStream.foreachBatch(_serve)
+
+
+def ingest_batch(
+    spark: SparkSession,
+    index_path: str,
+    batch_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """ONE micro-batch of the streaming INDEX-INGEST path (round 12 —
+    the write-side sibling of `serve_batch`): append the batch's
+    vectors to the persisted index under its FROZEN geometry
+    (`append_to_ivfsq_index` — assigned and encoded with the
+    persisted centroids and quantizer stats, exactly the nightly-
+    shard semantics s14 certifies; searches see the new vectors on
+    the next resolution). Factored out so the registered batch-shaped
+    replay (s40) and the streaming sink (`ingest_vector_stream`) run
+    the IDENTICAL per-batch body — the s15 pattern applied to the
+    write side. Empty batches are skipped (availableNow streams can
+    emit them; an empty append would still pay an assignment job)."""
+    from ..operators.ann_index import append_to_ivfsq_index
+
+    if not batch_df.limit(1).count():
+        return
+    append_to_ivfsq_index(batch_df, index_path, id_col=id_col, vec_col=vec_col)
+
+
+def ingest_vector_stream(
+    index_path: str,
+    stream_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch INGEST sink: per micro-batch, append the arriving
+    vectors to the persisted index at ``index_path`` under its frozen
+    geometry — streaming ingest composes with the whole persisted
+    lifecycle (per-shard files accrete per cell; run `compact_index`
+    on the accretion schedule, rebuild on the drift schedule — s16's
+    monitor decides which). Returns the DataStreamWriter; caller
+    picks trigger/checkpoint and starts. Exactly-once note: appends
+    are idempotent per BATCH only if the caller's checkpoint prevents
+    batch replays (the standard foreachBatch contract); a replayed
+    batch would double-append its vectors — deployments that need
+    stronger guarantees stage batches through `upsert_parquet_sink`
+    (streaming/sinks) and append from the staged snapshot."""
+    spark = stream_df.sparkSession
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(
+            spark, index_path, batch_df, id_col=id_col, vec_col=vec_col
+        )
+
+    return stream_df.writeStream.foreachBatch(_ingest)

@@ -831,3 +831,73 @@ def test_serve_score_blas_matches_fold(spark, tmp_path):
                 )
             )
             assert fold == blas, (tag, kw)
+
+
+def test_streaming_index_ingest_matches_batch_append(spark, tmp_path):
+    """Round 12: the `ingest_vector_stream` foreachBatch sink — a REAL
+    availableNow file stream of arriving vectors appended to the
+    persisted index under its frozen geometry, in MULTIPLE micro-batch
+    files — must leave the index serving bit-identically to the batch
+    `append_to_ivfsq_index` path over the same shard (s14's
+    equivalence through the streaming entry point)."""
+    import json as _json
+
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        append_to_ivfsq_index,
+    )
+    from mergers_acquisitions_predictions_spark.streaming.serving import (
+        ingest_vector_stream,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    even = e.filter(F.col("vec_id") % 2 == 0)
+    odd_rows = e.filter(F.col("vec_id") % 2 == 1).collect()
+    q = e.filter(F.col("vec_id") < 5)
+
+    stream_path = str(tmp_path / "idx_stream")
+    batch_path = str(tmp_path / "idx_batch")
+    build_ivfsq_index(even, stream_path, n_cells=16)
+    build_ivfsq_index(even, batch_path, n_cells=16)
+
+    vdir = tmp_path / "vstream"
+    vdir.mkdir()
+    # two files → at least two micro-batches through the sink
+    for i, chunk in enumerate((odd_rows[::2], odd_rows[1::2])):
+        with open(vdir / f"shard{i}.jsonl", "w") as f:
+            for r in chunk:
+                f.write(
+                    _json.dumps(
+                        {
+                            "vec_id": r.vec_id,
+                            "embedding": [float(x) for x in r.embedding],
+                        }
+                    )
+                    + "\n"
+                )
+    stream = (
+        ingest_vector_stream(
+            stream_path,
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(vdir)),
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(180)
+
+    append_to_ivfsq_index(e.filter(F.col("vec_id") % 2 == 1), batch_path)
+    got = sorted(
+        map(
+            tuple,
+            search_ivfsq_index(spark, stream_path, q, k=5, n_probe=2).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            search_ivfsq_index(spark, batch_path, q, k=5, n_probe=2).collect(),
+        )
+    )
+    assert got == want and len(want) == 25

@@ -529,9 +529,10 @@ def test_driver_window_rotation_rule_r12():
     `build_ivfsq_index(extra_meta=)` sidecar hook (shared index-build
     layer; the non-default path rides s30/s33/s35/s36); (c) the
     ENTIRE 19-row r8 cohort — the staleness frontier VERDICT r11 #2
-    names — + the 21 alphabetically-first of the 44-row r9 cohort
-    (name-order tie-break, the standing audit rule; s01/s02/s03 moved
-    to the r13 frontier as s37/s38/s39's (a)-slots shrank the fill). LIVE round:
+    names — + the 20 alphabetically-first of the 44-row r9 cohort
+    (name-order tie-break, the standing audit rule; q45/s01/s02/s03
+    moved to the r13 frontier as s37/s38/s39/s40's (a)-slots shrank
+    the fill). LIVE round:
     asserted against the current window; convert to the
     CORRECTNESS_r12 record once it exists."""
     import json
@@ -545,6 +546,7 @@ def test_driver_window_rotation_rule_r12():
         "s37_pq_residual_topk",
         "s38_pq_residual_learned_topk",
         "s39_colbert_residual_pq_serve",
+        "s40_stream_index_ingest",
     }
     changed_in_r12 = {
         "s30_colbert_persisted_serve",  # own serve entry (meta-T check)
@@ -566,7 +568,7 @@ def test_driver_window_rotation_rule_r12():
     assert len(r9) == 44
     mandatory = new_in_r12 | changed_in_r12 | stale_r8
     fill_r9 = set(r9[: 50 - len(mandatory)])
-    assert len(fill_r9) == 21
+    assert len(fill_r9) == 20
     want = mandatory | fill_r9
     assert want == set(DRIVER_WINDOW)  # exactly fills the 50 slots
 
