@@ -1,0 +1,108 @@
+"""§7s composition leg: the FULL residual serve (probe cut + ADC +
+exact rerank) vs the raw kind at 1M, stacked corpus — §7s's
+scale_pq_residual measured ENCODING error in isolation (all rows, no
+probe cut); this prices the registered deployment shape end to end:
+learned books (sampled fit, the s38 config), persisted index, probed
+partition-pruned scan, rerank remedy on top.
+
+The question the table answers: at the SAME bytes and the SAME serve
+plan, how much shortlist-containment (and therefore rerank-recovered
+recall) does residual encoding buy at scale, and what does it cost at
+build/serve time?
+
+Usage: python scripts/scale_residual_serve.py [n]   # default 1000000
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scripts.scale_1m_index import stacked_corpus, timed  # noqa: E402
+
+M, K = 8, 256  # the standard 8-bit PQ — 8 bytes/vector, both routes
+
+
+def main(n: int = 1_000_000) -> None:
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from mergers_acquisitions_predictions_spark.operators.pq import (
+        pq_kmeans_codebooks,
+        pq_kmeans_residual_codebooks,
+    )
+    from mergers_acquisitions_predictions_spark.operators.similarity import (
+        auto_cells,
+        brute_force_topk,
+        collect_centroid_rows,
+        ivf_centroids,
+        topk_recall,
+    )
+    from mergers_acquisitions_predictions_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-residual-serve")
+    spark.sparkContext.setLogLevel("ERROR")
+    scratch = "/tmp/mergers_acquisitions_resserve"
+    path = stacked_corpus(spark, n, scratch)
+    corpus = spark.read.parquet(path)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    cells = auto_cells(n)
+    cent_rows = collect_centroid_rows(ivf_centroids(corpus, cells))
+    exact = (
+        brute_force_topk(queries, corpus, k=5)
+        .select("query_id", "candidate_id")
+        .persist()
+    )
+    exact.count()
+
+    for label, residual in (("raw", False), ("residual", True)):
+        row = {"n": n, "M": M, "K": K, "cells": cells, "route": label}
+        if residual:
+            cbs, row["t_fit"] = timed(
+                pq_kmeans_residual_codebooks,
+                corpus, cent_rows, n_subspaces=M, n_codes=K,
+            )
+        else:
+            cbs, row["t_fit"] = timed(
+                pq_kmeans_codebooks, corpus, n_subspaces=M, n_codes=K
+            )
+        idx = f"{scratch}/idx_{label}_{n}"
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        _, row["t_build_blas"] = timed(
+            build_ivfpq_index,
+            corpus, idx, n_cells=cells, n_subspaces=M, n_codes=K,
+            codebooks=cbs, residual=residual, assign_blas=True,
+        )
+
+        for rerank in (None, 50, 200):
+            def serve():
+                return search_ivfpq_index(
+                    spark, idx, queries, k=5, n_probe=2, rerank=rerank,
+                    vectors=None if rerank is None else corpus,
+                ).persist()
+
+            got = serve()
+            got.count()
+            tag = "adc" if rerank is None else f"rerank{rerank}"
+            _, row[f"t_serve_{tag}"] = timed(lambda: serve().count())
+            rec = (
+                topk_recall(exact, got.select("query_id", "candidate_id"), k=5)
+                .agg(F.avg("recall").alias("r"))
+                .first()["r"]
+            )
+            row[f"recall_{tag}"] = round(float(rec), 3)
+            got.unpersist()
+        print(json.dumps(row), flush=True)
+    exact.unpersist()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000)
