@@ -558,6 +558,25 @@ class Engine:
 
         return stratified_split(df, strata_cols, fractions, key_col, **kw)
 
+    def append_ann_index(self, new_vectors: DataFrame, path: str, **kw) -> None:
+        """Append a shard to a persisted index under its FROZEN
+        geometry — kind-agnostic (round 12, `ann_index.append_index`:
+        the kind, and for PQ the residual flag, come from the index's
+        own meta). The nightly-ingest write; batch twin of
+        `ingest_vector_stream`."""
+        from .operators.ann_index import append_index
+
+        append_index(new_vectors, path, **kw)
+
+    def ingest_vector_stream(self, path: str, stream_df: DataFrame, **kw):
+        """foreachBatch INGEST sink: arriving vectors append to the
+        persisted index at ``path`` per micro-batch (round 12 —
+        streaming/serving.ingest_vector_stream; returns the
+        DataStreamWriter, caller picks trigger/checkpoint)."""
+        from .streaming.serving import ingest_vector_stream
+
+        return ingest_vector_stream(path, stream_df, **kw)
+
     def compact_ann_index(self, path: str) -> tuple[int, int]:
         """Merge append-accreted small files in a persisted index's
         codes (per-cell clustered rewrite, staged + rename-swapped);

@@ -956,6 +956,38 @@ def compact_ivfsq_index(spark: SparkSession, path: str) -> tuple[int, int]:
 compact_index = compact_ivfsq_index
 
 
+def append_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """KIND-AGNOSTIC append (round 12, for the streaming ingest sink):
+    sniff the index's kind from its own meta — the `compact_index` /
+    `maxsim_search_tokens_persisted` discipline: never interpret
+    geometry here — and dispatch to the matching append. Same-session
+    primes answer without a disk read; cold readers pay one sidecar
+    read the dispatched append would have paid anyway. Frozen-geometry
+    semantics are the kind's own (including the PQ residual flag,
+    which `append_to_ivfpq_index` reads from the same meta)."""
+    from .util import peek_memoized_literal
+
+    spark = new_vectors.sparkSession
+    live = _resolve_codes_name(spark, path)
+    if peek_memoized_literal(("ivfpq_meta", path, live)) is not None:
+        kind = "ivfpq"
+    elif peek_memoized_literal(("ivfsq_meta", path, live)) is not None:
+        kind = "ivfsq"
+    else:
+        kind = json.loads(_read_meta_text(spark, path, live)).get(
+            "kind", "ivfsq"
+        )
+    if kind == "ivfpq":
+        append_to_ivfpq_index(new_vectors, path, id_col=id_col, vec_col=vec_col)
+    else:
+        append_to_ivfsq_index(new_vectors, path, id_col=id_col, vec_col=vec_col)
+
+
 def append_to_ivfpq_index(
     new_vectors: DataFrame,
     path: str,

@@ -107,19 +107,20 @@ def ingest_batch(
     """ONE micro-batch of the streaming INDEX-INGEST path (round 12 —
     the write-side sibling of `serve_batch`): append the batch's
     vectors to the persisted index under its FROZEN geometry
-    (`append_to_ivfsq_index` — assigned and encoded with the
-    persisted centroids and quantizer stats, exactly the nightly-
-    shard semantics s14 certifies; searches see the new vectors on
-    the next resolution). Factored out so the registered batch-shaped
-    replay (s40) and the streaming sink (`ingest_vector_stream`) run
-    the IDENTICAL per-batch body — the s15 pattern applied to the
-    write side. Empty batches are skipped (availableNow streams can
-    emit them; an empty append would still pay an assignment job)."""
-    from ..operators.ann_index import append_to_ivfsq_index
+    (kind-agnostic `append_index` — assigned and encoded with the
+    persisted centroids and the kind's own quantizer, SQ8 stats or PQ
+    books incl. the residual flag, exactly the nightly-shard
+    semantics s14 certifies; searches see the new vectors on the next
+    resolution). Factored out so the registered batch-shaped replay
+    (s40) and the streaming sink (`ingest_vector_stream`) run the
+    IDENTICAL per-batch body — the s15 pattern applied to the write
+    side. Empty batches are skipped (availableNow streams can emit
+    them; an empty append would still pay an assignment job)."""
+    from ..operators.ann_index import append_index
 
     if not batch_df.limit(1).count():
         return
-    append_to_ivfsq_index(batch_df, index_path, id_col=id_col, vec_col=vec_col)
+    append_index(batch_df, index_path, id_col=id_col, vec_col=vec_col)
 
 
 def ingest_vector_stream(

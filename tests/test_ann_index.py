@@ -901,3 +901,76 @@ def test_streaming_index_ingest_matches_batch_append(spark, tmp_path):
         )
     )
     assert got == want and len(want) == 25
+
+
+def test_streaming_ingest_pq_residual_kind(spark, tmp_path):
+    """`ingest_batch` dispatches on the index's OWN kind (round 12):
+    a stream appending into a RESIDUAL IVF-PQ index must encode the
+    arriving shard with the persisted books under the residual flag —
+    equal to the batch PQ append — and cold (no session primes) the
+    dispatch must come from the sidecar."""
+    import json as _json
+
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from mergers_acquisitions_predictions_spark.streaming.serving import (
+        ingest_vector_stream,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    even = e.filter(F.col("vec_id") % 2 == 0)
+    odd = e.filter(F.col("vec_id") % 2 == 1)
+    q = e.filter(F.col("vec_id") < 5)
+    stream_path = str(tmp_path / "pqres_stream")
+    batch_path = str(tmp_path / "pqres_batch")
+    for p in (stream_path, batch_path):
+        build_ivfpq_index(
+            even, p, n_cells=16, n_subspaces=8, n_codes=16, residual=True
+        )
+
+    vdir = tmp_path / "vstream"
+    vdir.mkdir()
+    with open(vdir / "shard0.jsonl", "w") as f:
+        for r in odd.collect():
+            f.write(
+                _json.dumps(
+                    {
+                        "vec_id": r.vec_id,
+                        "embedding": [float(x) for x in r.embedding],
+                    }
+                )
+                + "\n"
+            )
+    import mergers_acquisitions_predictions_spark.operators.util as U
+
+    with U._MEMO_LOCK:  # cold: kind must come from the sidecar
+        U._LITERAL_MEMO.clear()
+    stream = (
+        ingest_vector_stream(
+            stream_path,
+            spark.readStream.schema("vec_id long, embedding array<float>").json(
+                str(vdir)
+            ),
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(180)
+    append_to_ivfpq_index(odd, batch_path)
+    got = sorted(
+        map(
+            tuple,
+            search_ivfpq_index(spark, stream_path, q, k=5, n_probe=2).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            search_ivfpq_index(spark, batch_path, q, k=5, n_probe=2).collect(),
+        )
+    )
+    assert got == want and len(want) == 25
