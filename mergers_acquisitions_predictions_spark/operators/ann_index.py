@@ -80,6 +80,22 @@ _GEN_PREFIX = "codes_g"
 _META_FILE = "_meta"
 
 
+def _with_extra_meta(geometry: dict, extra_meta: dict | None) -> dict:
+    """Merge caller-owned ``extra_meta`` into the geometry sidecar
+    dict, ENFORCING the no-collision contract (ADVICE r12): a caller
+    key shadowing frozen geometry ('dim', 'centroids', 'kind',
+    'residual', ...) would silently corrupt every later resolution,
+    so it is a hard error, not a last-splat-wins overwrite."""
+    if not extra_meta:
+        return geometry
+    clash = sorted(set(extra_meta) & set(geometry))
+    if clash:
+        raise ValueError(
+            f"extra_meta keys collide with frozen index geometry: {clash}"
+        )
+    return {**geometry, **extra_meta}
+
+
 def _gen_dirs(spark: SparkSession, path: str) -> list[str]:
     """Promoted generation directory names under ``path``, sorted
     NUMERICALLY by suffix (ADVICE r8: a lexicographic sort puts
@@ -252,9 +268,9 @@ def build_ivfsq_index(
     the geometry sidecar (ADVICE r11: `maxsim.build_token_index`
     records the ``n_tokens`` the composite frame was built with, so a
     serve with a mismatched T fails fast instead of decoding candidate
-    ids with the wrong divisor). Keys must not collide with the
-    geometry's own; ``None`` leaves the sidecar byte-identical to the
-    pre-round-12 form."""
+    ids with the wrong divisor). Keys colliding with the geometry's
+    own raise ValueError (enforced — ADVICE r12); ``None`` leaves the
+    sidecar byte-identical to the pre-round-12 form."""
     from .similarity import auto_cells, collect_centroid_rows, ivf_centroids
     from .sq import _unit, sq_encode, sq_stats
     from .util import memoized_literal, prime_memoized_literal, repartition_for_compute
@@ -339,17 +355,19 @@ def build_ivfsq_index(
     )
     spark = corpus.sparkSession
     meta_text = json.dumps(
-        {
-            "kind": "ivfsq",
-            "dim": len(mns),
-            "n_cells": n_cells,
-            "mns": json.dumps(mns),
-            "rngs": json.dumps(rngs),
-            "centroids": json.dumps(
-                [[int(c), list(map(float, v)), float(n)] for c, v, n in cent_rows]
-            ),
-            **(extra_meta or {}),
-        }
+        _with_extra_meta(
+            {
+                "kind": "ivfsq",
+                "dim": len(mns),
+                "n_cells": n_cells,
+                "mns": json.dumps(mns),
+                "rngs": json.dumps(rngs),
+                "centroids": json.dumps(
+                    [[int(c), list(map(float, v)), float(n)] for c, v, n in cent_rows]
+                ),
+            },
+            extra_meta,
+        )
     )
     live_name = _publish_codes(spark, path, coded, meta_text)
     prime_memoized_literal(("ivfsq_codes_dir", path), live_name)
@@ -1228,21 +1246,23 @@ def build_ivfpq_index(
             )
         )
     meta_text = json.dumps(
-        {
-            "kind": "ivfpq",
-            "dim": dim,
-            "n_cells": n_cells,
-            "n_subspaces": len(cbs),
-            "n_codes": len(cbs[0]),
-            "codebooks": json.dumps(
-                [[[float(x) for x in code] for code in book] for book in cbs]
-            ),
-            "centroids": json.dumps(
-                [[int(c), list(map(float, v)), float(n)] for c, v, n in cent_rows]
-            ),
-            **({"residual": 1} if residual else {}),
-            **(extra_meta or {}),
-        }
+        _with_extra_meta(
+            {
+                "kind": "ivfpq",
+                "dim": dim,
+                "n_cells": n_cells,
+                "n_subspaces": len(cbs),
+                "n_codes": len(cbs[0]),
+                "codebooks": json.dumps(
+                    [[[float(x) for x in code] for code in book] for book in cbs]
+                ),
+                "centroids": json.dumps(
+                    [[int(c), list(map(float, v)), float(n)] for c, v, n in cent_rows]
+                ),
+                **({"residual": 1} if residual else {}),
+            },
+            extra_meta,
+        )
     )
     live_name = _publish_codes(spark, path, coded, meta_text)
     prime_memoized_literal(("ivfsq_codes_dir", path), live_name)

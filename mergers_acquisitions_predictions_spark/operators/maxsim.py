@@ -527,29 +527,29 @@ def maxsim_search_tokens_persisted(
     import json as _json
 
     from .ann_index import _read_meta_text, _resolve_codes_name
-    from .util import peek_memoized_literal
+    from .util import peek_memoized_literal, prime_memoized_literal
 
     live = _resolve_codes_name(spark, index_path)
     # kind + recorded-T sniff: a same-session `build_token_index`
-    # primed both under ("token_meta", path, generation); older or
-    # kind-only primes answer the kind alone; cold readers (or a
-    # needed-but-unprimed T) pay one tiny sidecar read, exactly like
-    # the search functions themselves.
-    kind = None
-    meta_T = None
+    # primed both under ("token_meta", path, generation). On a miss
+    # (cold session, or a same-session compact/append promoted a NEW
+    # generation the build never primed) the sidecar is read
+    # UNCONDITIONALLY — a driver-side one-file read, no Spark job —
+    # and re-primed: ADVICE r12 closed the warm hole where a kind
+    # prime plus an explicit ``n_tokens`` skipped the read and a
+    # mismatched T served without the fail-fast cross-check.
     tmeta = peek_memoized_literal(("token_meta", index_path, live))
     if tmeta is not None:
         kind = tmeta["kind"]
         meta_T = tmeta.get("n_tokens")
     else:
-        if peek_memoized_literal(("ivfpq_meta", index_path, live)) is not None:
-            kind = "ivfpq"
-        elif peek_memoized_literal(("ivfsq_meta", index_path, live)) is not None:
-            kind = "ivfsq"
-        if kind is None or n_tokens is None:
-            side = _json.loads(_read_meta_text(spark, index_path, live))
-            kind = kind or side.get("kind", "ivfsq")
-            meta_T = side.get("n_tokens")
+        side = _json.loads(_read_meta_text(spark, index_path, live))
+        kind = side.get("kind", "ivfsq")
+        meta_T = side.get("n_tokens")
+        prime_memoized_literal(
+            ("token_meta", index_path, live),
+            {"kind": kind, "n_tokens": meta_T},
+        )
     if n_tokens is None:
         if meta_T is None:
             raise ValueError(

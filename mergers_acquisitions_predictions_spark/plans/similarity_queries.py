@@ -2095,7 +2095,7 @@ def s40_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.utime(vdir)  # keep the reaper's dir-mtime key fresh (s15)
     batch = spark.read.schema("vec_id long, embedding array<float>").json(vdir)
-    ingest_batch(spark, path, batch)
+    ingest_batch(path, batch)
     return search_ivfsq_index(
         spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
     )

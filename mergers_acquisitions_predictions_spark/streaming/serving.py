@@ -98,7 +98,6 @@ def serve_query_stream(
 
 
 def ingest_batch(
-    spark: SparkSession,
     index_path: str,
     batch_df: DataFrame,
     id_col: str = "vec_id",
@@ -115,7 +114,11 @@ def ingest_batch(
     (s40) and the streaming sink (`ingest_vector_stream`) run the
     IDENTICAL per-batch body — the s15 pattern applied to the write
     side. Empty batches are skipped (availableNow streams can emit
-    them; an empty append would still pay an assignment job)."""
+    them; an empty append would still pay an assignment job). Takes
+    no session argument: `append_index` derives the session from
+    ``batch_df.sparkSession``, which inside foreachBatch is the
+    micro-batch's OWN session — passing the outer session would be
+    the misleading surface ADVICE r12 flagged."""
     from ..operators.ann_index import append_index
 
     if not batch_df.limit(1).count():
@@ -140,12 +143,10 @@ def ingest_vector_stream(
     batch replays (the standard foreachBatch contract); a replayed
     batch would double-append its vectors — deployments that need
     stronger guarantees stage batches through `upsert_parquet_sink`
-    (streaming/sinks) and append from the staged snapshot."""
-    spark = stream_df.sparkSession
+    (streaming/sinks) and append from the staged snapshot —
+    `ingest_vector_stream_staged` composes exactly that path."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(
-            spark, index_path, batch_df, id_col=id_col, vec_col=vec_col
-        )
+        ingest_batch(index_path, batch_df, id_col=id_col, vec_col=vec_col)
 
     return stream_df.writeStream.foreachBatch(_ingest)

@@ -974,3 +974,37 @@ def test_streaming_ingest_pq_residual_kind(spark, tmp_path):
         )
     )
     assert got == want and len(want) == 25
+
+
+def test_extra_meta_geometry_collision_is_loud(spark, tmp_path):
+    """ADVICE r12: `extra_meta` is caller-owned sidecar fields — a key
+    shadowing frozen geometry ('dim', 'kind', 'centroids', PQ's
+    'residual') used to last-splat-win and silently corrupt every
+    later resolution. Both builds must refuse it; disjoint keys still
+    merge."""
+    import pytest
+
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        build_ivfpq_index,
+        build_ivfsq_index,
+    )
+
+    e = load_table(spark, SF, "embeddings").limit(200)
+    with pytest.raises(ValueError, match="collide with frozen index geometry"):
+        build_ivfsq_index(
+            e, str(tmp_path / "clash_sq"), n_cells=4, extra_meta={"dim": 2}
+        )
+    with pytest.raises(ValueError, match="collide with frozen index geometry"):
+        build_ivfpq_index(
+            e,
+            str(tmp_path / "clash_pq"),
+            n_cells=4,
+            n_subspaces=8,
+            n_codes=16,
+            residual=True,
+            extra_meta={"residual": 0},
+        )
+    ok = str(tmp_path / "ok_sq")
+    build_ivfsq_index(e, ok, n_cells=4, extra_meta={"n_tokens": 4})
+    q = e.limit(2)
+    assert search_ivfsq_index(spark, ok, q, k=3, n_probe=2).count() == 6

@@ -656,3 +656,42 @@ def test_one_call_token_table_route_matches_in_memory(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="pass cand_tokens"):
         maxsim_search_tokens_persisted(spark, idx, q, k=5, k0=10)
+
+
+def test_n_tokens_check_survives_same_session_compact(spark, tmp_path):
+    """ADVICE r12: the warm-session hole. A same-session
+    `compact_index` promotes a NEW generation and primes the kind
+    meta under it, but never primed ("token_meta", path, new_gen) —
+    pre-fix, a serve with an explicit (wrong) n_tokens then skipped
+    the sidecar read and decoded composite ids with the wrong
+    divisor. The cross-check must now hold through the compact, and
+    ``n_tokens=None`` must still resolve T from the carried-forward
+    sidecar."""
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        compact_index,
+    )
+    from mergers_acquisitions_predictions_spark.operators.maxsim import (
+        build_token_index,
+        maxsim_search_tokens_persisted,
+        token_slices,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    toks = e.select(
+        "vec_id",
+        F.posexplode(token_slices(F.col("embedding"), 4, 16)).alias(
+            "token_id", "token"
+        ),
+    )
+    path = str(tmp_path / "tok_compact_meta")
+    build_token_index(toks, path, n_tokens=4)
+    compact_index(spark, path)  # primes kind meta under the NEW gen only
+    q = toks.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="built with n_tokens=4"):
+        maxsim_search_tokens_persisted(
+            spark, path, q, toks, k=3, k0=6, n_tokens=2
+        )
+    got = maxsim_search_tokens_persisted(
+        spark, path, q, toks, k=3, k0=6, n_tokens=None
+    ).collect()
+    assert got and len({r["query_id"] for r in got}) == 2
