@@ -651,6 +651,7 @@ def pq_kmeans_residual_codebooks(
     fit_sample_per_code: int | None = 6250,
     fit_floor: int | None = None,
     corpus_cache_key: tuple | None = None,
+    assign_blas: bool = False,
 ) -> list[list[list[float]]]:
     """LEARNED books for the RESIDUAL kind (round 12 — §7s's winning
     configuration: learned books over residuals read 0.84 recall@5 vs
@@ -661,11 +662,26 @@ def pq_kmeans_residual_codebooks(
     is the SAME collected centroid table the index build uses — the
     residuals the books are fitted on must be the residuals the build
     encodes. Sampling contract identical to `pq_kmeans_codebooks`
-    (content-keyed xxhash sample, 100k floor, lazy count)."""
+    (content-keyed xxhash sample, 100k floor, lazy count).
+
+    ``assign_blas`` (round 13 — VERDICT r12 #2): unlike the raw fit,
+    the residual fit must CELL-ASSIGN its training rows before it can
+    subtract the centroid — an n×cells term the raw fit doesn't have,
+    and at 1M×1000 cells the fold-expression assignment made the
+    residual fit pay 472 s where the raw fit paid 88 s (§7s-b). The
+    flag routes that one step through `ivf_assign_blas` — the exact
+    shape `scale_assign_parity` proves bit-safe off tie boundaries —
+    and touches NOTHING downstream: residual subtraction, slicing and
+    the Lloyd fits consume the same columns either way. Default off,
+    matching every other registered-row fold-path default."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    from .similarity import _FIT_SAMPLE_FLOOR, ivf_assign_literal
+    from .similarity import (
+        _FIT_SAMPLE_FLOOR,
+        ivf_assign_blas,
+        ivf_assign_literal,
+    )
     from .util import fit_released, memoized_literal
 
     first = corpus.select(vec_col).first()
@@ -688,8 +704,9 @@ def pq_kmeans_residual_codebooks(
             m = max(2, round(n / target))
             corpus = corpus.filter(F.xxhash64(F.col(id_col)) % m == 0)
     sub = dim // n_subspaces
+    assign = ivf_assign_blas if assign_blas else ivf_assign_literal
     resid = (
-        ivf_assign_literal(corpus, cent_rows, "__rid", 1, id_col, vec_col)
+        assign(corpus, cent_rows, "__rid", 1, id_col, vec_col)
         .join(
             F.broadcast(residual_cent_df(corpus.sparkSession, cent_rows)),
             "cell_id",

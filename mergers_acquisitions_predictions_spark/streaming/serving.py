@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def serve_batch(
@@ -148,5 +149,107 @@ def ingest_vector_stream(
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(index_path, batch_df, id_col=id_col, vec_col=vec_col)
+
+    return stream_df.writeStream.foreachBatch(_ingest)
+
+
+def reconcile_index_from_snapshot(
+    spark: SparkSession,
+    index_path: str,
+    staged_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append to the persisted index every staged vector the index
+    does not already hold — the RECONCILE half of the exactly-once
+    ingest (VERDICT r12 #3). Idempotent regardless of how many times
+    the staged rows were delivered OR how many times this reconcile
+    ran: membership is decided against the index's OWN codes (the
+    ``candidate_id`` column of the live generation, column-pruned
+    scan), so a replayed batch absorbed by the upsert staging, a
+    re-run after a crash, even a crash BETWEEN append jobs (appends
+    are job-committed: files appear only on commit) all converge to
+    each id encoded exactly once. Returns the number appended.
+
+    Contract: ids are immutable content (the append-path rule — a
+    persisted index never re-encodes an id; updates are rebuilds), so
+    "id already present" == "vector already encoded". Scale: the
+    membership anti-join reads one id column of the index per
+    reconcile — pair it with a nightly/accretion schedule, not a
+    per-row trigger, when the index is large."""
+    from ..operators.ann_index import _codes_path, append_index
+
+    staged = spark.read.parquet(staged_dir).select(id_col, vec_col)
+    present = (
+        spark.read.parquet(_codes_path(spark, index_path))
+        .select(F.col("candidate_id").alias(id_col))
+        .distinct()
+    )
+    fresh = staged.join(present, id_col, "left_anti")
+    n = fresh.count()
+    if n:
+        append_index(fresh, index_path, id_col=id_col, vec_col=vec_col)
+    return n
+
+
+def ingest_batch_staged(
+    index_path: str,
+    staged_dir: str,
+    batch_df: DataFrame,
+    batch_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """ONE micro-batch of the EXACTLY-ONCE index ingest (VERDICT r12
+    #3 — the stronger guarantee `ingest_vector_stream`'s docstring
+    stages): (1) upsert the batch into the keyed staging table
+    (`sinks.upsert_batch` — replay-idempotent by construction; the
+    batch_id is the version, so a re-delivered batch merges to the
+    byte-equal table), then (2) reconcile the index against the
+    staged snapshot (`reconcile_index_from_snapshot` — appends only
+    ids the index does not hold). A batch replayed by a restarted
+    stream therefore appends NOTHING the first delivery didn't —
+    where the plain `ingest_batch` would double-append. Factored as
+    the per-batch body (the s15/s40 pattern) so the streaming sink
+    and the registered batch-shaped replay (s41) run identical code.
+    Returns the number of vectors the reconcile appended."""
+    from .sinks import upsert_batch
+
+    if not batch_df.limit(1).count():
+        return 0
+    upsert_batch(
+        batch_df.withColumn("__ver", F.lit(int(batch_id))),
+        staged_dir,
+        [id_col],
+        "__ver",
+        batch_id=batch_id,
+    )
+    return reconcile_index_from_snapshot(
+        batch_df.sparkSession, index_path, staged_dir,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ingest_vector_stream_staged(
+    index_path: str,
+    stream_df: DataFrame,
+    staged_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch EXACTLY-ONCE ingest sink: each micro-batch runs
+    `ingest_batch_staged` — staged through the idempotent upsert
+    table, appended via the membership reconcile — so the end state
+    of the index is the same whether a batch is delivered once or
+    replayed after a checkpoint rollback. Returns the
+    DataStreamWriter; caller picks trigger/checkpoint and starts.
+    The plain `ingest_vector_stream` remains the cheaper choice when
+    the checkpoint alone is trusted to prevent replays."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch_staged(
+            index_path, staged_dir, batch_df, batch_id,
+            id_col=id_col, vec_col=vec_col,
+        )
 
     return stream_df.writeStream.foreachBatch(_ingest)

@@ -10,7 +10,13 @@ plan, how much shortlist-containment (and therefore rerank-recovered
 recall) does residual encoding buy at scale, and what does it cost at
 build/serve time?
 
-Usage: python scripts/scale_residual_serve.py [n]   # default 1000000
+Round 13 (VERDICT r12 #2): the residual fit takes the BLAS cell
+assignment (`pq_kmeans_residual_codebooks(assign_blas=True)`) — the
+fold-assigned fit paid 472 s vs the raw fit's 88 s at 1M purely on
+the n×cells assignment term. Pass ``--ab-fit`` to ALSO time the
+fold-assigned fit (the A/B SCALE.md §7s-c records).
+
+Usage: python scripts/scale_residual_serve.py [n] [--ab-fit]
 """
 
 from __future__ import annotations
@@ -28,7 +34,7 @@ from scripts.scale_1m_index import stacked_corpus, timed  # noqa: E402
 M, K = 8, 256  # the standard 8-bit PQ — 8 bytes/vector, both routes
 
 
-def main(n: int = 1_000_000) -> None:
+def main(n: int = 1_000_000, ab_fit: bool = False) -> None:
     from mergers_acquisitions_predictions_spark.operators.ann_index import (
         build_ivfpq_index,
         search_ivfpq_index,
@@ -67,7 +73,14 @@ def main(n: int = 1_000_000) -> None:
             cbs, row["t_fit"] = timed(
                 pq_kmeans_residual_codebooks,
                 corpus, cent_rows, n_subspaces=M, n_codes=K,
+                assign_blas=True,
             )
+            if ab_fit:
+                fold_cbs, row["t_fit_fold"] = timed(
+                    pq_kmeans_residual_codebooks,
+                    corpus, cent_rows, n_subspaces=M, n_codes=K,
+                )
+                row["fit_books_equal"] = fold_cbs == cbs
         else:
             cbs, row["t_fit"] = timed(
                 pq_kmeans_codebooks, corpus, n_subspaces=M, n_codes=K
@@ -105,4 +118,8 @@ def main(n: int = 1_000_000) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000)
+    args = [a for a in sys.argv[1:] if a != "--ab-fit"]
+    main(
+        int(args[0]) if args else 1_000_000,
+        ab_fit="--ab-fit" in sys.argv[1:],
+    )

@@ -1008,3 +1008,100 @@ def test_extra_meta_geometry_collision_is_loud(spark, tmp_path):
     build_ivfsq_index(e, ok, n_cells=4, extra_meta={"n_tokens": 4})
     q = e.limit(2)
     assert search_ivfsq_index(spark, ok, q, k=3, n_probe=2).count() == 6
+
+
+def test_staged_ingest_exactly_once_through_real_stream(spark, tmp_path):
+    """Round 13 (VERDICT r12 #3): the EXACTLY-ONCE staged ingest.
+    (1) A real multi-batch availableNow stream through
+    `ingest_vector_stream_staged` must leave the index serving
+    bit-identically to the plain batch append of the same shard.
+    (2) The checkpoint-rollback failure mode — re-delivering an
+    already-processed micro-batch through the identical per-batch
+    body — must append NOTHING and leave the serve bit-identical,
+    where the plain `ingest_batch` path would double-append.
+    (3) A reconcile re-run (crash-recovery) is likewise a no-op."""
+    import json as _json
+
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        append_to_ivfsq_index,
+    )
+    from mergers_acquisitions_predictions_spark.streaming.serving import (
+        ingest_batch_staged,
+        ingest_vector_stream_staged,
+        reconcile_index_from_snapshot,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    even = e.filter(F.col("vec_id") % 2 == 0)
+    odd = e.filter(F.col("vec_id") % 2 == 1)
+    q = e.filter(F.col("vec_id") < 5)
+
+    stream_path = str(tmp_path / "idx_staged_stream")
+    batch_path = str(tmp_path / "idx_plain_batch")
+    build_ivfsq_index(even, stream_path, n_cells=16)
+    build_ivfsq_index(even, batch_path, n_cells=16)
+
+    vdir = tmp_path / "vstaged"
+    vdir.mkdir()
+    odd_rows = odd.collect()
+    for i, chunk in enumerate((odd_rows[::2], odd_rows[1::2])):
+        with open(vdir / f"shard{i}.jsonl", "w") as f:
+            for r in chunk:
+                f.write(
+                    _json.dumps(
+                        {
+                            "vec_id": r.vec_id,
+                            "embedding": [float(x) for x in r.embedding],
+                        }
+                    )
+                    + "\n"
+                )
+    staged = str(tmp_path / "staged_table")
+    stream = (
+        ingest_vector_stream_staged(
+            stream_path,
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(vdir)),
+            staged,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_staged"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(180)
+
+    append_to_ivfsq_index(odd, batch_path)
+    want = sorted(
+        map(
+            tuple,
+            search_ivfsq_index(spark, batch_path, q, k=5, n_probe=2).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            search_ivfsq_index(spark, stream_path, q, k=5, n_probe=2).collect(),
+        )
+    )
+    assert got == want and len(want) == 25
+
+    # (2) rollback replay: re-deliver micro-batch 0 through the same
+    # per-batch body — must be absorbed end-to-end.
+    replay = spark.read.schema("vec_id long, embedding array<float>").json(
+        str(vdir / "shard0.jsonl")
+    )
+    assert (
+        ingest_batch_staged(stream_path, staged, replay, batch_id=0) == 0
+    )
+    # (3) reconcile re-run over the full staged snapshot: no-op.
+    assert (
+        reconcile_index_from_snapshot(spark, stream_path, staged) == 0
+    )
+    again = sorted(
+        map(
+            tuple,
+            search_ivfsq_index(spark, stream_path, q, k=5, n_probe=2).collect(),
+        )
+    )
+    assert again == want
