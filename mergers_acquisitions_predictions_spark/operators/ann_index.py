@@ -1470,3 +1470,51 @@ def index_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     return codes.groupBy(F.col("cell_id").cast("long").alias("cell_id")).agg(
         F.count("*").alias("n_rows")
     )
+
+
+def index_accretion_stats(spark: SparkSession, path: str) -> dict:
+    """File-accretion profile of the LIVE codes generation — the
+    OTHER maintenance monitor (round 13, VERDICT r12 #5), sibling to
+    `index_cell_stats` (row balance) and the s16 drift query
+    (geometry decay): every append adds one file per touched cell
+    partition, so files-per-cell — not bytes — is what degrades the
+    probed-cell scan into file-open overhead at scale. One recursive
+    listing call (driver-side, NameNode/LIST-page-served — no Spark
+    job); cell membership is parsed from the partition directory
+    names the codes layout already carries. Returns ``{"n_files",
+    "n_cells", "max_files_per_cell"}``."""
+    from ..sources.fs import fs_list_files
+
+    per_cell: dict[str, int] = {}
+    live = f"{path}/{_resolve_codes_name(spark, path)}"
+    for fpath, _sz in fs_list_files(spark, live, ".parquet"):
+        cell = next(
+            (seg for seg in fpath.split("/") if seg.startswith("cell_id=")),
+            "",
+        )
+        per_cell[cell] = per_cell.get(cell, 0) + 1
+    return {
+        "n_files": sum(per_cell.values()),
+        "n_cells": len(per_cell),
+        "max_files_per_cell": max(per_cell.values(), default=0),
+    }
+
+
+def compact_if_accreted(
+    spark: SparkSession, path: str, max_files_per_cell: int = 2
+) -> tuple[bool, dict]:
+    """The ACCRETION-SCHEDULE trigger: compact the index iff any cell
+    partition has accreted more than ``max_files_per_cell`` files —
+    the decision rule a nightly maintenance job runs after streaming
+    ingest (`ingest_vector_stream` / the staged exactly-once sink)
+    has been appending shards all day. Compaction is layout-only
+    (`compact_index` — pointer-file commit, geometry carried forward
+    byte-identically), so firing it never changes results, only scan
+    economics; NOT firing it is the common fast path (one listing
+    call, no Spark job, no new generation). Returns
+    ``(fired, stats_before)``."""
+    stats = index_accretion_stats(spark, path)
+    if stats["max_files_per_cell"] > max_files_per_cell:
+        compact_index(spark, path)
+        return True, stats
+    return False, stats

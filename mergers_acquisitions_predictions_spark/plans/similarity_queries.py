@@ -2164,3 +2164,74 @@ def s41_stream_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     return search_ivfsq_index(
         spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
     )
+
+
+@query(
+    "s42_stream_ingest_compact_serve",
+    oracle=f"""WITH {_ivfsq_topk_sql(dim=64, n_cells='auto', n_probe=2, k=5,
+                                     build_filter='WHERE vec_id % 2 = 0')}\n""",
+)
+def s42_stream_ingest_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-ingest MAINTENANCE LOOP closed in one row
+    (round 13 — VERDICT r12 #5): s40 certifies the streaming append
+    and s18 the compaction, but no row had the MONITOR decide.
+    Here the odd-id shard arrives as TWO micro-batches through
+    `streaming/serving.ingest_batch` (the foreachBatch per-batch body
+    s40 certifies, each run through the stream's JSONL wire format),
+    accreting one file per touched cell per batch; the accretion
+    monitor (`ann_index.index_accretion_stats` — files-per-cell from
+    ONE driver-side listing, the scan-economics signal, not bytes)
+    then FIRES `compact_if_accreted`, and the serve runs from the
+    generation the trigger committed. The row raises if the trigger
+    did NOT fire (two appends must exceed the one-file-per-cell
+    threshold) — so the driver hash certifies the monitored path, not
+    a lucky no-op. Compaction is layout-only under frozen geometry,
+    so the oracle is s14's verbatim. Deployment shape: stream ingests
+    all day, the nightly job runs the trigger, serves never notice.
+    Reference analogue: none (SURVEY §7 Phase 4/5 surface)."""
+    import os
+
+    from ..operators.ann_index import (
+        build_ivfsq_index,
+        compact_if_accreted,
+        search_ivfsq_index,
+    )
+    from ..streaming.serving import ingest_batch
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_path(spark, sf_dir, "ivfsq_ingest_loop")
+    build_ivfsq_index(
+        e.filter(F.col("vec_id") % 2 == 0),
+        path,
+        n_cells=None,
+        corpus_cache_key=(sf_dir, "embeddings", "vec_id%2=0"),
+    )
+    vdir = f"{path}_vbatches"
+    # two micro-batches over the stream wire format (the s40 rule:
+    # distributed to_json write, never collected)
+    for i, pred in enumerate(
+        (F.col("vec_id") % 4 == 1, F.col("vec_id") % 4 == 3)
+    ):
+        (
+            e.filter(pred)
+            .select(F.to_json(F.struct("vec_id", "embedding")).alias("value"))
+            .coalesce(2)
+            .write.mode("overwrite")
+            .text(f"{vdir}/b{i}")
+        )
+        os.utime(f"{vdir}/b{i}")  # keep the reaper's dir-mtime key fresh
+        ingest_batch(
+            path,
+            spark.read.schema("vec_id long, embedding array<float>").json(
+                f"{vdir}/b{i}"
+            ),
+        )
+    fired, stats = compact_if_accreted(spark, path, max_files_per_cell=1)
+    if not fired:
+        raise AssertionError(
+            f"accretion trigger did not fire after two streamed "
+            f"micro-batches (stats: {stats})"
+        )
+    return search_ivfsq_index(
+        spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
+    )

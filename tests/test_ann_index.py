@@ -1105,3 +1105,44 @@ def test_staged_ingest_exactly_once_through_real_stream(spark, tmp_path):
         )
     )
     assert again == want
+
+
+def test_accretion_monitor_and_trigger(spark, tmp_path):
+    """Round 13: `index_accretion_stats` must count files-per-cell of
+    the LIVE generation, and `compact_if_accreted` must fire only
+    above the threshold, be layout-only (bit-identical serve), and
+    report the common no-op fast path below it."""
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        append_to_ivfsq_index,
+        compact_if_accreted,
+        index_accretion_stats,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "idx_accr")
+    build_ivfsq_index(e.filter(F.col("vec_id") % 2 == 0), path, n_cells=16)
+    s0 = index_accretion_stats(spark, path)
+    assert s0["n_cells"] == 16 and s0["n_files"] >= 16
+    append_to_ivfsq_index(e.filter(F.col("vec_id") % 4 == 1), path)
+    append_to_ivfsq_index(e.filter(F.col("vec_id") % 4 == 3), path)
+    s1 = index_accretion_stats(spark, path)
+    assert s1["max_files_per_cell"] > s0["max_files_per_cell"]
+    before = sorted(
+        map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect())
+    )
+    # below threshold: no-op, no new generation
+    fired, _ = compact_if_accreted(
+        spark, path, max_files_per_cell=s1["max_files_per_cell"]
+    )
+    assert not fired
+    # above: fires, layout-only
+    fired, stats = compact_if_accreted(spark, path, max_files_per_cell=1)
+    assert fired and stats == s1
+    s2 = index_accretion_stats(spark, path)
+    assert s2["max_files_per_cell"] <= s1["max_files_per_cell"]
+    assert s2["n_files"] < s1["n_files"]
+    after = sorted(
+        map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect())
+    )
+    assert after == before
