@@ -43,93 +43,82 @@ from . import io_queries  # noqa: E402,F401
 #: constraint VERDICT r6 #1 names). Queries whose OWN plan or oracle
 #: string changed remain individually (b)-mandatory.
 #:
-#: Round 12: (a) new = s35 (the ONE-CALL composed persisted ColBERT
-#: serve — persisted token index + materialized token table, no
-#: in-memory corpus frame, VERDICT r11 #3), s36 (the RAGGED
-#: token-count retrieval — per-document variable T through the full
-#: persisted route, VERDICT r11 #4), and s37 (the RESIDUAL-encoded
-#: IVF-PQ kind — built after §7s measured +0.16 recall@5 at equal
-#: bytes on the structured corpus, VERDICT r11 #7; opt-in flag
-#: recorded in the geometry), s38 (§7s's winning configuration —
-#: LEARNED residual books through the sampled fit, artifact-replayed,
-#: + exact rerank), and s39 (the residual flag composed through the
-#: COMPRESSED TOKEN-index route — token frames are slices of document
-#: embeddings, the structured class §7s measured the win on), and
-#: s40 (the streaming INDEX-INGEST sink — nightly ingest as a stream:
-#: the foreachBatch per-batch body appending under frozen geometry,
-#: wire-format round-trip included, certified by s14's oracle); (b)
-#: changed since last row =
-#: s30/s33 (OWN serve entry `maxsim_search_tokens_persisted`: the
-#: recorded-n_tokens cross-check + token_meta sniff + token-table
-#: route, ADVICE r11), s29 and s09 (OWN plans: `pq_kmeans_codebooks`
-#: now sizes its sample via the lazy count — memoized key or
-#: limit-probe — instead of an unconditional corpus.count(), ADVICE
-#: r11), plus s13 as the representative consumer of the
-#: `build_ivfsq_index(extra_meta=)` sidecar hook (shared index-build
-#: layer; default None is byte-identical, the token-index consumers
-#: s30/s33/s35/s36 exercise the non-default path; s37 rides the same
-#: hook as (a)); (c) fill = the ENTIRE 19-row r8 cohort (q24..q43 —
-#: VERDICT r11 #2, the staleness frontier) + the 20
-#: alphabetically-first rows of the 44-row r9 cohort (name order
-#: makes the tie-break auditable; q45/s01/s02/s03 moved to the r13
-#: frontier as s37/s38/s39/s40's (a)-slots shrank the fill). After
-#: this round every registered query's driver row postdates r8; the
-#: 24 remaining r9 rows (q45..u02) are round 13's frontier.
+#: Round 13: (a) new = s41 (the EXACTLY-ONCE streaming index ingest —
+#: staged idempotent upsert + membership reconcile, a deliberately
+#: re-delivered batch appends nothing, VERDICT r12 #3) and s42 (the
+#: streaming maintenance loop closed: multi-batch ingest → accretion
+#: monitor FIRES `compact_if_accreted` → serve from the committed
+#: generation, VERDICT r12 #5); (b) changed since last row =
+#: s30/s33/s35/s36/s39 (OWN serve entry
+#: `maxsim_search_tokens_persisted`: the warm-session n_tokens
+#: cross-check hole — the sidecar is now read unconditionally on a
+#: token_meta miss and re-primed, ADVICE r12), s38 (OWN fit
+#: `pq_kmeans_residual_codebooks` gained the opt-in BLAS cell
+#: assignment — default fold path, VERDICT r12 #2), s40 (OWN plan:
+#: `ingest_batch` dropped its unused session parameter, ADVICE r12),
+#: plus s13 and s37 as the SQ8- and PQ-side representative consumers
+#: of the `_with_extra_meta` collision guard (shared index-build
+#: layer; non-colliding callers are byte-identical); (c) fill = the
+#: ENTIRE 24-row r9 cohort (q45..u02 — VERDICT r12 #1, the staleness
+#: frontier) + the 15 alphabetically-first rows of the 47-row r10
+#: cohort (name order makes the tie-break auditable). After this
+#: round every registered query's driver row postdates r9; the 32
+#: remaining r10 rows (m08..u03) are round 14's frontier.
 DRIVER_WINDOW = [
     # (a): registered this round
-    "s35_colbert_one_call_serve",
-    "s36_colbert_ragged_tokens",
-    "s37_pq_residual_topk",
-    "s38_pq_residual_learned_topk",
-    "s39_colbert_residual_pq_serve",
-    "s40_stream_index_ingest",
+    "s41_stream_exactly_once_ingest",
+    "s42_stream_ingest_compact_serve",
     # (b): implementation changed since their last row
     "s30_colbert_persisted_serve",
     "s33_colbert_pq_serve",
-    "s29_pq_learned_index_topk",
-    "s09_ivfpq_kmeans_topk",
+    "s35_colbert_one_call_serve",
+    "s36_colbert_ragged_tokens",
+    "s39_colbert_residual_pq_serve",
+    "s38_pq_residual_learned_topk",
+    "s40_stream_index_ingest",
     "s13_persisted_index_topk",
-    # (c): the complete r8-era cohort (the staleness frontier)
-    "q24_having",
-    "q25_monthly_orders",
-    "q26_null_handling",
-    "q27_string_functions2",
-    "q28_union_dedup",
-    "q29_window_lead_lag",
-    "q30_cube",
-    "q31_json_extract",
-    "q32_collect_sorted",
-    "q33_quantiles",
-    "q34_full_outer_join",
-    "q35_cross_join_grid",
-    "q36_stats_aggregates",
-    "q37_any_all_semantics",
-    "q39_asof_attribution",
-    "q40_range_frame_window",
-    "q41_rank_functions",
-    "q42_grouping_sets",
-    "q43_datetime_functions",
-    # (c): the 20 alphabetically-first rows of the r9 cohort
-    "d01_minhash_signatures",
-    "d02_minhash_lsh_pairs",
-    "d03_jaccard_pairs",
-    "d04_simhash",
-    "d05_embedding_neardups",
-    "d06_lsh_verified_neardups",
-    "d07_lsh_embedding_neardups",
-    "d09_dup_clusters",
-    "d10_contamination",
-    "d11_semantic_dedup",
-    "d14_cluster_canonicals",
-    "d17_components_star",
-    "d19_minhash_estimate",
-    "j02_deal_name_linkage",
-    "j03_fuzzy_name_match",
-    "m04_pair_ranking",
-    "m06_split_assignment",
-    "q17_tumbling_windows",
-    "q38_deterministic_sample",
-    "q44_null_ordering",
+    "s37_pq_residual_topk",
+    # (c): the complete r9-era cohort (the staleness frontier)
+    "q45_except_all_multiplicity",
+    "s01_embedding_norms",
+    "s02_cosine_topk",
+    "s03_lsh_ann_topk",
+    "s04_ivf_ann_topk",
+    "s05_ivf_kmeans_topk",
+    "s06_hard_negatives",
+    "s07_ann_recall",
+    "s11_rrf_fusion",
+    "s17_filtered_index_topk",
+    "s19_sampled_kmeans_topk",
+    "s20_reranked_index_topk",
+    "s21_dedup_index_serve",
+    "t01_token_stats",
+    "t02_clean_text",
+    "t03_ngram_stats",
+    "t04_stopword_filter",
+    "t05_lang_source_stats",
+    "t06_doc_fingerprints",
+    "t07_exact_dedup_summary",
+    "t08_vocabulary",
+    "t09_tfidf_top_terms",
+    "u01_pandas_udf_charge",
+    "u02_grouped_minmax_scale",
+    # (c): the 15 alphabetically-first rows of the r10 cohort
+    "d08_prefix_jaccard_pairs",
+    "d12_incremental_neardup",
+    "d13_simhash_neardups",
+    "d16_dup_span_coverage",
+    "d18_span_trim",
+    "io01_csv_roundtrip",
+    "io02_corpus_dir_scan",
+    "io03_jsonl_roundtrip",
+    "j04_fuzzy_multipass",
+    "j05_event_window_range_join",
+    "m01_tfidf_features",
+    "m02_lr_confusion",
+    "m03_lda_topics",
+    "m05_kmeans_clusters",
+    "m07_stratified_sample",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

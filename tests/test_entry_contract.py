@@ -532,13 +532,11 @@ def test_driver_window_rotation_rule_r12():
     names — + the 20 alphabetically-first of the 44-row r9 cohort
     (name-order tie-break, the standing audit rule; q45/s01/s02/s03
     moved to the r13 frontier as s37/s38/s39/s40's (a)-slots shrank
-    the fill). LIVE round:
-    asserted against the current window; convert to the
-    CORRECTNESS_r12 record once it exists."""
+    the fill). Asserted against the immutable CORRECTNESS_r12 record
+    (converted from the live-window form once the record landed, the
+    standing pattern)."""
     import json
     import os
-
-    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
 
     new_in_r12 = {
         "s35_colbert_one_call_serve",
@@ -570,7 +568,10 @@ def test_driver_window_rotation_rule_r12():
     fill_r9 = set(r9[: 50 - len(mandatory)])
     assert len(fill_r9) == 20
     want = mandatory | fill_r9
-    assert want == set(DRIVER_WINDOW)  # exactly fills the 50 slots
+    r12_rows = set(
+        json.load(open(os.path.join(root, "CORRECTNESS_r12.json")))
+    )
+    assert want == r12_rows  # exactly filled the 50 slots
 
 
 def test_missing_sf_dir_fails_cleanly(spark):
@@ -582,3 +583,59 @@ def test_missing_sf_dir_fails_cleanly(spark):
 
     with pytest.raises(AnalysisException):
         E.queries()["q01_pricing_summary"](spark, "/nonexistent/sf9").count()
+
+
+def test_driver_window_rotation_rule_r13():
+    """Round-13 window under the postdate rule + the r7 shared-layer
+    amendment: (a) s41 (exactly-once staged ingest — VERDICT r12 #3)
+    and s42 (ingest → accretion monitor → compact → serve — VERDICT
+    r12 #5), both registered round 13; (b) the five consumers of the
+    OWN serve entry `maxsim_search_tokens_persisted`
+    (s30/s33/s35/s36/s39 — the warm-session n_tokens cross-check,
+    ADVICE r12), s38 (OWN fit `pq_kmeans_residual_codebooks` gained
+    the BLAS assignment option — VERDICT r12 #2), s40 (OWN plan:
+    `ingest_batch` signature — ADVICE r12), plus s13/s37 as the two
+    kinds' representative consumers of the `_with_extra_meta`
+    collision guard (shared build layer); (c) the ENTIRE 24-row
+    r9-era cohort — the staleness frontier VERDICT r12 #1 names — +
+    the 15 alphabetically-first of the 47-row r10 cohort (name-order
+    tie-break, the standing audit rule). LIVE round: asserted against
+    the current window; convert to the CORRECTNESS_r13 record once it
+    exists."""
+    import json
+    import os
+
+    from mergers_acquisitions_predictions_spark.plans import DRIVER_WINDOW
+
+    new_in_r13 = {
+        "s41_stream_exactly_once_ingest",
+        "s42_stream_ingest_compact_serve",
+    }
+    changed_in_r13 = {
+        # maxsim_search_tokens_persisted warm-path fix (own entry)
+        "s30_colbert_persisted_serve",
+        "s33_colbert_pq_serve",
+        "s35_colbert_one_call_serve",
+        "s36_colbert_ragged_tokens",
+        "s39_colbert_residual_pq_serve",
+        "s38_pq_residual_learned_topk",  # residual fit assign_blas
+        "s40_stream_index_ingest",  # ingest_batch signature
+        "s13_persisted_index_topk",  # extra_meta guard (SQ8 repr.)
+        "s37_pq_residual_topk",  # extra_meta guard (PQ repr.)
+    }
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int] = {}
+    for rnd in range(1, 13):
+        for name in json.load(
+            open(os.path.join(root, f"CORRECTNESS_r{rnd:02d}.json"))
+        ):
+            latest[name] = rnd
+    stale_r9 = {name for name, rnd in latest.items() if rnd == 9}
+    assert len(stale_r9) == 24
+    r10 = sorted(name for name, rnd in latest.items() if rnd == 10)
+    assert len(r10) == 47
+    mandatory = new_in_r13 | changed_in_r13 | stale_r9
+    fill_r10 = set(r10[: 50 - len(mandatory)])
+    assert len(fill_r10) == 15
+    want = mandatory | fill_r10
+    assert want == set(DRIVER_WINDOW)  # exactly fills the 50 slots
