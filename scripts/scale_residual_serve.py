@@ -16,7 +16,15 @@ fold-assigned fit paid 472 s vs the raw fit's 88 s at 1M purely on
 the n×cells assignment term. Pass ``--ab-fit`` to ALSO time the
 fold-assigned fit (the A/B SCALE.md §7s-c records).
 
+Round 13 (VERDICT r12 #8): ``--corpus decorr`` runs the same
+composed serve on the UNSTRUCTURED corpus (independent pseudo-random
+directions — the class §7s measured residual encoding LOSING on in
+isolation), completing the decide-per-corpus guidance through the
+probe cut: does the decorr loss survive shortlist containment +
+rerank the way the stacked win did?
+
 Usage: python scripts/scale_residual_serve.py [n] [--ab-fit]
+           [--corpus stacked|decorr]
 """
 
 from __future__ import annotations
@@ -34,7 +42,9 @@ from scripts.scale_1m_index import stacked_corpus, timed  # noqa: E402
 M, K = 8, 256  # the standard 8-bit PQ — 8 bytes/vector, both routes
 
 
-def main(n: int = 1_000_000, ab_fit: bool = False) -> None:
+def main(
+    n: int = 1_000_000, ab_fit: bool = False, corpus_kind: str = "stacked"
+) -> None:
     from mergers_acquisitions_predictions_spark.operators.ann_index import (
         build_ivfpq_index,
         search_ivfpq_index,
@@ -55,7 +65,12 @@ def main(n: int = 1_000_000, ab_fit: bool = False) -> None:
     spark = get_spark(app_name="scale-residual-serve")
     spark.sparkContext.setLogLevel("ERROR")
     scratch = "/tmp/mergers_acquisitions_resserve"
-    path = stacked_corpus(spark, n, scratch)
+    if corpus_kind == "decorr":
+        from scripts.scale_pq_residual import decorr_corpus
+
+        path = decorr_corpus(spark, n, scratch)
+    else:
+        path = stacked_corpus(spark, n, scratch)
     corpus = spark.read.parquet(path)
     queries = corpus.filter(F.col("vec_id") < 5)
     cells = auto_cells(n)
@@ -68,7 +83,10 @@ def main(n: int = 1_000_000, ab_fit: bool = False) -> None:
     exact.count()
 
     for label, residual in (("raw", False), ("residual", True)):
-        row = {"n": n, "M": M, "K": K, "cells": cells, "route": label}
+        row = {
+            "corpus": corpus_kind, "n": n, "M": M, "K": K,
+            "cells": cells, "route": label,
+        }
         if residual:
             cbs, row["t_fit"] = timed(
                 pq_kmeans_residual_codebooks,
@@ -118,8 +136,15 @@ def main(n: int = 1_000_000, ab_fit: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--ab-fit"]
+    argv = sys.argv[1:]
+    kind = "stacked"
+    if "--corpus" in argv:
+        i = argv.index("--corpus")
+        kind = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    pos = [a for a in argv if a != "--ab-fit"]
     main(
-        int(args[0]) if args else 1_000_000,
-        ab_fit="--ab-fit" in sys.argv[1:],
+        int(pos[0]) if pos else 1_000_000,
+        ab_fit="--ab-fit" in argv,
+        corpus_kind=kind,
     )
