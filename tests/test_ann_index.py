@@ -1146,3 +1146,48 @@ def test_accretion_monitor_and_trigger(spark, tmp_path):
         map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect())
     )
     assert after == before
+
+
+def test_staged_reconcile_is_kind_agnostic_pq_residual(spark, tmp_path):
+    """The exactly-once path composes with the PQ residual kind with
+    zero caller config: `reconcile_index_from_snapshot` appends via
+    the kind-agnostic `append_index`, so staged vectors arriving at a
+    RESIDUAL IVF-PQ index are encoded with the persisted books under
+    the residual flag — equal to the batch PQ append — and a replay
+    still appends nothing."""
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from mergers_acquisitions_predictions_spark.streaming.serving import (
+        ingest_batch_staged,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    even = e.filter(F.col("vec_id") % 2 == 0)
+    odd = e.filter(F.col("vec_id") % 2 == 1)
+    q = e.filter(F.col("vec_id") < 5)
+    staged_path = str(tmp_path / "pqres_staged_idx")
+    batch_path = str(tmp_path / "pqres_plain_idx")
+    for p in (staged_path, batch_path):
+        build_ivfpq_index(
+            even, p, n_cells=16, n_subspaces=8, n_codes=16, residual=True
+        )
+    staged = str(tmp_path / "staged_tbl")
+    assert ingest_batch_staged(staged_path, staged, odd, batch_id=0) == odd.count()
+    assert ingest_batch_staged(staged_path, staged, odd, batch_id=0) == 0
+    append_to_ivfpq_index(odd, batch_path)
+    got = sorted(
+        map(
+            tuple,
+            search_ivfpq_index(spark, staged_path, q, k=5, n_probe=2).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            search_ivfpq_index(spark, batch_path, q, k=5, n_probe=2).collect(),
+        )
+    )
+    assert got == want and len(want) == 25
