@@ -116,6 +116,8 @@ def main() -> None:
         "s37_pq_residual_topk",  # residual-encoded PQ build + ADC serve
         "s39_colbert_residual_pq_serve",  # residual compressed token index
         "s40_stream_index_ingest",  # streaming ingest micro-batch replay
+        "s41_stream_exactly_once_ingest",  # staged upsert + reconcile, replayed
+        "s42_stream_ingest_compact_serve",  # ingest -> monitor-fired compact -> serve
         # s09/s29/s38 (learned-codebook rows) are correctness-window only:
         # each invocation pays 8 MLlib k-means fits — the same
         # fit-exclusion policy as m01-m03/m09; their serve stages are
