@@ -118,6 +118,7 @@ def main() -> None:
         "s40_stream_index_ingest",  # streaming ingest micro-batch replay
         "s41_stream_exactly_once_ingest",  # staged upsert + reconcile, replayed
         "s42_stream_ingest_compact_serve",  # ingest -> monitor-fired compact -> serve
+        "s43_index_recall_probe",  # appended index vs exact truth (rebuild metric)
         # s09/s29/s38 (learned-codebook rows) are correctness-window only:
         # each invocation pays 8 MLlib k-means fits — the same
         # fit-exclusion policy as m01-m03/m09; their serve stages are

@@ -607,6 +607,28 @@ class Engine:
 
         return compact_ivfsq_index(self.spark, path)
 
+    def index_recall_probe(
+        self, path: str, queries: DataFrame, vectors: DataFrame, **kw
+    ) -> DataFrame:
+        """Recall@k of the persisted index against exact ground truth
+        on a probe query sample (round 13) — the metric the rebuild
+        schedule watches; keep the probe set sample-sized (the exact
+        side is O(queries × corpus) by definition)."""
+        from .operators.ann_index import index_recall_probe
+
+        return index_recall_probe(self.spark, path, queries, vectors, **kw)
+
+    def rebuild_ann_index_if_drifted(
+        self, path: str, corpus: DataFrame, queries: DataFrame, **kw
+    ) -> tuple[bool, float]:
+        """The drift-schedule trigger (round 13): rebuild from
+        ``corpus`` when the probe's mean recall falls below
+        ``threshold=`` (default 0.9); kind preserved, staged-
+        generation commit. Returns (fired, mean_recall_before)."""
+        from .operators.ann_index import rebuild_if_drifted
+
+        return rebuild_if_drifted(self.spark, path, corpus, queries, **kw)
+
     def compact_ann_index_if_accreted(
         self, path: str, max_files_per_cell: int = 2
     ) -> tuple[bool, dict]:

@@ -1518,3 +1518,100 @@ def compact_if_accreted(
         compact_index(spark, path)
         return True, stats
     return False, stats
+
+
+def _sniff_kind(spark: SparkSession, path: str) -> str:
+    """The index's own kind, primes first, sidecar cold — the
+    `append_index` / `compact_index` discipline (never interpret
+    geometry at the dispatch layer)."""
+    from .util import peek_memoized_literal
+
+    live = _resolve_codes_name(spark, path)
+    if peek_memoized_literal(("ivfpq_meta", path, live)) is not None:
+        return "ivfpq"
+    if peek_memoized_literal(("ivfsq_meta", path, live)) is not None:
+        return "ivfsq"
+    return json.loads(_read_meta_text(spark, path, live)).get("kind", "ivfsq")
+
+
+def index_recall_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the persisted index against EXACT ground truth on a
+    probe query set — the monitoring metric the REBUILD schedule runs
+    on (round 13, VERDICT r12 #5's other half: s16's drift monitor
+    compares two INDEX flows and needs both built; this probe needs
+    only the live index plus one exact pass over ``vectors`` for the
+    probe queries). Kind-agnostic (meta sniff, never geometry).
+    Returns `operators/similarity.topk_recall`'s
+    (query_id, n_hits, recall) frame.
+
+    Scale contract: the exact side is deliberately O(probe_queries ×
+    corpus) — that IS what a recall probe costs; keep the probe set
+    serving-contract-sized (tens of queries) and/or point ``vectors``
+    at a sampled sub-corpus, exactly the s07 rule."""
+    from .similarity import brute_force_topk, topk_recall
+
+    if _sniff_kind(spark, path) == "ivfpq":
+        served = search_ivfpq_index(
+            spark, path, queries, k=k, n_probe=n_probe,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        served = search_ivfsq_index(
+            spark, path, queries, k=k, n_probe=n_probe,
+            id_col=id_col, vec_col=vec_col,
+        )
+    exact = brute_force_topk(queries, vectors, k=k, id_col=id_col, vec_col=vec_col)
+    return topk_recall(exact, served, k=k)
+
+
+def rebuild_if_drifted(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.9,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **build_kw,
+) -> tuple[bool, float]:
+    """The DRIFT-SCHEDULE trigger, completing the maintenance pair
+    (round 13): `compact_if_accreted` fires on file accretion
+    (layout), this fires on recall decay (geometry) — REBUILD the
+    index from ``corpus`` when `index_recall_probe`'s mean recall@k
+    over ``queries`` falls below ``threshold``. Frozen-geometry
+    appends decay recall as the corpus drifts from the fitted
+    quantizer (SCALE.md §7i; s16); the rebuild refits and commits
+    through the staged-generation protocol, so readers mid-scan are
+    never disturbed and a crash leaves the old index serving. The
+    kind is preserved (meta sniff); ``build_kw`` flows to the kind's
+    build (n_cells=None re-sizes √n by default). Returns
+    (fired, mean_recall_before)."""
+    probe = index_recall_probe(
+        spark, path, queries, corpus, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    mean = float(probe.agg(F.avg("recall").alias("r")).first()["r"])
+    if mean >= threshold:
+        return False, mean
+    if _sniff_kind(spark, path) == "ivfpq":
+        build_ivfpq_index(
+            corpus, path, n_cells=build_kw.pop("n_cells", None),
+            id_col=id_col, vec_col=vec_col, **build_kw,
+        )
+    else:
+        build_ivfsq_index(
+            corpus, path, n_cells=build_kw.pop("n_cells", None),
+            id_col=id_col, vec_col=vec_col, **build_kw,
+        )
+    return True, mean

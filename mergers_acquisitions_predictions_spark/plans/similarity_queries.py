@@ -2235,3 +2235,57 @@ def s42_stream_ingest_compact_serve(spark: SparkSession, sf_dir: str) -> DataFra
     return search_ivfsq_index(
         spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
     )
+
+
+@query(
+    "s43_index_recall_probe",
+    oracle=f"""
+    SELECT e.query_id,
+           CAST(count(a.candidate_id) AS BIGINT) AS n_hits,
+           round(count(a.candidate_id) / 5.0, 4) AS recall
+    FROM ({_ORACLES2["s02_cosine_topk"]}) e
+    LEFT JOIN ({_ORACLES2["s14_index_append_topk"]}) a
+      ON e.query_id = a.query_id AND e.candidate_id = a.candidate_id
+    GROUP BY e.query_id
+    """,
+)
+def s43_index_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the frozen-geometry APPENDED index against EXACT
+    ground truth (round 13 — the REBUILD schedule's monitoring
+    metric, completing the maintenance-trigger pair: s42 certifies
+    the accretion→compact trigger, this row certifies the probe the
+    drift→REBUILD trigger fires on). s16's drift query compares two
+    index flows (needs both built); a deployment's nightly probe
+    instead measures the LIVE index against brute-force truth on a
+    serving-contract-sized query sample — `ann_index.
+    index_recall_probe`, kind-sniffed serve + s02's exact baseline +
+    `topk_recall`. The index here is s14's nightly-ingest artifact
+    (even-split build, odd-split frozen-geometry append); the oracle
+    composes s02's exact oracle with s14's frozen-geometry replay, so
+    the MONITORING METRIC ITSELF is value-checked cross-engine
+    (s07's pattern, pointed at the persisted lifecycle).
+    `rebuild_if_drifted` — the trigger that consumes this probe and
+    refits through the staged-generation commit — is separately
+    certified in tests/test_ann_index.py (fires below threshold,
+    no-op above, post-rebuild index ≡ fresh build bit-identically).
+    The exact side is deliberately O(queries × corpus) — the cost a
+    recall probe IS; the probe set stays sample-sized (s07's rule).
+    Reference analogue: none (SURVEY §7 Phase 4/5 surface)."""
+    from ..operators.ann_index import (
+        append_to_ivfsq_index,
+        build_ivfsq_index,
+        index_recall_probe,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_path(spark, sf_dir, "ivfsq_recall_probe")
+    build_ivfsq_index(
+        e.filter(F.col("vec_id") % 2 == 0),
+        path,
+        n_cells=None,
+        corpus_cache_key=(sf_dir, "embeddings", "vec_id%2=0"),
+    )
+    append_to_ivfsq_index(e.filter(F.col("vec_id") % 2 == 1), path)
+    return index_recall_probe(
+        spark, path, e.filter(F.col("vec_id") < 5), e, k=5, n_probe=2
+    )

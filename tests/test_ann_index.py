@@ -1191,3 +1191,50 @@ def test_staged_reconcile_is_kind_agnostic_pq_residual(spark, tmp_path):
         )
     )
     assert got == want and len(want) == 25
+
+
+def test_rebuild_if_drifted_trigger(spark, tmp_path):
+    """Round 13: the drift-schedule REBUILD trigger. Below threshold
+    it fires and the refit index serves bit-identically to a fresh
+    full build (staged-generation commit — kind preserved); above
+    threshold it is a no-op that reports the measured recall; the
+    probe itself is kind-agnostic."""
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        append_to_ivfsq_index,
+        build_ivfpq_index,
+        index_recall_probe,
+        rebuild_if_drifted,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "idx_drift")
+    build_ivfsq_index(e.filter(F.col("vec_id") % 2 == 0), path, n_cells=16)
+    append_to_ivfsq_index(e.filter(F.col("vec_id") % 2 == 1), path)
+    probe = index_recall_probe(spark, path, q, e, k=5, n_probe=2)
+    rows = {r["query_id"]: r["recall"] for r in probe.collect()}
+    assert len(rows) == 5 and all(0.0 <= v <= 1.0 for v in rows.values())
+    mean = sum(rows.values()) / len(rows)
+    # above threshold: no-op, reports the same mean
+    fired, got_mean = rebuild_if_drifted(
+        spark, path, e, q, threshold=mean - 0.01, n_cells=16
+    )
+    assert not fired and abs(got_mean - mean) < 1e-9
+    # below: fires; the refit index must equal a fresh full build
+    fired, _ = rebuild_if_drifted(
+        spark, path, e, q, threshold=1.01, n_cells=16
+    )
+    assert fired
+    fresh = str(tmp_path / "idx_fresh")
+    build_ivfsq_index(e, fresh, n_cells=16)
+    got = sorted(
+        map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect())
+    )
+    want = sorted(
+        map(tuple, search_ivfsq_index(spark, fresh, q, k=5, n_probe=2).collect())
+    )
+    assert got == want and len(want) == 25
+    # kind-agnostic probe: PQ index goes through the ADC serve
+    pq = str(tmp_path / "idx_pq_probe")
+    build_ivfpq_index(e, pq, n_cells=16)
+    assert index_recall_probe(spark, pq, q, e, k=5, n_probe=2).count() == 5

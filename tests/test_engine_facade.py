@@ -474,3 +474,23 @@ def test_facade_exactly_once_ingest_and_accretion(spark, tmp_path):
         path, e.filter(F.col("vec_id") < 2), k=3, n_probe=2
     ).collect()
     assert len(hits) == 6
+
+
+def test_facade_recall_probe_and_rebuild_trigger(spark, tmp_path):
+    """Round-13 facade surface: the rebuild-schedule pair."""
+    import pyspark.sql.functions as F
+
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+    eng = Engine(spark)
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "idx")
+    eng.build_ann_index(e.filter(F.col("vec_id") % 2 == 0), path, n_cells=4)
+    eng.append_ann_index(e.filter(F.col("vec_id") % 2 == 1), path)
+    probe = eng.index_recall_probe(path, q, e, k=3, n_probe=2)
+    assert probe.count() == 3
+    fired, mean = eng.rebuild_ann_index_if_drifted(
+        path, e, q, threshold=1.01, k=3, n_probe=2, n_cells=4
+    )
+    assert fired and 0.0 <= mean <= 1.0

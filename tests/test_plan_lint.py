@@ -30,6 +30,9 @@ ALLOW = {
     "against, O(q*n) on a query SAMPLE by definition); the recall join itself is equi-keyed",
     "s26_maxsim_exact_topk": "exact late-interaction baseline: broadcast query set x corpus "
     "all-pairs is O(q*n) by definition (s24 is the scale path — SQ8 shortlist + maxsim rescore)",
+    "s43_index_recall_probe": "embeds s02's brute-force EXACT baseline as the probe's ground "
+    "truth (s07's rule pointed at the persisted lifecycle): O(q*n) on a query SAMPLE is what "
+    "a recall probe costs by definition; the served side stays partition-pruned",
     # (s12_mmr_rerank left the allowlist in round 4: its registered
     # shortlist now comes from the bucketed lsh_topk path)
     # (b) BNLJ against a bounded broadcast side
