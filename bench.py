@@ -117,6 +117,7 @@ def main() -> None:
         "s39_colbert_residual_pq_serve",  # residual compressed token index
         "s40_stream_index_ingest",  # streaming ingest micro-batch replay
         "s41_stream_exactly_once_ingest",  # staged upsert + reconcile, replayed
+        "s44_stream_append_only_ingest",  # append-only staging + scheduled reconcile
         "s42_stream_ingest_compact_serve",  # ingest -> monitor-fired compact -> serve
         "s43_index_recall_probe",  # appended index vs exact truth (rebuild metric)
         # s09/s29/s38 (learned-codebook rows) are correctness-window only:

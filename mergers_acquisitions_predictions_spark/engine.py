@@ -589,6 +589,23 @@ class Engine:
 
         return ingest_vector_stream_staged(path, stream_df, staged_dir, **kw)
 
+    def ingest_vector_stream_append_only(
+        self, path: str, stream_df: DataFrame, staged_dir: str, **kw
+    ):
+        """EXACTLY-ONCE ingest sink for HIGH-FREQUENCY micro-batches
+        (round 13): each batch stages append-only into its own parquet
+        subdirectory at O(batch) cost and the index reconciles on a
+        schedule (``reconcile_every=`` batches, or the caller's own
+        nightly `reconcile_ann_index` run) — the upsert-staged sink's
+        O(table)-rewrite cost removed (streaming/serving.
+        ingest_vector_stream_append_only; returns the
+        DataStreamWriter)."""
+        from .streaming.serving import ingest_vector_stream_append_only
+
+        return ingest_vector_stream_append_only(
+            path, stream_df, staged_dir, **kw
+        )
+
     def reconcile_ann_index(self, path: str, staged_dir: str, **kw) -> int:
         """Append every staged vector the index does not already hold
         (membership anti-join against the index's own codes) —

@@ -2289,3 +2289,85 @@ def s43_index_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_recall_probe(
         spark, path, e.filter(F.col("vec_id") < 5), e, k=5, n_probe=2
     )
+
+
+@query(
+    "s44_stream_append_only_ingest",
+    oracle=f"""WITH {_ivfsq_topk_sql(dim=64, n_cells='auto', n_probe=2, k=5,
+                                     build_filter='WHERE vec_id % 2 = 0')}\n""",
+)
+def s44_stream_append_only_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE ingest for HIGH-FREQUENCY micro-batches, replayed
+    batch-shaped (round 13 — the open item s41's upsert staging
+    documents: `ingest_batch_staged` rewrites the whole staged table
+    per batch, O(table), fine for nightly shards but not second-scale
+    micro-batches): the odd-id shard arrives as TWO micro-batches
+    through the stream wire format, each staged APPEND-ONLY into its
+    own parquet subdirectory (`streaming/serving.
+    stage_batch_append_only` — O(batch) write, the per-batch body the
+    `ingest_vector_stream_append_only` foreachBatch sink runs); batch
+    0 is then DELIBERATELY RE-DELIVERED (the checkpoint-rollback
+    failure mode — it overwrites its own subdirectory, leaving the
+    snapshot holding each batch once); finally ONE scheduled
+    reconcile (`reconcile_index_from_snapshot`) absorbs the whole
+    staged snapshot — deduped by id, membership-anti-joined against
+    the index's own codes — and a reconcile re-run must append
+    NOTHING (the row raises otherwise, so the driver hash certifies
+    the exactly-once path, not a lucky single delivery). Oracle:
+    s14's verbatim (stats/cells/centroids from the even build split
+    only, codes and search over every vector). The same path through
+    a REAL multi-batch availableNow stream with an inline
+    reconcile-every-2 schedule is separately asserted in
+    tests/test_ann_index.py. Reference analogue: none (SURVEY §7
+    Phase 4/5 surface)."""
+    import os
+
+    from ..operators.ann_index import build_ivfsq_index, search_ivfsq_index
+    from ..streaming.serving import (
+        reconcile_index_from_snapshot,
+        stage_batch_append_only,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_path(spark, sf_dir, "ivfsq_ao_ingest")
+    build_ivfsq_index(
+        e.filter(F.col("vec_id") % 2 == 0),
+        path,
+        n_cells=None,
+        corpus_cache_key=(sf_dir, "embeddings", "vec_id%2=0"),
+    )
+    vdir = f"{path}_vbatches_ao"
+    staged = f"{path}_staged_ao"
+    # two micro-batches over the stream wire format (the s40 rule:
+    # distributed to_json write, never collected; Jackson
+    # shortest-decimal floats round-trip float32 exactly)
+    batches = []
+    for i, pred in enumerate(
+        (F.col("vec_id") % 4 == 1, F.col("vec_id") % 4 == 3)
+    ):
+        (
+            e.filter(pred)
+            .select(F.to_json(F.struct("vec_id", "embedding")).alias("value"))
+            .coalesce(2)
+            .write.mode("overwrite")
+            .text(f"{vdir}/b{i}")
+        )
+        os.utime(f"{vdir}/b{i}")  # keep the reaper's dir-mtime key fresh
+        batch = spark.read.schema("vec_id long, embedding array<float>").json(
+            f"{vdir}/b{i}"
+        )
+        batches.append(batch)
+        stage_batch_append_only(staged, batch, batch_id=i)
+    # checkpoint-rollback replay: batch 0 re-delivered under its own
+    # batch_id — overwrites its own staged subdirectory
+    stage_batch_append_only(staged, batches[0], batch_id=0)
+    appended = reconcile_index_from_snapshot(spark, path, staged)
+    replayed = reconcile_index_from_snapshot(spark, path, staged)
+    if replayed:  # the whole point: the re-run must append nothing
+        raise AssertionError(
+            f"reconcile re-run appended {replayed} vectors (first run "
+            f"appended {appended}) — exactly-once broken"
+        )
+    return search_ivfsq_index(
+        spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
+    )

@@ -173,13 +173,19 @@ def reconcile_index_from_snapshot(
 
     Contract: ids are immutable content (the append-path rule — a
     persisted index never re-encodes an id; updates are rebuilds), so
-    "id already present" == "vector already encoded". Scale: the
-    membership anti-join reads one id column of the index per
-    reconcile — pair it with a nightly/accretion schedule, not a
-    per-row trigger, when the index is large."""
+    "id already present" == "vector already encoded" — and ALSO why
+    the snapshot dedupe below may keep an arbitrary copy of an id
+    staged in several append-only batches: every copy is the same
+    vector. Scale: the membership anti-join reads one id column of
+    the index per reconcile — pair it with a nightly/accretion
+    schedule, not a per-row trigger, when the index is large."""
     from ..operators.ann_index import _codes_path, append_index
 
-    staged = spark.read.parquet(staged_dir).select(id_col, vec_col)
+    staged = (
+        spark.read.parquet(staged_dir)
+        .select(id_col, vec_col)
+        .dropDuplicates([id_col])
+    )
     present = (
         spark.read.parquet(_codes_path(spark, index_path))
         .select(F.col("candidate_id").alias(id_col))
@@ -228,6 +234,73 @@ def ingest_batch_staged(
         batch_df.sparkSession, index_path, staged_dir,
         id_col=id_col, vec_col=vec_col,
     )
+
+
+def stage_batch_append_only(
+    staged_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """ONE micro-batch of the APPEND-ONLY staging path (round 13 —
+    the high-frequency sibling of `ingest_batch_staged`'s keyed
+    upsert, which rewrites the whole staged table per batch and so
+    fits nightly shards, not second-scale micro-batches): the batch
+    is written to its OWN parquet subdirectory
+    ``{staged_dir}/batch_id=<id>`` at O(batch) cost. Replay-
+    idempotent at the file level: a re-delivered batch OVERWRITES its
+    own subdirectory (same batch_id → same path), so the staged
+    snapshot holds each delivered batch exactly once regardless of
+    checkpoint rollbacks. Duplicate ids ACROSS batches are allowed
+    here and absorbed downstream: `reconcile_index_from_snapshot`
+    dedupes the snapshot by id before its membership anti-join (ids
+    are immutable content — the append-path contract — so any staged
+    copy is the same vector). Empty batches are skipped."""
+    if not batch_df.limit(1).count():
+        return
+    out = f"{staged_dir}/batch_id={int(batch_id)}"
+    batch_df.select(id_col, vec_col).write.mode("overwrite").parquet(out)
+    # the overwrite happened behind any same-session reader's file
+    # listing cache (the upsert_batch rule)
+    batch_df.sparkSession.catalog.refreshByPath(staged_dir)
+
+
+def ingest_vector_stream_append_only(
+    index_path: str,
+    stream_df: DataFrame,
+    staged_dir: str,
+    reconcile_every: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch EXACTLY-ONCE ingest sink for HIGH-FREQUENCY
+    micro-batches (round 13 — the open item `ingest_batch_staged`
+    documents): each batch stages append-only into its own parquet
+    subdirectory (`stage_batch_append_only` — O(batch) write, no
+    O(table) rewrite), and the index reconciles against the staged
+    snapshot ON A SCHEDULE instead of per batch: every
+    ``reconcile_every`` batches when set, else never inline — the
+    deployment runs `reconcile_index_from_snapshot` on its own
+    nightly/accretion schedule (the reconcile reads ANY parquet dir
+    as the snapshot and is idempotent, so a tail of staged-but-not-
+    yet-reconciled batches is absorbed by the next scheduled run).
+    Exactly-once end to end: replayed batches overwrite their own
+    staged subdirectory, and the reconcile's membership anti-join
+    appends only ids the index's own codes don't hold. Returns the
+    DataStreamWriter; caller picks trigger/checkpoint and starts."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        stage_batch_append_only(
+            staged_dir, batch_df, batch_id, id_col=id_col, vec_col=vec_col
+        )
+        if reconcile_every and (int(batch_id) + 1) % reconcile_every == 0:
+            reconcile_index_from_snapshot(
+                batch_df.sparkSession, index_path, staged_dir,
+                id_col=id_col, vec_col=vec_col,
+            )
+
+    return stream_df.writeStream.foreachBatch(_ingest)
 
 
 def ingest_vector_stream_staged(

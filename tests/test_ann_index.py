@@ -1107,6 +1107,143 @@ def test_staged_ingest_exactly_once_through_real_stream(spark, tmp_path):
     assert again == want
 
 
+def test_append_only_ingest_through_real_stream(spark, tmp_path):
+    """Round 13 (the open item `ingest_batch_staged` documents): the
+    APPEND-ONLY staged ingest for high-frequency micro-batches.
+    (1) A real multi-batch availableNow stream through
+    `ingest_vector_stream_append_only(reconcile_every=2)` must leave
+    the index serving bit-identically to the plain batch append of
+    the same shard — the scheduled reconcile fires on the second
+    batch and absorbs both staged batches at once.
+    (2) Each batch must land as its OWN parquet subdirectory (the
+    O(batch) staging cost — no O(table) rewrite).
+    (3) A replayed batch overwrites its own subdirectory and a
+    reconcile re-run appends nothing (exactly-once under checkpoint
+    rollback)."""
+    import json as _json
+    import os
+
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        append_to_ivfsq_index,
+    )
+    from mergers_acquisitions_predictions_spark.streaming.serving import (
+        ingest_vector_stream_append_only,
+        reconcile_index_from_snapshot,
+        stage_batch_append_only,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    even = e.filter(F.col("vec_id") % 2 == 0)
+    odd = e.filter(F.col("vec_id") % 2 == 1)
+    q = e.filter(F.col("vec_id") < 5)
+
+    stream_path = str(tmp_path / "idx_ao_stream")
+    batch_path = str(tmp_path / "idx_ao_batch")
+    build_ivfsq_index(even, stream_path, n_cells=16)
+    build_ivfsq_index(even, batch_path, n_cells=16)
+
+    vdir = tmp_path / "vao"
+    vdir.mkdir()
+    odd_rows = odd.collect()
+    for i, chunk in enumerate((odd_rows[::2], odd_rows[1::2])):
+        with open(vdir / f"shard{i}.jsonl", "w") as f:
+            for r in chunk:
+                f.write(
+                    _json.dumps(
+                        {
+                            "vec_id": r.vec_id,
+                            "embedding": [float(x) for x in r.embedding],
+                        }
+                    )
+                    + "\n"
+                )
+    staged = str(tmp_path / "staged_ao")
+    stream = (
+        ingest_vector_stream_append_only(
+            stream_path,
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(vdir)),
+            staged,
+            reconcile_every=2,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_ao"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(180)
+
+    # (2) per-batch subdirectories, not a rewritten table
+    subdirs = sorted(
+        d for d in os.listdir(staged) if d.startswith("batch_id=")
+    )
+    assert subdirs == ["batch_id=0", "batch_id=1"]
+
+    append_to_ivfsq_index(odd, batch_path)
+    want = sorted(
+        map(
+            tuple,
+            search_ivfsq_index(spark, batch_path, q, k=5, n_probe=2).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            search_ivfsq_index(spark, stream_path, q, k=5, n_probe=2).collect(),
+        )
+    )
+    assert got == want and len(want) == 25
+
+    # (3) rollback replay: re-stage micro-batch 0 through the same
+    # per-batch body — overwrites its own subdir, reconcile no-op.
+    replay = spark.read.schema("vec_id long, embedding array<float>").json(
+        str(vdir / "shard0.jsonl")
+    )
+    stage_batch_append_only(staged, replay, batch_id=0)
+    assert sorted(
+        d for d in os.listdir(staged) if d.startswith("batch_id=")
+    ) == ["batch_id=0", "batch_id=1"]
+    assert reconcile_index_from_snapshot(spark, stream_path, staged) == 0
+    again = sorted(
+        map(
+            tuple,
+            search_ivfsq_index(spark, stream_path, q, k=5, n_probe=2).collect(),
+        )
+    )
+    assert again == want
+
+
+def test_reconcile_dedupes_cross_batch_duplicate_ids(spark, tmp_path):
+    """Append-only staging allows the same id in several staged
+    batches (at-least-once delivery across DIFFERENT batch_ids — the
+    case the per-batch-id overwrite cannot absorb); the reconcile
+    must dedupe the snapshot by id and append each vector exactly
+    once."""
+    from mergers_acquisitions_predictions_spark.streaming.serving import (
+        reconcile_index_from_snapshot,
+        stage_batch_append_only,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    even = e.filter(F.col("vec_id") % 2 == 0)
+    odd = e.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "idx_dupes")
+    build_ivfsq_index(even, path, n_cells=16)
+
+    staged = str(tmp_path / "staged_dupes")
+    stage_batch_append_only(staged, odd, batch_id=0)
+    # batch 1 re-delivers a third of batch 0's ids under a NEW batch_id
+    stage_batch_append_only(staged, odd.filter(F.col("vec_id") % 3 == 0), batch_id=1)
+    appended = reconcile_index_from_snapshot(spark, path, staged)
+    assert appended == odd.count()
+    # every id encoded exactly once → k hits per query, no duplicates
+    hits = search_ivfsq_index(
+        spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
+    ).collect()
+    assert len(hits) == 25
+    assert len({(r.query_id, r.candidate_id) for r in hits}) == 25
+
+
 def test_accretion_monitor_and_trigger(spark, tmp_path):
     """Round 13: `index_accretion_stats` must count files-per-cell of
     the LIVE generation, and `compact_if_accreted` must fire only

@@ -476,6 +476,52 @@ def test_facade_exactly_once_ingest_and_accretion(spark, tmp_path):
     assert len(hits) == 6
 
 
+def test_facade_append_only_ingest(spark, tmp_path):
+    """Round-13 facade surface: the high-frequency append-only ingest
+    sink — a one-batch availableNow stream with reconcile_every=1
+    must leave the index serving the appended vectors."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from mergers_acquisitions_predictions_spark.sources.readers import load_table
+
+    eng = Engine(spark)
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx_ao")
+    eng.build_ann_index(e.filter(F.col("vec_id") % 2 == 0), path, n_cells=4)
+    vdir = tmp_path / "vao"
+    vdir.mkdir()
+    with open(vdir / "shard.jsonl", "w") as f:
+        for r in e.filter(F.col("vec_id") % 2 == 1).collect():
+            f.write(
+                _json.dumps(
+                    {
+                        "vec_id": r.vec_id,
+                        "embedding": [float(x) for x in r.embedding],
+                    }
+                )
+                + "\n"
+            )
+    stream = (
+        eng.ingest_vector_stream_append_only(
+            path,
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .json(str(vdir)),
+            str(tmp_path / "staged_ao"),
+            reconcile_every=1,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_ao"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+    hits = eng.search_ann_index(
+        path, e.filter(F.col("vec_id") < 2), k=3, n_probe=2
+    ).collect()
+    assert len(hits) == 6
+
+
 def test_facade_recall_probe_and_rebuild_trigger(spark, tmp_path):
     """Round-13 facade surface: the rebuild-schedule pair."""
     import pyspark.sql.functions as F
