@@ -606,6 +606,17 @@ class Engine:
             path, stream_df, staged_dir, **kw
         )
 
+    def search_sharded_ann_indexes(
+        self, paths: list[str], queries: DataFrame, **kw
+    ) -> DataFrame:
+        """Fan-out serve over shard indexes (round 13): the standard
+        pruned serve against every shard, per-shard top-k lists
+        merged to a global top-k on the serve's own key
+        (operators/ann_index.search_sharded_indexes)."""
+        from .operators.ann_index import search_sharded_indexes
+
+        return search_sharded_indexes(self.spark, paths, queries, **kw)
+
     def reconcile_ann_index(self, path: str, staged_dir: str, **kw) -> int:
         """Append every staged vector the index does not already hold
         (membership anti-join against the index's own codes) —

@@ -1448,6 +1448,63 @@ def search_ivfpq_index(
     )
 
 
+def search_sharded_indexes(
+    spark: SparkSession,
+    paths: list[str],
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """FAN-OUT serve over a list of SHARD indexes (round 13): each
+    shard is an independent persisted IVF-SQ8 index over its own
+    corpus slice (its own stats/cells/centroids — the 100 TB
+    deployment shape: one index per ingest window or tenant, built
+    and retired independently, never one monolithic fit); a query
+    runs the standard pruned serve against EVERY shard and the
+    per-shard top-k lists merge to a global top-k on the serve's own
+    key (sq_sim DESC, candidate_id ASC).
+
+    Exact w.r.t. the per-shard serves: shards partition the corpus
+    (an id lives in exactly one shard), and the global top-k of the
+    union is contained in the union of per-shard top-k lists
+    (monotone merge — the s13-certified local lists are sufficient),
+    so fanning out with the SAME k loses nothing. Cross-shard scores
+    are comparable the way any SQ8 scores are: each is that shard's
+    quantized approximation of the same rounded unit-dot.
+
+    Scale: each shard's scan stays partition-pruned to its probed
+    cells (the s13 plan — nothing about fan-out widens a shard's
+    read), the union is k×|shards| rows per query (serving-contract
+    sized), and shards are independent jobs — a hot shard bounds
+    latency, not total work. ``allowed`` pre-filters candidates
+    inside every shard's scan (s17 semantics). Returns
+    (query_id, candidate_id, sq_sim, rank) like the single-index
+    serve."""
+    from functools import reduce
+
+    if not paths:
+        raise ValueError("search_sharded_indexes needs at least one shard")
+    parts = [
+        search_ivfsq_index(
+            spark, p, queries, k=k, n_probe=n_probe,
+            id_col=id_col, vec_col=vec_col, allowed=allowed,
+        ).select("query_id", "candidate_id", "sq_sim")
+        for p in paths
+    ]
+    merged = reduce(DataFrame.unionByName, parts)
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("sq_sim"), F.asc("candidate_id")
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "sq_sim", "rank")
+    )
+
+
 def index_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     """Per-cell population of a persisted index — the operational
     cell-balance diagnostic (round 11): rows-per-cell skew is what

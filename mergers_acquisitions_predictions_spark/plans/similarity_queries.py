@@ -2371,3 +2371,71 @@ def s44_stream_append_only_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     return search_ivfsq_index(
         spark, path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
     )
+
+
+_SHARD_EVEN = _ivfsq_topk_sql(
+    dim=64, n_cells="auto", n_probe=2, k=5,
+    build_filter="WHERE vec_id % 2 = 0",
+    candidate_filter="AND c.candidate_id % 2 = 0",
+)
+_SHARD_ODD = _ivfsq_topk_sql(
+    dim=64, n_cells="auto", n_probe=2, k=5,
+    build_filter="WHERE vec_id % 2 = 1",
+    candidate_filter="AND c.candidate_id % 2 = 1",
+)
+
+
+@query(
+    "s45_sharded_index_serve",
+    oracle=f"""
+    SELECT query_id, candidate_id, sq_sim,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sq_sim DESC, candidate_id
+           ) AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, candidate_id, sq_sim
+        FROM (WITH {_SHARD_EVEN}) shard_even
+        UNION ALL
+        SELECT query_id, candidate_id, sq_sim
+        FROM (WITH {_SHARD_ODD}) shard_odd
+    ) fanout
+    QUALIFY rank <= 5
+    """,
+)
+def s45_sharded_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARDED fan-out serve (round 13): the corpus split into two
+    shard indexes — each with its OWN frozen geometry, built
+    independently (the 100 TB deployment shape: an index per ingest
+    window/tenant, never one monolithic fit — shards build, retire,
+    and compact on their own schedules while serves fan out) — and
+    one query batch served by `ann_index.search_sharded_indexes`:
+    the standard pruned per-shard serve (s13's plan, unchanged)
+    followed by a global top-k merge of the per-shard lists on the
+    serve's own key. The merge is exact w.r.t. the per-shard serves
+    (shards partition the corpus; the global top-k of the union is
+    contained in the union of same-k local lists). Oracle: TWO
+    instances of s13's CTE chain — one per shard, `build_filter`
+    restricting the learned geometry and `candidate_filter`
+    restricting the scored candidates to the shard's own rows —
+    UNION ALL'd and re-ranked globally, the engine merge replayed
+    relationally. Reference analogue: none (SURVEY §7 Phase 4/5
+    surface)."""
+    from ..operators.ann_index import (
+        build_ivfsq_index,
+        search_sharded_indexes,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    shard_paths = []
+    for par in (0, 1):
+        path = _scratch_index_path(spark, sf_dir, f"ivfsq_shard{par}")
+        build_ivfsq_index(
+            e.filter(F.col("vec_id") % 2 == par),
+            path,
+            n_cells=None,
+            corpus_cache_key=(sf_dir, "embeddings", f"vec_id%2={par}"),
+        )
+        shard_paths.append(path)
+    return search_sharded_indexes(
+        spark, shard_paths, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
+    )

@@ -1107,6 +1107,64 @@ def test_staged_ingest_exactly_once_through_real_stream(spark, tmp_path):
     assert again == want
 
 
+def test_sharded_fanout_serve(spark, tmp_path):
+    """Round 13: `search_sharded_indexes` must equal the manual
+    merge of the per-shard serves (same union, same global rank
+    key), return exactly k dense-ranked rows per query, and draw
+    each candidate from the shard that owns its id."""
+    from pyspark.sql import Window as W
+
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        search_sharded_indexes,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    paths = []
+    for par in (0, 1, 2):
+        p = str(tmp_path / f"shard{par}")
+        build_ivfsq_index(e.filter(F.col("vec_id") % 3 == par), p, n_cells=8)
+        paths.append(p)
+
+    got = search_sharded_indexes(spark, paths, q, k=5, n_probe=2)
+    rows = got.collect()
+    assert len(rows) == 25
+    for r in rows:
+        # ids partition by % 3: the candidate must come from one shard
+        assert r.candidate_id != r.query_id
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+    # independent re-derivation: union the single-shard serves and
+    # re-rank globally with the serve's own key
+    parts = [
+        search_ivfsq_index(spark, p, q, k=5, n_probe=2).select(
+            "query_id", "candidate_id", "sq_sim"
+        )
+        for p in paths
+    ]
+    un = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("sq_sim"), F.asc("candidate_id")
+    )
+    want = sorted(
+        map(
+            tuple,
+            un.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 5)
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, rows)) == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one shard"):
+        search_sharded_indexes(spark, [], q)
+
+
 def test_append_only_ingest_through_real_stream(spark, tmp_path):
     """Round 13 (the open item `ingest_batch_staged` documents): the
     APPEND-ONLY staged ingest for high-frequency micro-batches.
