@@ -1,0 +1,145 @@
+"""BM25 lexical retrieval over a document table — the sparse half of
+a hybrid (lexical + vector) retrieval stack (Robertson & Zaragoza
+2009, "The Probabilistic Relevance Framework: BM25 and Beyond"; the
+IDF form is Lucene's ln(1 + (N − df + ½)/(df + ½)), positive for
+every term).
+
+Why this exists alongside the dense s-family: embedding retrieval
+misses exact-term matches (rare entities, codes, numbers) that
+lexical scoring nails, and vice versa — which is why production
+stacks fuse both (the engine's `similarity.rrf_fuse` is the
+combiner). BM25 is also the standard quality-filter scorer for
+"does this document actually contain the query terms" curation
+passes over a training corpus.
+
+Scale shape (the 100 TB discipline): the query term set is
+serving-contract sized, so it BROADCASTS into a semi-join that
+prunes the corpus-sized tf/df frames down to query-term rows BEFORE
+any wide join; corpus statistics (N, Σdl) ride along as one
+broadcast scalar row; the per-(query, doc) score folds contributions
+over the SORTED term list (the t33 determinism pattern — both
+engines sum in the same order, so the 6-dp score is hash-checkable);
+final top-k is one window shuffle keyed by query. No UDFs, no
+driver-side loops — everything is builtin column algebra.
+
+No reference analogue (the reference's text surface is TF-IDF for
+FEATURES, `acq_etl_code.scala:71-81`, not retrieval) — this is
+SURVEY §7 Phase 4 training-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+#: BM25 constants, pre-folded in Python so both engines consume the
+#: same double literals (k1 = 1.2, b = 0.75).
+K1 = 1.2
+K1_PLUS_1 = 2.2
+B = 0.75
+ONE_MINUS_B = 0.25
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    ``queries`` is a long-format (query_id, term) frame — one row per
+    query term, the shape a tokenized query batch naturally lands in.
+    Returns (query_id, doc_id, bm25, rank) with the score rounded to
+    6 dp and ranked (bm25 DESC, doc_id ASC) for cross-engine
+    determinism. ``exclude_self`` drops doc_id == query_id pairs —
+    the convention when queries are derived from corpus documents
+    (the s02 self-match rule).
+
+    Scoring: Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df + ½)/(df + ½) + 1); the Σ folds left-to-right
+    over terms sorted lexicographically."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
+    )
+    qterms = q.select("term").distinct()
+    # corpus-sized aggregates, pruned to query terms BEFORE joining
+    tf = (
+        tok.join(F.broadcast(qterms), "term", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dfreq = (
+        tok.join(F.broadcast(qterms), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    # document length must count EVERY token, not just query terms
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).alias("nn")).crossJoin(
+        dl.agg(F.sum("dl").alias("sdl"))
+    ).select(
+        "nn", (F.col("sdl").cast("double") / F.col("nn")).alias("avgdl")
+    )
+
+    idf = F.log(
+        (F.col("nn") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    num = F.col("c") * F.lit(K1_PLUS_1)
+    den = F.col("c") + F.lit(K1) * (
+        F.lit(ONE_MINUS_B) + F.lit(B) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        F.broadcast(q)
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            "term",
+            ((idf * num) / den).alias("w"),
+        )
+    )
+    if exclude_self:
+        contrib = contrib.filter(F.col("doc_id") != F.col("query_id"))
+    # deterministic fold: contributions sorted by term, summed
+    # left-to-right (the t33 pattern — DuckDB's list_sum over
+    # list(w ORDER BY term) folds identically)
+    scored = (
+        contrib.groupBy("query_id", "doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "w"))).alias("tw")
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.aggregate(
+                    F.col("tw"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["w"],
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )

@@ -1161,3 +1161,132 @@ def t33_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("tok")).cast("long").alias("n_types"),
         F.when(n == 0, F.lit(0.0)).otherwise(F.round(ent, 6)).alias("token_entropy"),
     )
+
+
+from .registry import ORACLES as _REG_ORACLES  # noqa: E402
+from .text_queries import SQL_TOKENS as _SQL_TOKENS  # noqa: E402
+
+
+@query(
+    "t38_bm25_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    tf0 AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+    dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS nn,
+                     (SELECT CAST(sum(dl) AS DOUBLE) FROM dlen)
+                       / (SELECT count(*) FROM documents) AS avgdl),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    q AS (SELECT doc_id AS query_id, term
+          FROM ({_REG_ORACLES["t09_tfidf_top_terms"]}) t9 WHERE doc_id < 3),
+    contrib AS (
+        SELECT q.query_id, tf0.doc_id, q.term,
+               (ln((stats.nn - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+                * (tf0.c * 2.2))
+               / (tf0.c + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl)) AS w
+        FROM q
+        JOIN tf0 USING (term)
+        JOIN dlen ON dlen.doc_id = tf0.doc_id
+        JOIN dfreq ON dfreq.term = q.term
+        CROSS JOIN stats
+        WHERE tf0.doc_id <> q.query_id
+    ),
+    bscored AS (
+        SELECT query_id, doc_id,
+               round(list_sum(list(w ORDER BY term)), 6) AS bm25
+        FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, bm25,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY bm25 DESC, doc_id
+           ) AS BIGINT) AS rank
+    FROM bscored
+    QUALIFY rank <= 5
+    """,
+)
+def t38_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (round 13 — `operators/bm25.bm25_topk`,
+    the sparse half of a hybrid retrieval stack; Lucene's positive
+    IDF form): each of the three lowest-id documents' top-3 TF-IDF
+    terms (t09's registered ranking, reused verbatim as the query
+    workload — the s43 oracle-composition pattern) retrieves its
+    top-5 OTHER documents. The per-(query, doc) score folds term
+    contributions over the lexicographically SORTED term list (the
+    t33 float-determinism pattern), so the 6-dp score hash-checks
+    cross-engine; k1/b constants are pre-folded Python doubles shared
+    by both spellings. Scale: the broadcast query-term semi-join
+    prunes the corpus-sized tf/df aggregates before any wide join;
+    doc length and corpus stats ride along as broadcasts; one grouped
+    fold + one window shuffle. Reference analogue: none (the
+    reference's TF-IDF is a FEATURE pipeline, `acq_etl_code.scala:
+    71-81`, not retrieval) — SURVEY §7 Phase 4 surface."""
+    from ..operators.bm25 import bm25_topk
+    from .text_queries import t09_tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    q = (
+        t09_tfidf_top_terms(spark, sf_dir)
+        .filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    return bm25_topk(d, q, k=5, exclude_self=True)
+
+
+@query(
+    "s46_hybrid_bm25_dense",
+    oracle=f"""
+    WITH lex AS (SELECT query_id, doc_id AS candidate_id, rank
+                 FROM ({_REG_ORACLES["t38_bm25_topk"]}) tl),
+    dns AS (SELECT query_id, candidate_id, rank
+            FROM ({_REG_ORACLES["s02_cosine_topk"]}) td WHERE query_id < 3),
+    fused AS (
+        SELECT coalesce(l.query_id, i.query_id) AS query_id,
+               coalesce(l.candidate_id, i.candidate_id) AS candidate_id,
+               CAST(floor((coalesce(CAST(1.0 AS DOUBLE)
+                                    / (CAST(60.0 AS DOUBLE)
+                                       + CAST(l.rank AS DOUBLE)), 0.0)
+                           + coalesce(CAST(1.0 AS DOUBLE)
+                                      / (CAST(60.0 AS DOUBLE)
+                                         + CAST(i.rank AS DOUBLE)), 0.0))
+                          * 1e9 + 0.5) AS BIGINT) AS rrf_ppb
+        FROM lex l
+        FULL OUTER JOIN dns i
+          ON l.query_id = i.query_id AND l.candidate_id = i.candidate_id
+    )
+    SELECT query_id, candidate_id, rrf_ppb, fused_rank
+    FROM (
+        SELECT query_id, candidate_id, rrf_ppb,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY rrf_ppb DESC, candidate_id
+               ) AS BIGINT) AS fused_rank
+        FROM fused
+    )
+    WHERE fused_rank <= 5
+    """,
+)
+def s46_hybrid_bm25_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval across MODALITIES (round 13): BM25 lexical
+    retrieval over `documents` (t38's registered ranking — sparse,
+    exact-term) RRF-fused with exact dense cosine retrieval over the
+    SAME ids' `embeddings` (s02's ranking, restricted to the three
+    query documents) — the production hybrid-search shape, where the
+    two routes' complementary failure modes (lexical misses
+    paraphrase, dense misses rare exact terms) union into a better
+    list with no score calibration because only RANKS enter
+    (`similarity.rrf_fuse`, s11's combiner pointed across the
+    lexical/dense divide instead of LSH/IVF). The testdata id spaces
+    align (doc_id ≡ vec_id), so the fusion is a plain (query,
+    candidate) full-outer join of two k-rows-per-query lists —
+    query-set-sized work regardless of corpus size. Oracle: t38's and
+    s02's statements composed verbatim + s11's fused-ppb spelling.
+    Reference analogue: none — SURVEY §7 Phase 4 surface."""
+    from ..operators.similarity import brute_force_topk, rrf_fuse
+
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = t38_bm25_topk(spark, sf_dir).select(
+        "query_id", F.col("doc_id").alias("candidate_id"), "rank"
+    )
+    dense = brute_force_topk(e.filter(F.col("vec_id") < 3), e, k=5).select(
+        "query_id", "candidate_id", "rank"
+    )
+    return rrf_fuse([lex, dense], k=5, c=60)

@@ -1,0 +1,98 @@
+"""BM25 retrieval (`operators/bm25.bm25_topk`): the score must match
+an independent per-document computation of the Lucene-IDF BM25
+formula, self-exclusion and absent-term semantics must hold, and
+ranks must be dense per query."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mergers_acquisitions_predictions_spark.operators.bm25 import (
+    B,
+    K1,
+    bm25_topk,
+)
+
+DOCS = [
+    (0, "spark engine shuffles data fast"),
+    (1, "the spark engine optimizes the query plan"),
+    (2, "ducks swim in the pond"),
+    (3, "spark spark spark everywhere spark"),
+    (4, "query plan for the pond"),
+]
+
+
+def _tok(text: str) -> list[str]:
+    import re
+
+    return re.findall(r"[a-z0-9]+", text.lower())
+
+
+def _expected(query_terms: list[str], exclude_self=None):
+    toks = {d: _tok(t) for d, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for d, tk in toks.items():
+        if exclude_self is not None and d == exclude_self:
+            continue
+        s = 0.0
+        for term in sorted(set(query_terms)):
+            c = tk.count(term)
+            if not c:
+                continue
+            df = sum(1 for v in toks.values() if term in v)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+            s += (idf * (c * (K1 + 1))) / (c + K1 * ((1 - B) + B * len(tk) / avgdl))
+        if s:
+            out[d] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_hand_computation(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(100, "spark"), (100, "query")], "query_id long, term string"
+    )
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(docs, q, k=10).collect()
+    }
+    assert got == _expected(["spark", "query"])
+
+
+def test_bm25_rank_density_and_order(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(100, "spark"), (100, "query"), (200, "pond")],
+        "query_id long, term string",
+    )
+    rows = bm25_topk(docs, q, k=3).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.bm25, r.doc_id))
+    for qid, lst in per_q.items():
+        lst.sort()
+        assert [rk for rk, _, _ in lst] == list(range(1, len(lst) + 1))
+        scores = [s for _, s, _ in lst]
+        assert scores == sorted(scores, reverse=True)
+    # 'pond' appears in docs 2 and 4 only
+    assert {d for _, _, d in per_q[200]} == {2, 4}
+
+
+def test_bm25_exclude_self_and_absent_terms(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(3, "spark"), (7, "zebra")], "query_id long, term string"
+    )
+    rows = bm25_topk(docs, q, k=10, exclude_self=True).collect()
+    # query 3 excludes doc 3 even though it is the strongest match
+    assert 3 not in {r.doc_id for r in rows if r.query_id == 3}
+    assert {r.doc_id for r in rows if r.query_id == 3} == {0, 1}
+    # a term absent from the corpus retrieves nothing
+    assert not [r for r in rows if r.query_id == 7]
+    exp = _expected(["spark"], exclude_self=3)
+    got = {r.doc_id: r.bm25 for r in rows if r.query_id == 3}
+    assert got == {d: s for d, s in exp.items() if d != 3}

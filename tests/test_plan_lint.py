@@ -39,6 +39,10 @@ ALLOW = {
     "q23_scalar_subquery": "1-row scalar aggregate broadcast",
     "q37_any_all_semantics": "1-row min/max aggregate broadcast (ANY/ALL rewrite)",
     "t09_tfidf_top_terms": "1-row doc-count broadcast for the IDF term",
+    "t38_bm25_topk": "1-row (N, avgdl) corpus-stats broadcast for the BM25 "
+    "normalizer (t09's rule); every other join is equi-keyed on term/doc_id",
+    "s46_hybrid_bm25_dense": "embeds t38's 1-row corpus-stats broadcast (and "
+    "s02's declared-exact dense baseline); the fusion join is equi-keyed",
     "t19_quality_rank_filter": "1-row total-count broadcast for the decile cut",
     # (the ivf_assign centroid fan-out entries were removed in round 3:
     # ivf_assign_literal made every IVF consumer BNLJ-free)
