@@ -121,6 +121,7 @@ def main() -> None:
         "s45_sharded_index_serve",  # two-shard fan-out serve + global merge
         "s46_hybrid_bm25_dense",  # BM25 x dense RRF hybrid retrieval
         "t38_bm25_topk",  # lexical BM25 retrieval over documents
+        "t39_bm25_persisted_serve",  # postings-artifact BM25 serve (pushdown)
         "s42_stream_ingest_compact_serve",  # ingest -> monitor-fired compact -> serve
         "s43_index_recall_probe",  # appended index vs exact truth (rebuild metric)
         # s09/s29/s38 (learned-codebook rows) are correctness-window only:

@@ -93,6 +93,22 @@ def bm25_topk(
         "nn", (F.col("sdl").cast("double") / F.col("nn")).alias("avgdl")
     )
 
+    contrib = (
+        F.broadcast(q)
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", "term", _bm25_weight().alias("w"))
+    )
+    return _rank_contributions(contrib, k, exclude_self)
+
+
+def _bm25_weight():
+    """idf(t)·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) over columns
+    (c, df, dl, nn, avgdl) — ONE spelling shared by the in-memory and
+    persisted serves so their 6-dp scores are bit-identical (and both
+    match the oracle's arithmetic order)."""
     idf = F.log(
         (F.col("nn") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
@@ -101,24 +117,18 @@ def bm25_topk(
     den = F.col("c") + F.lit(K1) * (
         F.lit(ONE_MINUS_B) + F.lit(B) * F.col("dl") / F.col("avgdl")
     )
-    contrib = (
-        F.broadcast(q)
-        .join(tf, "term")
-        .join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "query_id",
-            "doc_id",
-            "term",
-            ((idf * num) / den).alias("w"),
-        )
-    )
+    return (idf * num) / den
+
+
+def _rank_contributions(
+    contrib: DataFrame, k: int, exclude_self: bool
+) -> DataFrame:
+    """Grouped deterministic fold + top-k: contributions sorted by
+    term, summed left-to-right (the t33 pattern — DuckDB's list_sum
+    over list(w ORDER BY term) folds identically), 6-dp round, rank
+    (bm25 DESC, doc_id ASC)."""
     if exclude_self:
         contrib = contrib.filter(F.col("doc_id") != F.col("query_id"))
-    # deterministic fold: contributions sorted by term, summed
-    # left-to-right (the t33 pattern — DuckDB's list_sum over
-    # list(w ORDER BY term) folds identically)
     scored = (
         contrib.groupBy("query_id", "doc_id")
         .agg(
@@ -143,3 +153,84 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "bm25", "rank")
     )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the BM25 POSTINGS artifact — the lexical sibling of the
+    ann_index build (pay the corpus aggregation once, serve many):
+
+    - ``{path}/postings``: one DENORMALIZED row per (term, doc)
+      carrying (term, doc_id, c, df, dl) — tf, document frequency and
+      document length pre-joined at build time so the serve is a
+      single scan with ZERO corpus-sized joins. Range-partitioned and
+      sorted by term: every parquet row group covers a tight term
+      interval, so a query's `term IN (...)` predicate prunes at the
+      footer level (the lexical analogue of the cell-partition
+      pruning the ann serve relies on).
+    - ``{path}/stats``: the 1-row (nn, avgdl) sidecar.
+
+    Both publish via the atomic staged-rename (`publish_parquet_
+    atomic`) — readers never see a torn artifact. Rebuild = re-run
+    (the artifact is a pure function of the corpus)."""
+    from ..sources.writers import publish_parquet_atomic
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    postings = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .select("term", "doc_id", "c", "df", "dl")
+        .repartitionByRange(8, "term")
+        .sortWithinPartitions("term", "doc_id")
+    )
+    publish_parquet_atomic(postings, f"{path}/postings")
+    stats = docs.agg(F.count(F.lit(1)).alias("nn")).crossJoin(
+        dl.agg(F.sum("dl").alias("sdl"))
+    ).select(
+        "nn", (F.col("sdl").cast("double") / F.col("nn")).alias("avgdl")
+    )
+    publish_parquet_atomic(stats, f"{path}/stats")
+
+
+def search_bm25_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Serve BM25 top-``k`` from the persisted postings artifact: the
+    query batch's term set (serving-contract sized — the same rule as
+    the ann serve's probed-cell collect) becomes an In-predicate on
+    the postings scan, which parquet prunes to the row groups whose
+    term range matches; everything else is the broadcast query join +
+    the shared weight/fold/rank tail, bit-identical to the in-memory
+    `bm25_topk` because postings hold exact integers and the stats
+    sidecar's doubles round-trip parquet exactly."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
+    )
+    terms = [r["term"] for r in q.select("term").distinct().collect()]
+    post = spark.read.parquet(f"{path}/postings").filter(
+        F.col("term").isin(terms)
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    contrib = (
+        F.broadcast(q)
+        .join(post, "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", "term", _bm25_weight().alias("w"))
+    )
+    return _rank_contributions(contrib, k, exclude_self)

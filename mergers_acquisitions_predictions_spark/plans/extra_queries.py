@@ -1290,3 +1290,37 @@ def s46_hybrid_bm25_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "candidate_id", "rank"
     )
     return rrf_fuse([lex, dense], k=5, c=60)
+
+
+@query(
+    "t39_bm25_persisted_serve",
+    oracle=_REG_ORACLES["t38_bm25_topk"],
+)
+def t39_bm25_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the PERSISTED postings artifact (round 13 —
+    the lexical sibling of s13's persisted-index discipline: pay the
+    corpus tokenize/aggregate once, serve many): `build_bm25_index`
+    publishes the term-range-sorted denormalized postings
+    (term, doc_id, c, df, dl) plus the 1-row stats sidecar via the
+    atomic staged-rename; the serve turns the query batch's term set
+    into an In-predicate the parquet scan prunes at the row-group
+    level (the lexical analogue of probed-cell partition pruning) and
+    runs the SAME weight/fold/rank tail as t38 — postings hold exact
+    integers, the sidecar's doubles round-trip parquet exactly, so
+    the oracle is t38's statement VERBATIM (the s13-reuses-s02's-
+    semantics pattern) and a green row certifies the on-disk artifact
+    end to end. Query workload: t09's top-3 terms of docs 0-2, as
+    t38. Reference analogue: none — SURVEY §7 Phase 4 surface."""
+    from ..operators.bm25 import build_bm25_index, search_bm25_index
+    from .similarity_queries import _scratch_index_path
+    from .text_queries import t09_tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    path = _scratch_index_path(spark, sf_dir, "bm25")
+    build_bm25_index(d, path)
+    q = (
+        t09_tfidf_top_terms(spark, sf_dir)
+        .filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    return search_bm25_index(spark, path, q, k=5, exclude_self=True)

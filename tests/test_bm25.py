@@ -96,3 +96,45 @@ def test_bm25_exclude_self_and_absent_terms(spark):
     exp = _expected(["spark"], exclude_self=3)
     got = {r.doc_id: r.bm25 for r in rows if r.query_id == 3}
     assert got == {d: s for d, s in exp.items() if d != 3}
+
+
+def test_bm25_persisted_serve_matches_inmemory(spark, tmp_path):
+    """Round 13: `search_bm25_index` from the persisted postings
+    artifact must be bit-identical to the in-memory `bm25_topk`
+    (postings hold exact integers; the stats sidecar's doubles
+    round-trip parquet exactly), and the postings scan must carry the
+    query-term In-predicate as a pushed filter."""
+    from mergers_acquisitions_predictions_spark.operators.bm25 import (
+        build_bm25_index,
+        search_bm25_index,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(100, "spark"), (100, "query"), (200, "pond")],
+        "query_id long, term string",
+    )
+    path = str(tmp_path / "bm25_idx")
+    build_bm25_index(docs, path)
+
+    served = search_bm25_index(spark, path, q, k=10)
+    want = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+    assert sorted(map(tuple, served.collect())) == want and want
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # the only parquet scan with an In(term, ...) pushed filter is the
+    # postings scan (the stats sidecar scan pushes nothing)
+    assert "PushedFilters: [In(term" in plan, plan
+
+    # exclude_self parity too
+    q2 = spark.createDataFrame([(3, "spark")], "query_id long, term string")
+    got2 = sorted(
+        map(
+            tuple,
+            search_bm25_index(spark, path, q2, k=10, exclude_self=True).collect(),
+        )
+    )
+    want2 = sorted(
+        map(tuple, bm25_topk(docs, q2, k=10, exclude_self=True).collect())
+    )
+    assert got2 == want2 and 3 not in {t[1] for t in got2}

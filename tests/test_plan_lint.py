@@ -43,6 +43,9 @@ ALLOW = {
     "normalizer (t09's rule); every other join is equi-keyed on term/doc_id",
     "s46_hybrid_bm25_dense": "embeds t38's 1-row corpus-stats broadcast (and "
     "s02's declared-exact dense baseline); the fusion join is equi-keyed",
+    "t39_bm25_persisted_serve": "1-row persisted stats-sidecar broadcast "
+    "(t38's rule; the workload-derivation embeds t09's 1-row doc-count); the "
+    "postings scan is In-pushdown pruned and every join is equi-keyed",
     "t19_quality_rank_filter": "1-row total-count broadcast for the decile cut",
     # (the ivf_assign centroid fan-out entries were removed in round 3:
     # ivf_assign_literal made every IVF consumer BNLJ-free)
