@@ -194,10 +194,85 @@ def build_bm25_index(
         .sortWithinPartitions("term", "doc_id")
     )
     publish_parquet_atomic(postings, f"{path}/postings")
+    # sdl is kept as an exact integer so `append_bm25_index` can merge
+    # corpus stats without float error; avgdl is derived at read time
+    # from the same division the in-memory path performs
     stats = docs.agg(F.count(F.lit(1)).alias("nn")).crossJoin(
         dl.agg(F.sum("dl").alias("sdl"))
-    ).select(
-        "nn", (F.col("sdl").cast("double") / F.col("nn")).alias("avgdl")
+    )
+    publish_parquet_atomic(stats, f"{path}/stats")
+
+
+def append_bm25_index(
+    docs_new: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """EXACT-MERGE append of a new document shard to a persisted BM25
+    index — the lexical counterpart of the ann_index nightly append,
+    with a stronger guarantee: where the ANN append encodes under
+    FROZEN (stale-by-design) geometry, BM25's corpus statistics are
+    all exact integer merges — tf rows are disjoint across shards
+    (ids are immutable content, the append-path contract), per-term
+    df adds, dl rows are per-doc, and (nn, Σdl) add — so the appended
+    index is VALUE-IDENTICAL to a full rebuild over the union, at the
+    cost of one pass over the NEW shard's text plus one O(postings)
+    merge shuffle (the old corpus is never re-tokenized; re-tokenize
+    is the dominant build term at scale). The merged postings and
+    stats publish via the same atomic staged-rename, so serves never
+    see a half-merged artifact."""
+    from ..sources.writers import publish_parquet_atomic
+
+    spark = docs_new.sparkSession
+    old_post = spark.read.parquet(f"{path}/postings")
+    old_stats = spark.read.parquet(f"{path}/stats")
+
+    tok = docs_new.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    tf_new = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    dl_new = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_new = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df_add")
+    )
+
+    # per-term df delta joins BOTH sides' rows; terms absent from one
+    # side contribute 0 (the merge identity)
+    df_old = old_post.select("term", "df").dropDuplicates(["term"])
+    df_merged = (
+        df_old.join(df_new, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("df_add"), F.lit(0))
+            ).alias("df"),
+        )
+    )
+    new_rows = tf_new.join(dl_new, "doc_id").select(
+        "term", "doc_id", "c", "dl"
+    )
+    merged = (
+        old_post.select("term", "doc_id", "c", "dl")
+        .unionByName(new_rows)
+        .join(df_merged, "term")
+        .select("term", "doc_id", "c", "df", "dl")
+        .repartitionByRange(8, "term")
+        .sortWithinPartitions("term", "doc_id")
+    )
+    # stage the merged postings BEFORE touching the live artifact: the
+    # merge plan READS the live postings, and publish's staged write
+    # already materializes the full result before any rename
+    publish_parquet_atomic(merged, f"{path}/postings")
+
+    add = docs_new.agg(F.count(F.lit(1)).alias("nn_add")).crossJoin(
+        dl_new.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl_add"))
+    )
+    stats = old_stats.crossJoin(add).select(
+        (F.col("nn") + F.col("nn_add")).alias("nn"),
+        (F.col("sdl") + F.col("sdl_add")).alias("sdl"),
     )
     publish_parquet_atomic(stats, f"{path}/stats")
 
@@ -226,7 +301,11 @@ def search_bm25_index(
     post = spark.read.parquet(f"{path}/postings").filter(
         F.col("term").isin(terms)
     )
-    stats = spark.read.parquet(f"{path}/stats")
+    # avgdl derives from the exact-integer sidecar with the SAME
+    # division the in-memory path performs — identical double
+    stats = spark.read.parquet(f"{path}/stats").select(
+        "nn", (F.col("sdl").cast("double") / F.col("nn")).alias("avgdl")
+    )
     contrib = (
         F.broadcast(q)
         .join(post, "term")

@@ -1324,3 +1324,42 @@ def t39_bm25_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("query_id"), "term")
     )
     return search_bm25_index(spark, path, q, k=5, exclude_self=True)
+
+
+@query(
+    "t40_bm25_append_serve",
+    oracle=_REG_ORACLES["t38_bm25_topk"],
+)
+def t40_bm25_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL BM25 index: build on the even-id half of the
+    corpus, `append_bm25_index` the odd half, serve (round 13 — the
+    nightly-shard ingest story on the lexical side, with a STRONGER
+    guarantee than its ANN sibling s14: where the ANN append encodes
+    under frozen stale-by-design geometry, BM25's corpus statistics
+    are all exact integer merges — disjoint tf rows, additive
+    per-term df through a full-outer merge, additive (nn, Σdl) via
+    the integer sidecar — so the appended artifact is VALUE-IDENTICAL
+    to a full rebuild and the oracle is t38's full-corpus statement
+    VERBATIM, no build_filter weakening needed). Cost: one pass over
+    the NEW shard's text + one O(postings) merge shuffle; the old
+    corpus is never re-tokenized (tokenize dominates the build at
+    scale, §7w). Query workload: t09's top-3 terms of docs 0-2, as
+    t38/t39. Reference analogue: none — SURVEY §7 Phase 4 surface."""
+    from ..operators.bm25 import (
+        append_bm25_index,
+        build_bm25_index,
+        search_bm25_index,
+    )
+    from .similarity_queries import _scratch_index_path
+    from .text_queries import t09_tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    path = _scratch_index_path(spark, sf_dir, "bm25app")
+    build_bm25_index(d.filter(F.col("doc_id") % 2 == 0), path)
+    append_bm25_index(d.filter(F.col("doc_id") % 2 == 1), path)
+    q = (
+        t09_tfidf_top_terms(spark, sf_dir)
+        .filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    return search_bm25_index(spark, path, q, k=5, exclude_self=True)

@@ -138,3 +138,38 @@ def test_bm25_persisted_serve_matches_inmemory(spark, tmp_path):
         map(tuple, bm25_topk(docs, q2, k=10, exclude_self=True).collect())
     )
     assert got2 == want2 and 3 not in {t[1] for t in got2}
+
+
+def test_bm25_append_equals_full_rebuild(spark, tmp_path):
+    """Round 13: `append_bm25_index` must leave the artifact
+    VALUE-IDENTICAL to a full rebuild over the union — BM25's corpus
+    statistics are exact integer merges (disjoint tf rows, additive
+    per-term df, additive (nn, Σdl)) — so the serves are
+    bit-identical. Also covers terms exclusive to one shard (the
+    full-outer df-merge identity)."""
+    from mergers_acquisitions_predictions_spark.operators.bm25 import (
+        append_bm25_index,
+        build_bm25_index,
+        search_bm25_index,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)  # doc 1 has 'optimizes'
+    q = spark.createDataFrame(
+        [(100, "spark"), (100, "query"), (200, "pond"), (300, "optimizes")],
+        "query_id long, term string",
+    )
+    inc = str(tmp_path / "bm25_inc")
+    full = str(tmp_path / "bm25_full")
+    build_bm25_index(even, inc)
+    append_bm25_index(odd, inc)
+    build_bm25_index(docs, full)
+
+    got = sorted(map(tuple, search_bm25_index(spark, inc, q, k=10).collect()))
+    want = sorted(map(tuple, search_bm25_index(spark, full, q, k=10).collect()))
+    assert got == want and want
+    # the appended artifact's stats merged exactly
+    si = spark.read.parquet(f"{inc}/stats").first()
+    sf_ = spark.read.parquet(f"{full}/stats").first()
+    assert (si.nn, si.sdl) == (sf_.nn, sf_.sdl)

@@ -46,6 +46,9 @@ ALLOW = {
     "t39_bm25_persisted_serve": "1-row persisted stats-sidecar broadcast "
     "(t38's rule; the workload-derivation embeds t09's 1-row doc-count); the "
     "postings scan is In-pushdown pruned and every join is equi-keyed",
+    "t40_bm25_append_serve": "t39's serve shape (1-row stats-sidecar "
+    "broadcast + t09 workload derivation) over the exact-merge appended "
+    "artifact; every join is equi-keyed",
     "t19_quality_rank_filter": "1-row total-count broadcast for the decile cut",
     # (the ivf_assign centroid fan-out entries were removed in round 3:
     # ivf_assign_literal made every IVF consumer BNLJ-free)
