@@ -123,6 +123,7 @@ def main() -> None:
         "t38_bm25_topk",  # lexical BM25 retrieval over documents
         "t39_bm25_persisted_serve",  # postings-artifact BM25 serve (pushdown)
         "t40_bm25_append_serve",  # exact-merge incremental postings + serve
+        "t41_bm25_stream_ingest",  # exactly-once doc-stream ingest + serve
         "s42_stream_ingest_compact_serve",  # ingest -> monitor-fired compact -> serve
         "s43_index_recall_probe",  # appended index vs exact truth (rebuild metric)
         # s09/s29/s38 (learned-codebook rows) are correctness-window only:

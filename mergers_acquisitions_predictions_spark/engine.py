@@ -685,3 +685,62 @@ class Engine:
         from .sources.writers import compact_parquet
 
         return compact_parquet(self.spark, path, **kw)
+
+    # ------------------------------------------------------------------
+    # Lexical (BM25) retrieval family — round 13
+
+    def bm25_topk(self, docs: DataFrame, queries: DataFrame, **kw) -> DataFrame:
+        """BM25 lexical top-k over a document frame (long-format
+        (query_id, term) query batch; operators/bm25.bm25_topk)."""
+        from .operators.bm25 import bm25_topk
+
+        return bm25_topk(docs, queries, **kw)
+
+    def build_bm25_index(self, docs: DataFrame, path: str, **kw) -> None:
+        """Persist the BM25 postings artifact (term-range-sorted
+        denormalized postings + exact-integer stats sidecar, atomic
+        publish; operators/bm25.build_bm25_index)."""
+        from .operators.bm25 import build_bm25_index
+
+        build_bm25_index(docs, path, **kw)
+
+    def search_bm25_index(
+        self, path: str, queries: DataFrame, **kw
+    ) -> DataFrame:
+        """Serve BM25 top-k from the persisted postings artifact
+        (query-term In-pushdown pruned scan; bit-identical to
+        `bm25_topk`; operators/bm25.search_bm25_index)."""
+        from .operators.bm25 import search_bm25_index
+
+        return search_bm25_index(self.spark, path, queries, **kw)
+
+    def append_bm25_index(self, docs_new: DataFrame, path: str, **kw) -> None:
+        """EXACT-MERGE append of a new document shard — the appended
+        artifact is value-identical to a full rebuild (no frozen
+        geometry: BM25 statistics merge exactly;
+        operators/bm25.append_bm25_index)."""
+        from .operators.bm25 import append_bm25_index
+
+        append_bm25_index(docs_new, path, **kw)
+
+    def reconcile_bm25_index(self, path: str, staged_dir: str, **kw) -> int:
+        """Exactly-once reconcile for the lexical index: append every
+        staged document the postings don't already hold (streaming/
+        serving.reconcile_bm25_from_snapshot). Returns the number
+        appended."""
+        from .streaming.serving import reconcile_bm25_from_snapshot
+
+        return reconcile_bm25_from_snapshot(self.spark, path, staged_dir, **kw)
+
+    def ingest_document_stream_append_only(
+        self, path: str, stream_df: DataFrame, staged_dir: str, **kw
+    ):
+        """EXACTLY-ONCE document-stream ingest sink for the BM25 index
+        (append-only staging + scheduled membership reconcile;
+        streaming/serving.ingest_document_stream_append_only; returns
+        the DataStreamWriter)."""
+        from .streaming.serving import ingest_document_stream_append_only
+
+        return ingest_document_stream_append_only(
+            path, stream_df, staged_dir, **kw
+        )

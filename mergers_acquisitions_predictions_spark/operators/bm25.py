@@ -262,11 +262,6 @@ def append_bm25_index(
         .repartitionByRange(8, "term")
         .sortWithinPartitions("term", "doc_id")
     )
-    # stage the merged postings BEFORE touching the live artifact: the
-    # merge plan READS the live postings, and publish's staged write
-    # already materializes the full result before any rename
-    publish_parquet_atomic(merged, f"{path}/postings")
-
     add = docs_new.agg(F.count(F.lit(1)).alias("nn_add")).crossJoin(
         dl_new.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl_add"))
     )
@@ -274,7 +269,18 @@ def append_bm25_index(
         (F.col("nn") + F.col("nn_add")).alias("nn"),
         (F.col("sdl") + F.col("sdl_add")).alias("sdl"),
     )
+    # ORDER IS LOAD-BEARING: stats publishes FIRST. Both publishes
+    # lazily re-evaluate ``docs_new``, whose lineage may itself READ
+    # the live postings (the reconcile path's membership anti-join —
+    # `reconcile_bm25_from_snapshot`); publishing postings first
+    # swaps the directory out from under the stats job's re-read
+    # (FAILED_READ_FILE on the pre-swap file list). Stats-first means
+    # every read of the live postings completes before its rename.
+    # A crash between the two publishes leaves merged stats over old
+    # postings — torn either way round — and the membership reconcile
+    # converges on re-run, which is the recovery contract.
     publish_parquet_atomic(stats, f"{path}/stats")
+    publish_parquet_atomic(merged, f"{path}/postings")
 
 
 def search_bm25_index(

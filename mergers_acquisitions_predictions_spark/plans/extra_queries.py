@@ -1363,3 +1363,81 @@ def t40_bm25_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("query_id"), "term")
     )
     return search_bm25_index(spark, path, q, k=5, exclude_self=True)
+
+
+@query(
+    "t41_bm25_stream_ingest",
+    oracle=_REG_ORACLES["t38_bm25_topk"],
+)
+def t41_bm25_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE document-stream ingest into the persisted BM25
+    index, replayed batch-shaped (round 13 — the s44 recipe pointed
+    at the LEXICAL index, completing its lifecycle:
+    build/serve/append/stream): the odd-id half of `documents`
+    arrives as TWO micro-batches through the stream wire format
+    (JSONL, the s40 rule — distributed write, never collected), each
+    staged append-only into its own subdirectory
+    (`stage_batch_append_only` — payload-agnostic, the staged column
+    is the text); batch 0 is DELIBERATELY RE-DELIVERED (overwrites
+    its own subdirectory); ONE scheduled reconcile
+    (`reconcile_bm25_from_snapshot` — staged ids deduped, membership
+    anti-joined against the postings' own doc set, survivors appended
+    through the exact-merge `append_bm25_index`) absorbs the
+    snapshot, and a reconcile re-run must append NOTHING (the row
+    raises otherwise). A naive per-batch append would double-count
+    the replayed shard's df/dl and silently SHIFT SCORES — the hash
+    would catch exactly that. Oracle: t38's full-corpus statement
+    VERBATIM (the exact merge makes append ≡ full build, t40's
+    guarantee). The same path through a REAL availableNow stream is
+    separately asserted in tests/test_bm25.py. Reference analogue:
+    none — SURVEY §7 Phase 4/5 surface."""
+    import os
+
+    from ..operators.bm25 import build_bm25_index, search_bm25_index
+    from ..streaming.serving import (
+        reconcile_bm25_from_snapshot,
+        stage_batch_append_only,
+    )
+    from .similarity_queries import _scratch_index_path
+    from .text_queries import t09_tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    path = _scratch_index_path(spark, sf_dir, "bm25stream")
+    build_bm25_index(d.filter(F.col("doc_id") % 2 == 0), path)
+    vdir = f"{path}_vdocs"
+    staged = f"{path}_staged_docs"
+    batches = []
+    for i, pred in enumerate(
+        (F.col("doc_id") % 4 == 1, F.col("doc_id") % 4 == 3)
+    ):
+        (
+            d.filter(pred)
+            .select(F.to_json(F.struct("doc_id", "text")).alias("value"))
+            .coalesce(2)
+            .write.mode("overwrite")
+            .text(f"{vdir}/b{i}")
+        )
+        os.utime(f"{vdir}/b{i}")  # keep the reaper's dir-mtime key fresh
+        batch = spark.read.schema("doc_id long, text string").json(
+            f"{vdir}/b{i}"
+        )
+        batches.append(batch)
+        stage_batch_append_only(
+            staged, batch, batch_id=i, id_col="doc_id", vec_col="text"
+        )
+    stage_batch_append_only(  # checkpoint-rollback replay of batch 0
+        staged, batches[0], batch_id=0, id_col="doc_id", vec_col="text"
+    )
+    appended = reconcile_bm25_from_snapshot(spark, path, staged)
+    replayed = reconcile_bm25_from_snapshot(spark, path, staged)
+    if replayed:  # the whole point: the re-run must append nothing
+        raise AssertionError(
+            f"reconcile re-run appended {replayed} documents (first "
+            f"run appended {appended}) — exactly-once broken"
+        )
+    q = (
+        t09_tfidf_top_terms(spark, sf_dir)
+        .filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    return search_bm25_index(spark, path, q, k=5, exclude_self=True)

@@ -326,3 +326,80 @@ def ingest_vector_stream_staged(
         )
 
     return stream_df.writeStream.foreachBatch(_ingest)
+
+
+def reconcile_bm25_from_snapshot(
+    spark: SparkSession,
+    index_path: str,
+    staged_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Append to the persisted BM25 postings index every staged
+    document the index does not already hold — the exactly-once
+    reconcile (`reconcile_index_from_snapshot`'s contract) pointed at
+    the LEXICAL index (round 13): membership is decided against the
+    postings' own doc_id set (column-pruned distinct — one id column
+    of the index per reconcile, the same economics as the ANN
+    membership scan), so replayed batches, re-run reconciles, and
+    crash recovery all converge to each document counted EXACTLY ONCE
+    in tf/df/dl/(nn, Σdl) — where a naive per-batch
+    `append_bm25_index` would double-count a re-delivered shard's
+    term statistics (the lexical analogue of the double-append, and
+    quieter: scores drift instead of rows duplicating).
+
+    Contract notes: ids are immutable content (the append-path rule);
+    TOKENLESS documents are dropped here — they contribute no
+    postings row, so membership could never see them and every
+    reconcile would re-append them into (nn, Σdl). Returns the number
+    of documents appended."""
+    from ..functions.text import tokenize
+    from ..operators.bm25 import append_bm25_index
+
+    staged = (
+        spark.read.parquet(staged_dir)
+        .select(id_col, text_col)
+        .dropDuplicates([id_col])
+        .filter(F.size(tokenize(F.col(text_col))) > 0)
+    )
+    present = (
+        spark.read.parquet(f"{index_path}/postings")
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )
+    fresh = staged.join(present, id_col, "left_anti")
+    n = fresh.count()
+    if n:
+        append_bm25_index(fresh, index_path, text_col=text_col, id_col=id_col)
+    return n
+
+
+def ingest_document_stream_append_only(
+    index_path: str,
+    stream_df: DataFrame,
+    staged_dir: str,
+    reconcile_every: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch EXACTLY-ONCE ingest sink for a DOCUMENT stream
+    feeding the persisted BM25 index — `ingest_vector_stream_append_
+    only`'s shape on the lexical side: each micro-batch stages
+    append-only into its own parquet subdirectory (O(batch);
+    `stage_batch_append_only` is payload-agnostic — the staged column
+    here is the text), and the index reconciles on a schedule via
+    `reconcile_bm25_from_snapshot` (every ``reconcile_every`` batches
+    inline, else the deployment's nightly run). Returns the
+    DataStreamWriter; caller picks trigger/checkpoint and starts."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        stage_batch_append_only(
+            staged_dir, batch_df, batch_id, id_col=id_col, vec_col=text_col
+        )
+        if reconcile_every and (int(batch_id) + 1) % reconcile_every == 0:
+            reconcile_bm25_from_snapshot(
+                batch_df.sparkSession, index_path, staged_dir,
+                id_col=id_col, text_col=text_col,
+            )
+
+    return stream_df.writeStream.foreachBatch(_ingest)

@@ -173,3 +173,73 @@ def test_bm25_append_equals_full_rebuild(spark, tmp_path):
     si = spark.read.parquet(f"{inc}/stats").first()
     sf_ = spark.read.parquet(f"{full}/stats").first()
     assert (si.nn, si.sdl) == (sf_.nn, sf_.sdl)
+
+
+def test_bm25_stream_ingest_exactly_once(spark, tmp_path):
+    """Round 13: the document-stream ingest into the persisted BM25
+    index. A real multi-batch availableNow stream through
+    `ingest_document_stream_append_only(reconcile_every=2)` must
+    leave the index serving identically to a full build over the
+    union; a replayed batch + reconcile re-run must append nothing
+    (where a naive per-batch append would double-count df/dl and
+    silently shift scores)."""
+    import json as _json
+
+    from mergers_acquisitions_predictions_spark.operators.bm25 import (
+        build_bm25_index,
+        search_bm25_index,
+    )
+    from mergers_acquisitions_predictions_spark.streaming.serving import (
+        ingest_document_stream_append_only,
+        reconcile_bm25_from_snapshot,
+        stage_batch_append_only,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    q = spark.createDataFrame(
+        [(100, "spark"), (100, "query"), (200, "pond")],
+        "query_id long, term string",
+    )
+    inc = str(tmp_path / "bm25_stream")
+    full = str(tmp_path / "bm25_full")
+    build_bm25_index(even, inc)
+    build_bm25_index(docs, full)
+
+    vdir = tmp_path / "vdocs"
+    vdir.mkdir()
+    odd_rows = [d for d in DOCS if d[0] % 2 == 1]
+    for i, chunk in enumerate((odd_rows[:1], odd_rows[1:])):
+        with open(vdir / f"shard{i}.jsonl", "w") as f:
+            for did, text in chunk:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+    staged = str(tmp_path / "staged_docs")
+    stream = (
+        ingest_document_stream_append_only(
+            inc,
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(vdir)),
+            staged,
+            reconcile_every=2,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_docs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+
+    got = sorted(map(tuple, search_bm25_index(spark, inc, q, k=10).collect()))
+    want = sorted(map(tuple, search_bm25_index(spark, full, q, k=10).collect()))
+    assert got == want and want
+
+    # rollback replay of batch 0 + reconcile re-run: both no-ops
+    replay = spark.read.schema("doc_id long, text string").json(
+        str(vdir / "shard0.jsonl")
+    )
+    stage_batch_append_only(
+        staged, replay, batch_id=0, id_col="doc_id", vec_col="text"
+    )
+    assert reconcile_bm25_from_snapshot(spark, inc, staged) == 0
+    again = sorted(map(tuple, search_bm25_index(spark, inc, q, k=10).collect()))
+    assert again == want

@@ -540,3 +540,37 @@ def test_facade_recall_probe_and_rebuild_trigger(spark, tmp_path):
         path, e, q, threshold=1.01, k=3, n_probe=2, n_cells=4
     )
     assert fired and 0.0 <= mean <= 1.0
+
+
+def test_facade_bm25_family(spark, tmp_path):
+    """Round-13 facade surface: the lexical retrieval family —
+    in-memory top-k, persisted build/serve, exact-merge append, and
+    the exactly-once reconcile."""
+    import pyspark.sql.functions as F
+
+    eng = Engine(spark)
+    docs = spark.createDataFrame(
+        [
+            (0, "spark engine shuffles data fast"),
+            (1, "the spark engine optimizes the query plan"),
+            (2, "ducks swim in the pond"),
+            (3, "query plan for the pond"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(100, "spark"), (100, "pond")], "query_id long, term string"
+    )
+    inmem = sorted(map(tuple, eng.bm25_topk(docs, q, k=4).collect()))
+    assert inmem
+
+    path = str(tmp_path / "bm25")
+    eng.build_bm25_index(docs.filter(F.col("doc_id") < 2), path)
+    eng.append_bm25_index(docs.filter(F.col("doc_id") >= 2), path)
+    served = sorted(map(tuple, eng.search_bm25_index(path, q, k=4).collect()))
+    assert served == inmem
+
+    # staged reconcile: everything already present -> no-op
+    staged = str(tmp_path / "staged")
+    docs.write.parquet(staged)
+    assert eng.reconcile_bm25_index(path, staged) == 0

@@ -598,10 +598,10 @@ def test_driver_window_rotation_rule_r13():
     kinds' representative consumers of the `_with_extra_meta`
     collision guard (shared build layer); (c) the ENTIRE 24-row
     r9-era cohort — the staleness frontier VERDICT r12 #1 names — +
-    the 8 alphabetically-first of the 47-row r10 cohort (name-order
+    the 7 alphabetically-first of the 47-row r10 cohort (name-order
     tie-break, the standing audit rule; m07, m05, m03, m02, m01, j05,
-    then j04 moved to the r14 frontier as the round's (a)-slots —
-    s43/s44/s45/s46/t38/t39/t40 — shrank the fill). LIVE round:
+    j04, then io03 moved to the r14 frontier as the round's (a)-slots
+    — s43/s44/s45/s46/t38/t39/t40/t41 — shrank the fill). LIVE round:
     asserted
     against the current window; convert to the CORRECTNESS_r13 record
     once it exists."""
@@ -620,6 +620,7 @@ def test_driver_window_rotation_rule_r13():
         "t38_bm25_topk",
         "t39_bm25_persisted_serve",
         "t40_bm25_append_serve",
+        "t41_bm25_stream_ingest",
     }
     changed_in_r13 = {
         # maxsim_search_tokens_persisted warm-path fix (own entry)
@@ -646,6 +647,6 @@ def test_driver_window_rotation_rule_r13():
     assert len(r10) == 47
     mandatory = new_in_r13 | changed_in_r13 | stale_r9
     fill_r10 = set(r10[: 50 - len(mandatory)])
-    assert len(fill_r10) == 8
+    assert len(fill_r10) == 7
     want = mandatory | fill_r10
     assert want == set(DRIVER_WINDOW)  # exactly fills the 50 slots

@@ -49,6 +49,9 @@ ALLOW = {
     "t40_bm25_append_serve": "t39's serve shape (1-row stats-sidecar "
     "broadcast + t09 workload derivation) over the exact-merge appended "
     "artifact; every join is equi-keyed",
+    "t41_bm25_stream_ingest": "t39's serve shape over the stream-reconciled "
+    "artifact (1-row stats-sidecar broadcast + t09 workload derivation); "
+    "every join is equi-keyed",
     "t19_quality_rank_filter": "1-row total-count broadcast for the decile cut",
     # (the ivf_assign centroid fan-out entries were removed in round 3:
     # ivf_assign_literal made every IVF consumer BNLJ-free)
