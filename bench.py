@@ -120,6 +120,7 @@ def main() -> None:
         "s44_stream_append_only_ingest",  # append-only staging + scheduled reconcile
         "s45_sharded_index_serve",  # two-shard fan-out serve + global merge
         "s46_hybrid_bm25_dense",  # BM25 x dense RRF hybrid retrieval
+        "s47_hybrid_persisted_serve",  # both-artifact hybrid (pruned x pushdown)
         "t38_bm25_topk",  # lexical BM25 retrieval over documents
         "t39_bm25_persisted_serve",  # postings-artifact BM25 serve (pushdown)
         "t40_bm25_append_serve",  # exact-merge incremental postings + serve

@@ -60,12 +60,12 @@ from . import io_queries  # noqa: E402,F401
 #: of the `_with_extra_meta` collision guard (shared index-build
 #: layer; non-colliding callers are byte-identical); (c) fill = the
 #: ENTIRE 24-row r9 cohort (q45..u02 — VERDICT r12 #1, the staleness
-#: frontier) + the 7 alphabetically-first rows of the 47-row r10
+#: frontier) + the 6 alphabetically-first rows of the 47-row r10
 #: cohort (name order makes the tie-break auditable; m07, m05, m03,
-#: m02, m01, j05, j04, then io03 moved to the r14 frontier as the
-#: round's (a)-slots — s43/s44/s45/s46/t38/t39/t40/t41 — shrank the
-#: fill). After this round every registered query's driver row
-#: postdates r9; the 40 remaining r10 rows (io03..u03) are round
+#: m02, m01, j05, j04, io03, then io02 moved to the r14 frontier as
+#: the round's (a)-slots — s43/s44/s45/s46/s47/t38/t39/t40/t41 —
+#: shrank the fill). After this round every registered query's driver
+#: row postdates r9; the 41 remaining r10 rows (io02..u03) are round
 #: 14's frontier.
 DRIVER_WINDOW = [
     # (a): registered this round
@@ -75,6 +75,7 @@ DRIVER_WINDOW = [
     "s44_stream_append_only_ingest",
     "s45_sharded_index_serve",
     "s46_hybrid_bm25_dense",
+    "s47_hybrid_persisted_serve",
     "t38_bm25_topk",
     "t39_bm25_persisted_serve",
     "t40_bm25_append_serve",
@@ -114,14 +115,13 @@ DRIVER_WINDOW = [
     "t09_tfidf_top_terms",
     "u01_pandas_udf_charge",
     "u02_grouped_minmax_scale",
-    # (c): the 7 alphabetically-first rows of the r10 cohort
+    # (c): the 6 alphabetically-first rows of the r10 cohort
     "d08_prefix_jaccard_pairs",
     "d12_incremental_neardup",
     "d13_simhash_neardups",
     "d16_dup_span_coverage",
     "d18_span_trim",
     "io01_csv_roundtrip",
-    "io02_corpus_dir_scan",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -1441,3 +1441,84 @@ def t41_bm25_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("query_id"), "term")
     )
     return search_bm25_index(spark, path, q, k=5, exclude_self=True)
+
+
+from .lsh_oracle import ivfsq_topk_sql as _ivfsq_sql  # noqa: E402
+
+_S47_DENSE = _ivfsq_sql(
+    dim=64, n_cells="auto", n_probe=2, k=5, query_filter="WHERE vec_id < 3"
+)
+
+
+@query(
+    "s47_hybrid_persisted_serve",
+    oracle=f"""
+    WITH lex AS (SELECT query_id, doc_id AS candidate_id, rank
+                 FROM ({_REG_ORACLES["t38_bm25_topk"]}) tl),
+    dns AS (SELECT query_id, candidate_id, rank FROM (WITH {_S47_DENSE}) td),
+    fused AS (
+        SELECT coalesce(l.query_id, i.query_id) AS query_id,
+               coalesce(l.candidate_id, i.candidate_id) AS candidate_id,
+               CAST(floor((coalesce(CAST(1.0 AS DOUBLE)
+                                    / (CAST(60.0 AS DOUBLE)
+                                       + CAST(l.rank AS DOUBLE)), 0.0)
+                           + coalesce(CAST(1.0 AS DOUBLE)
+                                      / (CAST(60.0 AS DOUBLE)
+                                         + CAST(i.rank AS DOUBLE)), 0.0))
+                          * 1e9 + 0.5) AS BIGINT) AS rrf_ppb
+        FROM lex l
+        FULL OUTER JOIN dns i
+          ON l.query_id = i.query_id AND l.candidate_id = i.candidate_id
+    )
+    SELECT query_id, candidate_id, rrf_ppb, fused_rank
+    FROM (
+        SELECT query_id, candidate_id, rrf_ppb,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY rrf_ppb DESC, candidate_id
+               ) AS BIGINT) AS fused_rank
+        FROM fused
+    )
+    WHERE fused_rank <= 5
+    """,
+)
+def s47_hybrid_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION hybrid stack in one row (round 13): BOTH
+    retrieval routes served from their PERSISTED artifacts — the
+    IVF-SQ8 vector index (s13's build + partition-pruned serve) and
+    the BM25 postings artifact (t39's build + In-pushdown serve) —
+    RRF-fused (s11's combiner). This is what a deployment actually
+    runs: two pay-once indexes, each query fanning to a pruned dense
+    scan + a pruned lexical scan, fused on ranks alone; s46 certifies
+    the fusion against the EXACT dense baseline, this row certifies
+    it against the approximate serving config. Oracle: t38's lexical
+    statement + s13's CTE chain (queries < 3) + s11's fused-ppb
+    spelling, composed verbatim. Reference analogue: none — SURVEY §7
+    Phase 4 surface."""
+    from ..operators.ann_index import build_ivfsq_index, search_ivfsq_index
+    from ..operators.bm25 import build_bm25_index, search_bm25_index
+    from ..operators.similarity import rrf_fuse
+    from .similarity_queries import _scratch_index_path
+    from .text_queries import t09_tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    lex_path = _scratch_index_path(spark, sf_dir, "bm25")
+    build_bm25_index(d, lex_path)  # same artifact t39 builds (memo path)
+    q_lex = (
+        t09_tfidf_top_terms(spark, sf_dir)
+        .filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    lex = search_bm25_index(spark, lex_path, q_lex, k=5, exclude_self=True).select(
+        "query_id", F.col("doc_id").alias("candidate_id"), "rank"
+    )
+
+    dense_path = _scratch_index_path(spark, sf_dir, "ivfsq")
+    build_ivfsq_index(
+        e, dense_path, n_cells=None, corpus_cache_key=(sf_dir, "embeddings")
+    )
+    dense = search_ivfsq_index(
+        spark, dense_path, e.filter(F.col("vec_id") < 3), k=5, n_probe=2
+    ).select("query_id", "candidate_id", "rank")
+    return rrf_fuse([lex, dense], k=5, c=60)

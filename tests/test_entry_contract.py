@@ -598,11 +598,11 @@ def test_driver_window_rotation_rule_r13():
     kinds' representative consumers of the `_with_extra_meta`
     collision guard (shared build layer); (c) the ENTIRE 24-row
     r9-era cohort — the staleness frontier VERDICT r12 #1 names — +
-    the 7 alphabetically-first of the 47-row r10 cohort (name-order
+    the 6 alphabetically-first of the 47-row r10 cohort (name-order
     tie-break, the standing audit rule; m07, m05, m03, m02, m01, j05,
-    j04, then io03 moved to the r14 frontier as the round's (a)-slots
-    — s43/s44/s45/s46/t38/t39/t40/t41 — shrank the fill). LIVE round:
-    asserted
+    j04, io03, then io02 moved to the r14 frontier as the round's
+    (a)-slots — s43/s44/s45/s46/s47/t38/t39/t40/t41 — shrank the
+    fill). LIVE round: asserted
     against the current window; convert to the CORRECTNESS_r13 record
     once it exists."""
     import json
@@ -617,6 +617,7 @@ def test_driver_window_rotation_rule_r13():
         "s44_stream_append_only_ingest",
         "s45_sharded_index_serve",
         "s46_hybrid_bm25_dense",
+        "s47_hybrid_persisted_serve",
         "t38_bm25_topk",
         "t39_bm25_persisted_serve",
         "t40_bm25_append_serve",
@@ -647,6 +648,6 @@ def test_driver_window_rotation_rule_r13():
     assert len(r10) == 47
     mandatory = new_in_r13 | changed_in_r13 | stale_r9
     fill_r10 = set(r10[: 50 - len(mandatory)])
-    assert len(fill_r10) == 7
+    assert len(fill_r10) == 6
     want = mandatory | fill_r10
     assert want == set(DRIVER_WINDOW)  # exactly fills the 50 slots

@@ -52,6 +52,9 @@ ALLOW = {
     "t41_bm25_stream_ingest": "t39's serve shape over the stream-reconciled "
     "artifact (1-row stats-sidecar broadcast + t09 workload derivation); "
     "every join is equi-keyed",
+    "s47_hybrid_persisted_serve": "embeds t39's 1-row stats-sidecar "
+    "broadcast on the lexical route; the dense route is the pruned s13 "
+    "serve and the fusion join is equi-keyed",
     "t19_quality_rank_filter": "1-row total-count broadcast for the decile cut",
     # (the ivf_assign centroid fan-out entries were removed in round 3:
     # ivf_assign_literal made every IVF consumer BNLJ-free)
