@@ -393,3 +393,67 @@ def test_pq_encode_matches_sequential_reference(spark, vecs):
     raw = {r.vec_id: [float(x) for x in r.embedding] for r in df.collect()}
     for i in got:
         assert got[i] == ref_codes(raw[i]), i
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=3),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    qterms=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=3),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_bm25_matches_reference_implementation(spark, docs, qterms):
+    """Round 13: the engine's BM25 must equal an independent
+    pure-Python computation of the Lucene-IDF formula on arbitrary
+    corpora — scores to 6 dp, ranking by (score desc, doc_id), docs
+    sharing no query term absent."""
+    import math
+
+    from mergers_acquisitions_predictions_spark.operators.bm25 import (
+        B,
+        K1,
+        bm25_topk,
+    )
+
+    toks = {i: d for i, d in enumerate(docs)}
+    frame = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in toks.items()], "doc_id long, text string"
+    )
+    q = spark.createDataFrame(
+        [(0, t) for t in qterms], "query_id long, term string"
+    )
+    got = {
+        r.doc_id: (r.bm25, r.rank)
+        for r in bm25_topk(frame, q, k=len(docs)).collect()
+    }
+
+    n = len(toks)
+    avgdl = sum(len(d) for d in toks.values()) / n
+    want = {}
+    for d, tk in toks.items():
+        s = 0.0
+        for t in sorted(set(qterms)):
+            c = tk.count(t)
+            if not c:
+                continue
+            df = sum(1 for v in toks.values() if t in v)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+            s += (idf * (c * (K1 + 1))) / (
+                c + K1 * ((1 - B) + B * len(tk) / avgdl)
+            )
+        if s:
+            want[d] = round(s, 6)
+    assert {d: v[0] for d, v in got.items()} == want
+    order = sorted(want, key=lambda d: (-want[d], d))
+    assert [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])] == order
