@@ -29,7 +29,7 @@ SURVEY §7 Phase 4 training-pipeline surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -41,6 +41,51 @@ K1 = 1.2
 K1_PLUS_1 = 2.2
 B = 0.75
 ONE_MINUS_B = 0.25
+
+
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, __toks) projection — tokenize ONCE, derive everything
+    downstream from the array (round 13 optimization, guide §2.3/§2.4:
+    the original spelling re-tokenized the corpus in three separate
+    passes for tf / df / dl)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(F.col(text_col)).alias("__toks"),
+    )
+
+
+def _dl_of_toks() -> Column:
+    """Exact document length from the token ARRAY, map-side — no
+    explode, no shuffle. NULL text is 0 tokens in both ANSI
+    (size(NULL)=NULL) and legacy (size(NULL)=-1) modes."""
+    return F.when(F.col("__toks").isNull(), F.lit(0)).otherwise(
+        F.size(F.col("__toks"))
+    ).cast("long")
+
+
+def _tf_with_dl(toks: DataFrame) -> DataFrame:
+    """(doc_id, term, c, dl) from the tokenized projection in ONE
+    corpus pass: dl (the FULL per-doc token count) is computed
+    map-side from the array and rides the exploded rows through the
+    (doc_id, term) aggregation — `min` is exact because dl is constant
+    per doc. Replaces the former separate dl pass AND its doc_id-keyed
+    join (two corpus shuffles gone)."""
+    tok = toks.select(
+        "doc_id", _dl_of_toks().alias("dl"), F.explode("__toks").alias("term")
+    )
+    return tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("c"), F.min("dl").alias("dl")
+    )
+
+
+def _corpus_stats(toks: DataFrame) -> DataFrame:
+    """1-row (nn, sdl) in ONE map-side aggregate over the tokenized
+    projection (nn counts EVERY document, tokenless included; sdl is
+    the exact integer token total) — replaces the former two-scan
+    count × sum crossJoin."""
+    return toks.agg(
+        F.count(F.lit(1)).alias("nn"), F.sum(_dl_of_toks()).alias("sdl")
+    )
 
 
 def bm25_topk(
@@ -65,39 +110,44 @@ def bm25_topk(
 
     Scoring: Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
     idf(t) = ln((N − df + ½)/(df + ½) + 1); the Σ folds left-to-right
-    over terms sorted lexicographically."""
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokenize(F.col(text_col))).alias("term"),
-    )
+    over terms sorted lexicographically.
+
+    Plan shape (round 13 optimization — values unchanged, certified by
+    the unchanged t38 oracle): the corpus is tokenized ONCE; dl rides
+    the exploded rows map-side; df is the per-term ROW COUNT of the
+    pruned tf frame (tf rows are distinct (doc, term) pairs), computed
+    as a window over the same shuffle instead of a second corpus
+    aggregate; stats is one map-side aggregate. Two corpus passes
+    total (pruned tf + 1-row stats) where the original paid four, and
+    the corpus-sized doc_id join is gone."""
+    toks = _tokenized(docs, id_col, text_col)
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
     )
     qterms = q.select("term").distinct()
-    # corpus-sized aggregates, pruned to query terms BEFORE joining
+    # corpus pass 1: tf over query-term postings only (broadcast
+    # semi-join prunes BEFORE the aggregation), dl riding along;
+    # df = rows-per-term of tf, same shuffle (window over term)
     tf = (
-        tok.join(F.broadcast(qterms), "term", "left_semi")
+        toks.select(
+            "doc_id",
+            _dl_of_toks().alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .join(F.broadcast(qterms), "term", "left_semi")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c"), F.min("dl").alias("dl"))
+        .withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("term")).cast("long")
+        )
     )
-    dfreq = (
-        tok.join(F.broadcast(qterms), "term", "left_semi")
-        .groupBy("term")
-        .agg(F.count_distinct("doc_id").alias("df"))
-    )
-    # document length must count EVERY token, not just query terms
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = docs.agg(F.count(F.lit(1)).alias("nn")).crossJoin(
-        dl.agg(F.sum("dl").alias("sdl"))
-    ).select(
+    # corpus pass 2: the 1-row stats aggregate
+    stats = _corpus_stats(toks).select(
         "nn", (F.col("sdl").cast("double") / F.col("nn")).alias("avgdl")
     )
-
     contrib = (
         F.broadcast(q)
         .join(tf, "term")
-        .join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "doc_id", "term", _bm25_weight().alias("w"))
     )
@@ -160,6 +210,7 @@ def build_bm25_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_range_partitions: int | None = 8,
 ) -> None:
     """Persist the BM25 POSTINGS artifact — the lexical sibling of the
     ann_index build (pay the corpus aggregation once, serve many):
@@ -176,31 +227,41 @@ def build_bm25_index(
 
     Both publish via the atomic staged-rename (`publish_parquet_
     atomic`) — readers never see a torn artifact. Rebuild = re-run
-    (the artifact is a pure function of the corpus)."""
+    (the artifact is a pure function of the corpus).
+
+    Plan shape (round 13 optimization — artifact values unchanged,
+    certified by the t39/t40/t41 oracles and the persisted≡in-memory
+    bit-equality test): ONE tokenize pass; dl rides the exploded rows
+    map-side; df is denormalized by a count-over-term WINDOW sitting
+    directly on the range exchange (RangePartitioning("term")
+    satisfies the window's ClusteredDistribution, so no extra
+    shuffle) instead of two extra corpus aggregations + two wide
+    joins. ``n_range_partitions=None`` makes the postings layout
+    scale-adaptive: the range exchange then starts at
+    spark.sql.shuffle.partitions and AQE coalesces — the production
+    setting; the default 8 keeps the local artifact byte-comparable
+    across rounds."""
     from ..sources.writers import publish_parquet_atomic
 
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokenize(F.col(text_col))).alias("term"),
+    toks = _tokenized(docs, id_col, text_col)
+    tf = _tf_with_dl(toks)
+    ranged = (
+        tf.repartitionByRange(n_range_partitions, "term")
+        if n_range_partitions is not None
+        else tf.repartitionByRange("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
-    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     postings = (
-        tf.join(dfreq, "term")
-        .join(dl, "doc_id")
+        ranged.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("term")).cast("long")
+        )
         .select("term", "doc_id", "c", "df", "dl")
-        .repartitionByRange(8, "term")
         .sortWithinPartitions("term", "doc_id")
     )
     publish_parquet_atomic(postings, f"{path}/postings")
     # sdl is kept as an exact integer so `append_bm25_index` can merge
     # corpus stats without float error; avgdl is derived at read time
     # from the same division the in-memory path performs
-    stats = docs.agg(F.count(F.lit(1)).alias("nn")).crossJoin(
-        dl.agg(F.sum("dl").alias("sdl"))
-    )
-    publish_parquet_atomic(stats, f"{path}/stats")
+    publish_parquet_atomic(_corpus_stats(toks), f"{path}/stats")
 
 
 def append_bm25_index(
@@ -208,6 +269,7 @@ def append_bm25_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_range_partitions: int | None = 8,
 ) -> None:
     """EXACT-MERGE append of a new document shard to a persisted BM25
     index — the lexical counterpart of the ann_index nightly append,
@@ -228,44 +290,37 @@ def append_bm25_index(
     old_post = spark.read.parquet(f"{path}/postings")
     old_stats = spark.read.parquet(f"{path}/stats")
 
-    tok = docs_new.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokenize(F.col(text_col))).alias("term"),
+    # Plan shape (round 13 optimization — merged values unchanged,
+    # certified by the append≡full-rebuild bit-equality test and the
+    # t40/t41 oracles): ONE tokenize pass over the new shard (dl rides
+    # the exploded rows map-side); the per-term df MERGE is the same
+    # count-over-term window the build uses — postings rows are
+    # distinct (doc, term) pairs and shards are disjoint by the
+    # append-path contract, so rows-per-term over the UNION is exactly
+    # df_old + df_add, with no df full-outer merge join and no
+    # doc_id-keyed dl join.
+    toks = _tokenized(docs_new, id_col, text_col)
+    tf_new = _tf_with_dl(toks)
+    unioned = old_post.select("term", "doc_id", "c", "dl").unionByName(
+        tf_new.select("term", "doc_id", "c", "dl")
     )
-    tf_new = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
-    dl_new = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    df_new = tok.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df_add")
-    )
-
-    # per-term df delta joins BOTH sides' rows; terms absent from one
-    # side contribute 0 (the merge identity)
-    df_old = old_post.select("term", "df").dropDuplicates(["term"])
-    df_merged = (
-        df_old.join(df_new, "term", "full_outer")
-        .select(
-            "term",
-            (
-                F.coalesce(F.col("df"), F.lit(0))
-                + F.coalesce(F.col("df_add"), F.lit(0))
-            ).alias("df"),
-        )
-    )
-    new_rows = tf_new.join(dl_new, "doc_id").select(
-        "term", "doc_id", "c", "dl"
+    ranged = (
+        unioned.repartitionByRange(n_range_partitions, "term")
+        if n_range_partitions is not None
+        else unioned.repartitionByRange("term")
     )
     merged = (
-        old_post.select("term", "doc_id", "c", "dl")
-        .unionByName(new_rows)
-        .join(df_merged, "term")
+        ranged.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("term")).cast("long")
+        )
         .select("term", "doc_id", "c", "df", "dl")
-        .repartitionByRange(8, "term")
         .sortWithinPartitions("term", "doc_id")
     )
-    add = docs_new.agg(F.count(F.lit(1)).alias("nn_add")).crossJoin(
-        dl_new.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl_add"))
+    add = _corpus_stats(toks).select(
+        F.col("nn").alias("nn_add"),
+        F.coalesce(F.col("sdl"), F.lit(0)).alias("sdl_add"),
     )
-    stats = old_stats.crossJoin(add).select(
+    stats = old_stats.crossJoin(F.broadcast(add)).select(
         (F.col("nn") + F.col("nn_add")).alias("nn"),
         (F.col("sdl") + F.col("sdl_add")).alias("sdl"),
     )
