@@ -1494,6 +1494,8 @@ def s47_hybrid_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     statement + s13's CTE chain (queries < 3) + s11's fused-ppb
     spelling, composed verbatim. Reference analogue: none — SURVEY §7
     Phase 4 surface."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.ann_index import build_ivfsq_index, search_ivfsq_index
     from ..operators.bm25 import build_bm25_index, search_bm25_index
     from ..operators.similarity import rrf_fuse
@@ -1504,7 +1506,24 @@ def s47_hybrid_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
 
     lex_path = _scratch_index_path(spark, sf_dir, "bm25")
-    build_bm25_index(d, lex_path)  # same artifact t39 builds (memo path)
+    dense_path = _scratch_index_path(spark, sf_dir, "ivfsq")
+    # The lexical and dense artifact builds are INDEPENDENT (disjoint
+    # inputs, disjoint artifacts) — overlap them from a driver thread
+    # pool (round 13 optimization, guide §2.6: the two builds'
+    # straggler tails back-fill each other; the deployment runs the
+    # two index builds of a hybrid stack concurrently for the same
+    # reason). Deterministic in isolation ⇒ concurrency cannot change
+    # an artifact byte.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lex = pool.submit(
+            build_bm25_index, d, lex_path  # same artifact t39 builds
+        )
+        f_dense = pool.submit(
+            build_ivfsq_index, e, dense_path,
+            n_cells=None, corpus_cache_key=(sf_dir, "embeddings"),
+        )
+        f_lex.result()
+        f_dense.result()
     q_lex = (
         t09_tfidf_top_terms(spark, sf_dir)
         .filter(F.col("doc_id") < 3)
@@ -1512,11 +1531,6 @@ def s47_hybrid_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lex = search_bm25_index(spark, lex_path, q_lex, k=5, exclude_self=True).select(
         "query_id", F.col("doc_id").alias("candidate_id"), "rank"
-    )
-
-    dense_path = _scratch_index_path(spark, sf_dir, "ivfsq")
-    build_ivfsq_index(
-        e, dense_path, n_cells=None, corpus_cache_key=(sf_dir, "embeddings")
     )
     dense = search_ivfsq_index(
         spark, dense_path, e.filter(F.col("vec_id") < 3), k=5, n_probe=2

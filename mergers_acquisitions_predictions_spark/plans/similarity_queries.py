@@ -1531,6 +1531,9 @@ def s31_token_table_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, path, n_cells=None, corpus_cache_key=(sf_dir, "embeddings")
     )
     tok_path = _scratch_index_path(spark, sf_dir, "toktbl")
+    # (round 13: the s35/s45/s47 §2.6 build overlap was TRIED here and
+    # reverted — measured even at best, one adverse outlier; this
+    # row's second artifact is too small to amortize the overlap.)
     write_token_table(
         e.select(
             "vec_id",
@@ -1752,14 +1755,22 @@ def s35_colbert_one_call_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     path = _scratch_index_path(spark, sf_dir, "ivfsq_tok")
-    build_token_index(
-        toks,
-        path,
-        n_tokens=4,
-        corpus_cache_key=(sf_dir, "embeddings", "tokens4"),
-    )
     tok_path = _scratch_index_path(spark, sf_dir, "toktbl")
-    write_token_table(toks, tok_path)
+    # The two persisted artifacts are INDEPENDENT (token index vs
+    # clustered token table; disjoint outputs, shared read-only
+    # input) — overlap the builds from a driver thread pool
+    # (round 13 optimization, guide §2.6; the s45/s47 pattern).
+    # Deterministic in isolation ⇒ concurrency cannot change a byte.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_idx = pool.submit(
+            build_token_index, toks, path, n_tokens=4,
+            corpus_cache_key=(sf_dir, "embeddings", "tokens4"),
+        )
+        f_tbl = pool.submit(write_token_table, toks, tok_path)
+        f_idx.result()
+        f_tbl.result()
     return maxsim_search_tokens_persisted(
         spark,
         path,
@@ -2420,22 +2431,39 @@ def s45_sharded_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL'd and re-ranked globally, the engine merge replayed
     relationally. Reference analogue: none (SURVEY §7 Phase 4/5
     surface)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.ann_index import (
         build_ivfsq_index,
         search_sharded_indexes,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    shard_paths = []
-    for par in (0, 1):
-        path = _scratch_index_path(spark, sf_dir, f"ivfsq_shard{par}")
+    # The two shard builds are INDEPENDENT jobs on disjoint corpus
+    # halves writing disjoint artifacts — overlap them from a small
+    # driver thread pool (round 13 optimization, guide §2.6: each
+    # build's straggler tail back-fills with the other build's tasks;
+    # the deployment analogue is per-tenant/window shard builds
+    # keeping the cluster full). Each build is deterministic in
+    # isolation (fixed seeds, content-keyed samples), so concurrency
+    # cannot change any artifact byte; the memo and reap paths are
+    # lock-guarded/disjoint-prefix respectively.
+    shard_paths = [
+        _scratch_index_path(spark, sf_dir, f"ivfsq_shard{par}")
+        for par in (0, 1)
+    ]
+
+    def build(par: int) -> None:
         build_ivfsq_index(
             e.filter(F.col("vec_id") % 2 == par),
-            path,
+            shard_paths[par],
             n_cells=None,
             corpus_cache_key=(sf_dir, "embeddings", f"vec_id%2={par}"),
         )
-        shard_paths.append(path)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for _ in pool.map(build, (0, 1)):
+            pass
     return search_sharded_indexes(
         spark, shard_paths, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
     )

@@ -191,10 +191,18 @@ def reconcile_index_from_snapshot(
         .select(F.col("candidate_id").alias(id_col))
         .distinct()
     )
-    fresh = staged.join(present, id_col, "left_anti")
-    n = fresh.count()
-    if n:
-        append_index(fresh, index_path, id_col=id_col, vec_col=vec_col)
+    # Persist the anti-join across the two actions (round 13, guide
+    # §5): the count and the append's encode jobs otherwise EACH pay
+    # the staged scan + the index-membership scan — and the membership
+    # scan (one id column of the live generation) is the reconcile's
+    # dominant cost at scale. Batch-sized, released before return.
+    fresh = staged.join(present, id_col, "left_anti").persist()
+    try:
+        n = fresh.count()
+        if n:
+            append_index(fresh, index_path, id_col=id_col, vec_col=vec_col)
+    finally:
+        fresh.unpersist()
     return n
 
 
@@ -367,10 +375,19 @@ def reconcile_bm25_from_snapshot(
         .select(F.col("doc_id").alias(id_col))
         .distinct()
     )
-    fresh = staged.join(present, id_col, "left_anti")
-    n = fresh.count()
-    if n:
-        append_bm25_index(fresh, index_path, text_col=text_col, id_col=id_col)
+    # Same §5 reuse as reconcile_index_from_snapshot: one staged scan
+    # + one postings-membership scan total, not one per action (the
+    # count and the append's tokenize/aggregate jobs both consume
+    # `fresh`). Batch-sized, released before return.
+    fresh = staged.join(present, id_col, "left_anti").persist()
+    try:
+        n = fresh.count()
+        if n:
+            append_bm25_index(
+                fresh, index_path, text_col=text_col, id_col=id_col
+            )
+    finally:
+        fresh.unpersist()
     return n
 
 

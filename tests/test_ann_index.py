@@ -1302,6 +1302,44 @@ def test_reconcile_dedupes_cross_batch_duplicate_ids(spark, tmp_path):
     assert len({(r.query_id, r.candidate_id) for r in hits}) == 25
 
 
+def test_reconcile_releases_its_persist(spark, tmp_path):
+    """Round 13 (optimization): the reconcile persists its membership
+    anti-join across the count + append actions (one staged scan +
+    one index-membership scan total, not one per action); it must
+    RELEASE that handle before returning — on the append path and on
+    the nothing-to-append path alike (driver sessions run 100+
+    queries; the cache-hygiene gate drives getRDDStorageInfo)."""
+    import time
+
+    from mergers_acquisitions_predictions_spark.operators.util import (
+        release_memoized_frames,
+    )
+    from mergers_acquisitions_predictions_spark.streaming.serving import (
+        reconcile_index_from_snapshot,
+        stage_batch_append_only,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx_persist_release")
+    build_ivfsq_index(e.filter(F.col("vec_id") % 2 == 0), path, n_cells=16)
+    staged = str(tmp_path / "staged_persist_release")
+    stage_batch_append_only(staged, e.filter(F.col("vec_id") % 2 == 1), 0)
+
+    def storage_empty() -> bool:
+        release_memoized_frames()  # the deliberate session caches
+        sc = spark.sparkContext
+        for _ in range(20):  # unpersist(blocking=False) is async
+            if not sc._jsc.sc().getRDDStorageInfo():
+                return True
+            time.sleep(0.25)
+        return not sc._jsc.sc().getRDDStorageInfo()
+
+    assert reconcile_index_from_snapshot(spark, path, staged) > 0
+    assert storage_empty()  # append path released its handle
+    assert reconcile_index_from_snapshot(spark, path, staged) == 0
+    assert storage_empty()  # no-op path released its handle
+
+
 def test_accretion_monitor_and_trigger(spark, tmp_path):
     """Round 13: `index_accretion_stats` must count files-per-cell of
     the LIVE generation, and `compact_if_accreted` must fire only
