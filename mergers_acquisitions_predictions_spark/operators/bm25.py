@@ -88,6 +88,30 @@ def _corpus_stats(toks: DataFrame) -> DataFrame:
     )
 
 
+def _materialize_query_batch(q: DataFrame):
+    """Collect the (query_id, term) batch to the driver ONCE and
+    rebuild it as a single-partition local frame (round 14, guide
+    §2.4/§5): the batch is serving-contract sized — the same rule
+    that already let `search_bm25_index` collect the distinct term
+    list — but the lazy spelling embedded the caller's query-
+    DERIVATION subplan twice per serve (once under the term-set
+    prune, once under the contribution join; for the registered rows
+    that subplan is t09's corpus-wide TF-IDF, re-executed per
+    appearance because separate broadcast exchanges never reuse).
+    Returns (qloc, terms): the exact collected rows as a local frame
+    (schema preserved — duplicates and types survive, so results are
+    bit-identical) and the sorted non-null distinct terms for the
+    postings-side In-prune. One partition is the point
+    (`util.local_rows_df`'s py4j lesson)."""
+    spark = q.sparkSession
+    rows = q.collect()
+    terms = sorted({r["term"] for r in rows if r["term"] is not None})
+    qloc = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), q.schema
+    )
+    return qloc, terms
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -124,9 +148,17 @@ def bm25_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
     )
-    qterms = q.select("term").distinct()
-    # corpus pass 1: tf over query-term postings only (broadcast
-    # semi-join prunes BEFORE the aggregation), dl riding along;
+    # One driver-side materialization of the serving-contract-sized
+    # batch (round 14): the query-derivation subplan executes ONCE
+    # here instead of once per appearance below, and the In-predicate
+    # prune replaces the broadcast semi-join (same rows kept, one
+    # broadcast build + join node fewer).
+    qloc, terms = _materialize_query_batch(q)
+    pruned = (
+        F.col("term").isin(terms) if terms else F.lit(False)
+    )
+    # corpus pass 1: tf over query-term postings only (In-predicate
+    # prunes BEFORE the aggregation), dl riding along;
     # df = rows-per-term of tf — a window over the PRUNED tf frame
     # (one small extra exchange by term: the groupBy's
     # hash(doc_id, term) does not satisfy the window's
@@ -139,7 +171,7 @@ def bm25_topk(
             _dl_of_toks().alias("dl"),
             F.explode("__toks").alias("term"),
         )
-        .join(F.broadcast(qterms), "term", "left_semi")
+        .filter(pruned)
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("c"), F.min("dl").alias("dl"))
         .withColumn(
@@ -151,7 +183,7 @@ def bm25_topk(
         "nn", (F.col("sdl").cast("double") / F.col("nn")).alias("avgdl")
     )
     contrib = (
-        F.broadcast(q)
+        F.broadcast(qloc)
         .join(tf, "term")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "doc_id", "term", _bm25_weight().alias("w"))
@@ -396,7 +428,11 @@ def search_bm25_index(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
     )
-    terms = [r["term"] for r in q.select("term").distinct().collect()]
+    # One execution of the caller's query-derivation plan (round 14):
+    # the old spelling collected the distinct terms AND re-embedded q
+    # under the contribution join — two executions of a subplan that
+    # is corpus-sized for the registered rows (t09's TF-IDF).
+    q, terms = _materialize_query_batch(q)
     post = (
         spark.read.parquet(f"{path}/postings")
         # explicit projection: legacy artifacts carrying a stored df

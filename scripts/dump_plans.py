@@ -1,12 +1,12 @@
-"""Dump `.explain("formatted")` for named queries to plans/r13/.
+"""Dump `.explain("formatted")` for named queries to plans/<round>/.
 
 Usage: python scripts/dump_plans.py before t38_bm25_topk t39_bm25_persisted_serve
        python scripts/dump_plans.py after  t38_bm25_topk
 
-Writes plans/r13/<query>_<tag>.txt. NOTE: queries whose bodies run
-eager build stages (publishes, index builds) execute those stages at
-plan-construction time — run this on a quiet host, not during a
-bench.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (default
+r14). NOTE: queries whose bodies run eager build stages (publishes,
+index builds) execute those stages at plan-construction time — run
+this on a quiet host, not during a bench.
 """
 
 from __future__ import annotations
@@ -17,7 +17,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-OUT = Path(__file__).resolve().parent.parent / "plans" / "r13"
+OUT = (
+    Path(__file__).resolve().parent.parent
+    / "plans"
+    / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+)
 
 
 def main() -> None:
