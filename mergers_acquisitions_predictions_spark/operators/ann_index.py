@@ -902,7 +902,9 @@ def append_to_ivfsq_index(
     )
 
 
-def compact_ivfsq_index(spark: SparkSession, path: str) -> tuple[int, int]:
+def compact_ivfsq_index(
+    spark: SparkSession, path: str, files_before: int | None = None
+) -> tuple[int, int]:
     """Compact a persisted index's codes (BOTH kinds since round 10 —
     compaction never interprets geometry, see the kind branch below;
     the name keeps the original SQ8 spelling for its callers) — the maintenance
@@ -944,7 +946,13 @@ def compact_ivfsq_index(spark: SparkSession, path: str) -> tuple[int, int]:
 
     live_name = _resolve_codes_name(spark, path)
     live = f"{path}/{live_name}"
-    before = _count_files(live)
+    # ``files_before``: a caller that already LISTED the live codes
+    # tree (the accretion monitor — `compact_if_accreted` fires off
+    # `index_accretion_stats`' listing) passes its count so the
+    # compact does not re-walk the same tree (round 14, guide §6:
+    # the listing is driver-side NameNode/LIST work, and an accreted
+    # tree is exactly the many-files case where it hurts).
+    before = files_before if files_before is not None else _count_files(live)
     if before == 0:
         raise ValueError(f"no codes parquet under {live}")
     meta_text = _read_meta_text(spark, path, live_name)
@@ -1572,7 +1580,10 @@ def compact_if_accreted(
     ``(fired, stats_before)``."""
     stats = index_accretion_stats(spark, path)
     if stats["max_files_per_cell"] > max_files_per_cell:
-        compact_index(spark, path)
+        # hand the monitor's listing down — the compact would
+        # otherwise re-walk the very accreted tree the monitor just
+        # counted (round 14; one listing per fired trigger, not two)
+        compact_index(spark, path, files_before=stats["n_files"])
         return True, stats
     return False, stats
 

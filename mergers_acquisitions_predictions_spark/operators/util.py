@@ -239,6 +239,41 @@ def double_matrix_literal(rows):
     return F.array(*[F.array(*[F.lit(x) for x in r]) for r in mat])
 
 
+def run_overlapped(*thunks):
+    """Run independent job-submitting thunks from a driver thread pool
+    so one job's straggler tail back-fills with the next job's tasks
+    (guide §2.6 — the s35/s45/s47 build-overlap pattern, round 13).
+    ONLY for thunks whose Spark actions are pairwise independent AND
+    write disjoint artifacts: concurrent writes into one directory
+    share the FileOutputCommitter staging dir (the s18 hazard — a
+    correctness bug, not a tuning choice). Each thunk is wrapped with
+    `pyspark.util.inheritable_thread_target` so JVM thread-local job
+    properties (job group/description, scheduler pool) propagate to
+    the worker threads under pinned-thread mode (ADVICE r13) — job
+    attribution and group cancellation keep working. Returns results
+    in thunk order; the first exception propagates after every thunk
+    has finished (no artifact is left mid-write by a sibling's
+    failure)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(inheritable_thread_target(t)) for t in thunks]
+        done = [(f, None) for f in futs]
+        results, first_err = [], None
+        for f, _ in done:
+            try:
+                results.append(f.result())
+            except BaseException as e:  # keep draining: siblings finish
+                if first_err is None:
+                    first_err = e
+                results.append(None)
+        if first_err is not None:
+            raise first_err
+        return results
+
+
 def local_rows_df(spark, rows: list, schema: str) -> DataFrame:
     """DataFrame from a small DRIVER-side row list (index artifacts:
     centroid tables, BPE merge lists, vocabularies) as a SINGLE

@@ -1404,33 +1404,49 @@ def t41_bm25_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity_queries import _scratch_index_path
     from .text_queries import t09_tfidf_top_terms
 
+    from ..operators.util import run_overlapped
+
     d = load_table(spark, sf_dir, "documents")
     path = _scratch_index_path(spark, sf_dir, "bm25stream")
-    build_bm25_index(d.filter(F.col("doc_id") % 2 == 0), path)
     vdir = f"{path}_vdocs"
     staged = f"{path}_staged_docs"
-    batches = []
-    for i, pred in enumerate(
-        (F.col("doc_id") % 4 == 1, F.col("doc_id") % 4 == 3)
-    ):
-        (
-            d.filter(pred)
-            .select(F.to_json(F.struct("doc_id", "text")).alias("value"))
-            .coalesce(2)
-            .write.mode("overwrite")
-            .text(f"{vdir}/b{i}")
+
+    def _build():
+        build_bm25_index(d.filter(F.col("doc_id") % 2 == 0), path)
+
+    def _stage_all():
+        # SEQUENTIAL within this thread: the replay re-targets b0's
+        # staged subdirectory, so it must follow the original staging
+        # (same-dir writes share the committer staging dir — the s18
+        # hazard).
+        batches = []
+        for i, pred in enumerate(
+            (F.col("doc_id") % 4 == 1, F.col("doc_id") % 4 == 3)
+        ):
+            (
+                d.filter(pred)
+                .select(F.to_json(F.struct("doc_id", "text")).alias("value"))
+                .coalesce(2)
+                .write.mode("overwrite")
+                .text(f"{vdir}/b{i}")
+            )
+            os.utime(f"{vdir}/b{i}")  # keep the reaper's dir-mtime key fresh
+            batch = spark.read.schema("doc_id long, text string").json(
+                f"{vdir}/b{i}"
+            )
+            batches.append(batch)
+            stage_batch_append_only(
+                staged, batch, batch_id=i, id_col="doc_id", vec_col="text"
+            )
+        stage_batch_append_only(  # checkpoint-rollback replay of batch 0
+            staged, batches[0], batch_id=0, id_col="doc_id", vec_col="text"
         )
-        os.utime(f"{vdir}/b{i}")  # keep the reaper's dir-mtime key fresh
-        batch = spark.read.schema("doc_id long, text string").json(
-            f"{vdir}/b{i}"
-        )
-        batches.append(batch)
-        stage_batch_append_only(
-            staged, batch, batch_id=i, id_col="doc_id", vec_col="text"
-        )
-    stage_batch_append_only(  # checkpoint-rollback replay of batch 0
-        staged, batches[0], batch_id=0, id_col="doc_id", vec_col="text"
-    )
+
+    # The lexical index build touches only {path}; the wire/staging
+    # chain only {vdir, staged} — independent jobs with disjoint
+    # artifacts, overlapped (round 14, guide §2.6); the reconcile
+    # below is the join point needing both.
+    run_overlapped(_build, _stage_all)
     appended = reconcile_bm25_from_snapshot(spark, path, staged)
     replayed = reconcile_bm25_from_snapshot(spark, path, staged)
     if replayed:  # the whole point: the re-run must append nothing
@@ -1497,11 +1513,10 @@ def s47_hybrid_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     statement + s13's CTE chain (queries < 3) + s11's fused-ppb
     spelling, composed verbatim. Reference analogue: none — SURVEY §7
     Phase 4 surface."""
-    from concurrent.futures import ThreadPoolExecutor
-
     from ..operators.ann_index import build_ivfsq_index, search_ivfsq_index
     from ..operators.bm25 import build_bm25_index, search_bm25_index
     from ..operators.similarity import rrf_fuse
+    from ..operators.util import run_overlapped
     from .similarity_queries import _scratch_index_path
     from .text_queries import t09_tfidf_top_terms
 
@@ -1516,17 +1531,15 @@ def s47_hybrid_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # straggler tails back-fill each other; the deployment runs the
     # two index builds of a hybrid stack concurrently for the same
     # reason). Deterministic in isolation ⇒ concurrency cannot change
-    # an artifact byte.
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_lex = pool.submit(
-            build_bm25_index, d, lex_path  # same artifact t39 builds
-        )
-        f_dense = pool.submit(
-            build_ivfsq_index, e, dense_path,
+    # an artifact byte. round 14: through util.run_overlapped
+    # (inheritable thread-local job properties — ADVICE r13).
+    run_overlapped(
+        lambda: build_bm25_index(d, lex_path),  # same artifact t39 builds
+        lambda: build_ivfsq_index(
+            e, dense_path,
             n_cells=None, corpus_cache_key=(sf_dir, "embeddings"),
-        )
-        f_lex.result()
-        f_dense.result()
+        ),
+    )
     q_lex = (
         t09_tfidf_top_terms(spark, sf_dir)
         .filter(F.col("doc_id") < 3)

@@ -1761,16 +1761,17 @@ def s35_colbert_one_call_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input) — overlap the builds from a driver thread pool
     # (round 13 optimization, guide §2.6; the s45/s47 pattern).
     # Deterministic in isolation ⇒ concurrency cannot change a byte.
-    from concurrent.futures import ThreadPoolExecutor
+    # round 14: through util.run_overlapped (inheritable thread-local
+    # job properties — ADVICE r13).
+    from ..operators.util import run_overlapped
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_idx = pool.submit(
-            build_token_index, toks, path, n_tokens=4,
+    run_overlapped(
+        lambda: build_token_index(
+            toks, path, n_tokens=4,
             corpus_cache_key=(sf_dir, "embeddings", "tokens4"),
-        )
-        f_tbl = pool.submit(write_token_table, toks, tok_path)
-        f_idx.result()
-        f_tbl.result()
+        ),
+        lambda: write_token_table(toks, tok_path),
+    )
     return maxsim_search_tokens_persisted(
         spark,
         path,
@@ -2083,28 +2084,40 @@ def s40_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann_index import build_ivfsq_index, search_ivfsq_index
     from ..streaming.serving import ingest_batch
 
+    from ..operators.util import run_overlapped
+
     e = load_table(spark, sf_dir, "embeddings")
     path = _scratch_index_path(spark, sf_dir, "ivfsq_stream_ingest")
-    build_ivfsq_index(
-        e.filter(F.col("vec_id") % 2 == 0),
-        path,
-        n_cells=None,
-        corpus_cache_key=(sf_dir, "embeddings", "vec_id%2=0"),
-    )
     vdir = f"{path}_vbatch_ingest"
-    # the arriving shard is DATA-SIZED (half the corpus), so the wire
-    # files are written DISTRIBUTED (to_json per row — Jackson float
-    # serialization is shortest-decimal, so the float32 round-trip is
-    # exact), never collected: s15/s32 collect only query batches,
-    # which are serving-contract-sized; an ingest shard is not.
-    (
-        e.filter(F.col("vec_id") % 2 == 1)
-        .select(F.to_json(F.struct("vec_id", "embedding")).alias("value"))
-        .coalesce(4)
-        .write.mode("overwrite")
-        .text(vdir)
-    )
-    os.utime(vdir)  # keep the reaper's dir-mtime key fresh (s15)
+
+    def _build():
+        build_ivfsq_index(
+            e.filter(F.col("vec_id") % 2 == 0),
+            path,
+            n_cells=None,
+            corpus_cache_key=(sf_dir, "embeddings", "vec_id%2=0"),
+        )
+
+    def _wire():
+        # the arriving shard is DATA-SIZED (half the corpus), so the
+        # wire files are written DISTRIBUTED (to_json per row —
+        # Jackson float serialization is shortest-decimal, so the
+        # float32 round-trip is exact), never collected: s15/s32
+        # collect only query batches, which are serving-contract-
+        # sized; an ingest shard is not.
+        (
+            e.filter(F.col("vec_id") % 2 == 1)
+            .select(F.to_json(F.struct("vec_id", "embedding")).alias("value"))
+            .coalesce(4)
+            .write.mode("overwrite")
+            .text(vdir)
+        )
+        os.utime(vdir)  # keep the reaper's dir-mtime key fresh (s15)
+
+    # build writes {path}, the wire write {vdir} — independent jobs,
+    # disjoint artifacts, overlapped (round 14, guide §2.6); the
+    # ingest below is the join point needing both.
+    run_overlapped(_build, _wire)
     batch = spark.read.schema("vec_id long, embedding array<float>").json(vdir)
     ingest_batch(path, batch)
     return search_ivfsq_index(
@@ -2143,26 +2156,37 @@ def s41_stream_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     from ..operators.ann_index import build_ivfsq_index, search_ivfsq_index
     from ..streaming.serving import ingest_batch_staged
 
+    from ..operators.util import run_overlapped
+
     e = load_table(spark, sf_dir, "embeddings")
     path = _scratch_index_path(spark, sf_dir, "ivfsq_e1_ingest")
-    build_ivfsq_index(
-        e.filter(F.col("vec_id") % 2 == 0),
-        path,
-        n_cells=None,
-        corpus_cache_key=(sf_dir, "embeddings", "vec_id%2=0"),
-    )
     vdir = f"{path}_vbatch_e1"
-    # distributed wire write — the s40 rule: ingest shards are
-    # data-sized, never collected; Jackson shortest-decimal floats
-    # round-trip float32 exactly.
-    (
-        e.filter(F.col("vec_id") % 2 == 1)
-        .select(F.to_json(F.struct("vec_id", "embedding")).alias("value"))
-        .coalesce(4)
-        .write.mode("overwrite")
-        .text(vdir)
-    )
-    os.utime(vdir)  # keep the reaper's dir-mtime key fresh (s15)
+
+    def _build():
+        build_ivfsq_index(
+            e.filter(F.col("vec_id") % 2 == 0),
+            path,
+            n_cells=None,
+            corpus_cache_key=(sf_dir, "embeddings", "vec_id%2=0"),
+        )
+
+    def _wire():
+        # distributed wire write — the s40 rule: ingest shards are
+        # data-sized, never collected; Jackson shortest-decimal floats
+        # round-trip float32 exactly.
+        (
+            e.filter(F.col("vec_id") % 2 == 1)
+            .select(F.to_json(F.struct("vec_id", "embedding")).alias("value"))
+            .coalesce(4)
+            .write.mode("overwrite")
+            .text(vdir)
+        )
+        os.utime(vdir)  # keep the reaper's dir-mtime key fresh (s15)
+
+    # build writes {path}, the wire write {vdir} — independent jobs,
+    # disjoint artifacts, overlapped (round 14, guide §2.6); the
+    # staged ingest below is the join point needing both.
+    run_overlapped(_build, _wire)
     batch = spark.read.schema("vec_id long, embedding array<float>").json(vdir)
     staged = f"{path}_staged"
     appended = ingest_batch_staged(path, staged, batch, batch_id=0)
@@ -2209,28 +2233,49 @@ def s42_stream_ingest_compact_serve(spark: SparkSession, sf_dir: str) -> DataFra
     )
     from ..streaming.serving import ingest_batch
 
+    from ..operators.util import run_overlapped
+
     e = load_table(spark, sf_dir, "embeddings")
     path = _scratch_index_path(spark, sf_dir, "ivfsq_ingest_loop")
-    build_ivfsq_index(
-        e.filter(F.col("vec_id") % 2 == 0),
-        path,
-        n_cells=None,
-        corpus_cache_key=(sf_dir, "embeddings", "vec_id%2=0"),
-    )
     vdir = f"{path}_vbatches"
-    # two micro-batches over the stream wire format (the s40 rule:
-    # distributed to_json write, never collected)
-    for i, pred in enumerate(
-        (F.col("vec_id") % 4 == 1, F.col("vec_id") % 4 == 3)
-    ):
-        (
-            e.filter(pred)
-            .select(F.to_json(F.struct("vec_id", "embedding")).alias("value"))
-            .coalesce(2)
-            .write.mode("overwrite")
-            .text(f"{vdir}/b{i}")
+
+    def _build():
+        build_ivfsq_index(
+            e.filter(F.col("vec_id") % 2 == 0),
+            path,
+            n_cells=None,
+            corpus_cache_key=(sf_dir, "embeddings", "vec_id%2=0"),
         )
-        os.utime(f"{vdir}/b{i}")  # keep the reaper's dir-mtime key fresh
+
+    def _wire(i: int, pred):
+        # one micro-batch onto the stream wire format (the s40 rule:
+        # distributed to_json write, never collected)
+        def go():
+            (
+                e.filter(pred)
+                .select(
+                    F.to_json(F.struct("vec_id", "embedding")).alias("value")
+                )
+                .coalesce(2)
+                .write.mode("overwrite")
+                .text(f"{vdir}/b{i}")
+            )
+            os.utime(f"{vdir}/b{i}")  # keep the reaper's dir-mtime key fresh
+
+        return go
+
+    # The wire writes target {vdir}/b0 and {vdir}/b1 and the build
+    # {path} — three independent job chains with disjoint artifacts,
+    # overlapped (round 14, guide §2.6). The two INGESTS stay
+    # sequential after the join point: both append into the live codes
+    # directory (shared committer staging — the s18 hazard) and the
+    # stream contract delivers batches in order anyway.
+    run_overlapped(
+        _build,
+        _wire(0, F.col("vec_id") % 4 == 1),
+        _wire(1, F.col("vec_id") % 4 == 3),
+    )
+    for i in range(2):
         ingest_batch(
             path,
             spark.read.schema("vec_id long, embedding array<float>").json(
@@ -2339,39 +2384,57 @@ def s44_stream_append_only_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         stage_batch_append_only,
     )
 
+    from ..operators.util import run_overlapped
+
     e = load_table(spark, sf_dir, "embeddings")
     path = _scratch_index_path(spark, sf_dir, "ivfsq_ao_ingest")
-    build_ivfsq_index(
-        e.filter(F.col("vec_id") % 2 == 0),
-        path,
-        n_cells=None,
-        corpus_cache_key=(sf_dir, "embeddings", "vec_id%2=0"),
-    )
     vdir = f"{path}_vbatches_ao"
     staged = f"{path}_staged_ao"
-    # two micro-batches over the stream wire format (the s40 rule:
-    # distributed to_json write, never collected; Jackson
-    # shortest-decimal floats round-trip float32 exactly)
-    batches = []
-    for i, pred in enumerate(
-        (F.col("vec_id") % 4 == 1, F.col("vec_id") % 4 == 3)
-    ):
-        (
-            e.filter(pred)
-            .select(F.to_json(F.struct("vec_id", "embedding")).alias("value"))
-            .coalesce(2)
-            .write.mode("overwrite")
-            .text(f"{vdir}/b{i}")
+
+    def _build():
+        build_ivfsq_index(
+            e.filter(F.col("vec_id") % 2 == 0),
+            path,
+            n_cells=None,
+            corpus_cache_key=(sf_dir, "embeddings", "vec_id%2=0"),
         )
-        os.utime(f"{vdir}/b{i}")  # keep the reaper's dir-mtime key fresh
-        batch = spark.read.schema("vec_id long, embedding array<float>").json(
-            f"{vdir}/b{i}"
-        )
-        batches.append(batch)
-        stage_batch_append_only(staged, batch, batch_id=i)
-    # checkpoint-rollback replay: batch 0 re-delivered under its own
-    # batch_id — overwrites its own staged subdirectory
-    stage_batch_append_only(staged, batches[0], batch_id=0)
+
+    def _stage_all():
+        # two micro-batches over the stream wire format (the s40 rule:
+        # distributed to_json write, never collected; Jackson
+        # shortest-decimal floats round-trip float32 exactly);
+        # SEQUENTIAL within this thread — the replay re-targets b0's
+        # staged subdirectory, so it must follow the original staging
+        # (same-dir writes share the committer staging dir, the s18
+        # hazard).
+        batches = []
+        for i, pred in enumerate(
+            (F.col("vec_id") % 4 == 1, F.col("vec_id") % 4 == 3)
+        ):
+            (
+                e.filter(pred)
+                .select(
+                    F.to_json(F.struct("vec_id", "embedding")).alias("value")
+                )
+                .coalesce(2)
+                .write.mode("overwrite")
+                .text(f"{vdir}/b{i}")
+            )
+            os.utime(f"{vdir}/b{i}")  # keep the reaper's dir-mtime key fresh
+            batch = spark.read.schema(
+                "vec_id long, embedding array<float>"
+            ).json(f"{vdir}/b{i}")
+            batches.append(batch)
+            stage_batch_append_only(staged, batch, batch_id=i)
+        # checkpoint-rollback replay: batch 0 re-delivered under its
+        # own batch_id — overwrites its own staged subdirectory
+        stage_batch_append_only(staged, batches[0], batch_id=0)
+
+    # The index build touches only {path}; the wire/staging chain only
+    # {vdir, staged} — independent jobs with disjoint artifacts, so
+    # overlap them (round 14, guide §2.6); the reconcile below is the
+    # join point needing both.
+    run_overlapped(_build, _stage_all)
     appended = reconcile_index_from_snapshot(spark, path, staged)
     replayed = reconcile_index_from_snapshot(spark, path, staged)
     if replayed:  # the whole point: the re-run must append nothing
@@ -2431,12 +2494,11 @@ def s45_sharded_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL'd and re-ranked globally, the engine merge replayed
     relationally. Reference analogue: none (SURVEY §7 Phase 4/5
     surface)."""
-    from concurrent.futures import ThreadPoolExecutor
-
     from ..operators.ann_index import (
         build_ivfsq_index,
         search_sharded_indexes,
     )
+    from ..operators.util import run_overlapped
 
     e = load_table(spark, sf_dir, "embeddings")
     # The two shard builds are INDEPENDENT jobs on disjoint corpus
@@ -2447,23 +2509,26 @@ def s45_sharded_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeping the cluster full). Each build is deterministic in
     # isolation (fixed seeds, content-keyed samples), so concurrency
     # cannot change any artifact byte; the memo and reap paths are
-    # lock-guarded/disjoint-prefix respectively.
+    # lock-guarded/disjoint-prefix respectively. round 14: through
+    # util.run_overlapped (inheritable thread-local job properties —
+    # ADVICE r13).
     shard_paths = [
         _scratch_index_path(spark, sf_dir, f"ivfsq_shard{par}")
         for par in (0, 1)
     ]
 
-    def build(par: int) -> None:
-        build_ivfsq_index(
-            e.filter(F.col("vec_id") % 2 == par),
-            shard_paths[par],
-            n_cells=None,
-            corpus_cache_key=(sf_dir, "embeddings", f"vec_id%2={par}"),
-        )
+    def build(par: int):
+        def go() -> None:
+            build_ivfsq_index(
+                e.filter(F.col("vec_id") % 2 == par),
+                shard_paths[par],
+                n_cells=None,
+                corpus_cache_key=(sf_dir, "embeddings", f"vec_id%2={par}"),
+            )
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        for _ in pool.map(build, (0, 1)):
-            pass
+        return go
+
+    run_overlapped(build(0), build(1))
     return search_sharded_indexes(
         spark, shard_paths, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
     )

@@ -1381,6 +1381,68 @@ def test_accretion_monitor_and_trigger(spark, tmp_path):
     assert after == before
 
 
+def test_compact_accepts_monitor_file_count(spark, tmp_path):
+    """Round 14: `compact_if_accreted` hands the monitor's listing to
+    the compact (`files_before=`) so a fired trigger walks the
+    accreted codes tree once, not twice. The passed count must flow
+    through to the returned (before, after) tuple exactly as the
+    compact's own listing would, and the compacted serve stays
+    bit-identical."""
+    from mergers_acquisitions_predictions_spark.operators.ann_index import (
+        append_to_ivfsq_index,
+        compact_ivfsq_index,
+        index_accretion_stats,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "idx_fb")
+    build_ivfsq_index(e.filter(F.col("vec_id") % 2 == 0), path, n_cells=16)
+    append_to_ivfsq_index(e.filter(F.col("vec_id") % 2 == 1), path)
+    stats = index_accretion_stats(spark, path)
+    pre = sorted(
+        map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect())
+    )
+    before, after = compact_ivfsq_index(
+        spark, path, files_before=stats["n_files"]
+    )
+    assert before == stats["n_files"]  # the monitor's count, verbatim
+    assert after == index_accretion_stats(spark, path)["n_files"]
+    post = sorted(
+        map(tuple, search_ivfsq_index(spark, path, q, k=5, n_probe=2).collect())
+    )
+    assert post == pre
+
+
+def test_run_overlapped_order_and_error_propagation(spark):
+    """Round 14 §2.6 helper: results come back in thunk order, and a
+    failing thunk's exception propagates only after every sibling has
+    finished (no artifact left mid-write by a sibling's failure)."""
+    import time as _t
+
+    from mergers_acquisitions_predictions_spark.operators.util import (
+        run_overlapped,
+    )
+
+    assert run_overlapped(lambda: 1, lambda: 2, lambda: 3) == [1, 2, 3]
+
+    finished = []
+
+    def slow_ok():
+        _t.sleep(0.3)
+        finished.append("ok")
+        return "done"
+
+    def fast_fail():
+        raise RuntimeError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        run_overlapped(fast_fail, slow_ok)
+    assert finished == ["ok"]  # the sibling ran to completion first
+
+
 def test_staged_reconcile_is_kind_agnostic_pq_residual(spark, tmp_path):
     """The exactly-once path composes with the PQ residual kind with
     zero caller config: `reconcile_index_from_snapshot` appends via
