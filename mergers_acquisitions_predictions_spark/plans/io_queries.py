@@ -419,10 +419,20 @@ def io04_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         "l_returnflag",
     )
-    write_zordered(
-        li, _IO04_Z, zorder_cols=["l_partkey", "l_suppkey"], bits=6, n_files=8
+    # The Z-ordered rewrite ({_IO04_Z} parquet) and the bucketed table
+    # (spark-warehouse managed table) are independent jobs over the
+    # same read-only projection writing DISJOINT artifacts — overlap
+    # them (round 14, guide §2.6); the box/bucket read-backs below are
+    # the join point needing both.
+    from ..operators.util import run_overlapped
+
+    run_overlapped(
+        lambda: write_zordered(
+            li, _IO04_Z, zorder_cols=["l_partkey", "l_suppkey"], bits=6,
+            n_files=8,
+        ),
+        lambda: write_bucketed(li, "io04_bucketed", ["l_partkey"], n_buckets=8),
     )
-    write_bucketed(li, "io04_bucketed", ["l_partkey"], n_buckets=8)
 
     box = spark.read.parquet(_IO04_Z).filter(
         F.col("l_partkey").between(1, 50) & F.col("l_suppkey").between(1, 5)
