@@ -285,26 +285,29 @@ def build_bm25_index(
 
     Plan shape (rounds 13–14 — artifact VALUES unchanged, certified
     by the t39/t40/t41 oracles and the persisted≡in-memory test): ONE
-    corpus pass TOTAL — tokenize once, dl rides the exploded rows
-    map-side, and the 1-row stats aggregate rides the SAME postings
-    write job as an `Observation` (count/sum metrics collected during
-    the write — round 14, guide §1.1: the separate stats job paid a
-    second full tokenize pass). ``n_range_partitions=None`` makes the
-    postings layout scale-adaptive: the range exchange then starts at
+    tokenize pass TOTAL — tokenize once, dl rides the exploded rows
+    map-side into the postings write; the stats sidecar is then
+    derived WITHOUT re-tokenizing: nn is a plain `docs.count()` (no
+    text touched — parquet sources answer from metadata) and
+    sdl = SUM(c) over the JUST-WRITTEN postings (every token becomes
+    exactly one (doc, term) count, so Σc ≡ Σdl — exact integers; an
+    artifact-sized, column-pruned, page-cache-warm scan). An earlier
+    spelling rode the stats on the write via `Observation`, but
+    SparkSession.observationManager is the session's ONLY
+    non-transient lazy field (Spark 4.1): first use initializes it
+    and every LATER Java serialization of a session-capturing closure
+    in the SAME session fails (MLlib models carry their session via
+    trainingSummary — m-family rows after a bm25 build would die with
+    `NotSerializableException: ObservationManager`).
+    ``n_range_partitions=None`` makes the postings layout
+    scale-adaptive: the range exchange then starts at
     spark.sql.shuffle.partitions and AQE coalesces — the production
     setting; the default 8 keeps the local artifact layout stable
     across rounds."""
-    import uuid
-
-    from pyspark.sql import Observation
-
     from ..sources.writers import publish_parquet_atomic
 
     spark = docs.sparkSession
-    obs = Observation(f"bm25_stats_{uuid.uuid4().hex[:8]}")
-    toks = _tokenized(docs, id_col, text_col).observe(
-        obs, F.count(F.lit(1)).alias("nn"), F.sum(_dl_of_toks()).alias("sdl")
-    )
+    toks = _tokenized(docs, id_col, text_col)
     tf = _tf_with_dl(toks)
     ranged = (
         tf.repartitionByRange(n_range_partitions, "term", "doc_id")
@@ -317,14 +320,18 @@ def build_bm25_index(
     publish_parquet_atomic(postings, f"{path}/postings")
     # sdl is kept as an exact integer so `append_bm25_index` can merge
     # corpus stats without float error; avgdl is derived at read time
-    # from the same division the in-memory path performs. The values
-    # come from the postings job's Observation — exact integer count/
-    # sum, identical to the former dedicated aggregate.
-    row = obs.get
+    # from the same division the in-memory path performs. Σc over the
+    # written postings ≡ Σdl over docs (tokenless docs contribute no
+    # rows and 0 tokens — identical), and nn counts EVERY document,
+    # tokenless included, without touching the text column.
+    nn = docs.count()
+    sdl = (
+        spark.read.parquet(f"{path}/postings")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long"))
+        .first()[0]
+    )
     publish_parquet_atomic(
-        spark.createDataFrame(
-            [(row["nn"], row["sdl"])], "nn bigint, sdl bigint"
-        ),
+        spark.createDataFrame([(nn, sdl)], "nn bigint, sdl bigint"),
         f"{path}/stats",
     )
 

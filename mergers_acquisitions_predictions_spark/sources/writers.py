@@ -168,7 +168,17 @@ def write_parquet_observed(
     table; an observation is free (metrics ride the write tasks).
 
     Only Observation-legal aggregates apply (no distinct, no order-
-    dependent aggs); returns ``{name: value}``."""
+    dependent aggs); returns ``{name: value}``.
+
+    SESSION CAVEAT (round 14): SparkSession.observationManager is the
+    session's only NON-transient lazy field (Spark 4.1) — the first
+    Observation initializes it, and every later Java serialization of
+    a session-capturing closure in the same session then fails
+    (MLlib models carry their session via trainingSummary:
+    `NotSerializableException: ObservationManager`). No registered
+    query path uses this sink; keep it out of sessions that later
+    ship MLlib models into task closures (see build_bm25_index's
+    derived-stats spelling for the workaround)."""
     from pyspark.sql import Observation
 
     obs = Observation("write_metrics")

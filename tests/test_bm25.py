@@ -295,3 +295,41 @@ def test_bm25_stream_ingest_exactly_once(spark, tmp_path):
     assert reconcile_bm25_from_snapshot(spark, inc, staged) == 0
     again = sorted(map(tuple, search_bm25_index(spark, inc, q, k=10).collect()))
     assert again == want
+
+
+def test_bm25_build_does_not_poison_mllib_closures(spark, tmp_path):
+    """Round 14 regression: SparkSession.observationManager is the
+    session's only NON-transient lazy field (Spark 4.1) — the first
+    `Observation` use initializes it, and every later Java
+    serialization of a session-capturing closure in the SAME session
+    then fails (MLlib models carry their session via trainingSummary:
+    `NotSerializableException: ObservationManager`; caught by the
+    full suite's e2e pipeline running after the bm25 tests). The
+    build's stats sidecar must therefore be derived WITHOUT the
+    Observation API: after a build, an MLlib model whose transform
+    UDF captures the model (and so the session) must still evaluate."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.linalg import Vectors
+
+    from mergers_acquisitions_predictions_spark.operators.bm25 import (
+        build_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    build_bm25_index(docs, str(tmp_path / "bm25_obs_free"))
+
+    df = spark.createDataFrame(
+        [(Vectors.dense([0.1, 0.9]), 1.0), (Vectors.dense([0.8, 0.2]), 0.0)]
+        * 10,
+        ["features", "label"],
+    )
+    model = LogisticRegression().fit(df)  # trainingSummary -> session
+    scored = model.transform(df)  # UDF closure captures the model
+    auc = BinaryClassificationEvaluator(
+        rawPredictionCol="rawPrediction"
+    ).evaluate(scored)
+    assert 0.0 <= auc <= 1.0
